@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import scala.collection.concurrent.TrieMap
+
+/** Graph container: `nodes(id: string, label: string)`,
+  * `edges(src: string, dst: string, weight: double)`.
+  *
+  * The reference models a property graph as a node CSV + edge CSV
+  * (reference `src/base_hits.py:36-37`); here the same shape is loaded
+  * either from reference-layout CSVs (explicit schema, no inference in
+  * production) or derived from the driver's TPC-H-ish parquet testdata.
+  */
+final case class Graph(nodes: DataFrame, edges: DataFrame)
+
+object GraphIO {
+
+  /** Reference node CSV schema (reference `data/nodes_elab.csv:1`,
+    * header `id:ID,names,size:int,labels:LABEL,rho:double`). */
+  val nodesCsvSchema: StructType = StructType(Seq(
+    StructField("id:ID", StringType),
+    StructField("names", StringType),
+    StructField("size:int", IntegerType),
+    StructField("labels:LABEL", StringType),
+    StructField("rho:double", DoubleType)))
+
+  /** Reference edge CSV schema (columns used at reference
+    * `src/base_hits.py:40` and `src/weighted_hits.py:26`). */
+  val edgesCsvSchema: StructType = StructType(Seq(
+    StructField("src:START_ID", StringType),
+    StructField("dst:END_ID", StringType),
+    StructField("mrho:double", DoubleType)))
+
+  /** Neo4j-style headers -> clean names, like the reference's renames
+    * (reference `src/topic_specific_hits.py:45-46`). */
+  def readNodesCsv(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("header", true).schema(nodesCsvSchema).csv(path)
+      .select(col("id:ID").as("id"), col("names"), col("size:int").as("size"),
+        col("labels:LABEL").as("label"), col("rho:double").as("rho"))
+
+  def readEdgesCsv(spark: SparkSession, path: String,
+      weightCol: String = "mrho:double"): DataFrame =
+    spark.read.option("header", true).schema(edgesCsvSchema).csv(path)
+      .select(col("src:START_ID").as("src"), col("dst:END_ID").as("dst"),
+        col(weightCol).cast(DoubleType).as("weight"))
+
+  // ---------------------------------------------------------------------
+  // Testdata-derived graphs (FIXTURES.md §2). Node-id namespaces are
+  // prefixed ('c'/'o'/'p') because raw custkey/orderkey/partkey ranges
+  // overlap; the prefix doubles as the node's topic label.
+  // ---------------------------------------------------------------------
+
+  private val cache = TrieMap.empty[String, Graph]
+
+  /** Directed order graph over the testdata star schema:
+    * customer -> order (weight o_totalprice),
+    * order -> part (weight l_extendedprice),
+    * part -> part between consecutive line numbers of one order
+    * (weight l_quantity). Labels: customer / order / part.
+    * Cached + persisted per sfDir: every kernel query shares one scan. */
+  def orderGraph(spark: SparkSession, sfDir: String): Graph =
+    cache.getOrElseUpdate(s"order:$sfDir", {
+      val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      val e1 = orders.select(
+        concat(lit("c"), col("o_custkey").cast(StringType)).as("src"),
+        concat(lit("o"), col("o_orderkey").cast(StringType)).as("dst"),
+        col("o_totalprice").as("weight"))
+      val e2 = li.select(
+        concat(lit("o"), col("l_orderkey").cast(StringType)).as("src"),
+        concat(lit("p"), col("l_partkey").cast(StringType)).as("dst"),
+        col("l_extendedprice").as("weight"))
+      val w = Window.partitionBy(col("l_orderkey")).orderBy(col("l_linenumber"))
+      val e3 = li.select(
+        concat(lit("p"), col("l_partkey").cast(StringType)).as("src"),
+        concat(lit("p"), lead(col("l_partkey"), 1).over(w).cast(StringType)).as("dst"),
+        col("l_quantity").as("weight"))
+        .where(col("dst").isNotNull)
+      val edges = e1.unionAll(e2).unionAll(e3).persist()
+      val nodes = edges.select(col("src").as("id"))
+        .union(edges.select(col("dst").as("id"))).distinct()
+        .withColumn("label",
+          when(substring(col("id"), 1, 1) === "c", "customer")
+            .when(substring(col("id"), 1, 1) === "o", "order")
+            .otherwise("part"))
+        .persist()
+      Graph(nodes, edges)
+    })
+
+  /** Skewed bipartite event graph: user -> event_type, weight = value. */
+  def eventGraph(spark: SparkSession, sfDir: String): Graph =
+    cache.getOrElseUpdate(s"event:$sfDir", {
+      val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      val edges = ev.select(
+        concat(lit("u"), col("user_id").cast(StringType)).as("src"),
+        concat(lit("e"), col("event_type")).as("dst"),
+        col("value").as("weight")).persist()
+      val nodes = edges.select(col("src").as("id"))
+        .union(edges.select(col("dst").as("id"))).distinct()
+        .withColumn("label",
+          when(substring(col("id"), 1, 1) === "u", "user").otherwise("event"))
+        .persist()
+      Graph(nodes, edges)
+    })
+
+  def documents(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/documents.parquet")
+
+  def embeddings(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/embeddings.parquet")
+
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's reader
+    * rejects; `nanosAsLong` surfaces it as epoch-nanos BIGINT and
+    * downstream ops use integer arithmetic (nanos exceed double
+    * precision, so no FP conversion is safe). */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sfDir/events.parquet")
+  }
+}

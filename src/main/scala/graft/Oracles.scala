@@ -1,0 +1,378 @@
+package graft
+
+import graft.functions.{GraftHash, TextFunctions => TF}
+
+/** DuckDB oracle-SQL generators for every `SparkEntry.queries` entry.
+  *
+  * The iterative kernels are unrolled into CTE chains (8 iterations by
+  * default), generated programmatically — SURVEY.md §5.2(2). Floating-
+  * point columns are `round`ed to a fixed number of decimals on BOTH
+  * sides (Spark result and oracle SQL) so cross-engine summation-order
+  * differences (~1e-14 relative) cannot flip the driver's hash compare;
+  * integer-valued columns (degrees, hashes, fingerprints, pair ids) are
+  * emitted exactly.
+  *
+  * Numeric parity rules used throughout (see each kernel's scaladoc for
+  * the reference semantics): double literals are written `x::DOUBLE` so
+  * DuckDB does not fall into DECIMAL arithmetic; norms use `score*score`
+  * (never `pow`); divisions keep the reference's int->double promotion.
+  */
+object Oracles {
+
+  /** Directed order graph, must match [[GraphIO.orderGraph]] exactly. */
+  val edgesCte: String =
+    """edges AS MATERIALIZED (
+      |  SELECT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+      |         'o' || CAST(o_orderkey AS VARCHAR) AS dst,
+      |         o_totalprice AS w
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT 'o' || CAST(l_orderkey AS VARCHAR),
+      |         'p' || CAST(l_partkey AS VARCHAR),
+      |         l_extendedprice
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT src, dst, w FROM (
+      |    SELECT 'p' || CAST(l_partkey AS VARCHAR) AS src,
+      |           'p' || CAST(LEAD(l_partkey) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) AS VARCHAR) AS dst,
+      |           l_quantity AS w
+      |    FROM lineitem) t
+      |  WHERE dst IS NOT NULL
+      |)""".stripMargin
+
+  val nodesCte: String =
+    """nodes AS MATERIALIZED (
+      |  SELECT id,
+      |         CASE WHEN substr(id, 1, 1) = 'c' THEN 'customer'
+      |              WHEN substr(id, 1, 1) = 'o' THEN 'order'
+      |              ELSE 'part' END AS label
+      |  FROM (SELECT src AS id FROM edges UNION SELECT dst FROM edges) u
+      |)""".stripMargin
+
+  private def graphCtes: String = s"$edgesCte,\n$nodesCte"
+
+  /** Post-aggregation transform of one iteration (teleport variants). */
+  sealed trait Post
+  case object NoPost extends Post
+  /** `beta*s + (1-beta)/denom` for every aggregated node. */
+  final case class TeleportAll(beta: Double, denomSql: String) extends Post
+  /** flag=0 -> `beta*s`; flag=1 -> `beta*s + (1-beta)/denom`. */
+  final case class TeleportTopic(beta: Double, denomSql: String) extends Post
+
+  private def betaSql(beta: Double) = s"$beta::DOUBLE"
+
+  private def postWrap(raw: String, post: Post): String = post match {
+    case NoPost => s"SELECT id, score FROM $raw"
+    case TeleportAll(b, d) =>
+      s"SELECT id, ${betaSql(b)} * score + ((1::DOUBLE - ${betaSql(b)}) / $d) AS score FROM $raw"
+    case TeleportTopic(b, d) =>
+      s"SELECT r.id, CASE WHEN f.flag = 0 THEN ${betaSql(b)} * r.score " +
+        s"ELSE ${betaSql(b)} * r.score + ((1::DOUBLE - ${betaSql(b)}) / $d) END AS score " +
+        s"FROM $raw r JOIN flags f ON r.id = f.id"
+  }
+
+  /** Topic-subgraph CTEs shared by the exclusive / query-dependent kernels. */
+  private def exclusiveCtes(topic: String): String =
+    s"""tnodes AS MATERIALIZED (SELECT id FROM nodes WHERE label = '$topic'),
+       |xedges AS MATERIALIZED (
+       |  SELECT e.* FROM edges e
+       |  WHERE EXISTS (SELECT 1 FROM tnodes t WHERE t.id = e.src)
+       |    AND EXISTS (SELECT 1 FROM tnodes t WHERE t.id = e.dst)
+       |)""".stripMargin
+
+  private def queryDepCtes(topic: String): String =
+    s"""tnodes AS MATERIALIZED (SELECT id FROM nodes WHERE label = '$topic'),
+       |qedges AS MATERIALIZED (
+       |  SELECT e.* FROM edges e
+       |  WHERE EXISTS (SELECT 1 FROM tnodes t WHERE t.id = e.src)
+       |     OR EXISTS (SELECT 1 FROM tnodes t WHERE t.id = e.dst)
+       |),
+       |qnodes AS MATERIALIZED (
+       |  SELECT n.id FROM nodes n
+       |  WHERE EXISTS (SELECT 1 FROM qedges e WHERE e.src = n.id OR e.dst = n.id)
+       |)""".stripMargin
+
+  private def topicCtes(topic: String): String =
+    s"""flags AS MATERIALIZED (SELECT id, CASE WHEN label = '$topic' THEN 1 ELSE 0 END AS flag FROM nodes),
+       |tnv AS MATERIALIZED (SELECT COUNT(*) AS n FROM flags WHERE flag = 1)""".stripMargin
+
+  /** HITS family (K1-K6). `edgesRel`/`initRel` select the (sub)graph. */
+  def hits(weighted: Boolean = false, post: Post = NoPost,
+      extraCtes: Seq[String] = Nil, edgesRel: String = "edges",
+      initRel: String = "nodes", numIter: Int = 8, digits: Int = 6): String = {
+    val sb = new StringBuilder
+    sb ++= s"WITH $graphCtes"
+    extraCtes.foreach(c => sb ++= s",\n$c")
+    sb ++= s",\nnv AS MATERIALIZED (SELECT COUNT(*) AS n FROM $initRel)"
+    sb ++= s",\ns0 AS MATERIALIZED (SELECT id, 1::DOUBLE / sqrt((SELECT n FROM nv)) AS score FROM $initRel)"
+    val hc = if (weighted) "e.w * a.score" else "a.score"
+    val ac = if (weighted) "e.w * h.score" else "h.score"
+    for (i <- 1 to numIter) {
+      val prevA = if (i == 1) "s0" else s"a${i - 1}"
+      sb ++= s",\nhu${i}r AS MATERIALIZED (SELECT e.src AS id, SUM($hc) AS score FROM $edgesRel e " +
+        s"JOIN $prevA a ON e.dst = a.id GROUP BY e.src)"
+      sb ++= s",\nhu$i AS MATERIALIZED (${postWrap(s"hu${i}r", post)})"
+      sb ++= s",\nau${i}r AS MATERIALIZED (SELECT e.dst AS id, SUM($ac) AS score FROM $edgesRel e " +
+        s"JOIN hu$i h ON e.src = h.id GROUP BY e.dst)"
+      sb ++= s",\nau$i AS MATERIALIZED (${postWrap(s"au${i}r", post)})"
+      sb ++= s",\nh$i AS MATERIALIZED (SELECT id, score / (SELECT sqrt(SUM(score*score)) FROM hu$i) AS score FROM hu$i)"
+      sb ++= s",\na$i AS MATERIALIZED (SELECT id, score / (SELECT sqrt(SUM(score*score)) FROM au$i) AS score FROM au$i)"
+    }
+    sb ++= s"\nSELECT 'auth' AS kind, id, round(score, $digits) AS score FROM a$numIter"
+    sb ++= s"\nUNION ALL SELECT 'hub' AS kind, id, round(score, $digits) AS score FROM h$numIter"
+    sb ++= "\nORDER BY kind, id"
+    sb.toString
+  }
+
+  def hitsBase: String = hits()
+  def hitsWeighted: String = hits(weighted = true)
+  def hitsTeleport(beta: Double = 0.8): String =
+    hits(post = TeleportAll(beta, "(SELECT n FROM nv)"))
+  def hitsTopic(topic: String, beta: Double = 0.8): String =
+    hits(post = TeleportTopic(beta, "(SELECT n FROM tnv)"),
+      extraCtes = Seq(topicCtes(topic)))
+  def hitsTopicExclusive(topic: String): String =
+    hits(extraCtes = Seq(exclusiveCtes(topic)), edgesRel = "xedges",
+      initRel = "tnodes")
+  def hitsQueryDependent(topic: String): String =
+    hits(extraCtes = Seq(queryDepCtes(topic)), edgesRel = "qedges",
+      initRel = "qnodes")
+
+  /** Iterative SALSA (K8/K10/K11). `initSql` overrides the uniform init. */
+  def salsaIterative(post: Post = NoPost, extraCtes: Seq[String] = Nil,
+      initSql: Option[String] = None, numIter: Int = 8,
+      digits: Int = 9): String = {
+    val sb = new StringBuilder
+    sb ++= s"WITH $graphCtes"
+    extraCtes.foreach(c => sb ++= s",\n$c")
+    sb ++= ",\nnv AS MATERIALIZED (SELECT COUNT(*) AS n FROM nodes)"
+    sb ++= ",\nodeg AS MATERIALIZED (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src)"
+    sb ++= ",\nideg AS MATERIALIZED (SELECT dst, COUNT(*) AS deg FROM edges GROUP BY dst)"
+    sb ++= ",\ns0 AS MATERIALIZED (" + initSql.getOrElse(
+      "SELECT id, 1::DOUBLE / sqrt((SELECT n FROM nv)) AS score FROM nodes") + ")"
+    for (i <- 1 to numIter) {
+      val prevA = if (i == 1) "s0" else s"a${i - 1}"
+      sb ++= s",\nhu${i}r AS MATERIALIZED (SELECT e.src AS id, SUM(a.score / d.deg) AS score FROM edges e " +
+        s"JOIN ideg d ON d.dst = e.dst JOIN $prevA a ON a.id = e.dst GROUP BY e.src)"
+      sb ++= s",\nhu$i AS MATERIALIZED (${postWrap(s"hu${i}r", post)})"
+      sb ++= s",\nau${i}r AS MATERIALIZED (SELECT e.dst AS id, SUM(h.score / d.deg) AS score FROM edges e " +
+        s"JOIN odeg d ON d.src = e.src JOIN hu$i h ON h.id = e.src GROUP BY e.dst)"
+      sb ++= s",\nau$i AS MATERIALIZED (${postWrap(s"au${i}r", post)})"
+      sb ++= s",\nh$i AS MATERIALIZED (SELECT id, score / (SELECT SUM(score) FROM hu$i) AS score FROM hu$i)"
+      sb ++= s",\na$i AS MATERIALIZED (SELECT id, score / (SELECT SUM(score) FROM au$i) AS score FROM au$i)"
+    }
+    sb ++= s"\nSELECT 'auth' AS kind, id, round(score, $digits) AS score FROM a$numIter"
+    sb ++= s"\nUNION ALL SELECT 'hub' AS kind, id, round(score, $digits) AS score FROM h$numIter"
+    sb ++= "\nORDER BY kind, id"
+    sb.toString
+  }
+
+  def salsaIterativeBase: String = salsaIterative()
+  def salsaTeleport(beta: Double = 0.8): String =
+    salsaIterative(post = TeleportAll(beta, "(2 * (SELECT n FROM nv))"))
+  def salsaTopic(topic: String, beta: Double = 0.8): String =
+    salsaIterative(
+      post = TeleportTopic(beta, "(2 * (SELECT n FROM tnv))"),
+      extraCtes = Seq(topicCtes(topic)),
+      initSql = Some("SELECT id, CASE WHEN flag = 0 THEN 0::DOUBLE " +
+        "ELSE 1::DOUBLE / (2 * (SELECT n FROM tnv)) END AS score FROM flags"))
+
+  /** Simplified SALSA (K7/K9/K12): degree mass, L1. */
+  def salsaSimplified(weighted: Boolean = false, extraCtes: Seq[String] = Nil,
+      edgesRel: String = "edges", digits: Int = 9): String = {
+    val m = if (weighted) "SUM(w)" else "CAST(COUNT(*) AS DOUBLE)"
+    val ctes = (Seq(graphCtes) ++ extraCtes).mkString(",\n")
+    s"""WITH $ctes,
+       |od AS MATERIALIZED (SELECT src AS id, $m AS m FROM $edgesRel GROUP BY src),
+       |idg AS MATERIALIZED (SELECT dst AS id, $m AS m FROM $edgesRel GROUP BY dst)
+       |SELECT 'auth' AS kind, id, round(m / (SELECT SUM(m) FROM idg), $digits) AS score FROM idg
+       |UNION ALL SELECT 'hub' AS kind, id, round(m / (SELECT SUM(m) FROM od), $digits) AS score FROM od
+       |ORDER BY kind, id""".stripMargin
+  }
+
+  def salsaSimplifiedBase: String = salsaSimplified()
+  def salsaWeighted: String = salsaSimplified(weighted = true)
+  def salsaQueryDependent(topic: String): String =
+    salsaSimplified(extraCtes = Seq(queryDepCtes(topic)), edgesRel = "qedges")
+
+  // ------------------- utility operators -------------------
+
+  def topicsList: String =
+    s"WITH $graphCtes\nSELECT label FROM nodes GROUP BY label ORDER BY label"
+
+  def degrees: String =
+    s"""WITH $graphCtes
+       |SELECT 'out' AS kind, src AS id, COUNT(*) AS degree FROM edges GROUP BY src
+       |UNION ALL SELECT 'in' AS kind, dst AS id, COUNT(*) AS degree FROM edges GROUP BY dst
+       |ORDER BY kind, id""".stripMargin
+
+  /** Top-10 simplified-SALSA authorities: exercises the top-k path with a
+    * deterministic (exact-rational score, id-tiebreak) ordering. */
+  def rankTopK(k: Int = 10): String =
+    s"""WITH $graphCtes,
+       |idg AS MATERIALIZED (SELECT dst AS id, CAST(COUNT(*) AS DOUBLE) AS m FROM edges GROUP BY dst)
+       |SELECT id, round(m / (SELECT SUM(m) FROM idg), 9) AS score FROM idg
+       |ORDER BY m / (SELECT SUM(m) FROM idg) DESC, id LIMIT $k""".stripMargin
+
+  /** Deterministic hash-based sample — cross-engine-checkable stand-in for
+    * the reference's seeded Bernoulli sample (`src/base_hits.py:78-79`). */
+  def sampleHash(pct: Int = 5): String =
+    s"WITH $graphCtes\nSELECT id FROM nodes WHERE " +
+      s"${GraftHash.duckdbSql("id")} % 100 < $pct ORDER BY id"
+
+  // ------------------- events (batch twins of the streaming pipeline) ----
+
+  def eventsWindow: String =
+    """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_ts,
+      |       event_type,
+      |       COUNT(*) AS n,
+      |       round(SUM(value), 6) AS total
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Top-3 users per event type by total value. Ranked on exact integer
+    * cents so cross-engine double-sum noise cannot reorder ties. */
+  def eventsTopUsers: String =
+    """WITH s AS (
+      |  SELECT event_type, user_id,
+      |         CAST(round(SUM(value) * 100.0::DOUBLE) AS BIGINT) AS cents
+      |  FROM events GROUP BY 1, 2),
+      |r AS (
+      |  SELECT event_type, user_id, cents,
+      |         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY cents DESC, user_id) AS rn
+      |  FROM s)
+      |SELECT event_type, user_id, cents, rn FROM r WHERE rn <= 3
+      |ORDER BY event_type, rn""".stripMargin
+
+  // ------------------- text analysis / dedup / similarity ---------------
+
+  def textStats: String = {
+    val t = "text"
+    s"""SELECT doc_id,
+       |       ${TF.sqlTokenCount(t)} AS n_tokens,
+       |       ${TF.sqlPunctCount(t)} AS n_punct,
+       |       ${TF.sqlLangId(t)} AS lang_pred,
+       |       round(${TF.sqlQualityScore(t)}, 6) AS quality
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  def textFingerprint: String =
+    s"SELECT doc_id, ${GraftHash.duckdbSql("text")} AS fp " +
+      "FROM documents ORDER BY doc_id"
+
+  def dedupExact: String =
+    """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+      |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin
+
+  /** 16-bit SimHash over whitespace tokens (with multiplicity); exact
+    * integer arithmetic end-to-end. Docs with no tokens drop out. */
+  def dedupSimhash: String = {
+    val bits = (0 until 16).map { b =>
+      s"SUM(CASE WHEN ((h >> $b) & 1) = 1 THEN 1 ELSE -1 END) AS s$b"
+    }.mkString(", ")
+    val fp = (0 until 16).map { b =>
+      s"CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END"
+    }.mkString(" + ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(${TF.sqlTokens("text")}) AS t FROM documents),
+       |th AS (SELECT doc_id, ${GraftHash.duckdbSql("t")} AS h FROM toks),
+       |bits AS (SELECT doc_id, $bits FROM th GROUP BY doc_id)
+       |SELECT doc_id, CAST($fp AS BIGINT) AS simhash FROM bits ORDER BY doc_id""".stripMargin
+  }
+
+  /** MinHash/LSH candidate pairs: 16 hash slots, 4 bands of 4 rows.
+    * Same (a_j, b_j) constants as the Spark side ([[MinHashParams]]). */
+  def dedupMinHashLsh: String = {
+    val mins = MinHashParams.params.zipWithIndex.map { case ((a, b), j) =>
+      s"MIN(($a * h + $b) % ${MinHashParams.P}) AS m$j"
+    }.mkString(", ")
+    val bandRows = (0 until MinHashParams.Bands).map { bd =>
+      val Seq(x0, x1, x2, x3) = (0 until MinHashParams.Rows)
+        .map(r => s"m${bd * MinHashParams.Rows + r}")
+      s"SELECT doc_id, $bd AS band, (((((($x0 * 31 + $x1) % ${MinHashParams.P}) * 31 + $x2) % ${MinHashParams.P}) * 31 + $x3) % ${MinHashParams.P}) AS sig FROM mh"
+    }.mkString("\nUNION ALL ")
+    s"""WITH sh AS MATERIALIZED (
+       |  SELECT DISTINCT doc_id, sh FROM (
+       |    SELECT doc_id, unnest(${TF.sqlShingles("text", 3)}) AS sh FROM documents) t),
+       |hh AS MATERIALIZED (SELECT doc_id, ${GraftHash.duckdbSql("sh")} AS h FROM sh),
+       |mh AS MATERIALIZED (SELECT doc_id, $mins FROM hh GROUP BY doc_id),
+       |bands AS MATERIALIZED ($bandRows),
+       |pairs AS (
+       |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |  FROM bands x JOIN bands y ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id)
+       |SELECT a, b FROM pairs ORDER BY a, b""".stripMargin
+  }
+
+  /** Word-3-gram Jaccard similarity >= threshold, via shared-shingle
+    * candidate join. Integer set sizes -> exact double division. */
+  def dedupNgramJaccard(threshold: Double = 0.5): String =
+    s"""WITH sh AS MATERIALIZED (
+       |  SELECT DISTINCT doc_id, sh FROM (
+       |    SELECT doc_id, unnest(${TF.sqlShingles("text", 3)}) AS sh FROM documents) t),
+       |sz AS MATERIALIZED (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+       |common AS (
+       |  SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS c
+       |  FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+       |  GROUP BY x.doc_id, y.doc_id),
+       |j AS (
+       |  SELECT a, b, CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) AS jac
+       |  FROM common JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b)
+       |SELECT a, b, round(jac, 6) AS jaccard FROM j
+       |WHERE jac >= $threshold::DOUBLE ORDER BY a, b""".stripMargin
+
+  private def dotSql(x: String, y: String): String =
+    s"list_reduce(list_prepend(0::DOUBLE, list_transform(list_zip($x, $y), " +
+      s"z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))), (acc, v) -> acc + v)"
+
+  private def normSql(x: String): String =
+    s"sqrt(list_reduce(list_prepend(0::DOUBLE, list_transform($x, " +
+      s"v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))), (acc, v) -> acc + v))"
+
+  /** Embedding near-duplicates: cosine >= threshold inside label blocks
+    * (IVF-style blocking keeps the pair space linear-ish). */
+  def dedupEmbedding(threshold: Double): String =
+    s"""WITH p AS (
+       |  SELECT x.vec_id AS a, y.vec_id AS b,
+       |         ${dotSql("x.embedding", "y.embedding")} /
+       |           (${normSql("x.embedding")} * ${normSql("y.embedding")}) AS cos
+       |  FROM embeddings x JOIN embeddings y
+       |    ON x.label = y.label AND x.vec_id < y.vec_id)
+       |SELECT a, b, round(cos, 6) AS cosine FROM p
+       |WHERE cos >= $threshold::DOUBLE ORDER BY a, b""".stripMargin
+
+  /** Brute-force cosine top-k for the first `nq` query vectors. */
+  def annTopK(nq: Int = 10, k: Int = 5): String =
+    s"""WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < $nq),
+       |c AS (
+       |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+       |         ${dotSql("q.embedding", "e.embedding")} /
+       |           (${normSql("q.embedding")} * ${normSql("e.embedding")}) AS cos
+       |  FROM q JOIN embeddings e ON e.vec_id <> q.vec_id),
+       |r AS (
+       |  SELECT query_id, neighbor_id, cos,
+       |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+       |  FROM c)
+       |SELECT query_id, rn, neighbor_id, round(cos, 6) AS cosine FROM r
+       |WHERE rn <= $k ORDER BY query_id, rn""".stripMargin
+
+  /** Byte-level metadata of the opaque payload column (multimodal stub
+    * pipeline): byte length + rolling-hash checksum. */
+  def multimodalMeta: String =
+    s"""SELECT doc_id, strlen(text) AS n_bytes,
+       |       ${GraftHash.duckdbSql("text")} AS payload_fp
+       |FROM documents ORDER BY doc_id""".stripMargin
+}
+
+/** MinHash constants shared between the Spark pipeline and the oracle. */
+object MinHashParams {
+  val P = 1000000007L
+  val NumHashes = 16
+  val Bands = 4
+  val Rows = 4
+  /** (a_j, b_j) for h_j(x) = (a_j*x + b_j) mod P — small fixed odd
+    * multipliers keep a_j*x < 2^63 for x < P. */
+  val params: Seq[(Long, Long)] = Seq(
+    (3L, 17L), (5L, 29L), (7L, 41L), (11L, 53L),
+    (13L, 67L), (19L, 79L), (23L, 97L), (29L, 103L),
+    (31L, 113L), (37L, 127L), (41L, 139L), (43L, 151L),
+    (47L, 163L), (53L, 179L), (59L, 191L), (61L, 199L))
+}

@@ -1,13 +1,156 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.functions.{GraftHash, TextFunctions => TF}
+import graft.operators._
+import graft.pipelines.{Dedup, Multimodal, Similarity}
+import graft.streaming.EventPipelines
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in [[queries]] has a DuckDB twin in [[oracleSql]]
+  * (generated in [[Oracles]]); column names and types are aligned on
+  * both sides because the driver's compare sorts columns by name and
+  * hashes values. Floating-point scores are rounded identically on both
+  * sides (HITS: 6 decimals, SALSA: 9 — see [[Oracles]] scaladoc).
+  */
 object SparkEntry {
+
+  /** Topic label used by the topic/query-dependent kernels: 'part' is the
+    * only label with intra-topic edges in the derived order graph. */
+  private val Topic = "part"
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+    queries("hits_base")(spark, "/root/testdata/sf0.001")
+
+  private def scoresOut(hubs: DataFrame, auths: DataFrame,
+      digits: Int): DataFrame =
+    auths.select(lit("auth").as("kind"), col("id"),
+        round(col("score"), digits).as("score"))
+      .unionAll(hubs.select(lit("hub").as("kind"), col("id"),
+        round(col("score"), digits).as("score")))
+      .orderBy(col("kind"), col("id"))
+
+  private def hitsOut(r: Hits.Result): DataFrame =
+    scoresOut(r.hubs, r.auths, 6)
+  private def salsaOut(r: Salsa.Result): DataFrame =
+    scoresOut(r.hubs, r.auths, 9)
+
+  /** One per implemented operator from SURVEY.md §2. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- HITS family (K1-K6) on the derived order graph ----
+    "hits_base" -> ((s, dir) =>
+      hitsOut(Hits.run(GraphIO.orderGraph(s, dir)))),
+    "hits_weighted" -> ((s, dir) =>
+      hitsOut(Hits.runWeighted(GraphIO.orderGraph(s, dir)))),
+    "hits_teleport" -> ((s, dir) =>
+      hitsOut(Hits.runTeleport(GraphIO.orderGraph(s, dir)))),
+    "hits_topic" -> ((s, dir) =>
+      hitsOut(Hits.runTopicSpecific(GraphIO.orderGraph(s, dir), Topic))),
+    "hits_topic_exclusive" -> ((s, dir) =>
+      hitsOut(Hits.runTopicExclusive(GraphIO.orderGraph(s, dir), Topic))),
+    "hits_query_dependent" -> ((s, dir) =>
+      hitsOut(Hits.runQueryDependent(GraphIO.orderGraph(s, dir), Topic))),
+    // ---- SALSA family (K7-K12) ----
+    "salsa_simplified" -> ((s, dir) =>
+      salsaOut(Salsa.runSimplified(GraphIO.orderGraph(s, dir).edges))),
+    "salsa_iterative" -> ((s, dir) =>
+      salsaOut(Salsa.run(GraphIO.orderGraph(s, dir)))),
+    "salsa_weighted" -> ((s, dir) =>
+      salsaOut(Salsa.runWeightedSimplified(GraphIO.orderGraph(s, dir).edges))),
+    "salsa_teleport" -> ((s, dir) =>
+      salsaOut(Salsa.runTeleport(GraphIO.orderGraph(s, dir)))),
+    "salsa_topic" -> ((s, dir) =>
+      salsaOut(Salsa.runTopicSpecific(GraphIO.orderGraph(s, dir), Topic))),
+    "salsa_query_dependent" -> ((s, dir) =>
+      salsaOut(Salsa.runQueryDependent(GraphIO.orderGraph(s, dir), Topic))),
+    // ---- utility operators (K13, degrees, top-k, sampling) ----
+    "topics_list" -> ((s, dir) =>
+      Topics.list(GraphIO.orderGraph(s, dir).nodes).orderBy(col("label"))),
+    "graph_degrees" -> ((s, dir) => {
+      val e = GraphIO.orderGraph(s, dir).edges
+      Degrees.out(e).select(lit("out").as("kind"), col("id"),
+          col("out_degree").as("degree"))
+        .unionAll(Degrees.in(e).select(lit("in").as("kind"), col("id"),
+          col("in_degree").as("degree")))
+        .orderBy(col("kind"), col("id"))
+    }),
+    "rank_topk" -> ((s, dir) => {
+      val auths = Salsa.runSimplified(GraphIO.orderGraph(s, dir).edges).auths
+      RankOutput.topK(auths, 10)
+        .select(col("id"), round(col("score"), 9).as("score"))
+    }),
+    "sample_hash" -> ((s, dir) =>
+      GraphIO.orderGraph(s, dir).nodes.select(col("id"))
+        .filter(GraftHash.graftHash(s, col("id")) % 100 < 5)
+        .orderBy(col("id"))),
+    // ---- events: batch twins of the streaming pipeline ----
+    "events_window" -> ((s, dir) =>
+      EventPipelines.windowedStatsBatch(GraphIO.events(s, dir))),
+    "events_top_users" -> ((s, dir) =>
+      EventPipelines.topUsers(GraphIO.events(s, dir))
+        .withColumn("rn", col("rn").cast("long"))),
+    // ---- text analysis ----
+    "text_stats" -> ((s, dir) =>
+      GraphIO.documents(s, dir).select(col("doc_id"),
+        TF.tokenCount(col("text")).cast("long").as("n_tokens"),
+        TF.punctCount(col("text")).cast("long").as("n_punct"),
+        TF.langId(col("text")).as("lang_pred"),
+        round(TF.qualityScore(col("text")), 6).as("quality"))
+        .orderBy(col("doc_id"))),
+    "text_fingerprint" -> ((s, dir) =>
+      GraphIO.documents(s, dir).select(col("doc_id"),
+        TF.fingerprint(s, col("text")).as("fp"))
+        .orderBy(col("doc_id"))),
+    // ---- dedup ----
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.exact(GraphIO.documents(s, dir))),
+    "dedup_simhash" -> ((s, dir) =>
+      Dedup.simhash(s, GraphIO.documents(s, dir))),
+    "dedup_minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashLsh(s, GraphIO.documents(s, dir))),
+    "dedup_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccard(GraphIO.documents(s, dir))),
+    "dedup_embedding" -> ((s, dir) =>
+      Similarity.nearDuplicates(GraphIO.embeddings(s, dir), 0.8)),
+    // ---- similarity search ----
+    "ann_topk" -> ((s, dir) =>
+      Similarity.annTopK(GraphIO.embeddings(s, dir))
+        .withColumn("rn", col("rn").cast("long"))),
+    // ---- multimodal plumbing ----
+    "multimodal_meta" -> ((s, dir) =>
+      Multimodal.metaQuery(s, GraphIO.documents(s, dir))))
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. */
+  def oracleSql: Map[String, String] = Map(
+    "hits_base" -> Oracles.hitsBase,
+    "hits_weighted" -> Oracles.hitsWeighted,
+    "hits_teleport" -> Oracles.hitsTeleport(),
+    "hits_topic" -> Oracles.hitsTopic(Topic),
+    "hits_topic_exclusive" -> Oracles.hitsTopicExclusive(Topic),
+    "hits_query_dependent" -> Oracles.hitsQueryDependent(Topic),
+    "salsa_simplified" -> Oracles.salsaSimplifiedBase,
+    "salsa_iterative" -> Oracles.salsaIterativeBase,
+    "salsa_weighted" -> Oracles.salsaWeighted,
+    "salsa_teleport" -> Oracles.salsaTeleport(),
+    "salsa_topic" -> Oracles.salsaTopic(Topic),
+    "salsa_query_dependent" -> Oracles.salsaQueryDependent(Topic),
+    "topics_list" -> Oracles.topicsList,
+    "graph_degrees" -> Oracles.degrees,
+    "rank_topk" -> Oracles.rankTopK(),
+    "sample_hash" -> Oracles.sampleHash(),
+    "events_window" -> Oracles.eventsWindow,
+    "events_top_users" -> Oracles.eventsTopUsers,
+    "text_stats" -> Oracles.textStats,
+    "text_fingerprint" -> Oracles.textFingerprint,
+    "dedup_exact" -> Oracles.dedupExact,
+    "dedup_simhash" -> Oracles.dedupSimhash,
+    "dedup_minhash_lsh" -> Oracles.dedupMinHashLsh,
+    "dedup_ngram_jaccard" -> Oracles.dedupNgramJaccard(),
+    "dedup_embedding" -> Oracles.dedupEmbedding(0.8),
+    "ann_topk" -> Oracles.annTopK(),
+    "multimodal_meta" -> Oracles.multimodalMeta)
 }

@@ -1,0 +1,75 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Deterministic polynomial rolling hash over a string's code points:
+  * `h = fold(0)((acc, cp) => (acc*31 + cp) mod 1e9+7)`.
+  *
+  * A native Catalyst expression with whole-stage codegen — no UDF
+  * serialization boundary, no row-at-a-time closure overhead. Used for
+  * document fingerprinting, shingle hashing (MinHash/SimHash), and
+  * hash-based deterministic sampling. The same fold is expressible in
+  * ANSI-ish SQL (`list_reduce` over code points), which makes every
+  * operator built on it oracle-checkable cross-engine — unlike Spark's
+  * builtin murmur3 `hash()`.
+  */
+case class GraftHash(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_hash requires a string argument, got ${child.dataType}")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_hash"
+
+  protected override def nullSafeEval(input: Any): Any =
+    GraftHash.hashUtf8(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GraftHash.hashUtf8($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): GraftHash =
+    copy(child = newChild)
+}
+
+object GraftHash {
+  final val Mod = 1000000007L
+
+  /** Hot path shared by interpreted eval and generated code. */
+  def hashUtf8(s: UTF8String): Long = {
+    val str = s.toString
+    var h = 0L
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      h = (h * 31 + cp) % Mod
+      i += Character.charCount(cp)
+    }
+    h
+  }
+
+  /** Register `graft_hash` for SQL and `call_function` use. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_hash", exprs => GraftHash(exprs.head), "built-in")
+
+  /** Column-API entry point (registers lazily on the active session). */
+  def graftHash(spark: SparkSession, c: Column): Column = {
+    register(spark)
+    call_function("graft_hash", c)
+  }
+
+  /** The DuckDB-SQL equivalent of this expression, for oracle queries.
+    * `list_prepend(0, ...)` seeds the fold's accumulator. */
+  def duckdbSql(col: String): String =
+    s"(CASE WHEN $col IS NULL THEN NULL WHEN $col = '' THEN 0 ELSE " +
+      s"list_reduce(list_prepend(0::BIGINT, " +
+      s"list_transform(regexp_split_to_array($col, ''), c -> unicode(c)::BIGINT)), " +
+      s"(a, x) -> (a*31 + x) % 1000000007) END)"
+}

@@ -1,0 +1,114 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for the training-data pipeline extensions:
+  * tokenization, quality scoring, stopword-based language ID. Everything
+  * is built from codegen'd Catalyst functions (no UDFs), and every
+  * primitive has a DuckDB-SQL twin (the `sql*` builders) so the whole
+  * text surface is oracle-checkable.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens; empty/blank text -> empty array (Spark's
+    * `split("", "\\s+")` would yield `[""]`). */
+  def tokens(text: Column): Column =
+    when(trim(text) === "", array().cast("array<string>"))
+      .otherwise(split(trim(text), "\\s+"))
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  def punctCount(text: Column): Column =
+    regexp_count(text, lit("[.,;:!?]"))
+
+  /** Stopword hit count over whitespace tokens (with multiplicity). */
+  def stopwordCount(text: Column, stopwords: Seq[String]): Column =
+    size(filter(tokens(text), t => array_contains(
+      array(stopwords.map(lit): _*), t)))
+
+  val EnStop: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")
+  val EsStop: Seq[String] = Seq("el", "la", "de", "y", "que", "en", "un")
+  val DeStop: Seq[String] = Seq("der", "die", "das", "und", "zu", "ein", "ist")
+
+  /** N-gram-free heuristic language ID: argmax of stopword hits with a
+    * deterministic en > es > de tie order. */
+  def langId(text: Column): Column = {
+    val en = stopwordCount(text, EnStop)
+    val es = stopwordCount(text, EsStop)
+    val de = stopwordCount(text, DeStop)
+    when(en >= es && en >= de, "en").when(es >= de, "es").otherwise("de")
+  }
+
+  /** Composite quality score in [0,1]: length saturation, punctuation
+    * penalty, stopword reward. Pure double arithmetic (oracle-exact). */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text).cast("double")
+    val lenScore = least(lit(1.0), nTok / lit(20.0))
+    val punctRatio = punctCount(text).cast("double") /
+      greatest(nTok, lit(1.0))
+    val stopRatio = stopwordCount(text, EnStop).cast("double") /
+      greatest(nTok, lit(1.0))
+    lit(0.4) * lenScore + lit(0.3) * (lit(1.0) - least(lit(1.0), punctRatio)) +
+      lit(0.3) * least(lit(1.0), stopRatio * lit(5.0))
+  }
+
+  /** Rolling-hash document fingerprint (custom codegen'd expression). */
+  def fingerprint(spark: SparkSession, text: Column): Column =
+    GraftHash.graftHash(spark, text)
+
+  /** Word n-gram shingles as an array of strings; docs shorter than n
+    * tokens produce an empty array. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  // ----------------------- DuckDB twins -----------------------
+
+  def sqlTokens(col: String): String =
+    s"(CASE WHEN trim($col) = '' THEN []::VARCHAR[] " +
+      s"ELSE regexp_split_to_array(trim($col), '\\s+') END)"
+
+  def sqlTokenCount(col: String): String =
+    s"coalesce(array_length(${sqlTokens(col)}), 0)"
+
+  def sqlPunctCount(col: String): String =
+    s"coalesce(array_length(regexp_extract_all($col, '[.,;:!?]')), 0)"
+
+  private def sqlInList(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  def sqlStopwordCount(col: String, stopwords: Seq[String]): String =
+    s"coalesce(array_length(list_filter(${sqlTokens(col)}, " +
+      s"t -> list_contains(${sqlInList(stopwords)}, t))), 0)"
+
+  def sqlLangId(col: String): String = {
+    val en = sqlStopwordCount(col, EnStop)
+    val es = sqlStopwordCount(col, EsStop)
+    val de = sqlStopwordCount(col, DeStop)
+    s"(CASE WHEN $en >= $es AND $en >= $de THEN 'en' " +
+      s"WHEN $es >= $de THEN 'es' ELSE 'de' END)"
+  }
+
+  def sqlQualityScore(col: String): String = {
+    val nTok = s"CAST(${sqlTokenCount(col)} AS DOUBLE)"
+    val lenScore = s"least(1.0::DOUBLE, $nTok / 20.0::DOUBLE)"
+    val punctRatio = s"(CAST(${sqlPunctCount(col)} AS DOUBLE) / greatest($nTok, 1.0::DOUBLE))"
+    val stopRatio = s"(CAST(${sqlStopwordCount(col, EnStop)} AS DOUBLE) / greatest($nTok, 1.0::DOUBLE))"
+    s"(0.4::DOUBLE * $lenScore + 0.3::DOUBLE * (1.0::DOUBLE - least(1.0::DOUBLE, $punctRatio)) " +
+      s"+ 0.3::DOUBLE * least(1.0::DOUBLE, $stopRatio * 5.0::DOUBLE))"
+  }
+
+  def sqlShingles(col: String, n: Int): String = {
+    val toks = sqlTokens(col)
+    s"(CASE WHEN coalesce(array_length($toks), 0) >= $n THEN " +
+      s"list_transform(generate_series(1, array_length($toks) - ${n - 1}), " +
+      s"i -> " + (0 until n).map(k => s"($toks)[i + $k]")
+        .mkString(" || ' ' || ") + ") " +
+      s"ELSE []::VARCHAR[] END)"
+  }
+}

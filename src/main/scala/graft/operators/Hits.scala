@@ -1,0 +1,129 @@
+package graft.operators
+
+import graft.Graph
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** HITS (Kleinberg hubs & authorities) kernel family, K1-K6 of SURVEY.md §2.6.
+  *
+  * Parity-critical semantics preserved from the reference:
+  *  - Gauss-Seidel ordering: hubs are updated from the *old* authorities,
+  *    authorities from the *new, not-yet-normalized* hubs
+  *    (reference `src/base_hits.py:57-60`).
+  *  - Teleport / topic transforms apply to the aggregated vector *before*
+  *    the opposite update consumes it and before normalization
+  *    (reference `src/random_teleport_hits.py:66-77`), and only to nodes
+  *    present in the aggregation result — dropout semantics, SURVEY.md §2
+  *    notes B/C: zero-out-degree nodes leave the hub vector after
+  *    iteration 1; no outer join resurrects them.
+  *  - L2 normalization of both vectors at iteration end
+  *    (reference `src/base_hits.py:63-64`).
+  *
+  * Execution model (the Spark-first redesign, nothing like the reference's
+  * RDD loop): score vectors are DataFrames `(id, score)`; one iteration is
+  * two equi-joins + two partial/final hash aggregates, all whole-stage
+  * codegen'd. Each aggregated vector is `localCheckpoint`ed: without plan
+  * truncation, 8 iterations of nested joins make Catalyst analysis cost
+  * explode (the known failure mode of iterative DataFrame algorithms).
+  * The |V|-sized score side of each join is left to AQE to broadcast when
+  * it fits; at cluster scale it degrades gracefully to a shuffle hash join
+  * on the same key as the previous iteration.
+  */
+object Hits {
+
+  /** Post-aggregation score transform applied inside each iteration. */
+  sealed trait Post
+  case object Identity extends Post
+  /** `score <- beta*score + (1-beta)/n` (reference `src/random_teleport_hits.py:69`). */
+  final case class Teleport(beta: Double, n: Long) extends Post
+  /** Conditional teleport: topic nodes get the `(1-beta)/nTopic` mass
+    * (reference `src/topic_specific_hits.py:77`). `flags` = (id, flag). */
+  final case class TopicTeleport(beta: Double, nTopic: Long, flags: DataFrame)
+      extends Post
+
+  final case class Result(hubs: DataFrame, auths: DataFrame)
+
+  /** K1 base HITS. */
+  def run(g: Graph, numIter: Int = 8): Result =
+    iterate(g.nodes, g.edges, numIter, weighted = false, Identity)
+
+  /** K2 weighted HITS: contribution = weight * score
+    * (reference `src/weighted_hits.py:53-56`). */
+  def runWeighted(g: Graph, numIter: Int = 8): Result =
+    iterate(g.nodes, g.edges, numIter, weighted = true, Identity)
+
+  /** K3 random-teleport HITS (reference `src/random_teleport_hits.py`). */
+  def runTeleport(g: Graph, beta: Double = 0.8, numIter: Int = 8): Result = {
+    val n = g.nodes.count()
+    iterate(g.nodes, g.edges, numIter, weighted = false, Teleport(beta, n))
+  }
+
+  /** K4 topic-specific HITS: uniform init over all nodes, teleport mass
+    * only to topic nodes (reference `src/topic_specific_hits.py:54-87`). */
+  def runTopicSpecific(g: Graph, topic: String, beta: Double = 0.8,
+      numIter: Int = 8): Result = {
+    val flags = g.nodes.select(col("id"),
+      when(col("label") === topic, 1).otherwise(0).as("flag"))
+    val nTopic = flags.filter(col("flag") === 1).count()
+    iterate(g.nodes, g.edges, numIter, weighted = false,
+      TopicTeleport(beta, nTopic, flags))
+  }
+
+  /** K5 topic-exclusive HITS: base kernel on the induced topic subgraph
+    * (intent semantics — SURVEY.md §2 note E). */
+  def runTopicExclusive(g: Graph, topic: String, numIter: Int = 8): Result =
+    run(Subgraph.topicExclusive(g, topic), numIter)
+
+  /** K6 query-dependent HITS: base kernel on the neighborhood graph. */
+  def runQueryDependent(g: Graph, topic: String, numIter: Int = 8): Result =
+    run(Subgraph.queryDependent(g, topic), numIter)
+
+  // -----------------------------------------------------------------
+
+  private def applyPost(scores: DataFrame, post: Post): DataFrame = post match {
+    case Identity => scores
+    case Teleport(beta, n) =>
+      scores.select(col("id"),
+        (lit(beta) * col("score") + lit((1.0 - beta) / n)).as("score"))
+    case TopicTeleport(beta, nTopic, flags) =>
+      // Inner join against the full flag table: agg keys are edge
+      // endpoints, all present in the node set — same as the reference's
+      // `.join(nodes_label)` (`src/topic_specific_hits.py:76`).
+      scores.join(flags, Seq("id"))
+        .select(col("id"),
+          when(col("flag") === 0, lit(beta) * col("score"))
+            .otherwise(lit(beta) * col("score") + lit((1.0 - beta) / nTopic))
+            .as("score"))
+  }
+
+  private[graft] def iterate(nodes: DataFrame, edges: DataFrame, numIter: Int,
+      weighted: Boolean, post: Post): Result = {
+    val e = edges.select(col("src"), col("dst"),
+      col("weight").cast("double").as("w"))
+    val n = nodes.count()
+    val init = nodes.select(col("id"), lit(1.0 / math.sqrt(n)).as("score"))
+
+    def contribution(score: Column): Column =
+      if (weighted) col("w") * score else score
+
+    var hubs = init
+    var auths = init
+    for (_ <- 1 to numIter) {
+      // Hub: for each a, sum (weighted) authority scores over (a,b) edges.
+      val hubsU = applyPost(
+        e.join(auths, e("dst") === auths("id"))
+          .groupBy(e("src").as("id"))
+          .agg(sum(contribution(col("score"))).as("score")),
+        post).localCheckpoint(true)
+      // Authority: from the NEW, un-normalized hubs (Gauss-Seidel).
+      val authsU = applyPost(
+        e.join(hubsU, e("src") === hubsU("id"))
+          .groupBy(e("dst").as("id"))
+          .agg(sum(contribution(col("score"))).as("score")),
+        post).localCheckpoint(true)
+      hubs = Normalize.l2(hubsU)
+      auths = Normalize.l2(authsU)
+    }
+    Result(hubs, auths)
+  }
+}

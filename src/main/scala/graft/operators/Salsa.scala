@@ -1,0 +1,128 @@
+package graft.operators
+
+import graft.Graph
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** SALSA kernel family, K7-K12 of SURVEY.md §2.6.
+  *
+  * Two shapes exist in the reference:
+  *  - "simplified" SALSA (non-iterative): hub score = out-degree / Σ
+  *    out-degrees, authority = in-degree / Σ in-degrees
+  *    (reference `src/base_salsa.py:37-45`), optionally with weighted
+  *    degrees (`src/weighted_salsa.py:41-42`);
+  *  - iterative "mutual update" SALSA: h(a) = Σ_{(a,b)} auth(b)/indeg(b),
+  *    a(b) = Σ_{(a,b)} hub(a)/outdeg(a), authorities from the fresh hubs,
+  *    L1 normalization each iteration, init 1/√N
+  *    (reference `src/base_salsa_2.py:71-84`), with teleport / topic
+  *    variants mirroring the HITS ones but with `(1-beta)/(2N)` mass
+  *    (`src/random_teleport_salsa.py:74-80`,
+  *    `src/topic_specific_salsa.py:79-96`).
+  *
+  * Degrees are always computed on the FULL edge set passed in, and the
+  * per-edge division uses the degree of the score-contributing endpoint
+  * (in-degree of dst for the hub update, out-degree of src for the
+  * authority update) — exactly the reference's keyed-tuple layout
+  * (`src/base_salsa_2.py:20-23`).
+  */
+object Salsa {
+
+  final case class Result(hubs: DataFrame, auths: DataFrame)
+
+  /** K7 simplified SALSA: degree mass, L1-normalized. Integer degree
+    * counts divide as doubles, matching Python true division. */
+  def runSimplified(edges: DataFrame): Result = Result(
+    Normalize.l1(Degrees.out(edges)
+      .select(col("id"), col("out_degree").cast("double").as("score"))),
+    Normalize.l1(Degrees.in(edges)
+      .select(col("id"), col("in_degree").cast("double").as("score"))))
+
+  /** K9 weighted simplified SALSA: Σ weight instead of counts. */
+  def runWeightedSimplified(edges: DataFrame): Result = Result(
+    Normalize.l1(Degrees.outWeighted(edges)
+      .select(col("id"), col("out_degree").as("score"))),
+    Normalize.l1(Degrees.inWeighted(edges)
+      .select(col("id"), col("in_degree").as("score"))))
+
+  /** K8 iterative SALSA (rank-equivalent to K7; reference
+    * `src/base_salsa_2.py:1-2`). */
+  def run(g: Graph, numIter: Int = 8): Result =
+    iterate(initUniform(g.nodes), g.edges, numIter, Hits.Identity)
+
+  /** K10 random-teleport SALSA: `beta*s + (1-beta)/(2N)` applied to every
+    * aggregated node, hubs first (reference `src/random_teleport_salsa.py:70-85`). */
+  def runTeleport(g: Graph, beta: Double = 0.8, numIter: Int = 8): Result = {
+    val n = g.nodes.count()
+    iterate(initUniform(g.nodes), g.edges, numIter, Hits.Teleport(beta, 2L * n))
+  }
+
+  /** K11 topic-specific SALSA: init 0 for non-topic nodes and
+    * 1/(2·N_topic) for topic nodes (reference
+    * `src/topic_specific_salsa.py:23`), conditional `(1-beta)/(2·N_topic)`
+    * teleport each update. */
+  def runTopicSpecific(g: Graph, topic: String, beta: Double = 0.8,
+      numIter: Int = 8): Result = {
+    val flags = g.nodes.select(col("id"),
+      when(col("label") === topic, 1).otherwise(0).as("flag"))
+    val nTopic = flags.filter(col("flag") === 1).count()
+    val init = flags.select(col("id"),
+      when(col("flag") === 0, lit(0.0))
+        .otherwise(lit(1.0 / (2.0 * nTopic))).as("score"))
+    iterate(init, g.edges, numIter,
+      Hits.TopicTeleport(beta, 2L * nTopic, flags))
+  }
+
+  /** K12 query-dependent SALSA: simplified SALSA on the neighborhood
+    * subgraph (reference `src/query_dependent_salsa.py:36-55`). */
+  def runQueryDependent(g: Graph, topic: String): Result =
+    runSimplified(Subgraph.queryDependent(g, topic).edges)
+
+  // -----------------------------------------------------------------
+
+  private def initUniform(nodes: DataFrame): DataFrame = {
+    val n = nodes.count()
+    nodes.select(col("id"), lit(1.0 / math.sqrt(n)).as("score"))
+  }
+
+  /** `post` reuses the HITS transforms; for SALSA the teleport `n` slot
+    * carries 2N / 2·N_topic (the reference's denominators). */
+  private def iterate(init: DataFrame, edges: DataFrame, numIter: Int,
+      post: Hits.Post): Result = {
+    val eIn = edges.join(Degrees.in(edges), edges("dst") === col("id"))
+      .select(col("src"), col("dst"), col("in_degree")).localCheckpoint(true)
+    val eOut = edges.join(Degrees.out(edges), edges("src") === col("id"))
+      .select(col("src"), col("dst"), col("out_degree")).localCheckpoint(true)
+
+    var hubs = init
+    var auths = init
+    for (_ <- 1 to numIter) {
+      val hubsU = applyPost(
+        eIn.join(auths, eIn("dst") === auths("id"))
+          .groupBy(eIn("src").as("id"))
+          .agg(sum(col("score") / col("in_degree")).as("score")),
+        post).localCheckpoint(true)
+      val authsU = applyPost(
+        eOut.join(hubsU, eOut("src") === hubsU("id"))
+          .groupBy(eOut("dst").as("id"))
+          .agg(sum(col("score") / col("out_degree")).as("score")),
+        post).localCheckpoint(true)
+      hubs = Normalize.l1(hubsU)
+      auths = Normalize.l1(authsU)
+    }
+    Result(hubs, auths)
+  }
+
+  private def applyPost(scores: DataFrame, post: Hits.Post): DataFrame =
+    post match {
+      case Hits.Identity => scores
+      case Hits.Teleport(beta, n2) =>
+        scores.select(col("id"),
+          (lit(beta) * col("score") + lit((1.0 - beta) / n2)).as("score"))
+      case Hits.TopicTeleport(beta, n2, flags) =>
+        scores.join(flags, Seq("id"))
+          .select(col("id"),
+            when(col("flag") === 0, lit(beta) * col("score"))
+              .otherwise(lit(beta) * col("score") + lit((1.0 - beta) / n2))
+              .as("score"))
+    }
+}

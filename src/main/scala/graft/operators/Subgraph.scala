@@ -1,0 +1,64 @@
+package graft.operators
+
+import graft.Graph
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Subgraph constructors for the topic-exclusive and query-dependent
+  * kernel families.
+  *
+  * The reference expresses both with left-semi joins whose predicates are
+  * disjunctions (reference `src/query_dependent_hits.py:50,55`), which
+  * Spark can only execute as a BroadcastNestedLoopJoin — at 100 TB that
+  * broadcasts an unbounded side and dies. Both are rewritten here as
+  * equi-key semi/anti joins (hash-joinable, AQE-plannable) with identical
+  * result-set semantics, including row multiplicity for multi-edges.
+  */
+object Subgraph {
+
+  /** Edges whose BOTH endpoints carry `label == topic`, plus the
+    * topic-filtered node set.
+    *
+    * Implements the reference's *intended* semantics (comment at
+    * `src/topic_exclusive_hits.py:48`): the literal code
+    * (`src/topic_exclusive_hits.py:49`, `(src==id) & (dst==id)` against a
+    * single node row) keeps only self-loops; the committed golden outputs
+    * prove the intent was both-endpoints filtering (SURVEY.md §2 note E).
+    * Two chained equi semi-joins; the topic node set is typically small
+    * enough that Spark broadcasts both.
+    */
+  def topicExclusive(g: Graph, topic: String): Graph = {
+    val tnodes = g.nodes.filter(col("label") === topic)
+    val tids = tnodes.select("id")
+    val edges = g.edges
+      .join(tids, g.edges("src") === tids("id"), "left_semi")
+      .join(tids, g.edges("dst") === tids("id"), "left_semi")
+    Graph(tnodes, edges)
+  }
+
+  /** Neighborhood graph: edges touching >= 1 topic node, then the nodes
+    * touching >= 1 surviving edge (reference
+    * `src/query_dependent_hits.py:50-55`).
+    *
+    * Disjunctive semi-join rewritten as
+    * `semi(src) UNION ALL (anti(src) |> semi(dst))`: the two branches are
+    * disjoint, so each qualifying edge appears exactly once with its
+    * original multiplicity — same result set as the reference's
+    * `leftsemi` with an OR predicate, without the nested-loop plan.
+    */
+  def queryDependent(g: Graph, topic: String): Graph = {
+    val tids = g.nodes.filter(col("label") === topic).select("id")
+    val bySrc = g.edges.join(tids, g.edges("src") === tids("id"), "left_semi")
+    val byDstOnly = g.edges
+      .join(tids, g.edges("src") === tids("id"), "left_anti")
+      .join(tids, g.edges("dst") === tids("id"), "left_semi")
+    val edges = bySrc.unionAll(byDstOnly)
+    // Induced node set: endpoints of surviving edges. The reference
+    // semi-joins nodes against edges on (id=src | id=dst); the union of
+    // endpoint projections is the equi-join-able equivalent.
+    val endpoints = edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id"))).distinct()
+    val nodes = g.nodes.join(endpoints, Seq("id"), "left_semi")
+    Graph(nodes, edges)
+  }
+}

@@ -1,0 +1,102 @@
+package graft.pipelines
+
+import graft.MinHashParams
+import graft.functions.{GraftHash, TextFunctions => TF}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines over the
+  * `documents` table. All codegen'd Catalyst expressions — no UDFs —
+  * and every operator has an exact DuckDB oracle twin in
+  * [[graft.Oracles]].
+  *
+  * Scale design: every stage is a hash-partitioned aggregate or equi-join
+  * (shuffle on doc_id / shingle / band signature); nothing is collected
+  * or broadcast that grows with the corpus. The LSH band join is the
+  * classic MinHash banding scheme — candidate pairs are generated only
+  * inside equal-signature buckets, so the join never goes quadratic in
+  * the corpus.
+  */
+object Dedup {
+
+  /** Exact dedup: group identical texts, keep the lowest doc_id.
+    * At 100 TB one groups on a text hash first; here the group key is the
+    * text itself so the oracle can replicate byte-for-byte. */
+  def exact(docs: DataFrame): DataFrame =
+    docs.groupBy(col("text"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select(col("keep_id"), col("n_copies"))
+      .orderBy(col("keep_id"))
+
+  /** 16-bit SimHash over whitespace tokens (with multiplicity): bit b of
+    * the fingerprint is the sign of Σ_tokens (2·bit_b(hash(t)) − 1).
+    * Exact integer arithmetic end-to-end. */
+  def simhash(spark: SparkSession, docs: DataFrame): DataFrame = {
+    val th = docs
+      .select(col("doc_id"), explode(TF.tokens(col("text"))).as("t"))
+      .select(col("doc_id"), GraftHash.graftHash(spark, col("t")).as("h"))
+    val bitAggs = (0 until 16).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1, 1)
+        .otherwise(-1)).as(s"s$b")
+    }
+    val fp = (0 until 16).map { b =>
+      when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    th.groupBy(col("doc_id")).agg(bitAggs.head, bitAggs.tail: _*)
+      .select(col("doc_id"), fp.cast("long").as("simhash"))
+      .orderBy(col("doc_id"))
+  }
+
+  private def bandSig(ms: Seq[Column]): Column = {
+    val p = lit(MinHashParams.P)
+    (((ms(0) * 31 + ms(1)) % p * 31 + ms(2)) % p * 31 + ms(3)) % p
+  }
+
+  /** MinHash + LSH near-duplicate candidates: word-3-gram shingles →
+    * 16 min-hash slots → 4 bands of 4 rows → equi-join on (band, sig).
+    * Returns distinct (a, b) candidate pairs, a < b. */
+  def minhashLsh(spark: SparkSession, docs: DataFrame): DataFrame = {
+    val hh = docs
+      .select(col("doc_id"), explode(TF.shingles(col("text"), 3)).as("sh"))
+      .distinct()
+      .select(col("doc_id"), GraftHash.graftHash(spark, col("sh")).as("h"))
+    val minAggs = MinHashParams.params.zipWithIndex.map { case ((a, b), j) =>
+      min((lit(a) * col("h") + lit(b)) % lit(MinHashParams.P)).as(s"m$j")
+    }
+    val mh = hh.groupBy(col("doc_id")).agg(minAggs.head, minAggs.tail: _*)
+    val bands = (0 until MinHashParams.Bands).map { bd =>
+      val ms = (0 until MinHashParams.Rows)
+        .map(r => col(s"m${bd * MinHashParams.Rows + r}"))
+      mh.select(col("doc_id"), lit(bd).as("band"), bandSig(ms).as("sig"))
+    }.reduce(_ unionAll _)
+    val x = bands.select(col("doc_id").as("a"), col("band"), col("sig"))
+    val y = bands.select(col("doc_id").as("b"),
+      col("band").as("band2"), col("sig").as("sig2"))
+    x.join(y, col("band") === col("band2") && col("sig") === col("sig2") &&
+        col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+      .orderBy(col("a"), col("b"))
+  }
+
+  /** N-gram Jaccard similarity via shared-shingle candidate generation:
+    * only pairs with >= 1 common shingle are scored (the join prunes the
+    * quadratic pair space). Integer set sizes -> exact double division. */
+  def ngramJaccard(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val sh = docs
+      .select(col("doc_id"), explode(TF.shingles(col("text"), 3)).as("sh"))
+      .distinct()
+    val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val x = sh.select(col("doc_id").as("a"), col("sh"))
+    val y = sh.select(col("doc_id").as("b"), col("sh").as("sh2"))
+    val common = x.join(y, col("sh") === col("sh2") && col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c"))
+    val jac = common
+      .join(sz.select(col("doc_id").as("a"), col("n").as("na")), Seq("a"))
+      .join(sz.select(col("doc_id").as("b"), col("n").as("nb")), Seq("b"))
+      .select(col("a"), col("b"), (col("c").cast("double") /
+        (col("na") + col("nb") - col("c")).cast("double")).as("jac"))
+    jac.filter(col("jac") >= lit(threshold))
+      .select(col("a"), col("b"), round(col("jac"), 6).as("jaccard"))
+      .orderBy(col("a"), col("b"))
+  }
+}

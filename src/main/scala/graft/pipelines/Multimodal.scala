@@ -1,0 +1,65 @@
+package graft.pipelines
+
+import graft.functions.GraftHash
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: opaque `binary` payloads with typed
+  * metadata, decoded / featurized in distributed batches.
+  *
+  * The decode step is a clearly-marked STUB (this container has no
+  * image/audio codecs): [[FakeCodec.decode]] produces a deterministic
+  * fake "decoded frame" from the payload bytes. Everything around it —
+  * schema, partition-parallel batch processing via `mapPartitions`,
+  * feature-vector output shape — is real and tested, so swapping the
+  * stub for an actual codec changes one function.
+  */
+object Multimodal {
+
+  final case class Payload(doc_id: Long, mime: String, payload: Array[Byte])
+  final case class Features(doc_id: Long, n_bytes: Long, byte_mean: Double,
+      hist: Array[Double])
+
+  /** Attach an opaque binary payload column + typed metadata (the shape a
+    * real image/audio table would have; here the bytes are the UTF-8 text
+    * standing in for media blobs). */
+  def withPayload(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      lit("application/octet-stream").as("mime"),
+      encode(col("text"), "UTF-8").as("payload"))
+
+  /** Distributed feature extraction: one `mapPartitions` pass, batch
+    * shape = one partition, constant memory per row. */
+  def extractFeatures(spark: SparkSession, payloads: DataFrame): Dataset[Features] = {
+    import spark.implicits._
+    payloads.select(col("doc_id"), col("mime"), col("payload")).as[Payload]
+      .mapPartitions(_.map { p =>
+        val decoded = FakeCodec.decode(p.payload) // STUB boundary
+        val hist = new Array[Double](8)
+        var sum = 0L
+        decoded.foreach { b =>
+          val v = b & 0xff
+          hist(v >>> 5) += 1.0
+          sum += v
+        }
+        val n = decoded.length.toLong
+        Features(p.doc_id, n, if (n == 0) 0.0 else sum.toDouble / n,
+          hist.map(h => if (n == 0) 0.0 else h / n))
+      })
+  }
+
+  /** Oracle-checkable metadata projection over the payload pipeline:
+    * byte length + rolling-hash checksum (both exact integers). */
+  def metaQuery(spark: SparkSession, docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      octet_length(col("text")).cast("long").as("n_bytes"),
+      GraftHash.graftHash(spark, col("text")).as("payload_fp"))
+      .orderBy(col("doc_id"))
+}
+
+/** STUB codec — deterministic identity "decode". A real deployment
+  * replaces this with an image/audio library call; the Spark plumbing
+  * above is agnostic to what the bytes mean. */
+object FakeCodec {
+  def decode(payload: Array[Byte]): Array[Byte] = payload
+}
