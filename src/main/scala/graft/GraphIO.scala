@@ -73,7 +73,13 @@ object GraphIO {
         concat(lit("o"), col("l_orderkey").cast(StringType)).as("src"),
         concat(lit("p"), col("l_partkey").cast(StringType)).as("dst"),
         col("l_extendedprice").as("weight"))
-      val w = Window.partitionBy(col("l_orderkey")).orderBy(col("l_linenumber"))
+      // p→p co-occurrence chain within an order. The window is ordered by
+      // the emitted values themselves (partkey, quantity), never by row
+      // identity: (l_orderkey, l_linenumber) is NOT unique in the
+      // testdata, and value-ordering makes the lead-pair multiset
+      // deterministic across engines even under sort ties.
+      val w = Window.partitionBy(col("l_orderkey"))
+        .orderBy(col("l_partkey"), col("l_quantity"))
       val e3 = li.select(
         concat(lit("p"), col("l_partkey").cast(StringType)).as("src"),
         concat(lit("p"), lead(col("l_partkey"), 1).over(w).cast(StringType)).as("dst"),

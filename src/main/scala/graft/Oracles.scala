@@ -34,7 +34,7 @@ object Oracles {
       |  UNION ALL
       |  SELECT src, dst, w FROM (
       |    SELECT 'p' || CAST(l_partkey AS VARCHAR) AS src,
-      |           'p' || CAST(LEAD(l_partkey) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) AS VARCHAR) AS dst,
+      |           'p' || CAST(LEAD(l_partkey) OVER (PARTITION BY l_orderkey ORDER BY l_partkey, l_quantity) AS VARCHAR) AS dst,
       |           l_quantity AS w
       |    FROM lineitem) t
       |  WHERE dst IS NOT NULL
@@ -327,26 +327,40 @@ object Oracles {
     s"sqrt(list_reduce(list_prepend(0::DOUBLE, list_transform($x, " +
       s"v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))), (acc, v) -> acc + v))"
 
-  /** Embedding near-duplicates: cosine >= threshold inside label blocks
-    * (IVF-style blocking keeps the pair space linear-ish). */
-  def dedupEmbedding(threshold: Double): String =
-    s"""WITH p AS (
-       |  SELECT x.vec_id AS a, y.vec_id AS b,
-       |         ${dotSql("x.embedding", "y.embedding")} /
-       |           (${normSql("x.embedding")} * ${normSql("y.embedding")}) AS cos
-       |  FROM embeddings x JOIN embeddings y
-       |    ON x.label = y.label AND x.vec_id < y.vec_id)
+  /** Embedding near-duplicates, LSH-bucketed (must mirror
+    * [[graft.pipelines.Similarity.nearDuplicates]] +
+    * [[graft.pipelines.HyperplaneLsh]] exactly): candidates share a
+    * (table, label, sign-bucket) cell, then exact cosine filter. */
+  def dedupEmbedding(threshold: Double): String = {
+    import graft.pipelines.HyperplaneLsh
+    val tableRows = (0 until HyperplaneLsh.Tables).map { t =>
+      s"SELECT vec_id, label, $t AS tbl, ${HyperplaneLsh.bucketSql(t, "embedding")} AS bkt FROM base"
+    }.mkString("\nUNION ALL ")
+    s"""WITH base AS MATERIALIZED (
+       |  SELECT vec_id, label, embedding, ${normSql("embedding")} AS nrm FROM embeddings),
+       |buckets AS MATERIALIZED ($tableRows),
+       |cand AS MATERIALIZED (
+       |  SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+       |  FROM buckets x JOIN buckets y
+       |    ON x.label = y.label AND x.tbl = y.tbl AND x.bkt = y.bkt
+       |   AND x.vec_id < y.vec_id),
+       |p AS (
+       |  SELECT a, b, ${dotSql("ea.embedding", "eb.embedding")} / (ea.nrm * eb.nrm) AS cos
+       |  FROM cand JOIN base ea ON ea.vec_id = a JOIN base eb ON eb.vec_id = b)
        |SELECT a, b, round(cos, 6) AS cosine FROM p
        |WHERE cos >= $threshold::DOUBLE ORDER BY a, b""".stripMargin
+  }
 
-  /** Brute-force cosine top-k for the first `nq` query vectors. */
+  /** Brute-force cosine top-k for the first `nq` query vectors; norms
+    * precomputed once per vector, as in the Spark pipeline. */
   def annTopK(nq: Int = 10, k: Int = 5): String =
-    s"""WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < $nq),
+    s"""WITH base AS MATERIALIZED (
+       |  SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM embeddings),
+       |q AS (SELECT vec_id, embedding, nrm FROM base WHERE vec_id < $nq),
        |c AS (
        |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
-       |         ${dotSql("q.embedding", "e.embedding")} /
-       |           (${normSql("q.embedding")} * ${normSql("e.embedding")}) AS cos
-       |  FROM q JOIN embeddings e ON e.vec_id <> q.vec_id),
+       |         ${dotSql("q.embedding", "e.embedding")} / (q.nrm * e.nrm) AS cos
+       |  FROM q JOIN base e ON e.vec_id <> q.vec_id),
        |r AS (
        |  SELECT query_id, neighbor_id, cos,
        |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn

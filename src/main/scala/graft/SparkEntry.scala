@@ -114,7 +114,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccard(GraphIO.documents(s, dir))),
     "dedup_embedding" -> ((s, dir) =>
-      Similarity.nearDuplicates(GraphIO.embeddings(s, dir), 0.8)),
+      Similarity.nearDuplicates(GraphIO.embeddings(s, dir), 0.3)),
     // ---- similarity search ----
     "ann_topk" -> ((s, dir) =>
       Similarity.annTopK(GraphIO.embeddings(s, dir))
@@ -150,7 +150,7 @@ object SparkEntry {
     "dedup_simhash" -> Oracles.dedupSimhash,
     "dedup_minhash_lsh" -> Oracles.dedupMinHashLsh,
     "dedup_ngram_jaccard" -> Oracles.dedupNgramJaccard(),
-    "dedup_embedding" -> Oracles.dedupEmbedding(0.8),
+    "dedup_embedding" -> Oracles.dedupEmbedding(0.3),
     "ann_topk" -> Oracles.annTopK(),
     "multimodal_meta" -> Oracles.multimodalMeta)
 }

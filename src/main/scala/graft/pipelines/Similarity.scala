@@ -11,10 +11,14 @@ import org.apache.spark.sql.functions._
   * float→double casts — bit-identical to the oracle's `list_reduce`
   * fold, so cosine values are exactly reproducible cross-engine.
   *
-  * Scale paths: brute-force top-k keeps the query side tiny (broadcast)
-  * and streams the corpus; near-dup search blocks by a coarse partition
-  * key (here the `label` column, standing in for an IVF centroid id) so
-  * the pair join is linear-ish in the corpus rather than quadratic.
+  * Scale paths:
+  *  - brute-force top-k keeps the query side tiny (broadcast) and
+  *    streams the corpus once — exact, linear in corpus size;
+  *  - near-dup search buckets by deterministic random-hyperplane LSH
+  *    ([[HyperplaneLsh]]): candidate pairs are generated only inside
+  *    equal (table, label, bucket) cells, so the pair space stays
+  *    near-linear in the corpus instead of quadratic. Norms are
+  *    precomputed once per vector, never per pair.
   */
 object Similarity {
 
@@ -28,28 +32,51 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
-  /** Embedding near-duplicates: cosine >= threshold inside label blocks. */
+  /** Embedding near-duplicates, LSH-bucketed: candidates from
+    * [[HyperplaneLsh.Tables]] sign-bucket tables (within `label`
+    * blocks), then exact cosine >= threshold on the deduplicated
+    * candidate pairs. Approximate-recall by design — the documented
+    * trade of the LSH scale path. */
   def nearDuplicates(emb: DataFrame, threshold: Double): DataFrame = {
-    val x = emb.select(col("vec_id").as("a"), col("embedding").as("ea"),
-      col("label"))
-    val y = emb.select(col("vec_id").as("b"), col("embedding").as("eb"),
-      col("label").as("label2"))
-    x.join(y, col("label") === col("label2") && col("a") < col("b"))
-      .select(col("a"), col("b"), cosine(col("ea"), col("eb")).as("cos"))
+    val base = emb.select(col("vec_id"), col("label"), col("embedding"),
+      norm(col("embedding")).as("nrm"))
+    val buckets = (0 until HyperplaneLsh.Tables).map { t =>
+      base.select(col("vec_id"), col("label"),
+        lit(t).as("tbl"), HyperplaneLsh.bucket(t, col("embedding")).as("bkt"))
+    }.reduce(_ unionAll _)
+    val x = buckets.select(col("vec_id").as("a"), col("label"), col("tbl"),
+      col("bkt"))
+    val y = buckets.select(col("vec_id").as("b"), col("label").as("l2"),
+      col("tbl").as("t2"), col("bkt").as("k2"))
+    val cand = x.join(y, col("label") === col("l2") &&
+        col("tbl") === col("t2") && col("bkt") === col("k2") &&
+        col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+    val ea = base.select(col("vec_id").as("a"), col("embedding").as("va"),
+      col("nrm").as("na"))
+    val eb = base.select(col("vec_id").as("b"), col("embedding").as("vb"),
+      col("nrm").as("nb"))
+    cand.join(ea, Seq("a")).join(eb, Seq("b"))
+      .select(col("a"), col("b"),
+        (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
       .filter(col("cos") >= lit(threshold))
       .select(col("a"), col("b"), round(col("cos"), 6).as("cosine"))
       .orderBy(col("a"), col("b"))
   }
 
   /** Brute-force cosine top-k for the first `nq` query vectors: the
-    * baseline ANN path. The query side is bounded, so Spark broadcasts
-    * it and the corpus streams through one codegen'd stage. */
+    * exact ANN baseline. Query norms and corpus norms are computed once;
+    * the corpus streams through a single codegen'd stage against the
+    * broadcast query side. */
   def annTopK(emb: DataFrame, nq: Int = 10, k: Int = 5): DataFrame = {
-    val q = emb.filter(col("vec_id") < nq)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
-    val c = emb.join(broadcast(q), col("vec_id") =!= col("query_id"))
+    val corpus = emb.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("nrm"))
+    val q = corpus.filter(col("vec_id") < nq)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("nrm").as("qn"))
+    val c = corpus.join(broadcast(q), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        cosine(col("qe"), col("embedding")).as("cos"))
+        (dot(col("qe"), col("embedding")) / (col("qn") * col("nrm"))).as("cos"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     c.withColumn("rn", row_number().over(w))
@@ -58,4 +85,42 @@ object Similarity {
         round(col("cos"), 6).as("cosine"))
       .orderBy(col("query_id"), col("rn"))
   }
+}
+
+/** Deterministic random-hyperplane LSH shared by the Spark pipeline and
+  * the DuckDB oracle: `Tables` independent tables of `Bits` hyperplanes
+  * with pseudo-random integer weights (Knuth-hash formula), so the
+  * bucket of a vector is exactly reproducible in plain SQL. */
+object HyperplaneLsh {
+  val Tables = 4
+  val Bits = 6
+  val Dim = 64
+
+  /** Integer weight of hyperplane (table t, bit j, dimension k):
+    * roughly zero-mean over [-501001, 499002). */
+  def weight(t: Int, j: Int, k: Int): Long =
+    ((((t.toLong * Bits + j) * Dim + k) * 2654435761L) % 1000003L) - 501001L
+
+  private def planeDot(t: Int, j: Int, emb: Column): Column = {
+    val w = array((0 until Dim).map(k => lit(weight(t, j, k).toDouble)): _*)
+    aggregate(zip_with(emb, w, (x, c) => x.cast("double") * c),
+      lit(0.0), (acc, v) => acc + v)
+  }
+
+  /** Sign-bucket of `emb` in table `t`: Bits-wide integer. */
+  def bucket(t: Int, emb: Column): Column =
+    (0 until Bits).map { j =>
+      when(planeDot(t, j, emb) > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** DuckDB twin of [[bucket]]. */
+  def bucketSql(t: Int, embCol: String): String =
+    (0 until Bits).map { j =>
+      val w = (0 until Dim).map(k => s"${weight(t, j, k)}.0::DOUBLE")
+        .mkString("[", ", ", "]")
+      val d = s"list_reduce(list_prepend(0.0::DOUBLE, " +
+        s"list_transform(list_zip($embCol, $w), " +
+        s"z -> CAST(z[1] AS DOUBLE) * z[2])), (acc, v) -> acc + v)"
+      s"(CASE WHEN $d > 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
 }

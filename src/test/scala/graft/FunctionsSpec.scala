@@ -1,0 +1,84 @@
+package graft
+
+import graft.functions.{GraftHash, TextFunctions => TF}
+import graft.operators.{RankOutput, Subgraph, Topics}
+import org.apache.spark.sql.functions._
+
+class FunctionsSpec extends SparkSuite {
+  import org.apache.spark.sql.Row
+
+  test("graft_hash matches the reference fold and codegen == interpreted") {
+    import spark.implicits._
+    def refHash(s: String): Long =
+      s.codePoints().toArray.foldLeft(0L)((a, c) => (a * 31 + c) % 1000000007L)
+    val data = Seq("", "a", "hello world", "The quick brown fox",
+      "x" * 500).toDF("s")
+    val got = data.select(GraftHash.graftHash(spark, col("s"))).collect()
+      .map(_.getLong(0))
+    val want = Seq("", "a", "hello world", "The quick brown fox", "x" * 500)
+      .map(refHash)
+    assert(got.toSeq == want)
+  }
+
+  test("tokens: blank text yields empty array, whitespace runs collapse") {
+    import spark.implicits._
+    val df = Seq("", "   ", "a  b\tc", " x ").toDF("t")
+      .select(TF.tokenCount(col("t")).as("n"))
+    assert(df.collect().map(_.getInt(0)).toSeq == Seq(0, 0, 3, 1))
+  }
+
+  test("shingles: short docs produce no shingles") {
+    import spark.implicits._
+    val df = Seq("a b", "a b c d").toDF("t")
+      .select(size(TF.shingles(col("t"), 3)).as("n"))
+    assert(df.collect().map(_.getInt(0)).toSeq == Seq(0, 2))
+  }
+
+  test("langId is deterministic and favors stopword-heavy language") {
+    import spark.implicits._
+    val df = Seq("the cat and the dog in the house",
+      "el gato y la casa de un perro que en").toDF("t")
+      .select(TF.langId(col("t")))
+    assert(df.collect().map(_.getString(0)).toSeq == Seq("en", "es"))
+  }
+
+  test("tupleText formats like the reference sink") {
+    import spark.implicits._
+    val df = Seq(("n1", 0.5)).toDF("id", "score")
+    val line = RankOutput.tupleText(df).head.getString(0)
+    assert(line == "('n1', 0.5)")
+  }
+
+  test("topK returns k best with id tiebreak") {
+    import spark.implicits._
+    val df = Seq(("a", 1.0), ("b", 2.0), ("c", 2.0), ("d", 0.5))
+      .toDF("id", "score")
+    val got = RankOutput.topK(df, 2).collect().map(_.getString(0)).toSeq
+    assert(got == Seq("b", "c"))
+  }
+
+  test("hash sample is deterministic") {
+    import spark.implicits._
+    val ids = (1 to 1000).map(i => s"node$i").toDF("id")
+    val a = ids.filter(GraftHash.graftHash(spark, col("id")) % 100 < 5)
+      .collect().map(_.getString(0)).toSet
+    val b = ids.filter(GraftHash.graftHash(spark, col("id")) % 100 < 5)
+      .collect().map(_.getString(0)).toSet
+    assert(a == b && a.nonEmpty && a.size < 200)
+  }
+
+  test("Topics.list returns distinct whole-string labels") {
+    val g = graph(Seq(("a", "b", 1.0)),
+      Map("a" -> "gene:protein", "b" -> "gene"))
+    val got = Topics.list(g.nodes).collect().map(_.getString(0)).toSet
+    assert(got == Set("gene:protein", "gene")) // no splitting (note F)
+  }
+
+  test("queryDependent subgraph preserves multi-edge multiplicity") {
+    import spark.implicits._
+    val nodes = Seq(("a", "t"), ("b", "x")).toDF("id", "label")
+    val edges = Seq(("a", "b", 1.0), ("a", "b", 1.0)).toDF("src", "dst", "weight")
+    val sub = Subgraph.queryDependent(Graph(nodes, edges), "t")
+    assert(sub.edges.count() == 2) // leftsemi keeps both copies
+  }
+}

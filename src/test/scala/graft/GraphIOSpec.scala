@@ -1,0 +1,55 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+class GraphIOSpec extends SparkSuite {
+
+  test("reference-layout CSV loaders: explicit schema, clean names") {
+    val dir = Files.createTempDirectory("graft-csv").toFile
+    dir.deleteOnExit()
+    val nodesCsv = new java.io.File(dir, "nodes.csv")
+    Files.writeString(nodesCsv.toPath,
+      """id:ID,names,size:int,labels:LABEL,rho:double
+        |ATF6,ATF6,1636,gene:protein,0.6766465465909092
+        |Calcium,Calcium,8533,drug,0.2054015438301512
+        |""".stripMargin)
+    val edgesCsv = new java.io.File(dir, "edges.csv")
+    Files.writeString(edgesCsv.toPath,
+      """src:START_ID,dst:END_ID,mrho:double
+        |ATF6,Calcium,0.5
+        |""".stripMargin)
+    val n = GraphIO.readNodesCsv(spark, nodesCsv.getAbsolutePath)
+    assert(n.columns.toSeq == Seq("id", "names", "size", "label", "rho"))
+    val rows = n.orderBy("id").collect()
+    assert(rows(0).getString(0) == "ATF6" && rows(0).getInt(2) == 1636)
+    assert(rows(0).getString(3) == "gene:protein") // whole-string label
+    val e = GraphIO.readEdgesCsv(spark, edgesCsv.getAbsolutePath)
+    assert(e.columns.toSeq == Seq("src", "dst", "weight"))
+    assert(e.head.getDouble(2) == 0.5)
+  }
+
+  test("derived order graph: prefixed namespaces, labels from prefix") {
+    val g = GraphIO.orderGraph(spark, "/root/testdata/sf0.001")
+    val labels = g.nodes.groupBy("label").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(labels.keySet == Set("customer", "order", "part"))
+    // every edge endpoint appears in the node set
+    val dangling = g.edges.select(col("src").as("id"))
+      .union(g.edges.select(col("dst").as("id")))
+      .join(g.nodes, Seq("id"), "left_anti").count()
+    assert(dangling == 0)
+    // part→part edges exist (lead-window derivation)
+    val pp = g.edges.filter(substring(col("src"), 1, 1) === "p" &&
+      substring(col("dst"), 1, 1) === "p").count()
+    assert(pp > 0)
+  }
+
+  test("SparkEntry.entry returns rows (driver smoke contract)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("oracleSql covers every queries key") {
+    assert(SparkEntry.queries.keySet == SparkEntry.oracleSql.keySet)
+  }
+}

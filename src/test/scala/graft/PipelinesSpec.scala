@@ -1,0 +1,82 @@
+package graft
+
+import graft.pipelines.{Dedup, Multimodal, Similarity}
+import org.apache.spark.sql.functions._
+
+class PipelinesSpec extends SparkSuite {
+
+  private def docs(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("exact dedup groups identical texts under the lowest id") {
+    val d = docs((1L, "x y z"), (2L, "x y z"), (3L, "other text"))
+    val got = Dedup.exact(d).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((1L, 2L), (3L, 1L)))
+  }
+
+  test("simhash: identical docs get identical fingerprints, disjoint differ") {
+    val d = docs((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+      (3L, "zeta eta theta iota"))
+    val fp = Dedup.simhash(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) == fp(2L))
+    assert(fp.values.forall(v => v >= 0 && v < 65536))
+  }
+
+  test("minhash LSH finds identical docs as candidates") {
+    val text = "one two three four five six seven eight nine ten"
+    val d = docs((1L, text), (2L, text), (3L, "completely different words " +
+      "in this much longer unrelated document body here"))
+    val pairs = Dedup.minhashLsh(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 3L)))
+  }
+
+  test("ngram jaccard: identical docs score 1.0") {
+    val text = "one two three four five"
+    val d = docs((1L, text), (2L, text), (3L, "unrelated totally distinct " +
+      "other phrasing entirely"))
+    val got = Dedup.ngramJaccard(d, 0.5).collect()
+      .map(r => ((r.getLong(1), r.getLong(0)), r.getDouble(2))).toMap
+    // columns are (b, a, jaccard) after the two joins reorder; read by name
+    val byName = Dedup.ngramJaccard(d, 0.5).select("a", "b", "jaccard")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(byName.keySet == Set((1L, 2L)))
+    assert(math.abs(byName((1L, 2L)) - 1.0) < 1e-12)
+  }
+
+  test("cosine: identical vectors = 1, orthogonal = 0") {
+    import spark.implicits._
+    val df = Seq(
+      (Array(1.0f, 0.0f), Array(1.0f, 0.0f)),
+      (Array(1.0f, 0.0f), Array(0.0f, 2.0f))).toDF("a", "b")
+      .select(Similarity.cosine(col("a"), col("b")).as("c"))
+    val got = df.collect().map(_.getDouble(0)).toSeq
+    assert(math.abs(got(0) - 1.0) < 1e-12 && math.abs(got(1)) < 1e-12)
+  }
+
+  test("annTopK ranks the nearest vector first") {
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (100L, Array(0.9f, 0.1f, 0.0f)),
+      (101L, Array(0.0f, 1.0f, 0.0f)),
+      (102L, Array(-1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val got = Similarity.annTopK(emb, nq = 1, k = 2).collect()
+      .map(r => (r.getInt(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1, 100L), (2, 101L)))
+  }
+
+  test("multimodal feature extraction: histogram + byte stats via mapPartitions") {
+    val d = docs((1L, "abc"), (2L, ""))
+    val feats = Multimodal.extractFeatures(spark, Multimodal.withPayload(d))
+      .collect().map(f => f.doc_id -> f).toMap
+    assert(feats(1L).n_bytes == 3)
+    assert(math.abs(feats(1L).byte_mean - ("abc".map(_.toInt).sum / 3.0)) < 1e-12)
+    assert(feats(2L).n_bytes == 0 && feats(2L).byte_mean == 0.0)
+    assert(feats(1L).hist.sum > 0.999) // ratios sum to 1 for non-empty
+  }
+}
