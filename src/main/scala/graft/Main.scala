@@ -1,0 +1,136 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** CLI mirroring the reference's 14 driver scripts, so a reference user
+  * can run every query they run today against the same CSV layout:
+  *
+  * {{{
+  * runMain graft.Main base_hits [num_iter] [nodes_csv] [edges_csv]
+  * runMain graft.Main weighted_hits [num_iter] [weight_col] [nodes] [edges]
+  * runMain graft.Main random_teleport_hits [num_iter] [beta] [nodes] [edges]
+  * runMain graft.Main topic_specific_hits <topic> [num_iter] [beta] [nodes] [edges]
+  * runMain graft.Main topic_exclusive_hits <topic> [num_iter] [nodes] [edges]
+  * runMain graft.Main query_dependent_hits <topic> [num_iter] [nodes] [edges]
+  * runMain graft.Main base_salsa [nodes] [edges]
+  * runMain graft.Main base_salsa_2 [num_iter] [nodes] [edges]
+  * runMain graft.Main weighted_salsa [weight_col] [nodes] [edges]
+  * runMain graft.Main random_teleport_salsa [num_iter] [beta] [nodes] [edges]
+  * runMain graft.Main topic_specific_salsa <topic> [num_iter] [beta] [nodes] [edges]
+  * runMain graft.Main query_dependent_salsa <topic> [nodes] [edges]
+  * runMain graft.Main list_topics [nodes]
+  * }}}
+  *
+  * Defaults (8 iterations, beta 0.8, weight column `mrho:double`, output
+  * under ./outputs/) follow the reference scripts; sinks are the same
+  * sorted single-file tuple-text layout (reference `src/base_hits.py:66-75`).
+  */
+object Main {
+
+  private val DefaultNodes = "../data/nodes_elab.csv"
+  private val DefaultEdges = "../data/edges_elab.csv"
+
+  def main(args: Array[String]): Unit = {
+    if (args.isEmpty) { usage(); sys.exit(1) }
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .appName(s"graft-${args(0)}")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try run(spark, args(0), args.drop(1))
+    finally spark.stop()
+  }
+
+  private def usage(): Unit =
+    System.err.println("Usage: graft.Main <kernel> [args] — kernels: " +
+      "base_hits weighted_hits random_teleport_hits topic_specific_hits " +
+      "topic_exclusive_hits query_dependent_hits base_salsa base_salsa_2 " +
+      "weighted_salsa random_teleport_salsa topic_specific_salsa " +
+      "query_dependent_salsa list_topics")
+
+  private def run(spark: SparkSession, cmd: String, a: Array[String]): Unit = {
+    def arg(i: Int, dflt: String): String = if (a.length > i) a(i) else dflt
+    def load(nodesPath: String, edgesPath: String,
+        weightCol: String = "mrho:double"): Graph =
+      Graph(GraphIO.readNodesCsv(spark, nodesPath),
+        GraphIO.readEdgesCsv(spark, edgesPath, weightCol))
+
+    cmd match {
+      case "base_hits" =>
+        val g = load(arg(1, DefaultNodes), arg(2, DefaultEdges))
+        emit("base_HITS", Hits.run(g, arg(0, "8").toInt))
+      case "weighted_hits" =>
+        val g = load(arg(2, DefaultNodes), arg(3, DefaultEdges),
+          arg(1, "mrho:double"))
+        emit("weighted_HITS", Hits.runWeighted(g, arg(0, "8").toInt))
+      case "random_teleport_hits" =>
+        val g = load(arg(2, DefaultNodes), arg(3, DefaultEdges))
+        emit("random_teleport_HITS",
+          Hits.runTeleport(g, arg(1, "0.8").toDouble, arg(0, "8").toInt))
+      case "topic_specific_hits" =>
+        val g = load(arg(3, DefaultNodes), arg(4, DefaultEdges))
+        emit(s"topic_specific_HITS/${a(0)}", Hits.runTopicSpecific(g, a(0),
+          arg(2, "0.8").toDouble, arg(1, "8").toInt))
+      case "topic_exclusive_hits" =>
+        val g = load(arg(2, DefaultNodes), arg(3, DefaultEdges))
+        emit(s"topic_exclusive_HITS/${a(0)}",
+          Hits.runTopicExclusive(g, a(0), arg(1, "8").toInt))
+      case "query_dependent_hits" =>
+        val g = load(arg(2, DefaultNodes), arg(3, DefaultEdges))
+        emit(s"query_dependent_HITS/${a(0)}",
+          Hits.runQueryDependent(g, a(0), arg(1, "8").toInt))
+      case "base_salsa" =>
+        val g = load(arg(0, DefaultNodes), arg(1, DefaultEdges))
+        emitS("SALSA/base_SALSA", Salsa.runSimplified(g.edges))
+      case "base_salsa_2" =>
+        val g = load(arg(1, DefaultNodes), arg(2, DefaultEdges))
+        emitS("SALSA/base_SALSA_2", Salsa.run(g, arg(0, "8").toInt))
+      case "weighted_salsa" =>
+        val g = load(arg(1, DefaultNodes), arg(2, DefaultEdges),
+          arg(0, "mrho:double"))
+        emitS("SALSA/weighted_SALSA", Salsa.runWeightedSimplified(g.edges))
+      case "random_teleport_salsa" =>
+        val g = load(arg(1, DefaultNodes), arg(2, DefaultEdges))
+        emitS("SALSA/random_teleport_SALSA",
+          Salsa.runTeleport(g, arg(1, "0.8").toDouble, arg(0, "8").toInt))
+      case "topic_specific_salsa" =>
+        val g = load(arg(3, DefaultNodes), arg(4, DefaultEdges))
+        emitS(s"SALSA/topic_specific_SALSA/${a(0)}",
+          Salsa.runTopicSpecific(g, a(0), arg(2, "0.8").toDouble,
+            arg(1, "8").toInt))
+      case "query_dependent_salsa" =>
+        val g = load(arg(1, DefaultNodes), arg(2, DefaultEdges))
+        emitS(s"SALSA/query_dependent_SALSA/${a(0)}",
+          Salsa.runQueryDependent(g, a(0)))
+      case "list_topics" =>
+        val nodes = GraphIO.readNodesCsv(spark, arg(0, DefaultNodes))
+        Topics.list(nodes).coalesce(1).write.mode("overwrite")
+          .text("outputs/node_topics.txt")
+        println("Topics written to outputs/node_topics.txt")
+      case other =>
+        System.err.println(s"Unknown kernel: $other"); usage(); sys.exit(2)
+    }
+  }
+
+  private def emit(dir: String, r: Hits.Result): Unit =
+    writeBoth(dir, r.hubs, r.auths)
+  private def emitS(dir: String, r: Salsa.Result): Unit =
+    writeBoth(dir, r.hubs, r.auths)
+
+  private def writeBoth(dir: String, hubs: DataFrame, auths: DataFrame): Unit = {
+    RankOutput.writeScoresText(hubs, s"outputs/$dir/hub_scores.txt")
+    RankOutput.writeScoresText(auths, s"outputs/$dir/authority_scores.txt")
+    println(s"Top 10 hub scores:")
+    RankOutput.topK(hubs, 10).collect()
+      .foreach(row => println(s"('${row.getString(0)}', ${row.getDouble(1)})"))
+    println(s"Top 10 authority scores:")
+    RankOutput.topK(auths, 10).collect()
+      .foreach(row => println(s"('${row.getString(0)}', ${row.getDouble(1)})"))
+    println(s"Scores written under outputs/$dir/")
+  }
+}

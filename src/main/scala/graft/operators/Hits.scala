@@ -59,14 +59,25 @@ object Hits {
   }
 
   /** K4 topic-specific HITS: uniform init over all nodes, teleport mass
-    * only to topic nodes (reference `src/topic_specific_hits.py:54-87`). */
+    * only to topic nodes (reference `src/topic_specific_hits.py:54-87`).
+    * Flags are pre-hashed on id and cached once: the per-iteration flag
+    * join is then shuffle-free on both sides. */
   def runTopicSpecific(g: Graph, topic: String, beta: Double = 0.8,
       numIter: Int = 8): Result = {
-    val flags = g.nodes.select(col("id"),
-      when(col("label") === topic, 1).otherwise(0).as("flag"))
+    val flags = prepFlags(g, topic)
     val nTopic = flags.filter(col("flag") === 1).count()
-    iterate(g.nodes, g.edges, numIter, weighted = false,
+    val r = iterate(g.nodes, g.edges, numIter, weighted = false,
       TopicTeleport(beta, nTopic, flags))
+    flags.unpersist(false)
+    r
+  }
+
+  private[operators] def prepFlags(g: Graph, topic: String): DataFrame = {
+    val spark = g.nodes.sparkSession
+    val np = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    g.nodes.select(col("id"),
+        when(col("label") === topic, 1).otherwise(0).as("flag"))
+      .repartition(np, col("id")).persist()
   }
 
   /** K5 topic-exclusive HITS: base kernel on the induced topic subgraph
@@ -98,8 +109,20 @@ object Hits {
 
   private[graft] def iterate(nodes: DataFrame, edges: DataFrame, numIter: Int,
       weighted: Boolean, post: Post): Result = {
-    val e = edges.select(col("src"), col("dst"),
+    val spark = edges.sparkSession
+    // The score side of each join is an aggregation output (hash
+    // partitioned on id) whose partitioning survives localCheckpoint, so
+    // pre-hashing the edge table on each join key makes every iteration
+    // shuffle ONLY the freshly aggregated |V|-sized vector — the edges
+    // (the 100 TB side) are shuffled once here and never again.
+    // Shuffle-hash joins beat sort-merge here: the probe side is cached
+    // and pre-partitioned, and re-sorting it every iteration is waste.
+    spark.conf.set("spark.sql.join.preferSortMergeJoin", "false")
+    val np = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val proj = edges.select(col("src"), col("dst"),
       col("weight").cast("double").as("w"))
+    val eDst = proj.repartition(np, col("dst")).persist()
+    val eSrc = proj.repartition(np, col("src")).persist()
     val n = nodes.count()
     val init = nodes.select(col("id"), lit(1.0 / math.sqrt(n)).as("score"))
 
@@ -111,19 +134,23 @@ object Hits {
     for (_ <- 1 to numIter) {
       // Hub: for each a, sum (weighted) authority scores over (a,b) edges.
       val hubsU = applyPost(
-        e.join(auths, e("dst") === auths("id"))
-          .groupBy(e("src").as("id"))
+        eDst.join(auths, eDst("dst") === auths("id"))
+          .groupBy(eDst("src").as("id"))
           .agg(sum(contribution(col("score"))).as("score")),
         post).localCheckpoint(true)
       // Authority: from the NEW, un-normalized hubs (Gauss-Seidel).
       val authsU = applyPost(
-        e.join(hubsU, e("src") === hubsU("id"))
-          .groupBy(e("dst").as("id"))
+        eSrc.join(hubsU, eSrc("src") === hubsU("id"))
+          .groupBy(eSrc("dst").as("id"))
           .agg(sum(contribution(col("score"))).as("score")),
         post).localCheckpoint(true)
       hubs = Normalize.l2(hubsU)
       auths = Normalize.l2(authsU)
     }
+    // Final results live on the last checkpoints only; the edge caches
+    // can go (non-blocking) without recompute risk.
+    eDst.unpersist(false)
+    eSrc.unpersist(false)
     Result(hubs, auths)
   }
 }

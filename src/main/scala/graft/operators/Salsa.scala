@@ -62,14 +62,15 @@ object Salsa {
     * teleport each update. */
   def runTopicSpecific(g: Graph, topic: String, beta: Double = 0.8,
       numIter: Int = 8): Result = {
-    val flags = g.nodes.select(col("id"),
-      when(col("label") === topic, 1).otherwise(0).as("flag"))
+    val flags = Hits.prepFlags(g, topic)
     val nTopic = flags.filter(col("flag") === 1).count()
     val init = flags.select(col("id"),
       when(col("flag") === 0, lit(0.0))
         .otherwise(lit(1.0 / (2.0 * nTopic))).as("score"))
-    iterate(init, g.edges, numIter,
+    val r = iterate(init, g.edges, numIter,
       Hits.TopicTeleport(beta, 2L * nTopic, flags))
+    flags.unpersist(false)
+    r
   }
 
   /** K12 query-dependent SALSA: simplified SALSA on the neighborhood
@@ -88,10 +89,19 @@ object Salsa {
     * carries 2N / 2·N_topic (the reference's denominators). */
   private def iterate(init: DataFrame, edges: DataFrame, numIter: Int,
       post: Hits.Post): Result = {
+    val spark = edges.sparkSession
+    spark.conf.set("spark.sql.join.preferSortMergeJoin", "false")
+    val np = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    // Degree-annotated edge copies, pre-hashed on their join key (see
+    // Hits.iterate): per iteration only the |V|-sized score vector
+    // shuffles; the degree join itself is also key-aligned (dst==id /
+    // src==id), so building them costs one edge shuffle each.
     val eIn = edges.join(Degrees.in(edges), edges("dst") === col("id"))
-      .select(col("src"), col("dst"), col("in_degree")).localCheckpoint(true)
+      .select(col("src"), col("dst"), col("in_degree"))
+      .repartition(np, col("dst")).persist()
     val eOut = edges.join(Degrees.out(edges), edges("src") === col("id"))
-      .select(col("src"), col("dst"), col("out_degree")).localCheckpoint(true)
+      .select(col("src"), col("dst"), col("out_degree"))
+      .repartition(np, col("src")).persist()
 
     var hubs = init
     var auths = init
@@ -109,6 +119,8 @@ object Salsa {
       hubs = Normalize.l1(hubsU)
       auths = Normalize.l1(authsU)
     }
+    eIn.unpersist(false)
+    eOut.unpersist(false)
     Result(hubs, auths)
   }
 
