@@ -51,6 +51,18 @@ object Oracles {
 
   private def graphCtes: String = s"$edgesCte,\n$nodesCte"
 
+  /** Skewed bipartite event graph, must match [[GraphIO.eventGraph]]. */
+  val eventGraphCtes: String =
+    """edges AS MATERIALIZED (
+      |  SELECT 'u' || CAST(user_id AS VARCHAR) AS src,
+      |         'e' || event_type AS dst, value AS w FROM events
+      |),
+      |nodes AS MATERIALIZED (
+      |  SELECT id, CASE WHEN substr(id, 1, 1) = 'u' THEN 'user'
+      |                  ELSE 'event' END AS label
+      |  FROM (SELECT src AS id FROM edges UNION SELECT dst FROM edges) u
+      |)""".stripMargin
+
   /** Post-aggregation transform of one iteration (teleport variants). */
   sealed trait Post
   case object NoPost extends Post
@@ -99,9 +111,10 @@ object Oracles {
   /** HITS family (K1-K6). `edgesRel`/`initRel` select the (sub)graph. */
   def hits(weighted: Boolean = false, post: Post = NoPost,
       extraCtes: Seq[String] = Nil, edgesRel: String = "edges",
-      initRel: String = "nodes", numIter: Int = 8, digits: Int = 6): String = {
+      initRel: String = "nodes", numIter: Int = 8, digits: Int = 6,
+      graph: String = null): String = {
     val sb = new StringBuilder
-    sb ++= s"WITH $graphCtes"
+    sb ++= s"WITH ${if (graph == null) graphCtes else graph}"
     extraCtes.foreach(c => sb ++= s",\n$c")
     sb ++= s",\nnv AS MATERIALIZED (SELECT COUNT(*) AS n FROM $initRel)"
     sb ++= s",\ns0 AS MATERIALIZED (SELECT id, 1::DOUBLE / sqrt((SELECT n FROM nv)) AS score FROM $initRel)"
@@ -179,9 +192,10 @@ object Oracles {
 
   /** Simplified SALSA (K7/K9/K12): degree mass, L1. */
   def salsaSimplified(weighted: Boolean = false, extraCtes: Seq[String] = Nil,
-      edgesRel: String = "edges", digits: Int = 9): String = {
+      edgesRel: String = "edges", digits: Int = 9,
+      graph: String = null): String = {
     val m = if (weighted) "SUM(w)" else "CAST(COUNT(*) AS DOUBLE)"
-    val ctes = (Seq(graphCtes) ++ extraCtes).mkString(",\n")
+    val ctes = (Seq(if (graph == null) graphCtes else graph) ++ extraCtes).mkString(",\n")
     s"""WITH $ctes,
        |od AS MATERIALIZED (SELECT src AS id, $m AS m FROM $edgesRel GROUP BY src),
        |idg AS MATERIALIZED (SELECT dst AS id, $m AS m FROM $edgesRel GROUP BY dst)
@@ -194,6 +208,28 @@ object Oracles {
   def salsaWeighted: String = salsaSimplified(weighted = true)
   def salsaQueryDependent(topic: String): String =
     salsaSimplified(extraCtes = Seq(queryDepCtes(topic)), edgesRel = "qedges")
+
+  /** Event-graph kernels: skewed in-degree coverage. */
+  def hitsEventBase: String = hits(graph = eventGraphCtes)
+  def salsaEventWeighted: String =
+    salsaSimplified(weighted = true, graph = eventGraphCtes)
+
+  /** Gap-based sessionization — exact integer output (no FP at all). */
+  def sessionize(gapUs: Long = 30L * 60 * 1000000L): String =
+    s"""WITH f AS MATERIALIZED (
+       |  SELECT user_id, epoch_us(ts) AS e, event_id,
+       |         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL THEN 1
+       |              WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > $gapUs THEN 1
+       |              ELSE 0 END AS is_new
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+       |g AS MATERIALIZED (
+       |  SELECT user_id, e, event_id,
+       |         SUM(is_new) OVER (PARTITION BY user_id ORDER BY e, event_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+       |  FROM f)
+       |SELECT user_id, sess, COUNT(*) AS n_events, MAX(e) - MIN(e) AS dur_us
+       |FROM g GROUP BY user_id, sess ORDER BY user_id, sess""".stripMargin
 
   // ------------------- utility operators -------------------
 

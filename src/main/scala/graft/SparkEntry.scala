@@ -86,7 +86,18 @@ object SparkEntry {
       GraphIO.orderGraph(s, dir).nodes.select(col("id"))
         .filter(GraftHash.graftHash(s, col("id")) % 100 < 5)
         .orderBy(col("id"))),
+    // ---- event-graph kernels (skewed in-degree coverage) ----
+    "evt_hits_base" -> ((s, dir) =>
+      hitsOut(Hits.run(GraphIO.eventGraph(s, dir)))),
+    "evt_salsa_weighted" -> ((s, dir) =>
+      salsaOut(Salsa.runWeightedSimplified(GraphIO.eventGraph(s, dir).edges))),
+    // ---- convergence extension (rows-only check: data-dependent
+    // iteration count is not expressible as one static SQL query) ----
+    "hits_converged" -> ((s, dir) =>
+      hitsOut(Hits.runConverged(GraphIO.orderGraph(s, dir), 1e-7, 30)._1)),
     // ---- events: batch twins of the streaming pipeline ----
+    "events_sessionize" -> ((s, dir) =>
+      EventPipelines.sessionizeBatch(GraphIO.events(s, dir))),
     "events_window" -> ((s, dir) =>
       EventPipelines.windowedStatsBatch(GraphIO.events(s, dir))),
     "events_top_users" -> ((s, dir) =>
@@ -142,6 +153,9 @@ object SparkEntry {
     "graph_degrees" -> Oracles.degrees,
     "rank_topk" -> Oracles.rankTopK(),
     "sample_hash" -> Oracles.sampleHash(),
+    "evt_hits_base" -> Oracles.hitsEventBase,
+    "evt_salsa_weighted" -> Oracles.salsaEventWeighted,
+    "events_sessionize" -> Oracles.sessionize(),
     "events_window" -> Oracles.eventsWindow,
     "events_top_users" -> Oracles.eventsTopUsers,
     "text_stats" -> Oracles.textStats,

@@ -80,6 +80,65 @@ object Hits {
       .repartition(np, col("id")).persist()
   }
 
+  /** Fixed-point extension (not in the reference, which always runs a
+    * fixed 8 iterations): stop when the max absolute change of the
+    * normalized authority vector drops below `tol`. Costs one extra
+    * tiny |V|-sized join per iteration. Returns the result and the
+    * number of iterations executed. */
+  def runConverged(g: Graph, tol: Double = 1e-9,
+      maxIter: Int = 50): (Result, Int) = {
+    var prev: Option[DataFrame] = None
+    var result: Result = null
+    var it = 0
+    var done = false
+    while (it < maxIter && !done) {
+      it += 1
+      // One extra iteration from scratch would be wasteful; instead run
+      // incrementally by carrying the normalized vectors forward through
+      // iterate's single-iteration form.
+      result = iterateFrom(result, g, weighted = false, Identity)
+      val cur = result.auths.localCheckpoint(true)
+      prev.foreach { p =>
+        val delta = cur.as("c")
+          .join(p.as("p"), col("c.id") === col("p.id"), "full_outer")
+          .select(abs(coalesce(col("c.score"), lit(0.0)) -
+            coalesce(col("p.score"), lit(0.0))).as("d"))
+          .agg(max(col("d"))).head.getDouble(0)
+        if (delta < tol) done = true
+      }
+      prev = Some(cur)
+      result = Result(result.hubs, cur)
+    }
+    (result, it)
+  }
+
+  /** One Gauss-Seidel iteration continuing from `prev` (or the uniform
+    * init when null) — building block for [[runConverged]]. */
+  private def iterateFrom(prev: Result, g: Graph, weighted: Boolean,
+      post: Post): Result = prev match {
+    case null => iterate(g.nodes, g.edges, 1, weighted, post)
+    case r => iterateStep(g.edges, r, weighted, post)
+  }
+
+  private def iterateStep(edges: DataFrame, r: Result, weighted: Boolean,
+      post: Post): Result = {
+    val e = edges.select(col("src"), col("dst"),
+      col("weight").cast("double").as("w"))
+    def contribution(score: Column): Column =
+      if (weighted) col("w") * score else score
+    val hubsU = applyPost(
+      e.join(r.auths, e("dst") === r.auths("id"))
+        .groupBy(e("src").as("id"))
+        .agg(sum(contribution(col("score"))).as("score")),
+      post).localCheckpoint(true)
+    val authsU = applyPost(
+      e.join(hubsU, e("src") === hubsU("id"))
+        .groupBy(e("dst").as("id"))
+        .agg(sum(contribution(col("score"))).as("score")),
+      post).localCheckpoint(true)
+    Result(Normalize.l2(hubsU), Normalize.l2(authsU))
+  }
+
   /** K5 topic-exclusive HITS: base kernel on the induced topic subgraph
     * (intent semantics — SURVEY.md §2 note E). */
   def runTopicExclusive(g: Graph, topic: String, numIter: Int = 8): Result =

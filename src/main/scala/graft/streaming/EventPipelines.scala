@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Structured-Streaming pipelines over the `events` stream table, plus
   * their batch twins (the twins are what the DuckDB oracle checks; the
@@ -30,6 +31,68 @@ object EventPipelines {
         col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 6).as("total"))
       .orderBy(col("hour_ts"), col("event_type"))
+
+  /** Gap-based sessionization, batch shape: a new session starts when a
+    * user's inter-event gap exceeds `gapNs`. All-integer output
+    * (session index, event count, nanosecond duration) — an exact
+    * cross-engine oracle with zero FP involvement. `ts` is epoch-nanos
+    * BIGINT. */
+  def sessionizeBatch(events: DataFrame,
+      gapUs: Long = 30L * 60 * 1000000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // Microsecond resolution on both sides: DuckDB truncates parquet
+    // TIMESTAMP(NANOS) to µs, so the oracle can only see µs — the ns
+    // input is floored identically here (integer div, no FP).
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("e"), col("event_id"))
+    val flagged = events
+      .select(col("user_id"), expr("ts div 1000").as("e"), col("event_id"))
+      .withColumn("is_new",
+        when(col("e") - lag(col("e"), 1).over(w) > gapUs, 1)
+          .when(lag(col("e"), 1).over(w).isNull, 1).otherwise(0))
+      .withColumn("sess", sum(col("is_new"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    flagged.groupBy(col("user_id"), col("sess"))
+      .agg(count(lit(1)).as("n_events"),
+        (max(col("e")) - min(col("e"))).as("dur_us"))
+      .orderBy(col("user_id"), col("sess"))
+  }
+
+  /** Streaming sessionization via explicit state: one open session per
+    * user, flushed when an event arrives past the gap (processing-time
+    * flavor for the spec; production would pair it with a watermark +
+    * event-time timeout). State is O(active users) — the canonical
+    * `flatMapGroupsWithState` bounded-state design. */
+  final case class Ev(user_id: Long, ts: Long, event_id: Long)
+  final case class SessionState(start: Long, last: Long, n: Long)
+  final case class Session(user_id: Long, n_events: Long, dur_ns: Long)
+
+  def sessionizeStream(spark: SparkSession, events: DataFrame,
+      gapNs: Long = 30L * 60 * 1000000000L): Dataset[Session] = {
+    import spark.implicits._
+    def update(user: Long, evs: Iterator[Ev],
+        state: GroupState[SessionState]): Iterator[Session] = {
+      var out = List.empty[Session]
+      var st = state.getOption
+      evs.toSeq.sortBy(e => (e.ts, e.event_id)).foreach { e =>
+        st match {
+          case Some(s) if e.ts - s.last > gapNs =>
+            out ::= Session(user, s.n, s.last - s.start)
+            st = Some(SessionState(e.ts, e.ts, 1))
+          case Some(s) =>
+            st = Some(SessionState(s.start, e.ts, s.n + 1))
+          case None =>
+            st = Some(SessionState(e.ts, e.ts, 1))
+        }
+      }
+      st.foreach(state.update)
+      out.reverseIterator
+    }
+    events.select(col("user_id"), col("ts"), col("event_id")).as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(update)
+  }
 
   /** Top-3 users per event type by total value, ranked on exact integer
     * cents (cross-engine-stable ordering; values have 2 decimals, so

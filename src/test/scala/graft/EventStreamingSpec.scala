@@ -10,6 +10,37 @@ import java.nio.file.Files
   * twin on the same data. */
 class EventStreamingSpec extends SparkSuite {
 
+  test("stateful streaming sessionization splits on the gap like batch") {
+    import spark.implicits._
+    val gap = 30L * 60 * 1000000000L // 30 min in ns
+    val m = 60L * 1000000000L
+    // user 1: events at 0,1,2 min then a 60-min gap then 2 more;
+    // user 2: single event.
+    val rows = Seq((1L, 0L * m, 10L), (1L, 1L * m, 11L), (1L, 2L * m, 12L),
+      (1L, 62L * m, 13L), (1L, 63L * m, 14L), (2L, 5L * m, 20L))
+    val df = rows.toDF("user_id", "ts", "event_id")
+    val batch = EventPipelines.sessionizeBatch(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val mUs = m / 1000 // batch output is µs-resolution
+    assert(batch.toSeq == Seq((1L, 1L, 3L, 2L * mUs), (1L, 2L, 2L, 1L * mUs),
+      (2L, 1L, 1L, 0L)))
+    // Streaming flavor: closed sessions are emitted when the next event
+    // arrives past the gap; open sessions stay in state.
+    val dir = java.nio.file.Files.createTempDirectory("graft-sess").toFile
+    dir.deleteOnExit()
+    df.write.mode("overwrite").parquet(dir.getAbsolutePath)
+    val stream = spark.readStream.schema(df.schema).parquet(dir.getAbsolutePath)
+    val q = EventPipelines.sessionizeStream(spark, stream)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("graft_sess_test")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val emitted = spark.sql("SELECT * FROM graft_sess_test").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // only user 1's first session is closed by a later event
+    assert(emitted == Set((1L, 3L, 2L * m)))
+  }
+
   test("streaming windowed stats equals the batch aggregation") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-stream").toFile

@@ -49,7 +49,9 @@ class GraphIOSpec extends SparkSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("oracleSql covers every queries key") {
-    assert(SparkEntry.queries.keySet == SparkEntry.oracleSql.keySet)
+  test("oracleSql covers every queries key (rows-only checks excepted)") {
+    val rowsOnly = Set("hits_converged") // data-dependent iteration count
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+    assert(SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet == rowsOnly)
   }
 }

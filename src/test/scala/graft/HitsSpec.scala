@@ -97,6 +97,14 @@ class HitsSpec extends SparkSuite {
     assert(scoresMap(r.auths).keySet == Set("c", "d"))
   }
 
+  test("runConverged stops early on a fast-converging graph and matches " +
+      "the fixed-iteration kernel at the same depth") {
+    val (r, iters) = Hits.runConverged(g1, tol = 1e-9, maxIter = 40)
+    assert(iters < 40) // G1 converges almost immediately
+    val fixed = Hits.run(g1, numIter = iters)
+    assertApprox(scoresMap(r.auths), scoresMap(fixed.auths), 1e-9)
+  }
+
   test("edge input order does not change scores (permutation invariance)") {
     val edges = Seq(("a", "c", 1.0), ("a", "d", 1.0), ("b", "c", 1.0),
       ("c", "d", 1.0))
