@@ -62,7 +62,7 @@ object GraphIO {
     * (weight l_quantity). Labels: customer / order / part.
     * Cached + persisted per sfDir: every kernel query shares one scan. */
   def orderGraph(spark: SparkSession, sfDir: String): Graph =
-    cache.getOrElseUpdate(s"order:$sfDir", {
+    cache.getOrElseUpdate(s"order:${System.identityHashCode(spark)}:$sfDir", {
       val orders = spark.read.parquet(s"$sfDir/orders.parquet")
       val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
       val e1 = orders.select(
@@ -98,7 +98,7 @@ object GraphIO {
 
   /** Skewed bipartite event graph: user -> event_type, weight = value. */
   def eventGraph(spark: SparkSession, sfDir: String): Graph =
-    cache.getOrElseUpdate(s"event:$sfDir", {
+    cache.getOrElseUpdate(s"event:${System.identityHashCode(spark)}:$sfDir", {
       val ev = spark.read.parquet(s"$sfDir/events.parquet")
       val edges = ev.select(
         concat(lit("u"), col("user_id").cast(StringType)).as("src"),

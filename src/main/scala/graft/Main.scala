@@ -107,6 +107,13 @@ object Main {
         val g = load(arg(1, DefaultNodes), arg(2, DefaultEdges))
         emitS(s"SALSA/query_dependent_SALSA/${a(0)}",
           Salsa.runQueryDependent(g, a(0)))
+      case "draw_graph" =>
+        // Engine-side analog of the reference's draw_graphs.py: DOT text
+        // sink sized by simplified-SALSA hub score.
+        val g = load(arg(0, DefaultNodes), arg(1, DefaultEdges))
+        val scores = Salsa.runSimplified(g.edges).hubs
+        RankOutput.writeDot(g.edges, scores, "outputs/graph.dot")
+        println("DOT graph written to outputs/graph.dot")
       case "list_topics" =>
         val nodes = GraphIO.readNodesCsv(spark, arg(0, DefaultNodes))
         Topics.list(nodes).coalesce(1).write.mode("overwrite")

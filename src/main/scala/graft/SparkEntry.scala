@@ -94,7 +94,7 @@ object SparkEntry {
     // ---- convergence extension (rows-only check: data-dependent
     // iteration count is not expressible as one static SQL query) ----
     "hits_converged" -> ((s, dir) =>
-      hitsOut(Hits.runConverged(GraphIO.orderGraph(s, dir), 1e-7, 30)._1)),
+      hitsOut(Hits.runConverged(GraphIO.orderGraph(s, dir), 1e-6, 16)._1)),
     // ---- events: batch twins of the streaming pipeline ----
     "events_sessionize" -> ((s, dir) =>
       EventPipelines.sessionizeBatch(GraphIO.events(s, dir))),

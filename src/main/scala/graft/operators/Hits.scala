@@ -87,17 +87,33 @@ object Hits {
     * number of iterations executed. */
   def runConverged(g: Graph, tol: Double = 1e-9,
       maxIter: Int = 50): (Result, Int) = {
+    val spark = g.edges.sparkSession
+    spark.conf.set("spark.sql.join.preferSortMergeJoin", "false")
+    val np = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val proj = g.edges.select(col("src"), col("dst"),
+      col("weight").cast("double").as("w"))
+    // Same co-partitioning discipline as the fixed-count loop: edges
+    // shuffled once for the whole run, score vectors only thereafter.
+    val eDst = proj.repartition(np, col("dst")).persist()
+    val eSrc = proj.repartition(np, col("src")).persist()
+    val n = g.nodes.count()
+    val init = g.nodes.select(col("id"), lit(1.0 / math.sqrt(n)).as("score"))
+
+    var hubs = init
+    var auths = init
     var prev: Option[DataFrame] = None
-    var result: Result = null
     var it = 0
     var done = false
     while (it < maxIter && !done) {
       it += 1
-      // One extra iteration from scratch would be wasteful; instead run
-      // incrementally by carrying the normalized vectors forward through
-      // iterate's single-iteration form.
-      result = iterateFrom(result, g, weighted = false, Identity)
-      val cur = result.auths.localCheckpoint(true)
+      val hubsU = eDst.join(auths, eDst("dst") === auths("id"))
+        .groupBy(eDst("src").as("id")).agg(sum(col("score")).as("score"))
+        .localCheckpoint(true)
+      val authsU = eSrc.join(hubsU, eSrc("src") === hubsU("id"))
+        .groupBy(eSrc("dst").as("id")).agg(sum(col("score")).as("score"))
+        .localCheckpoint(true)
+      hubs = Normalize.l2(hubsU)
+      val cur = Normalize.l2(authsU).localCheckpoint(true)
       prev.foreach { p =>
         val delta = cur.as("c")
           .join(p.as("p"), col("c.id") === col("p.id"), "full_outer")
@@ -107,36 +123,11 @@ object Hits {
         if (delta < tol) done = true
       }
       prev = Some(cur)
-      result = Result(result.hubs, cur)
+      auths = cur
     }
-    (result, it)
-  }
-
-  /** One Gauss-Seidel iteration continuing from `prev` (or the uniform
-    * init when null) — building block for [[runConverged]]. */
-  private def iterateFrom(prev: Result, g: Graph, weighted: Boolean,
-      post: Post): Result = prev match {
-    case null => iterate(g.nodes, g.edges, 1, weighted, post)
-    case r => iterateStep(g.edges, r, weighted, post)
-  }
-
-  private def iterateStep(edges: DataFrame, r: Result, weighted: Boolean,
-      post: Post): Result = {
-    val e = edges.select(col("src"), col("dst"),
-      col("weight").cast("double").as("w"))
-    def contribution(score: Column): Column =
-      if (weighted) col("w") * score else score
-    val hubsU = applyPost(
-      e.join(r.auths, e("dst") === r.auths("id"))
-        .groupBy(e("src").as("id"))
-        .agg(sum(contribution(col("score"))).as("score")),
-      post).localCheckpoint(true)
-    val authsU = applyPost(
-      e.join(hubsU, e("src") === hubsU("id"))
-        .groupBy(e("dst").as("id"))
-        .agg(sum(contribution(col("score"))).as("score")),
-      post).localCheckpoint(true)
-    Result(Normalize.l2(hubsU), Normalize.l2(authsU))
+    eDst.unpersist(false)
+    eSrc.unpersist(false)
+    (Result(hubs, auths), it)
   }
 
   /** K5 topic-exclusive HITS: base kernel on the induced topic subgraph

@@ -67,6 +67,27 @@ class FunctionsSpec extends SparkSuite {
     assert(a == b && a.nonEmpty && a.size < 200)
   }
 
+  test("DOT export emits valid digraph lines sized by score") {
+    import spark.implicits._
+    val scores = Seq(("a", 0.9), ("b", 0.1)).toDF("id", "score")
+    val edges = Seq(("a", "b", 1.0), ("b", "a", 1.0), ("x", "a", 1.0))
+      .toDF("src", "dst", "weight")
+    val lines = RankOutput.dotLines(edges, scores, 2).collect()
+      .map(_.getString(0))
+    assert(lines.head == "digraph G {" && lines.last == "}")
+    assert(lines.exists(_.contains("\"a\" [width=")))
+    assert(lines.contains("  \"a\" -> \"b\";"))
+    assert(!lines.contains("  \"x\" -> \"a\";")) // x not in top-k
+  }
+
+  test("seeded sample is reproducible for the same seed") {
+    import spark.implicits._
+    val df = (1 to 500).map(_.toString).toDF("id")
+    val a = RankOutput.sample(df, 0.1).collect().map(_.getString(0)).toSeq
+    val b = RankOutput.sample(df, 0.1).collect().map(_.getString(0)).toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
   test("Topics.list returns distinct whole-string labels") {
     val g = graph(Seq(("a", "b", 1.0)),
       Map("a" -> "gene:protein", "b" -> "gene"))
