@@ -404,6 +404,47 @@ object Oracles {
        |SELECT query_id, rn, neighbor_id, round(cos, 6) AS cosine FROM r
        |WHERE rn <= $k ORDER BY query_id, rn""".stripMargin
 
+  /** LSH-bucketed ANN top-k (mirror of
+    * [[graft.pipelines.Similarity.annTopKLsh]]). */
+  def annTopKLsh(nq: Int = 10, k: Int = 5): String = {
+    import graft.pipelines.HyperplaneLsh
+    val tableRows = (0 until HyperplaneLsh.Tables).map { t =>
+      s"SELECT vec_id, $t AS tbl, ${HyperplaneLsh.bucketSql(t, "embedding")} AS bkt FROM base"
+    }.mkString("\nUNION ALL ")
+    s"""WITH base AS MATERIALIZED (
+       |  SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM embeddings),
+       |buckets AS MATERIALIZED ($tableRows),
+       |qb AS MATERIALIZED (
+       |  SELECT vec_id AS query_id, tbl AS qt, bkt AS qk FROM buckets WHERE vec_id < $nq),
+       |cand AS MATERIALIZED (
+       |  SELECT DISTINCT qb.query_id, b.vec_id
+       |  FROM buckets b JOIN qb ON b.tbl = qb.qt AND b.bkt = qb.qk
+       |   AND b.vec_id <> qb.query_id),
+       |scored AS (
+       |  SELECT c.query_id, c.vec_id AS neighbor_id,
+       |         ${dotSql("q.embedding", "e.embedding")} / (q.nrm * e.nrm) AS cos
+       |  FROM cand c JOIN base e ON e.vec_id = c.vec_id
+       |              JOIN base q ON q.vec_id = c.query_id),
+       |r AS (
+       |  SELECT query_id, neighbor_id, cos,
+       |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+       |  FROM scored)
+       |SELECT query_id, rn, neighbor_id, round(cos, 6) AS cosine FROM r
+       |WHERE rn <= $k ORDER BY query_id, rn""".stripMargin
+  }
+
+  /** Frame-sampling fingerprints (mirror of
+    * [[graft.pipelines.Multimodal.chunkFingerprints]]). */
+  def multimodalChunks(frame: Int = 64): String =
+    s"""WITH c AS MATERIALIZED (
+       |  SELECT doc_id, text,
+       |         unnest(generate_series(0,
+       |           greatest(CAST(ceil(strlen(text) / $frame.0::DOUBLE) AS BIGINT), 1) - 1)) AS i
+       |  FROM documents)
+       |SELECT doc_id, i AS chunk_idx,
+       |       ${GraftHash.duckdbSql(s"substr(text, CAST(i * $frame + 1 AS BIGINT), $frame)")} AS chunk_fp
+       |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+
   /** Byte-level metadata of the opaque payload column (multimodal stub
     * pipeline): byte length + rolling-hash checksum. */
   def multimodalMeta: String =

@@ -130,9 +130,14 @@ object SparkEntry {
     "ann_topk" -> ((s, dir) =>
       Similarity.annTopK(GraphIO.embeddings(s, dir))
         .withColumn("rn", col("rn").cast("long"))),
+    "ann_topk_lsh" -> ((s, dir) =>
+      Similarity.annTopKLsh(GraphIO.embeddings(s, dir))
+        .withColumn("rn", col("rn").cast("long"))),
     // ---- multimodal plumbing ----
     "multimodal_meta" -> ((s, dir) =>
-      Multimodal.metaQuery(s, GraphIO.documents(s, dir))))
+      Multimodal.metaQuery(s, GraphIO.documents(s, dir))),
+    "multimodal_chunks" -> ((s, dir) =>
+      Multimodal.chunkFingerprints(s, GraphIO.documents(s, dir))))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. */
@@ -166,5 +171,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> Oracles.dedupNgramJaccard(),
     "dedup_embedding" -> Oracles.dedupEmbedding(0.3),
     "ann_topk" -> Oracles.annTopK(),
+    "ann_topk_lsh" -> Oracles.annTopKLsh(),
+    "multimodal_chunks" -> Oracles.multimodalChunks(),
     "multimodal_meta" -> Oracles.multimodalMeta)
 }

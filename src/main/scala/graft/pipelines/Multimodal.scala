@@ -55,6 +55,24 @@ object Multimodal {
       octet_length(col("text")).cast("long").as("n_bytes"),
       GraftHash.graftHash(spark, col("text")).as("payload_fp"))
       .orderBy(col("doc_id"))
+
+  /** Frame-sampling analog over the opaque payload: fixed-size windows
+    * (`frame` chars, non-overlapping), each fingerprinted — the shape a
+    * video frame-sampler or audio chunker produces (one row per frame
+    * with index + content hash), with the decode step standing in as
+    * identity. Exact-integer oracle. */
+  def chunkFingerprints(spark: SparkSession, docs: DataFrame,
+      frame: Int = 64): DataFrame = {
+    val nChunks = ceil(length(col("text")).cast("double") / frame).cast("int")
+    docs
+      .select(col("doc_id"), col("text"),
+        posexplode(sequence(lit(0), greatest(nChunks, lit(1)) - 1)))
+      .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"),
+        GraftHash.graftHash(spark,
+          col("text").substr(col("pos") * frame + 1, lit(frame)))
+          .as("chunk_fp"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
 }
 
 /** STUB codec — deterministic identity "decode". A real deployment

@@ -64,6 +64,42 @@ object Similarity {
       .orderBy(col("a"), col("b"))
   }
 
+  /** LSH-bucketed ANN top-k — the scale path: instead of scoring every
+    * corpus vector per query, only vectors sharing a hyperplane
+    * sign-bucket with the query (in any of the [[HyperplaneLsh.Tables]]
+    * tables) are scored. Candidate count is ~corpus/2^Bits per table, so
+    * the scored set stays near-constant per query as the corpus grows;
+    * recall is the standard LSH trade (high for near-neighbors, which
+    * is what top-k cares about). */
+  def annTopKLsh(emb: DataFrame, nq: Int = 10, k: Int = 5): DataFrame = {
+    val base = emb.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("nrm"))
+    val buckets = (0 until HyperplaneLsh.Tables).map { t =>
+      base.select(col("vec_id"), lit(t).as("tbl"),
+        HyperplaneLsh.bucket(t, col("embedding")).as("bkt"))
+    }.reduce(_ unionAll _)
+    val qb = buckets.filter(col("vec_id") < nq)
+      .select(col("vec_id").as("query_id"), col("tbl").as("qt"),
+        col("bkt").as("qk"))
+    val cand = buckets.join(broadcast(qb),
+        col("tbl") === col("qt") && col("bkt") === col("qk") &&
+          col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id")).distinct()
+    val qe = base.filter(col("vec_id") < nq)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("nrm").as("qn"))
+    val scored = cand.join(base, Seq("vec_id")).join(broadcast(qe), Seq("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (dot(col("qv"), col("embedding")) / (col("qn") * col("nrm"))).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("rn"), col("neighbor_id"),
+        round(col("cos"), 6).as("cosine"))
+      .orderBy(col("query_id"), col("rn"))
+  }
+
   /** Brute-force cosine top-k for the first `nq` query vectors: the
     * exact ANN baseline. Query norms and corpus norms are computed once;
     * the corpus streams through a single codegen'd stage against the
