@@ -338,6 +338,23 @@ object Oracles {
        |SELECT a, b FROM pairs ORDER BY a, b""".stripMargin
   }
 
+  /** Folded MinHash signature per document (mirror of
+    * [[graft.functions.MinHashAgg]]): sig = fold(0)((s,m) => (s*31+m)%P)
+    * over the 16 per-slot minima. */
+  def dedupMinHashSignature: String = {
+    val mins = MinHashParams.params.zipWithIndex.map { case ((a, b), j) =>
+      s"MIN(($a * h + $b) % ${MinHashParams.P}) AS m$j"
+    }.mkString(", ")
+    val sig = (0 until MinHashParams.NumHashes)
+      .foldLeft("0::BIGINT")((acc, j) => s"(($acc * 31 + m$j) % ${MinHashParams.P})")
+    s"""WITH sh AS MATERIALIZED (
+       |  SELECT DISTINCT doc_id, sh FROM (
+       |    SELECT doc_id, unnest(${TF.sqlShingles("text", 3)}) AS sh FROM documents) t),
+       |hh AS MATERIALIZED (SELECT doc_id, ${GraftHash.duckdbSql("sh")} AS h FROM sh),
+       |mh AS MATERIALIZED (SELECT doc_id, $mins FROM hh GROUP BY doc_id)
+       |SELECT doc_id, $sig AS sig FROM mh ORDER BY doc_id""".stripMargin
+  }
+
   /** Word-3-gram Jaccard similarity >= threshold, via shared-shingle
     * candidate join. Integer set sizes -> exact double division. */
   def dedupNgramJaccard(threshold: Double = 0.5): String =

@@ -122,6 +122,8 @@ object SparkEntry {
       Dedup.simhash(s, GraphIO.documents(s, dir))),
     "dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashLsh(s, GraphIO.documents(s, dir))),
+    "dedup_minhash_signature" -> ((s, dir) =>
+      Dedup.minhashSignature(s, GraphIO.documents(s, dir))),
     "dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccard(GraphIO.documents(s, dir))),
     "dedup_embedding" -> ((s, dir) =>
@@ -168,6 +170,7 @@ object SparkEntry {
     "dedup_exact" -> Oracles.dedupExact,
     "dedup_simhash" -> Oracles.dedupSimhash,
     "dedup_minhash_lsh" -> Oracles.dedupMinHashLsh,
+    "dedup_minhash_signature" -> Oracles.dedupMinHashSignature,
     "dedup_ngram_jaccard" -> Oracles.dedupNgramJaccard(),
     "dedup_embedding" -> Oracles.dedupEmbedding(0.3),
     "ann_topk" -> Oracles.annTopK(),

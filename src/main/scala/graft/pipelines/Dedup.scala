@@ -78,6 +78,23 @@ object Dedup {
       .orderBy(col("a"), col("b"))
   }
 
+  /** Per-document folded MinHash signature via the typed
+    * [[graft.functions.MinHashAgg]] aggregator (single-pass primitive
+    * buffer) — the `Aggregator[IN,BUF,OUT]` formulation of the same
+    * computation [[minhashLsh]] does with 16 builtin `min` columns. */
+  def minhashSignature(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs
+      .select(col("doc_id"), explode(TF.shingles(col("text"), 3)).as("sh"))
+      .distinct()
+      .select(col("doc_id"), GraftHash.graftHash(spark, col("sh")).as("h"))
+      .as[(Long, Long)]
+      .groupByKey(_._1).mapValues(_._2)
+      .agg(graft.functions.MinHashAgg.toColumn.name("sig"))
+      .toDF("doc_id", "sig")
+      .orderBy(col("doc_id"))
+  }
+
   /** N-gram Jaccard similarity via shared-shingle candidate generation:
     * only pairs with >= 1 common shingle are scored (the join prunes the
     * quadratic pair space). Integer set sizes -> exact double division. */
