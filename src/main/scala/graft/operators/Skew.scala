@@ -1,0 +1,34 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation utilities.
+  *
+  * First line of defense is AQE's runtime skew-join splitting (enabled
+  * by default in Spark 4); `saltedEquiJoin` is the explicit fallback for
+  * planners that must handle a known-skewed key distribution (e.g. the
+  * event graph's handful of event-type authority nodes, or a power-law
+  * in-degree at 100 TB): the big side spreads each hot key over `salt`
+  * sub-keys, the small side is replicated `salt`×, and the join runs on
+  * the compound key — no single reducer sees a whole hot key.
+  */
+object Skew {
+
+  /** Equi-join `big ⋈ small` on `bigKey === smallKey` with `salt`-way
+    * key spreading. Result set is identical to the unsalted join (the
+    * salt assignment only routes rows; every big row still meets every
+    * matching small row exactly once). */
+  def saltedEquiJoin(big: DataFrame, small: DataFrame, bigKey: Column,
+      smallKey: Column, salt: Int, joinType: String = "inner"): DataFrame = {
+    val saltedBig = big.withColumn("__salt",
+      pmod(spark_partition_id() + monotonically_increasing_id(), lit(salt))
+        .cast("int"))
+    val saltedSmall = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(salt - 1))))
+    saltedBig.join(saltedSmall,
+        bigKey === smallKey && saltedBig("__salt") === saltedSmall("__salt"),
+        joinType)
+      .drop(saltedBig("__salt")).drop(saltedSmall("__salt"))
+  }
+}

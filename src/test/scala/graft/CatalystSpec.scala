@@ -60,6 +60,55 @@ class CatalystSpec extends SparkSuite {
     assert(got(1L) == sig)
   }
 
+  test("saltedEquiJoin returns exactly the unsalted join result on a " +
+      "skewed key distribution") {
+    import spark.implicits._
+    import graft.operators.Skew
+    // 1000 rows all hitting 2 hot keys + a miss key
+    val big = (1 to 1000).map(i => (if (i % 2 == 0) "hot1" else "hot2", i))
+      .toDF("k", "v")
+    val small = Seq(("hot1", "A"), ("hot2", "B"), ("cold", "C"))
+      .toDF("k2", "tag")
+    val plain = big.join(small, col("k") === col("k2")).select("v", "tag")
+      .collect().map(r => (r.getInt(0), r.getString(1))).sorted.toSeq
+    val salted = Skew.saltedEquiJoin(big, small, col("k"), col("k2"), 8)
+      .select("v", "tag")
+      .collect().map(r => (r.getInt(0), r.getString(1))).sorted.toSeq
+    assert(salted == plain && salted.length == 1000)
+  }
+
+  test("bucketed edge tables join score vectors without an edge-side " +
+      "exchange (bucket hash == shuffle hash partitioning)") {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft-wh")
+    val edges = Seq(("a", "b", 1.0), ("b", "c", 1.0), ("c", "a", 2.0))
+      .toDF("src", "dst", "weight")
+    spark.sql("DROP TABLE IF EXISTS graft_bucketed_edges")
+    edges.write.format("parquet")
+      .bucketBy(4, "dst").sortBy("dst")
+      .option("path", wh.resolve("be").toString)
+      .mode("overwrite").saveAsTable("graft_bucketed_edges")
+    val be = spark.table("graft_bucketed_edges")
+    val scores = Seq(("a", 0.5), ("b", 0.25), ("c", 0.25)).toDF("id", "score")
+    // disable broadcast so the planner must consider the bucket layout
+    // (with broadcast the bucketing is irrelevant and gets disabled)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = be.join(scores, be("dst") === col("id"))
+      val plan = joined.queryExecution.executedPlan.toString
+      // the bucketed (big) side must not re-shuffle; only the score side
+      // exchanges into the bucket partitioning
+      val exchanges = plan.split("\n").count(_.contains("Exchange"))
+      assert(exchanges <= 1, s"expected <=1 exchange, plan:\n$plan")
+      assert(plan.contains("Bucketed: true"), s"bucketed scan not used:\n$plan")
+      assert(joined.count() == 3)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS graft_bucketed_edges")
+    }
+  }
+
   test("MinHashAgg merge combines partial buffers slot-wise") {
     val b1 = MinHashAgg.reduce(MinHashAgg.zero, 42L)
     val b2 = MinHashAgg.reduce(MinHashAgg.zero, 7L)
