@@ -265,6 +265,14 @@ object Oracles {
       |       round(SUM(value), 6) AS total
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** JSON props extraction (mirror of
+    * [[graft.streaming.EventPipelines.propsJsonStats]]). */
+  def eventsPropsJson: String =
+    """SELECT event_type,
+      |       COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
+      |       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_total
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** Top-3 users per event type by total value. Ranked on exact integer
     * cents so cross-engine double-sum noise cannot reorder ties. */
   def eventsTopUsers: String =

@@ -100,6 +100,8 @@ object SparkEntry {
       EventPipelines.sessionizeBatch(GraphIO.events(s, dir))),
     "events_window" -> ((s, dir) =>
       EventPipelines.windowedStatsBatch(GraphIO.events(s, dir))),
+    "events_props_json" -> ((s, dir) =>
+      EventPipelines.propsJsonStats(GraphIO.events(s, dir))),
     "events_top_users" -> ((s, dir) =>
       EventPipelines.topUsers(GraphIO.events(s, dir))
         .withColumn("rn", col("rn").cast("long"))),
@@ -164,6 +166,7 @@ object SparkEntry {
     "evt_salsa_weighted" -> Oracles.salsaEventWeighted,
     "events_sessionize" -> Oracles.sessionize(),
     "events_window" -> Oracles.eventsWindow,
+    "events_props_json" -> Oracles.eventsPropsJson,
     "events_top_users" -> Oracles.eventsTopUsers,
     "text_stats" -> Oracles.textStats,
     "text_fingerprint" -> Oracles.textFingerprint,

@@ -94,6 +94,17 @@ object EventPipelines {
         GroupStateTimeout.NoTimeout)(update)
   }
 
+  /** JSON-metadata extraction over the `props` column (training
+    * pipelines routinely carry JSON sidecar metadata): per event type,
+    * count and sum of the extracted integer field. Exact-integer
+    * oracle. */
+  def propsJsonStats(events: DataFrame): DataFrame =
+    events.select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(col("k")).as("n_with_k"), sum(col("k")).as("k_total"))
+      .orderBy(col("event_type"))
+
   /** Top-3 users per event type by total value, ranked on exact integer
     * cents (cross-engine-stable ordering; values have 2 decimals, so
     * cent totals are exact integers). */
