@@ -16,8 +16,12 @@ object Bench {
     // per-query numbers measure the operators, not the first query's
     // one-time scan; reported separately for transparency.
     val w0 = System.nanoTime()
-    GraphIO.orderGraph(spark, sfDir).edges.count()
-    GraphIO.eventGraph(spark, sfDir).edges.count()
+    try {
+      GraphIO.orderGraph(spark, sfDir).edges.count()
+      GraphIO.eventGraph(spark, sfDir).edges.count()
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] warmup failed: ${e.getMessage}")
+    }
     val warmup = (System.nanoTime() - w0) / 1e9
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()

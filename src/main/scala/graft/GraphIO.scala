@@ -99,7 +99,7 @@ object GraphIO {
   /** Skewed bipartite event graph: user -> event_type, weight = value. */
   def eventGraph(spark: SparkSession, sfDir: String): Graph =
     cache.getOrElseUpdate(s"event:${System.identityHashCode(spark)}:$sfDir", {
-      val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      val ev = events(spark, sfDir) // sets the nanos conf (see below)
       val edges = ev.select(
         concat(lit("u"), col("user_id").cast(StringType)).as("src"),
         concat(lit("e"), col("event_type")).as("dst"),

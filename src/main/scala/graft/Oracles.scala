@@ -225,8 +225,8 @@ object Oracles {
        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
        |g AS MATERIALIZED (
        |  SELECT user_id, e, event_id,
-       |         SUM(is_new) OVER (PARTITION BY user_id ORDER BY e, event_id
-       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+       |         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY e, event_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess
        |  FROM f)
        |SELECT user_id, sess, COUNT(*) AS n_events, MAX(e) - MIN(e) AS dur_us
        |FROM g GROUP BY user_id, sess ORDER BY user_id, sess""".stripMargin
@@ -270,7 +270,7 @@ object Oracles {
   def eventsPropsJson: String =
     """SELECT event_type,
       |       COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
-      |       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_total
+      |       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_total
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   /** Top-3 users per event type by total value. Ranked on exact integer
