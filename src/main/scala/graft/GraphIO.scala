@@ -112,6 +112,18 @@ object GraphIO {
       Graph(nodes, edges)
     })
 
+  /** Parquet round-trip for derived graphs: persist a graph once, read
+    * it back without re-deriving — the handoff format between pipeline
+    * stages at scale (columnar, splittable, schema-carrying). */
+  def writeGraph(g: Graph, dir: String): Unit = {
+    g.nodes.write.mode("overwrite").parquet(s"$dir/nodes.parquet")
+    g.edges.write.mode("overwrite").parquet(s"$dir/edges.parquet")
+  }
+
+  def readGraph(spark: SparkSession, dir: String): Graph =
+    Graph(spark.read.parquet(s"$dir/nodes.parquet"),
+      spark.read.parquet(s"$dir/edges.parquet"))
+
   def documents(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"$sfDir/documents.parquet")
 

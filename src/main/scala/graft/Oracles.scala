@@ -262,8 +262,20 @@ object Oracles {
     """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_ts,
       |       event_type,
       |       COUNT(*) AS n,
+      |       COUNT(DISTINCT user_id) AS n_users,
       |       round(SUM(value), 6) AS total
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Oracle for the salted-join query: the salted join's result set is
+    * by construction identical to the plain equi-join, so the plain
+    * join IS the oracle (the salting is a physical routing change). */
+  def skewSaltedJoin: String =
+    """WITH dims AS MATERIALIZED (
+      |  SELECT DISTINCT event_type, upper(event_type) AS tag FROM events)
+      |SELECT d.tag, COUNT(*) AS n,
+      |       CAST(round(SUM(e.value) * 100.0::DOUBLE) AS BIGINT) AS cents
+      |FROM events e JOIN dims d ON e.event_type = d.event_type
+      |GROUP BY d.tag ORDER BY d.tag""".stripMargin
 
   /** JSON props extraction (mirror of
     * [[graft.streaming.EventPipelines.propsJsonStats]]). */

@@ -100,6 +100,17 @@ object SparkEntry {
       EventPipelines.sessionizeBatch(GraphIO.events(s, dir))),
     "events_window" -> ((s, dir) =>
       EventPipelines.windowedStatsBatch(GraphIO.events(s, dir))),
+    "skew_salted_join" -> ((s, dir) => {
+      val ev = GraphIO.events(s, dir)
+      val dims = ev.select(col("event_type").as("et2"),
+        upper(col("event_type")).as("tag")).distinct()
+      graft.operators.Skew
+        .saltedEquiJoin(ev, dims, col("event_type"), col("et2"), 8)
+        .groupBy(col("tag"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value")) * lit(100.0)).cast("long").as("cents"))
+        .orderBy(col("tag"))
+    }),
     "events_props_json" -> ((s, dir) =>
       EventPipelines.propsJsonStats(GraphIO.events(s, dir))),
     "events_top_users" -> ((s, dir) =>
@@ -166,6 +177,7 @@ object SparkEntry {
     "evt_salsa_weighted" -> Oracles.salsaEventWeighted,
     "events_sessionize" -> Oracles.sessionize(),
     "events_window" -> Oracles.eventsWindow,
+    "skew_salted_join" -> Oracles.skewSaltedJoin,
     "events_props_json" -> Oracles.eventsPropsJson,
     "events_top_users" -> Oracles.eventsTopUsers,
     "text_stats" -> Oracles.textStats,

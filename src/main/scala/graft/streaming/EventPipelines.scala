@@ -29,7 +29,8 @@ object EventPipelines {
     events.groupBy(
         expr("CAST(ts div 3600000000000 AS BIGINT) * 3600").as("hour_ts"),
         col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 6).as("total"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"),
+        round(sum(col("value")), 6).as("total"))
       .orderBy(col("hour_ts"), col("event_type"))
 
   /** Gap-based sessionization, batch shape: a new session starts when a

@@ -45,6 +45,17 @@ class GraphIOSpec extends SparkSuite {
     assert(pp > 0)
   }
 
+  test("graph parquet round-trip preserves nodes and edges") {
+    val g = GraphIO.orderGraph(spark, "/root/testdata/sf0.001")
+    val dir = Files.createTempDirectory("graft-graph").toFile
+    dir.deleteOnExit()
+    GraphIO.writeGraph(g, dir.getAbsolutePath)
+    val g2 = GraphIO.readGraph(spark, dir.getAbsolutePath)
+    assert(g2.nodes.count() == g.nodes.count())
+    assert(g2.edges.count() == g.edges.count())
+    assert(g2.edges.columns.toSeq == Seq("src", "dst", "weight"))
+  }
+
   test("SparkEntry.entry returns rows (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
