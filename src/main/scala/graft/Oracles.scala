@@ -306,6 +306,7 @@ object Oracles {
     s"""SELECT doc_id,
        |       ${TF.sqlTokenCount(t)} AS n_tokens,
        |       ${TF.sqlPunctCount(t)} AS n_punct,
+       |       ${TF.sqlSubtokenCount(t)} AS n_subtokens,
        |       ${TF.sqlLangId(t)} AS lang_pred,
        |       round(${TF.sqlQualityScore(t)}, 6) AS quality
        |FROM documents ORDER BY doc_id""".stripMargin

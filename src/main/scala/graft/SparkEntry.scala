@@ -121,6 +121,7 @@ object SparkEntry {
       GraphIO.documents(s, dir).select(col("doc_id"),
         TF.tokenCount(col("text")).cast("long").as("n_tokens"),
         TF.punctCount(col("text")).cast("long").as("n_punct"),
+        TF.subtokenCount(col("text")).cast("long").as("n_subtokens"),
         TF.langId(col("text")).as("lang_pred"),
         round(TF.qualityScore(col("text")), 6).as("quality"))
         .orderBy(col("doc_id"))),

@@ -22,6 +22,13 @@ object TextFunctions {
   def punctCount(text: Column): Column =
     regexp_count(text, lit("[.,;:!?]"))
 
+  /** BPE-ish regex subtokens: alpha runs, digit runs, and single
+    * non-alnum marks — the pre-tokenization split most BPE vocabularies
+    * start from. */
+  def subtokenCount(text: Column): Column =
+    size(regexp_extract_all(lower(text),
+      lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+
   /** Stopword hit count over whitespace tokens (with multiplicity). */
   def stopwordCount(text: Column, stopwords: Seq[String]): Column =
     size(filter(tokens(text), t => array_contains(
@@ -78,6 +85,9 @@ object TextFunctions {
 
   def sqlPunctCount(col: String): String =
     s"coalesce(array_length(regexp_extract_all($col, '[.,;:!?]')), 0)"
+
+  def sqlSubtokenCount(col: String): String =
+    s"coalesce(array_length(regexp_extract_all(lower($col), '[a-z]+|[0-9]+|[^a-z0-9\\s]')), 0)"
 
   private def sqlInList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("[", ", ", "]")

@@ -56,6 +56,20 @@ object Multimodal {
       GraftHash.graftHash(spark, col("text")).as("payload_fp"))
       .orderBy(col("doc_id"))
 
+  /** Distributed "resize" pass over payloads: mapPartitions batches, one
+    * output row per input, metadata updated to the new byte length.
+    * The decode→resize composition is where a real media pipeline would
+    * do its work; here both steps are the documented stubs. */
+  def resizeAll(spark: SparkSession, payloads: DataFrame,
+      factor: Int): Dataset[Payload] = {
+    import spark.implicits._
+    payloads.select(col("doc_id"), col("mime"), col("payload")).as[Payload]
+      .mapPartitions(_.map { p =>
+        Payload(p.doc_id, p.mime,
+          FakeCodec.resize(FakeCodec.decode(p.payload), factor))
+      })
+  }
+
   /** Frame-sampling analog over the opaque payload: fixed-size windows
     * (`frame` chars, non-overlapping), each fingerprinted — the shape a
     * video frame-sampler or audio chunker produces (one row per frame
@@ -75,9 +89,20 @@ object Multimodal {
   }
 }
 
-/** STUB codec — deterministic identity "decode". A real deployment
-  * replaces this with an image/audio library call; the Spark plumbing
-  * above is agnostic to what the bytes mean. */
+/** STUB codec — deterministic stand-ins for media operations. A real
+  * deployment replaces these with image/audio library calls; the Spark
+  * plumbing above is agnostic to what the bytes mean. */
 object FakeCodec {
+  /** Identity "decode" (a real codec would produce pixel/sample data). */
   def decode(payload: Array[Byte]): Array[Byte] = payload
+
+  /** "Resize" stub: deterministic byte-space downsample to `factor`⁻¹ of
+    * the input (a real implementation would rescale decoded frames).
+    * Keeps every factor-th byte — shape-preserving and reproducible. */
+  def resize(payload: Array[Byte], factor: Int): Array[Byte] = {
+    val out = new Array[Byte]((payload.length + factor - 1) / factor)
+    var i = 0
+    while (i < out.length) { out(i) = payload(i * factor); i += 1 }
+    out
+  }
 }

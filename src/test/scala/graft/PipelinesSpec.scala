@@ -70,6 +70,22 @@ class PipelinesSpec extends SparkSuite {
     assert(got.toSeq == Seq((1, 100L), (2, 101L)))
   }
 
+  test("subtoken count splits alpha runs, digit runs and marks") {
+    import spark.implicits._
+    import graft.functions.{TextFunctions => TF}
+    val df = Seq("Hello, world42!", "", "a-b").toDF("t")
+      .select(TF.subtokenCount(col("t")).as("n"))
+    // hello , world 42 ! -> 5 ; "" -> 0 ; a - b -> 3
+    assert(df.collect().map(_.getInt(0)).toSeq == Seq(5, 0, 3))
+  }
+
+  test("resize stub downsamples payload bytes deterministically") {
+    val d = docs((1L, "abcdefghij"))
+    val out = Multimodal.resizeAll(spark, Multimodal.withPayload(d), 3)
+      .collect().head
+    assert(new String(out.payload, "UTF-8") == "adgj")
+  }
+
   test("multimodal feature extraction: histogram + byte stats via mapPartitions") {
     val d = docs((1L, "abc"), (2L, ""))
     val feats = Multimodal.extractFeatures(spark, Multimodal.withPayload(d))
