@@ -181,13 +181,18 @@ object Hits {
 
     var hubs = init
     var auths = init
-    for (_ <- 1 to numIter) {
+    for (i <- 1 to numIter) {
       // Hub: for each a, sum (weighted) authority scores over (a,b) edges.
-      val hubsU = applyPost(
+      // Only the auth vector feeds the next iteration (Gauss-Seidel), so
+      // the hub side is materialized just once, on the final iteration —
+      // halving the per-iteration job count; intermediate hubs stay a
+      // lazy subtree inside the auth checkpoint's job.
+      val hubsRaw = applyPost(
         eDst.join(auths, eDst("dst") === auths("id"))
           .groupBy(eDst("src").as("id"))
           .agg(sum(contribution(col("score"))).as("score")),
-        post).localCheckpoint(true)
+        post)
+      val hubsU = if (i == numIter) hubsRaw.localCheckpoint(true) else hubsRaw
       // Authority: from the NEW, un-normalized hubs (Gauss-Seidel).
       val authsU = applyPost(
         eSrc.join(hubsU, eSrc("src") === hubsU("id"))

@@ -105,12 +105,16 @@ object Salsa {
 
     var hubs = init
     var auths = init
-    for (_ <- 1 to numIter) {
-      val hubsU = applyPost(
+    for (i <- 1 to numIter) {
+      // Hub side checkpointed only on the final iteration — see
+      // Hits.iterate: intermediate hubs are consumed solely by the auth
+      // update within the same job.
+      val hubsRaw = applyPost(
         eIn.join(auths, eIn("dst") === auths("id"))
           .groupBy(eIn("src").as("id"))
           .agg(sum(col("score") / col("in_degree")).as("score")),
-        post).localCheckpoint(true)
+        post)
+      val hubsU = if (i == numIter) hubsRaw.localCheckpoint(true) else hubsRaw
       val authsU = applyPost(
         eOut.join(hubsU, eOut("src") === hubsU("id"))
           .groupBy(eOut("dst").as("id"))
