@@ -95,7 +95,7 @@ object Main {
           arg(0, "mrho:double"))
         emitS("SALSA/weighted_SALSA", Salsa.runWeightedSimplified(g.edges))
       case "random_teleport_salsa" =>
-        val g = load(arg(1, DefaultNodes), arg(2, DefaultEdges))
+        val g = load(arg(2, DefaultNodes), arg(3, DefaultEdges))
         emitS("SALSA/random_teleport_SALSA",
           Salsa.runTeleport(g, arg(1, "0.8").toDouble, arg(0, "8").toInt))
       case "topic_specific_salsa" =>
