@@ -266,6 +266,23 @@ object Oracles {
       |       round(SUM(value), 6) AS total
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** ROLLUP totals (mirror of EventPipelines.typeRollup). */
+  def eventsRollup: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |       CAST(round(SUM(value) * 100.0::DOUBLE) AS BIGINT) AS cents
+      |FROM events GROUP BY ROLLUP(event_type)
+      |ORDER BY event_type NULLS FIRST""".stripMargin
+
+  /** Cumulative per-user totals (mirror of EventPipelines.runningTotals);
+    * both engines accumulate in identical frame order, so the doubles
+    * are bit-equal before the cent rounding. */
+  def eventsRunningTotals(maxUser: Long = 20): String =
+    s"""SELECT user_id, event_id,
+       |       CAST(round(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 100.0::DOUBLE) AS BIGINT) AS running_cents
+       |FROM events WHERE user_id < $maxUser
+       |ORDER BY user_id, event_id""".stripMargin
+
   /** Oracle for the salted-join query: the salted join's result set is
     * by construction identical to the plain equi-join, so the plain
     * join IS the oracle (the salting is a physical routing change). */

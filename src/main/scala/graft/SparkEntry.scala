@@ -100,6 +100,10 @@ object SparkEntry {
       EventPipelines.sessionizeBatch(GraphIO.events(s, dir))),
     "events_window" -> ((s, dir) =>
       EventPipelines.windowedStatsBatch(GraphIO.events(s, dir))),
+    "events_rollup" -> ((s, dir) =>
+      EventPipelines.typeRollup(GraphIO.events(s, dir))),
+    "events_running_totals" -> ((s, dir) =>
+      EventPipelines.runningTotals(GraphIO.events(s, dir))),
     "skew_salted_join" -> ((s, dir) => {
       val ev = GraphIO.events(s, dir)
       val dims = ev.select(col("event_type").as("et2"),
@@ -178,6 +182,8 @@ object SparkEntry {
     "evt_salsa_weighted" -> Oracles.salsaEventWeighted,
     "events_sessionize" -> Oracles.sessionize(),
     "events_window" -> Oracles.eventsWindow,
+    "events_rollup" -> Oracles.eventsRollup,
+    "events_running_totals" -> Oracles.eventsRunningTotals(),
     "skew_salted_join" -> Oracles.skewSaltedJoin,
     "events_props_json" -> Oracles.eventsPropsJson,
     "events_top_users" -> Oracles.eventsTopUsers,

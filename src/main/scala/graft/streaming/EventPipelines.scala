@@ -106,6 +106,38 @@ object EventPipelines {
       .agg(count(col("k")).as("n_with_k"), sum(col("k")).as("k_total"))
       .orderBy(col("event_type"))
 
+  /** Hierarchical totals via ROLLUP (event_type -> grand total): the
+    * grouping-sets surface the reference lacks entirely. Exact-integer
+    * cents. */
+  def typeRollup(events: DataFrame): DataFrame =
+    events.rollup(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value")) * lit(100.0)).cast("long").as("cents"))
+      .orderBy(col("event_type").asc_nulls_first)
+
+  /** Per-user running total over time (cumulative window) in exact
+    * integer cents; ns timestamps ordered as integers with event_id
+    * tiebreak. Restricted to user_id < 20 to keep the gate output
+    * bounded while still exercising the unbounded-preceding frame. */
+  def runningTotals(events: DataFrame, maxUser: Long = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events.filter(col("user_id") < maxUser)
+      .select(col("user_id"), col("event_id"),
+        round(sum(col("value")).over(w) * lit(100.0)).cast("long")
+          .as("running_cents"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  /** Streaming exact dedup: drop duplicate (user_id, event_type) pairs
+    * within the watermark window — the streaming flavor of exact dedup
+    * with bounded state. */
+  def streamingDedup(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "1 hour")
+      .dropDuplicates("user_id", "event_type")
+
   /** Top-3 users per event type by total value, ranked on exact integer
     * cents (cross-engine-stable ordering; values have 2 decimals, so
     * cent totals are exact integers). */

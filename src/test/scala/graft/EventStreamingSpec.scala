@@ -41,6 +41,29 @@ class EventStreamingSpec extends SparkSuite {
     assert(emitted == Set((1L, 3L, 2L * m)))
   }
 
+  test("streaming dedup drops duplicate keys within the watermark") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-dedup").toFile
+    dir.deleteOnExit()
+    val rows = Seq(
+      (1L, new java.sql.Timestamp(1700000000000L), "click", 1.0),
+      (1L, new java.sql.Timestamp(1700000060000L), "click", 2.0), // dup key
+      (1L, new java.sql.Timestamp(1700000120000L), "view", 3.0),
+      (2L, new java.sql.Timestamp(1700000180000L), "click", 4.0))
+    val df = rows.toDF("user_id", "ts", "event_type", "value")
+    df.write.mode("overwrite").parquet(dir.getAbsolutePath)
+    val stream = spark.readStream.schema(df.schema).parquet(dir.getAbsolutePath)
+    val q = EventPipelines.streamingDedup(stream)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("graft_dedup_test")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val got = spark.sql(
+      "SELECT user_id, event_type FROM graft_dedup_test")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((1L, "click"), (1L, "view"), (2L, "click")))
+  }
+
   test("streaming windowed stats equals the batch aggregation") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-stream").toFile
