@@ -333,6 +333,15 @@ object Oracles {
     s"SELECT doc_id, ${GraftHash.duckdbSql("text")} AS fp " +
       "FROM documents ORDER BY doc_id"
 
+  def textLangIdNgram: String =
+    s"SELECT doc_id, ${TF.sqlLangIdNgram("text")} AS lang_tri " +
+      "FROM documents ORDER BY doc_id"
+
+  /** Same result as [[dedupExact]] — the hash-group formulation only
+    * changes the shuffle key, so the plain text-group query is the
+    * oracle. */
+  def dedupExactHash: String = dedupExact
+
   def dedupExact: String =
     """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
       |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin

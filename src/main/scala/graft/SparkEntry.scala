@@ -136,6 +136,12 @@ object SparkEntry {
     // ---- dedup ----
     "dedup_exact" -> ((s, dir) =>
       Dedup.exact(GraphIO.documents(s, dir))),
+    "dedup_exact_hash" -> ((s, dir) =>
+      Dedup.exactByHash(s, GraphIO.documents(s, dir))),
+    "text_langid_ngram" -> ((s, dir) =>
+      GraphIO.documents(s, dir).select(col("doc_id"),
+        TF.langIdNgram(col("text")).as("lang_tri"))
+        .orderBy(col("doc_id"))),
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhash(s, GraphIO.documents(s, dir))),
     "dedup_minhash_lsh" -> ((s, dir) =>
@@ -190,6 +196,8 @@ object SparkEntry {
     "text_stats" -> Oracles.textStats,
     "text_fingerprint" -> Oracles.textFingerprint,
     "dedup_exact" -> Oracles.dedupExact,
+    "dedup_exact_hash" -> Oracles.dedupExactHash,
+    "text_langid_ngram" -> Oracles.textLangIdNgram,
     "dedup_simhash" -> Oracles.dedupSimhash,
     "dedup_minhash_lsh" -> Oracles.dedupMinHashLsh,
     "dedup_minhash_signature" -> Oracles.dedupMinHashSignature,

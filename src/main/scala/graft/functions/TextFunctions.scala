@@ -47,6 +47,29 @@ object TextFunctions {
     when(en >= es && en >= de, "en").when(es >= de, "es").otherwise("de")
   }
 
+  /** Characteristic character-trigram profiles (tiny stand-ins for real
+    * frequency profiles; deterministic and SQL-reproducible). */
+  val EnTri: Seq[String] = Seq("the", "ing", "ion", "and", "ent", "er ")
+  val EsTri: Seq[String] = Seq("de ", "la ", "que", "ión", "los", "ent")
+  val DeTri: Seq[String] = Seq("der", "die", "und", "sch", "ein", "ich")
+
+  /** Weighted trigram coverage: Σ characters removed when deleting each
+    * trigram — substring counting via replace-length arithmetic, no
+    * regex, so Java and RE2 dialects cannot diverge. */
+  private def triScore(text: Column, tris: Seq[String]): Column =
+    tris.map(t => length(lower(text)) -
+      length(replace(lower(text), lit(t), lit("")))).reduce(_ + _)
+
+  /** Character-n-gram heuristic language ID: argmax of trigram-profile
+    * hits with the same deterministic en > es > de tie order as
+    * [[langId]]. */
+  def langIdNgram(text: Column): Column = {
+    val en = triScore(text, EnTri)
+    val es = triScore(text, EsTri)
+    val de = triScore(text, DeTri)
+    when(en >= es && en >= de, "en").when(es >= de, "es").otherwise("de")
+  }
+
   /** Composite quality score in [0,1]: length saturation, punctuation
     * penalty, stopword reward. Pure double arithmetic (oracle-exact). */
   def qualityScore(text: Column): Column = {
@@ -95,6 +118,18 @@ object TextFunctions {
   def sqlStopwordCount(col: String, stopwords: Seq[String]): String =
     s"coalesce(array_length(list_filter(${sqlTokens(col)}, " +
       s"t -> list_contains(${sqlInList(stopwords)}, t))), 0)"
+
+  private def sqlTriScore(col: String, tris: Seq[String]): String =
+    tris.map(t => s"(length(lower($col)) - length(replace(lower($col), '$t', '')))")
+      .mkString("(", " + ", ")")
+
+  def sqlLangIdNgram(col: String): String = {
+    val en = sqlTriScore(col, EnTri)
+    val es = sqlTriScore(col, EsTri)
+    val de = sqlTriScore(col, DeTri)
+    s"(CASE WHEN $en >= $es AND $en >= $de THEN 'en' " +
+      s"WHEN $es >= $de THEN 'es' ELSE 'de' END)"
+  }
 
   def sqlLangId(col: String): String = {
     val en = sqlStopwordCount(col, EnStop)

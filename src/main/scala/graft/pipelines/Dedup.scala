@@ -28,6 +28,18 @@ object Dedup {
       .select(col("keep_id"), col("n_copies"))
       .orderBy(col("keep_id"))
 
+  /** Exact dedup, hash-groupBy formulation — the 100 TB shape: group on
+    * (rolling-hash, text) so the shuffle key is a fixed-width integer
+    * prefix and equal-hash-different-text collisions still split
+    * correctly on the text tiebreak. Output identical to [[exact]]. */
+  def exactByHash(spark: SparkSession, docs: DataFrame): DataFrame =
+    docs.select(GraftHash.graftHash(spark, col("text")).as("h"),
+        col("text"), col("doc_id"))
+      .groupBy(col("h"), col("text"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select(col("keep_id"), col("n_copies"))
+      .orderBy(col("keep_id"))
+
   /** 16-bit SimHash over whitespace tokens (with multiplicity): bit b of
     * the fingerprint is the sign of Σ_tokens (2·bit_b(hash(t)) − 1).
     * Exact integer arithmetic end-to-end. */
