@@ -95,7 +95,7 @@ object Hits {
     // Same co-partitioning discipline as the fixed-count loop: edges
     // shuffled once for the whole run, score vectors only thereafter.
     val eDst = proj.repartition(np, col("dst")).persist()
-    val eSrc = proj.repartition(np, col("src")).persist()
+    val eSrc = eDst.repartition(np, col("src")).persist()
     val n = g.nodes.count()
     val init = g.nodes.select(col("id"), lit(1.0 / math.sqrt(n)).as("score"))
 
@@ -172,7 +172,10 @@ object Hits {
     val proj = edges.select(col("src"), col("dst"),
       col("weight").cast("double").as("w"))
     val eDst = proj.repartition(np, col("dst")).persist()
-    val eSrc = proj.repartition(np, col("src")).persist()
+    // derive the src-hashed copy from the cached dst-hashed one: the
+    // upstream edge derivation (incl. subgraph semi/anti joins for the
+    // exclusive/query-dependent kernels) then runs exactly once
+    val eSrc = eDst.repartition(np, col("src")).persist()
     val n = nodes.count()
     val init = nodes.select(col("id"), lit(1.0 / math.sqrt(n)).as("score"))
 
