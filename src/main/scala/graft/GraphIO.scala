@@ -11,8 +11,8 @@ import scala.collection.concurrent.TrieMap
   *
   * The reference models a property graph as a node CSV + edge CSV
   * (reference `src/base_hits.py:36-37`); here the same shape is loaded
-  * either from reference-layout CSVs (explicit schema, no inference in
-  * production) or derived from the driver's TPC-H-ish parquet testdata.
+  * either from reference-layout CSVs (header-resolved, like the
+  * reference) or derived from the driver's TPC-H-ish parquet testdata.
   */
 final case class Graph(nodes: DataFrame, edges: DataFrame)
 
@@ -35,16 +35,22 @@ object GraphIO {
     StructField("mrho:double", DoubleType)))
 
   /** Neo4j-style headers -> clean names, like the reference's renames
-    * (reference `src/topic_specific_hits.py:45-46`). */
+    * (reference `src/topic_specific_hits.py:45-46`). Columns are resolved
+    * BY HEADER NAME (header + inferSchema, exactly the reference's read —
+    * `src/base_hits.py:36-37`): an explicit positional schema would bind
+    * the wrong columns on reference CSVs with extra/reordered columns
+    * (e.g. the tf-idf weight variant), and would break selectable
+    * `weightCol` values other than the default. */
   def readNodesCsv(spark: SparkSession, path: String): DataFrame =
-    spark.read.option("header", true).schema(nodesCsvSchema).csv(path)
+    spark.read.option("header", true).option("inferSchema", true).csv(path)
       .select(col("id:ID").as("id"), col("names"), col("size:int").as("size"),
         col("labels:LABEL").as("label"), col("rho:double").as("rho"))
 
   def readEdgesCsv(spark: SparkSession, path: String,
       weightCol: String = "mrho:double"): DataFrame =
-    spark.read.option("header", true).schema(edgesCsvSchema).csv(path)
-      .select(col("src:START_ID").as("src"), col("dst:END_ID").as("dst"),
+    spark.read.option("header", true).option("inferSchema", true).csv(path)
+      .select(col("src:START_ID").cast(StringType).as("src"),
+        col("dst:END_ID").cast(StringType).as("dst"),
         col(weightCol).cast(DoubleType).as("weight"))
 
   // ---------------------------------------------------------------------
@@ -53,6 +59,11 @@ object GraphIO {
   // overlap; the prefix doubles as the node's topic label.
   // ---------------------------------------------------------------------
 
+  // Keyed by (applicationId, session identity): applicationId changes
+  // with every SparkContext, so a recreated context can never reuse a
+  // cached Graph bound to a dead one (bare identityHashCode could
+  // collide). Entries for stopped sessions retain only plan metadata —
+  // persisted blocks die with their context.
   private val cache = TrieMap.empty[String, Graph]
 
   /** Directed order graph over the testdata star schema:
@@ -62,7 +73,7 @@ object GraphIO {
     * (weight l_quantity). Labels: customer / order / part.
     * Cached + persisted per sfDir: every kernel query shares one scan. */
   def orderGraph(spark: SparkSession, sfDir: String): Graph =
-    cache.getOrElseUpdate(s"order:${System.identityHashCode(spark)}:$sfDir", {
+    cache.getOrElseUpdate(s"order:${spark.sparkContext.applicationId}:${System.identityHashCode(spark)}:$sfDir", {
       val orders = spark.read.parquet(s"$sfDir/orders.parquet")
       val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
       val e1 = orders.select(
@@ -98,7 +109,7 @@ object GraphIO {
 
   /** Skewed bipartite event graph: user -> event_type, weight = value. */
   def eventGraph(spark: SparkSession, sfDir: String): Graph =
-    cache.getOrElseUpdate(s"event:${System.identityHashCode(spark)}:$sfDir", {
+    cache.getOrElseUpdate(s"event:${spark.sparkContext.applicationId}:${System.identityHashCode(spark)}:$sfDir", {
       val ev = events(spark, sfDir) // sets the nanos conf (see below)
       val edges = ev.select(
         concat(lit("u"), col("user_id").cast(StringType)).as("src"),

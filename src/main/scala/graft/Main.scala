@@ -55,6 +55,12 @@ object Main {
 
   private def run(spark: SparkSession, cmd: String, a: Array[String]): Unit = {
     def arg(i: Int, dflt: String): String = if (a.length > i) a(i) else dflt
+    val needsTopic = Set("topic_specific_hits", "topic_exclusive_hits",
+      "query_dependent_hits", "topic_specific_salsa", "query_dependent_salsa")
+    if (needsTopic(cmd) && a.isEmpty) {
+      System.err.println(s"$cmd requires a topic label as its first argument")
+      usage(); sys.exit(2)
+    }
     def load(nodesPath: String, edgesPath: String,
         weightCol: String = "mrho:double"): Graph =
       Graph(GraphIO.readNodesCsv(spark, nodesPath),

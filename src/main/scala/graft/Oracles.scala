@@ -503,7 +503,7 @@ object Oracles {
     s"""WITH c AS MATERIALIZED (
        |  SELECT doc_id, text,
        |         unnest(generate_series(0,
-       |           greatest(CAST(ceil(strlen(text) / $frame.0::DOUBLE) AS BIGINT), 1) - 1)) AS i
+       |           greatest(CAST(ceil(length(text) / $frame.0::DOUBLE) AS BIGINT), 1) - 1)) AS i
        |  FROM documents)
        |SELECT doc_id, i AS chunk_idx,
        |       ${GraftHash.duckdbSql(s"substr(text, CAST(i * $frame + 1 AS BIGINT), $frame)")} AS chunk_fp

@@ -11,23 +11,24 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
-  /** Whitespace tokens; empty/blank text -> empty array (Spark's
-    * `split("", "\\s+")` would yield `[""]`). */
+  /** Whitespace tokens; NULL or blank text -> empty array (matching the
+    * SQL twins' coalesce-to-zero semantics; Spark's `split("", "\\s+")`
+    * would yield `[""]` and NULL would propagate). */
   def tokens(text: Column): Column =
-    when(trim(text) === "", array().cast("array<string>"))
+    when(text.isNull || trim(text) === "", array().cast("array<string>"))
       .otherwise(split(trim(text), "\\s+"))
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
   def punctCount(text: Column): Column =
-    regexp_count(text, lit("[.,;:!?]"))
+    coalesce(regexp_count(text, lit("[.,;:!?]")), lit(0))
 
   /** BPE-ish regex subtokens: alpha runs, digit runs, and single
     * non-alnum marks — the pre-tokenization split most BPE vocabularies
     * start from. */
   def subtokenCount(text: Column): Column =
-    size(regexp_extract_all(lower(text),
-      lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+    coalesce(size(regexp_extract_all(lower(text),
+      lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))), lit(0))
 
   /** Stopword hit count over whitespace tokens (with multiplicity). */
   def stopwordCount(text: Column, stopwords: Seq[String]): Column =
@@ -57,8 +58,8 @@ object TextFunctions {
     * trigram — substring counting via replace-length arithmetic, no
     * regex, so Java and RE2 dialects cannot diverge. */
   private def triScore(text: Column, tris: Seq[String]): Column =
-    tris.map(t => length(lower(text)) -
-      length(replace(lower(text), lit(t), lit("")))).reduce(_ + _)
+    coalesce(tris.map(t => length(lower(text)) -
+      length(replace(lower(text), lit(t), lit("")))).reduce(_ + _), lit(0))
 
   /** Character-n-gram heuristic language ID: argmax of trigram-profile
     * hits with the same deterministic en > es > de tie order as

@@ -88,6 +88,7 @@ object Hits {
   def runConverged(g: Graph, tol: Double = 1e-9,
       maxIter: Int = 50): (Result, Int) = {
     val spark = g.edges.sparkSession
+    val prevSmj = spark.conf.get("spark.sql.join.preferSortMergeJoin")
     spark.conf.set("spark.sql.join.preferSortMergeJoin", "false")
     val np = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val proj = g.edges.select(col("src"), col("dst"),
@@ -127,6 +128,7 @@ object Hits {
     }
     eDst.unpersist(false)
     eSrc.unpersist(false)
+    spark.conf.set("spark.sql.join.preferSortMergeJoin", prevSmj)
     (Result(hubs, auths), it)
   }
 
@@ -141,7 +143,7 @@ object Hits {
 
   // -----------------------------------------------------------------
 
-  private def applyPost(scores: DataFrame, post: Post): DataFrame = post match {
+  private[operators] def applyPost(scores: DataFrame, post: Post): DataFrame = post match {
     case Identity => scores
     case Teleport(beta, n) =>
       scores.select(col("id"),
@@ -167,6 +169,9 @@ object Hits {
     // (the 100 TB side) are shuffled once here and never again.
     // Shuffle-hash joins beat sort-merge here: the probe side is cached
     // and pre-partitioned, and re-sorting it every iteration is waste.
+    // The preference is restored after the (eager) loop so the session
+    // is not left with a mutated global planner flag.
+    val prevSmj = spark.conf.get("spark.sql.join.preferSortMergeJoin")
     spark.conf.set("spark.sql.join.preferSortMergeJoin", "false")
     val np = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val proj = edges.select(col("src"), col("dst"),
@@ -209,6 +214,7 @@ object Hits {
     // can go (non-blocking) without recompute risk.
     eDst.unpersist(false)
     eSrc.unpersist(false)
+    spark.conf.set("spark.sql.join.preferSortMergeJoin", prevSmj)
     Result(hubs, auths)
   }
 }

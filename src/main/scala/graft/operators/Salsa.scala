@@ -90,6 +90,7 @@ object Salsa {
   private def iterate(init: DataFrame, edges: DataFrame, numIter: Int,
       post: Hits.Post): Result = {
     val spark = edges.sparkSession
+    val prevSmj = spark.conf.get("spark.sql.join.preferSortMergeJoin")
     spark.conf.set("spark.sql.join.preferSortMergeJoin", "false")
     val np = spark.conf.get("spark.sql.shuffle.partitions").toInt
     // Degree-annotated edge copies, pre-hashed on their join key (see
@@ -125,20 +126,12 @@ object Salsa {
     }
     eIn.unpersist(false)
     eOut.unpersist(false)
+    spark.conf.set("spark.sql.join.preferSortMergeJoin", prevSmj)
     Result(hubs, auths)
   }
 
+  // Teleport arithmetic is shared with HITS (the 2N / 2N_topic factors
+  // are baked into the constructor arguments by the callers above).
   private def applyPost(scores: DataFrame, post: Hits.Post): DataFrame =
-    post match {
-      case Hits.Identity => scores
-      case Hits.Teleport(beta, n2) =>
-        scores.select(col("id"),
-          (lit(beta) * col("score") + lit((1.0 - beta) / n2)).as("score"))
-      case Hits.TopicTeleport(beta, n2, flags) =>
-        scores.join(flags, Seq("id"))
-          .select(col("id"),
-            when(col("flag") === 0, lit(beta) * col("score"))
-              .otherwise(lit(beta) * col("score") + lit((1.0 - beta) / n2))
-              .as("score"))
-    }
+    Hits.applyPost(scores, post)
 }

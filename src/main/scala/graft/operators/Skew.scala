@@ -16,11 +16,15 @@ import org.apache.spark.sql.functions._
 object Skew {
 
   /** Equi-join `big ⋈ small` on `bigKey === smallKey` with `salt`-way
-    * key spreading. Result set is identical to the unsalted join (the
-    * salt assignment only routes rows; every big row still meets every
-    * matching small row exactly once). */
+    * key spreading. For inner / left_outer joins the result set is
+    * identical to the unsalted join (the salt assignment only routes
+    * rows; every big row still meets every matching small row exactly
+    * once). Right/full-outer are rejected: unmatched small-side rows
+    * would surface once per replica. */
   def saltedEquiJoin(big: DataFrame, small: DataFrame, bigKey: Column,
       smallKey: Column, salt: Int, joinType: String = "inner"): DataFrame = {
+    require(Set("inner", "left_outer", "leftouter", "left")(joinType),
+      s"saltedEquiJoin supports inner/left_outer joins, got $joinType")
     val saltedBig = big.withColumn("__salt",
       pmod(spark_partition_id() + monotonically_increasing_id(), lit(salt))
         .cast("int"))
