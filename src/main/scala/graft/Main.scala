@@ -94,7 +94,13 @@ object Main {
         val g = load(arg(0, DefaultNodes), arg(1, DefaultEdges))
         emitS("SALSA/base_SALSA", Salsa.runSimplified(g.edges))
       case "base_salsa_2" =>
-        val g = load(arg(1, DefaultNodes), arg(2, DefaultEdges))
+        // Reference argv layout is [num_iter] [beta] [nodes] [edges]
+        // (reference `src/base_salsa_2.py`); beta is parsed there but has
+        // no effect on the non-teleport kernel, so a 4-arg invocation
+        // accepts and ignores it instead of silently binding '0.8' as the
+        // nodes path.
+        val off = if (a.length >= 4) 1 else 0
+        val g = load(arg(1 + off, DefaultNodes), arg(2 + off, DefaultEdges))
         emitS("SALSA/base_SALSA_2", Salsa.run(g, arg(0, "8").toInt))
       case "weighted_salsa" =>
         val g = load(arg(1, DefaultNodes), arg(2, DefaultEdges),

@@ -108,11 +108,13 @@ object Oracles {
     s"""flags AS MATERIALIZED (SELECT id, CASE WHEN label = '$topic' THEN 1 ELSE 0 END AS flag FROM nodes),
        |tnv AS MATERIALIZED (SELECT COUNT(*) AS n FROM flags WHERE flag = 1)""".stripMargin
 
-  /** HITS family (K1-K6). `edgesRel`/`initRel` select the (sub)graph. */
+  /** HITS family (K1-K6). `edgesRel`/`initRel` select the (sub)graph.
+    * `extraSelects` are appended as UNION ALL legs before the final
+    * ORDER BY (used by the convergence oracle's iteration-count row). */
   def hits(weighted: Boolean = false, post: Post = NoPost,
       extraCtes: Seq[String] = Nil, edgesRel: String = "edges",
       initRel: String = "nodes", numIter: Int = 8, digits: Int = 6,
-      graph: String = null): String = {
+      graph: String = null, extraSelects: Seq[String] = Nil): String = {
     val sb = new StringBuilder
     sb ++= s"WITH ${if (graph == null) graphCtes else graph}"
     extraCtes.foreach(c => sb ++= s",\n$c")
@@ -133,11 +135,23 @@ object Oracles {
     }
     sb ++= s"\nSELECT 'auth' AS kind, id, round(score, $digits) AS score FROM a$numIter"
     sb ++= s"\nUNION ALL SELECT 'hub' AS kind, id, round(score, $digits) AS score FROM h$numIter"
+    extraSelects.foreach(q => sb ++= s"\nUNION ALL $q")
     sb ++= "\nORDER BY kind, id"
     sb.toString
   }
 
   def hitsBase: String = hits()
+
+  /** Convergence-run oracle: the fixed-point loop of
+    * [[graft.operators.Hits.runConverged]] is determinized by unrolling
+    * to the iteration count the gate corpus converges at (N=12 for
+    * /root/testdata/sf0.01 at tol 1e-6, verified with a 20% delta margin
+    * below the tolerance — see VERDICT r1 item 1), plus a
+    * ('iter','n_iter',N) assertion row: if the kernel stops at any other
+    * count, the hash compare fails. Valid for the sf0.01 gate corpus. */
+  def hitsConverged(numIter: Int): String =
+    hits(numIter = numIter, extraSelects = Seq(
+      s"SELECT 'iter' AS kind, 'n_iter' AS id, $numIter::DOUBLE AS score"))
   def hitsWeighted: String = hits(weighted = true)
   def hitsTeleport(beta: Double = 0.8): String =
     hits(post = TeleportAll(beta, "(SELECT n FROM nv)"))
@@ -295,11 +309,13 @@ object Oracles {
       |GROUP BY d.tag ORDER BY d.tag""".stripMargin
 
   /** JSON props extraction (mirror of
-    * [[graft.streaming.EventPipelines.propsJsonStats]]). */
+    * [[graft.streaming.EventPipelines.propsJsonStats]]). TRY_CAST, not
+    * CAST: Spark's cast of a non-numeric value yields NULL, so the
+    * oracle must be equally lenient rather than abort the query. */
   def eventsPropsJson: String =
     """SELECT event_type,
-      |       COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
-      |       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_total
+      |       COUNT(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
+      |       CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_total
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   /** Top-3 users per event type by total value. Ranked on exact integer

@@ -25,13 +25,16 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("hits_base")(spark, "/root/testdata/sf0.001")
 
-  private def scoresOut(hubs: DataFrame, auths: DataFrame,
+  private def scoresRows(hubs: DataFrame, auths: DataFrame,
       digits: Int): DataFrame =
     auths.select(lit("auth").as("kind"), col("id"),
         round(col("score"), digits).as("score"))
       .unionAll(hubs.select(lit("hub").as("kind"), col("id"),
         round(col("score"), digits).as("score")))
-      .orderBy(col("kind"), col("id"))
+
+  private def scoresOut(hubs: DataFrame, auths: DataFrame,
+      digits: Int): DataFrame =
+    scoresRows(hubs, auths, digits).orderBy(col("kind"), col("id"))
 
   private def hitsOut(r: Hits.Result): DataFrame =
     scoresOut(r.hubs, r.auths, 6)
@@ -91,10 +94,18 @@ object SparkEntry {
       hitsOut(Hits.run(GraphIO.eventGraph(s, dir)))),
     "evt_salsa_weighted" -> ((s, dir) =>
       salsaOut(Salsa.runWeightedSimplified(GraphIO.eventGraph(s, dir).edges))),
-    // ---- convergence extension (rows-only check: data-dependent
-    // iteration count is not expressible as one static SQL query) ----
-    "hits_converged" -> ((s, dir) =>
-      hitsOut(Hits.runConverged(GraphIO.orderGraph(s, dir), 1e-6, 16)._1)),
+    // ---- convergence extension; oracle-gated by determinizing the
+    // fixed point: the sf0.01 gate corpus converges at iteration 12
+    // (tol 1e-6), so the oracle unrolls 12 iterations and the extra
+    // ('iter','n_iter',N) row asserts the kernel stopped exactly there ----
+    "hits_converged" -> ((s, dir) => {
+      import s.implicits._
+      val (r, iters) = Hits.runConverged(GraphIO.orderGraph(s, dir), 1e-6, 16)
+      scoresRows(r.hubs, r.auths, 6)
+        .unionAll(Seq(("iter", "n_iter", iters.toDouble))
+          .toDF("kind", "id", "score"))
+        .orderBy(col("kind"), col("id"))
+    }),
     // ---- events: batch twins of the streaming pipeline ----
     "events_sessionize" -> ((s, dir) =>
       EventPipelines.sessionizeBatch(GraphIO.events(s, dir))),
@@ -186,6 +197,7 @@ object SparkEntry {
     "sample_hash" -> Oracles.sampleHash(),
     "evt_hits_base" -> Oracles.hitsEventBase,
     "evt_salsa_weighted" -> Oracles.salsaEventWeighted,
+    "hits_converged" -> Oracles.hitsConverged(numIter = 12),
     "events_sessionize" -> Oracles.sessionize(),
     "events_window" -> Oracles.eventsWindow,
     "events_rollup" -> Oracles.eventsRollup,

@@ -121,8 +121,11 @@ object TextFunctions {
       s"t -> list_contains(${sqlInList(stopwords)}, t))), 0)"
 
   private def sqlTriScore(col: String, tris: Seq[String]): String =
+    // coalesce mirrors triScore's NULL guard: NULL text must score 0 in
+    // both engines, or sqlLangIdNgram's CASE falls to 'de' while the
+    // Spark twin returns 'en'.
     tris.map(t => s"(length(lower($col)) - length(replace(lower($col), '$t', '')))")
-      .mkString("(", " + ", ")")
+      .mkString("coalesce((", " + ", "), 0)")
 
   def sqlLangIdNgram(col: String): String = {
     val en = sqlTriScore(col, EnTri)

@@ -100,36 +100,41 @@ object Hits {
     val n = g.nodes.count()
     val init = g.nodes.select(col("id"), lit(1.0 / math.sqrt(n)).as("score"))
 
-    var hubs = init
-    var auths = init
-    var prev: Option[DataFrame] = None
-    var it = 0
-    var done = false
-    while (it < maxIter && !done) {
-      it += 1
-      val hubsU = eDst.join(auths, eDst("dst") === auths("id"))
-        .groupBy(eDst("src").as("id")).agg(sum(col("score")).as("score"))
-        .localCheckpoint(true)
-      val authsU = eSrc.join(hubsU, eSrc("src") === hubsU("id"))
-        .groupBy(eSrc("dst").as("id")).agg(sum(col("score")).as("score"))
-        .localCheckpoint(true)
-      hubs = Normalize.l2(hubsU)
-      val cur = Normalize.l2(authsU).localCheckpoint(true)
-      prev.foreach { p =>
-        val delta = cur.as("c")
-          .join(p.as("p"), col("c.id") === col("p.id"), "full_outer")
-          .select(abs(coalesce(col("c.score"), lit(0.0)) -
-            coalesce(col("p.score"), lit(0.0))).as("d"))
-          .agg(max(col("d"))).head.getDouble(0)
-        if (delta < tol) done = true
+    try {
+      var hubs = init
+      var auths = init
+      var prev: Option[DataFrame] = None
+      var it = 0
+      var done = false
+      while (it < maxIter && !done) {
+        it += 1
+        val hubsU = eDst.join(auths, eDst("dst") === auths("id"))
+          .groupBy(eDst("src").as("id")).agg(sum(col("score")).as("score"))
+          .localCheckpoint(true)
+        val authsU = eSrc.join(hubsU, eSrc("src") === hubsU("id"))
+          .groupBy(eSrc("dst").as("id")).agg(sum(col("score")).as("score"))
+          .localCheckpoint(true)
+        hubs = Normalize.l2(hubsU)
+        val cur = Normalize.l2(authsU).localCheckpoint(true)
+        prev.foreach { p =>
+          val delta = cur.as("c")
+            .join(p.as("p"), col("c.id") === col("p.id"), "full_outer")
+            .select(abs(coalesce(col("c.score"), lit(0.0)) -
+              coalesce(col("p.score"), lit(0.0))).as("d"))
+            .agg(max(col("d"))).head.getDouble(0)
+          if (delta < tol) done = true
+        }
+        prev = Some(cur)
+        auths = cur
       }
-      prev = Some(cur)
-      auths = cur
+      (Result(hubs, auths), it)
+    } finally {
+      // Restore the planner flag and drop the caches even on failure —
+      // the loop runs eager actions, so exceptions mid-loop are real.
+      eDst.unpersist(false)
+      eSrc.unpersist(false)
+      spark.conf.set("spark.sql.join.preferSortMergeJoin", prevSmj)
     }
-    eDst.unpersist(false)
-    eSrc.unpersist(false)
-    spark.conf.set("spark.sql.join.preferSortMergeJoin", prevSmj)
-    (Result(hubs, auths), it)
   }
 
   /** K5 topic-exclusive HITS: base kernel on the induced topic subgraph
@@ -187,34 +192,39 @@ object Hits {
     def contribution(score: Column): Column =
       if (weighted) col("w") * score else score
 
-    var hubs = init
-    var auths = init
-    for (i <- 1 to numIter) {
-      // Hub: for each a, sum (weighted) authority scores over (a,b) edges.
-      // Only the auth vector feeds the next iteration (Gauss-Seidel), so
-      // the hub side is materialized just once, on the final iteration —
-      // halving the per-iteration job count; intermediate hubs stay a
-      // lazy subtree inside the auth checkpoint's job.
-      val hubsRaw = applyPost(
-        eDst.join(auths, eDst("dst") === auths("id"))
-          .groupBy(eDst("src").as("id"))
-          .agg(sum(contribution(col("score"))).as("score")),
-        post)
-      val hubsU = if (i == numIter) hubsRaw.localCheckpoint(true) else hubsRaw
-      // Authority: from the NEW, un-normalized hubs (Gauss-Seidel).
-      val authsU = applyPost(
-        eSrc.join(hubsU, eSrc("src") === hubsU("id"))
-          .groupBy(eSrc("dst").as("id"))
-          .agg(sum(contribution(col("score"))).as("score")),
-        post).localCheckpoint(true)
-      hubs = Normalize.l2(hubsU)
-      auths = Normalize.l2(authsU)
+    try {
+      var hubs = init
+      var auths = init
+      for (i <- 1 to numIter) {
+        // Hub: for each a, sum (weighted) authority scores over (a,b) edges.
+        // Only the auth vector feeds the next iteration (Gauss-Seidel), so
+        // the hub side is materialized just once, on the final iteration —
+        // halving the per-iteration job count; intermediate hubs stay a
+        // lazy subtree inside the auth checkpoint's job.
+        val hubsRaw = applyPost(
+          eDst.join(auths, eDst("dst") === auths("id"))
+            .groupBy(eDst("src").as("id"))
+            .agg(sum(contribution(col("score"))).as("score")),
+          post)
+        val hubsU = if (i == numIter) hubsRaw.localCheckpoint(true) else hubsRaw
+        // Authority: from the NEW, un-normalized hubs (Gauss-Seidel).
+        val authsU = applyPost(
+          eSrc.join(hubsU, eSrc("src") === hubsU("id"))
+            .groupBy(eSrc("dst").as("id"))
+            .agg(sum(contribution(col("score"))).as("score")),
+          post).localCheckpoint(true)
+        hubs = Normalize.l2(hubsU)
+        auths = Normalize.l2(authsU)
+      }
+      Result(hubs, auths)
+    } finally {
+      // Final results live on the last checkpoints only; the edge caches
+      // can go (non-blocking) without recompute risk. try/finally so an
+      // exception inside the eager loop cannot leak the mutated planner
+      // flag or the persisted edge copies.
+      eDst.unpersist(false)
+      eSrc.unpersist(false)
+      spark.conf.set("spark.sql.join.preferSortMergeJoin", prevSmj)
     }
-    // Final results live on the last checkpoints only; the edge caches
-    // can go (non-blocking) without recompute risk.
-    eDst.unpersist(false)
-    eSrc.unpersist(false)
-    spark.conf.set("spark.sql.join.preferSortMergeJoin", prevSmj)
-    Result(hubs, auths)
   }
 }

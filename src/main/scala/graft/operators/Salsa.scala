@@ -93,41 +93,52 @@ object Salsa {
     val prevSmj = spark.conf.get("spark.sql.join.preferSortMergeJoin")
     spark.conf.set("spark.sql.join.preferSortMergeJoin", "false")
     val np = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    // Degree-annotated edge copies, pre-hashed on their join key (see
-    // Hits.iterate): per iteration only the |V|-sized score vector
-    // shuffles; the degree join itself is also key-aligned (dst==id /
-    // src==id), so building them costs one edge shuffle each.
-    val eIn = edges.join(Degrees.in(edges), edges("dst") === col("id"))
-      .select(col("src"), col("dst"), col("in_degree"))
+    // The upstream edge derivation (union of three projections; for K12
+    // also the subgraph semi/anti joins) runs exactly ONCE into `eBase`;
+    // both degree-annotated copies and both degree aggregations derive
+    // from the cache — the mirror of the Hits.iterate eSrc-from-eDst fix.
+    val eBase = edges.select(col("src"), col("dst"))
       .repartition(np, col("dst")).persist()
-    val eOut = edges.join(Degrees.out(edges), edges("src") === col("id"))
-      .select(col("src"), col("dst"), col("out_degree"))
-      .repartition(np, col("src")).persist()
+    // eBase is dst-hashed and Degrees.in's agg output is dst-hashed too,
+    // so this join (and the per-iteration score join on dst) add no edge
+    // shuffle; eIn inherits the dst partitioning.
+    val eIn = eBase.join(Degrees.in(eBase), eBase("dst") === col("id"))
+      .select(col("src"), col("dst"), col("in_degree")).persist()
+    // The src-hashed copy re-reads the eBase cache, not the raw plan.
+    val eOut = eBase.repartition(np, col("src"))
+      .join(Degrees.out(eBase), col("src") === col("id"))
+      .select(col("src"), col("dst"), col("out_degree")).persist()
 
-    var hubs = init
-    var auths = init
-    for (i <- 1 to numIter) {
-      // Hub side checkpointed only on the final iteration — see
-      // Hits.iterate: intermediate hubs are consumed solely by the auth
-      // update within the same job.
-      val hubsRaw = applyPost(
-        eIn.join(auths, eIn("dst") === auths("id"))
-          .groupBy(eIn("src").as("id"))
-          .agg(sum(col("score") / col("in_degree")).as("score")),
-        post)
-      val hubsU = if (i == numIter) hubsRaw.localCheckpoint(true) else hubsRaw
-      val authsU = applyPost(
-        eOut.join(hubsU, eOut("src") === hubsU("id"))
-          .groupBy(eOut("dst").as("id"))
-          .agg(sum(col("score") / col("out_degree")).as("score")),
-        post).localCheckpoint(true)
-      hubs = Normalize.l1(hubsU)
-      auths = Normalize.l1(authsU)
+    try {
+      var hubs = init
+      var auths = init
+      for (i <- 1 to numIter) {
+        // Hub side checkpointed only on the final iteration — see
+        // Hits.iterate: intermediate hubs are consumed solely by the auth
+        // update within the same job.
+        val hubsRaw = applyPost(
+          eIn.join(auths, eIn("dst") === auths("id"))
+            .groupBy(eIn("src").as("id"))
+            .agg(sum(col("score") / col("in_degree")).as("score")),
+          post)
+        val hubsU = if (i == numIter) hubsRaw.localCheckpoint(true) else hubsRaw
+        val authsU = applyPost(
+          eOut.join(hubsU, eOut("src") === hubsU("id"))
+            .groupBy(eOut("dst").as("id"))
+            .agg(sum(col("score") / col("out_degree")).as("score")),
+          post).localCheckpoint(true)
+        hubs = Normalize.l1(hubsU)
+        auths = Normalize.l1(authsU)
+      }
+      Result(hubs, auths)
+    } finally {
+      // Restore the planner flag and drop the caches even if an action
+      // inside the (eager) loop throws — no leaked session state.
+      eIn.unpersist(false)
+      eOut.unpersist(false)
+      eBase.unpersist(false)
+      spark.conf.set("spark.sql.join.preferSortMergeJoin", prevSmj)
     }
-    eIn.unpersist(false)
-    eOut.unpersist(false)
-    spark.conf.set("spark.sql.join.preferSortMergeJoin", prevSmj)
-    Result(hubs, auths)
   }
 
   // Teleport arithmetic is shared with HITS (the 2N / 2N_topic factors

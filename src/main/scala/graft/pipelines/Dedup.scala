@@ -109,14 +109,38 @@ object Dedup {
 
   /** N-gram Jaccard similarity via shared-shingle candidate generation:
     * only pairs with >= 1 common shingle are scored (the join prunes the
-    * quadratic pair space). Integer set sizes -> exact double division. */
-  def ngramJaccard(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    * quadratic pair space). Integer set sizes -> exact double division.
+    *
+    * Scale guard: the candidate join produces O(df²) pairs per shingle,
+    * so one stop-word shingle with df in the millions turns the operator
+    * into all-pairs in disguise. Shingles with document frequency above
+    * `maxShingleDf` are dropped BEFORE the pair join, bounding the work
+    * per shingle at maxShingleDf²/2; the number of dropped shingles is
+    * logged. Sizes (na/nb) still count every shingle, so for corpora
+    * whose max df stays under the cutoff (both gate corpora: max df 7 at
+    * sf0.01, 25 at sf0.1) the output is bit-identical to the unguarded
+    * join; above it, scores of pairs sharing a dropped shingle are
+    * undercounted — the standard near-dup trade (a shingle present in
+    * >maxShingleDf docs carries no dedup signal). */
+  def ngramJaccard(docs: DataFrame, threshold: Double = 0.5,
+      maxShingleDf: Int = 64): DataFrame = {
     val sh = docs
       .select(col("doc_id"), explode(TF.shingles(col("text"), 3)).as("sh"))
       .distinct()
     val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val x = sh.select(col("doc_id").as("a"), col("sh"))
-    val y = sh.select(col("doc_id").as("b"), col("sh").as("sh2"))
+    val dfs = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val nDropped = dfs.filter(col("df") > maxShingleDf).count()
+    if (nDropped > 0)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"ngramJaccard: dropped $nDropped hot shingles (df > $maxShingleDf) " +
+          "before the pair join; their pairs' jaccard is undercounted")
+    // Semi join keeps the kept-shingle rows without widening the schema;
+    // both sides are hash-partitioned on sh, and df is a post-aggregate
+    // (small) side.
+    val kept = sh.join(dfs.filter(col("df") <= maxShingleDf),
+      Seq("sh"), "left_semi")
+    val x = kept.select(col("doc_id").as("a"), col("sh"))
+    val y = kept.select(col("doc_id").as("b"), col("sh").as("sh2"))
     val common = x.join(y, col("sh") === col("sh2") && col("a") < col("b"))
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c"))
     val jac = common

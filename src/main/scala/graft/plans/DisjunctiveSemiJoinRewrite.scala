@@ -41,8 +41,13 @@ object DisjunctiveSemiJoinRewrite extends Rule[LogicalPlan] {
         e.right.references.subsetOf(left.outputSet))
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
-    case Join(left, right, LeftSemi, Some(Or(a: EqualTo, b: EqualTo)), hint)
-        if sidesOk(a, left, right) && sidesOk(b, left, right) =>
+    // The right subtree and both predicates are duplicated into three
+    // join legs, so they must be deterministic: a rand()-sampled right
+    // side would evaluate differently in semiA vs antiA and duplicate or
+    // drop rows relative to the original single-evaluation semi join.
+    case Join(left, right, LeftSemi, Some(cond @ Or(a: EqualTo, b: EqualTo)), hint)
+        if right.deterministic && cond.deterministic &&
+          sidesOk(a, left, right) && sidesOk(b, left, right) =>
       val semiA = Join(left, right, LeftSemi, Some(a), hint)
       val antiA = Join(left, right, LeftAnti, Some(a), hint)
       val semiB = Join(antiA, right, LeftSemi, Some(b), hint)

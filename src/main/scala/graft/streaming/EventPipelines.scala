@@ -60,39 +60,66 @@ object EventPipelines {
   }
 
   /** Streaming sessionization via explicit state: one open session per
-    * user, flushed when an event arrives past the gap (processing-time
-    * flavor for the spec; production would pair it with a watermark +
-    * event-time timeout). State is O(active users) — the canonical
-    * `flatMapGroupsWithState` bounded-state design. */
+    * user, flushed either when an event arrives past the gap or when the
+    * event-time watermark passes the session's gap deadline (so an idle
+    * user's last session is emitted and its state removed, instead of
+    * living forever). State is O(users active within the watermark) —
+    * the canonical bounded-state `flatMapGroupsWithState` design.
+    *
+    * `ts` is epoch-nanos BIGINT (see [[graft.GraphIO.events]]); the
+    * watermark needs a TimestampType column, so a µs-truncated
+    * `event_time` twin is derived for it while the session arithmetic
+    * stays in exact integer nanos. */
   final case class Ev(user_id: Long, ts: Long, event_id: Long)
   final case class SessionState(start: Long, last: Long, n: Long)
   final case class Session(user_id: Long, n_events: Long, dur_ns: Long)
 
   def sessionizeStream(spark: SparkSession, events: DataFrame,
-      gapNs: Long = 30L * 60 * 1000000000L): Dataset[Session] = {
+      gapNs: Long = 30L * 60 * 1000000000L,
+      watermarkDelay: String = "1 hour"): Dataset[Session] = {
     import spark.implicits._
     def update(user: Long, evs: Iterator[Ev],
         state: GroupState[SessionState]): Iterator[Session] = {
-      var out = List.empty[Session]
-      var st = state.getOption
-      evs.toSeq.sortBy(e => (e.ts, e.event_id)).foreach { e =>
-        st match {
-          case Some(s) if e.ts - s.last > gapNs =>
-            out ::= Session(user, s.n, s.last - s.start)
-            st = Some(SessionState(e.ts, e.ts, 1))
-          case Some(s) =>
-            st = Some(SessionState(s.start, e.ts, s.n + 1))
-          case None =>
-            st = Some(SessionState(e.ts, e.ts, 1))
+      if (state.hasTimedOut) {
+        // Watermark passed last-event + gap with no new events: the open
+        // session can never be extended — flush it and free the state.
+        val out = state.getOption.map(s => Session(user, s.n, s.last - s.start))
+        state.remove()
+        out.iterator
+      } else {
+        var out = List.empty[Session]
+        var st = state.getOption
+        evs.toSeq.sortBy(e => (e.ts, e.event_id)).foreach { e =>
+          st match {
+            case Some(s) if e.ts - s.last > gapNs =>
+              out ::= Session(user, s.n, s.last - s.start)
+              st = Some(SessionState(e.ts, e.ts, 1))
+            case Some(s) =>
+              st = Some(SessionState(s.start, e.ts, s.n + 1))
+            case None =>
+              st = Some(SessionState(e.ts, e.ts, 1))
+          }
         }
+        st.foreach { s =>
+          state.update(s)
+          // Deadline = last event + gap (ms for the state API). Late data
+          // can put that at/behind the current watermark, which the API
+          // rejects — clamp just past it; the timeout then fires on the
+          // next watermark advance, which is the earliest legal flush.
+          val deadlineMs = s.last / 1000000L + gapNs / 1000000L
+          state.setTimeoutTimestamp(
+            math.max(deadlineMs, state.getCurrentWatermarkMs() + 1))
+        }
+        out.reverseIterator
       }
-      st.foreach(state.update)
-      out.reverseIterator
     }
-    events.select(col("user_id"), col("ts"), col("event_id")).as[Ev]
+    events.select(col("user_id"), col("ts"), col("event_id"),
+        timestamp_micros((col("ts") / 1000L).cast("long")).as("event_time"))
+      .withWatermark("event_time", watermarkDelay)
+      .as[Ev]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append,
-        GroupStateTimeout.NoTimeout)(update)
+        GroupStateTimeout.EventTimeTimeout)(update)
   }
 
   /** JSON-metadata extraction over the `props` column (training

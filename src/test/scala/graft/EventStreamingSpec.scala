@@ -14,10 +14,15 @@ class EventStreamingSpec extends SparkSuite {
     import spark.implicits._
     val gap = 30L * 60 * 1000000000L // 30 min in ns
     val m = 60L * 1000000000L
+    // Realistic epoch base: event times at epoch 0 tie with the initial
+    // watermark (0) and get dropped as late by the event-time-timeout
+    // operator's pre-filter.
+    val b = 1700000000L * 1000000000L
     // user 1: events at 0,1,2 min then a 60-min gap then 2 more;
     // user 2: single event.
-    val rows = Seq((1L, 0L * m, 10L), (1L, 1L * m, 11L), (1L, 2L * m, 12L),
-      (1L, 62L * m, 13L), (1L, 63L * m, 14L), (2L, 5L * m, 20L))
+    val rows = Seq((1L, b + 0L * m, 10L), (1L, b + 1L * m, 11L),
+      (1L, b + 2L * m, 12L), (1L, b + 62L * m, 13L), (1L, b + 63L * m, 14L),
+      (2L, b + 5L * m, 20L))
     val df = rows.toDF("user_id", "ts", "event_id")
     val batch = EventPipelines.sessionizeBatch(df).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
@@ -38,6 +43,41 @@ class EventStreamingSpec extends SparkSuite {
     val emitted = spark.sql("SELECT * FROM graft_sess_test").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     // only user 1's first session is closed by a later event
+    assert(emitted == Set((1L, 3L, 2L * m)))
+  }
+
+  test("idle session is flushed by the event-time timeout and state removed") {
+    import spark.implicits._
+    val m = 60L * 1000000000L // 1 min in ns
+    val dir = Files.createTempDirectory("graft-sess-timeout").toFile
+    dir.deleteOnExit()
+    val schema = Seq((0L, 0L, 0L)).toDF("user_id", "ts", "event_id").schema
+    def write(rows: Seq[(Long, Long, Long)]): Unit = {
+      rows.toDF("user_id", "ts", "event_id").coalesce(1)
+        .write.mode("append").parquet(dir.getAbsolutePath)
+      Thread.sleep(1100) // distinct mod-times => deterministic batch order
+    }
+    // Batch 1: user 1's only events. Batch 2 advances the watermark far
+    // past user 1's gap deadline (0-second delay); batch 3 is the batch
+    // in which the engine evaluates that timeout — user 1 never gets
+    // another event, so only the event-time timeout can flush it.
+    val b = 1700000000L * 1000000000L // see epoch-base note in test 1
+    write(Seq((1L, b + 0L * m, 10L), (1L, b + 1L * m, 11L),
+      (1L, b + 2L * m, 12L)))
+    write(Seq((2L, b + 90L * m, 20L)))
+    write(Seq((2L, b + 91L * m, 21L)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.getAbsolutePath)
+    val q = EventPipelines
+      .sessionizeStream(spark, stream, watermarkDelay = "0 seconds")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("graft_sess_timeout")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val emitted = spark.sql("SELECT * FROM graft_sess_timeout").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // user 1's idle session (3 events, 2 min) emitted by timeout; user
+    // 2's session is still live inside the watermark, so state-only.
     assert(emitted == Set((1L, 3L, 2L * m)))
   }
 

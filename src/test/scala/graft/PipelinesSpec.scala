@@ -48,6 +48,28 @@ class PipelinesSpec extends SparkSuite {
     assert(math.abs(byName((1L, 2L)) - 1.0) < 1e-12)
   }
 
+  test("ngram jaccard: hot-shingle df cutoff bounds the candidate pair join") {
+    // Adversarial fixture: 40 docs all sharing one hot shingle ("of the
+    // and") but otherwise pairwise disjoint. Unguarded, the candidate
+    // join yields 40*39/2 = 780 pairs from that single shingle; with the
+    // cutoff the hot shingle is dropped before the join, so zero
+    // candidate pairs survive. Two genuinely similar docs sharing only
+    // cold shingles must still match.
+    val hot = (1L to 40L).map(i =>
+      (i, s"of the and unique$i word$i tail$i"))
+    val sim = Seq((100L, "aa bb cc dd ee"), (101L, "aa bb cc dd ee"))
+    val d = docs(hot ++ sim: _*)
+    val guarded = Dedup.ngramJaccard(d, 0.1, maxShingleDf = 8)
+      .select("a", "b", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(guarded == Set((100L, 101L)))
+    // Sanity: with the cutoff above the hot shingle's df the unguarded
+    // quadratic blowup reappears — proving the guard is what bounds it.
+    val unguarded = Dedup.ngramJaccard(d, 0.1, maxShingleDf = 1000)
+      .select("a", "b").collect().length
+    assert(unguarded > 700)
+  }
+
   test("cosine: identical vectors = 1, orthogonal = 0") {
     import spark.implicits._
     val df = Seq(
