@@ -73,7 +73,7 @@ object GraphIO {
     * (weight l_quantity). Labels: customer / order / part.
     * Cached + persisted per sfDir: every kernel query shares one scan. */
   def orderGraph(spark: SparkSession, sfDir: String): Graph =
-    cache.getOrElseUpdate(s"order:${spark.sparkContext.applicationId}:${System.identityHashCode(spark)}:$sfDir", {
+    cache.getOrElseUpdate(s"order:${sessionKey(spark)}:$sfDir", {
       val orders = spark.read.parquet(s"$sfDir/orders.parquet")
       val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
       val e1 = orders.select(
@@ -107,9 +107,34 @@ object GraphIO {
       Graph(nodes, edges)
     })
 
+  private def sessionKey(spark: SparkSession): String =
+    s"${spark.sparkContext.applicationId}:${System.identityHashCode(spark)}"
+
+  private def release(g: Graph): Unit = {
+    g.nodes.unpersist(blocking = false)
+    g.edges.unpersist(blocking = false)
+  }
+
+  /** Releases the persisted blocks of the graphs cached for `sfDir` in
+    * this session and drops their cache entries. The cache is otherwise
+    * process-lifetime — fine for a batch run, a slow leak in a
+    * long-lived multi-tenant session; callers that cycle through many
+    * datasets evict the ones they are done with. */
+  def evict(spark: SparkSession, sfDir: String): Unit =
+    Seq("order", "event").foreach { kind =>
+      cache.remove(s"$kind:${sessionKey(spark)}:$sfDir").foreach(release)
+    }
+
+  /** Evicts every graph cached by this session. */
+  def evictAll(spark: SparkSession): Unit = {
+    val marker = s":${sessionKey(spark)}:"
+    cache.keys.filter(_.contains(marker))
+      .foreach(k => cache.remove(k).foreach(release))
+  }
+
   /** Skewed bipartite event graph: user -> event_type, weight = value. */
   def eventGraph(spark: SparkSession, sfDir: String): Graph =
-    cache.getOrElseUpdate(s"event:${spark.sparkContext.applicationId}:${System.identityHashCode(spark)}:$sfDir", {
+    cache.getOrElseUpdate(s"event:${sessionKey(spark)}:$sfDir", {
       val ev = events(spark, sfDir) // sets the nanos conf (see below)
       val edges = ev.select(
         concat(lit("u"), col("user_id").cast(StringType)).as("src"),

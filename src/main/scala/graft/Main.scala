@@ -120,12 +120,15 @@ object Main {
         emitS(s"SALSA/query_dependent_SALSA/${a(0)}",
           Salsa.runQueryDependent(g, a(0)))
       case "draw_graph" =>
-        // Engine-side analog of the reference's draw_graphs.py: DOT text
-        // sink sized by simplified-SALSA hub score.
-        val g = load(arg(0, DefaultNodes), arg(1, DefaultEdges))
-        val scores = Salsa.runSimplified(g.edges).hubs
-        RankOutput.writeDot(g.edges, scores, "outputs/graph.dot")
-        println("DOT graph written to outputs/graph.dot")
+        // Engine-side analog of the reference's base_hits.py →
+        // draw_graphs.py flow: run base HITS, then emit the three
+        // color-coded views (hub / authorities / both) as DOT text sinks
+        // from the same seeded sample inputs the reference collects.
+        val g = load(arg(1, DefaultNodes), arg(2, DefaultEdges))
+        val r = Hits.run(g, arg(0, "8").toInt)
+        RankOutput.writeDotGraphs(g.edges, r.hubs, r.auths, "outputs", "base")
+        println("DOT graphs written: outputs/graph_base_{hub,authorities," +
+          "HubAndAuthorities}.dot")
       case "list_topics" =>
         val nodes = GraphIO.readNodesCsv(spark, arg(0, DefaultNodes))
         Topics.list(nodes).coalesce(1).write.mode("overwrite")

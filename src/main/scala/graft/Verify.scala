@@ -34,7 +34,18 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    // hits_converged's oracle unrolls the fixed point to its iteration
+    // count, which is a property of the corpus (12 at sf0.01, 14 at
+    // sf0.001). Read the count the kernel just reported for THIS sfDir
+    // so the dumped oracle matches at any scale.
+    val convergedIters =
+      try Some(spark.read.parquet(s"$outDir/hits_converged")
+        .where(org.apache.spark.sql.functions.col("kind") === "iter")
+        .head.getDouble(2).toInt)
+      catch { case _: Throwable => None }
+    val oracles = convergedIters.fold(SparkEntry.oracleSql)(n =>
+      SparkEntry.oracleSql.updated("hits_converged", Oracles.hitsConverged(n)))
+    val json = oracles
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

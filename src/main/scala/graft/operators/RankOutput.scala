@@ -74,4 +74,90 @@ object RankOutput {
   def writeDot(edges: DataFrame, scores: DataFrame, dir: String,
       k: Int = 50): Unit =
     dotLines(edges, scores, k).coalesce(1).write.mode("overwrite").text(dir)
+
+  /** Color-coded DOT render with the reference's exact view semantics
+    * (reference `src/draw_graphs.py:4-89`) and exact render inputs
+    * (reference `src/base_hits.py:74-79`): top-k of each score vector,
+    * a seeded Bernoulli node sample of the hub vector (`sample(False,
+    * 0.01, 81)`), and a seeded edge sample (`sample(False, 0.004, 81)`).
+    *
+    * Modes mirror the three PNGs:
+    *  - `"hub"`  — red if in top-k hubs, grey otherwise
+    *    (`draw_graphs.py:13`)
+    *  - `"auth"` — blue if in top-k authorities, grey otherwise
+    *    (`draw_graphs.py:35`)
+    *  - `"both"` — purple if both, red if hub, blue if auth, grey else
+    *    (`draw_graphs.py:59-62`)
+    *
+    * Node width follows the reference's `node_size`: score × 10000 when
+    * ranked, fixed 500 otherwise (`draw_graphs.py:16,38,65-67`). The
+    * node universe is the sampled-edge endpoints plus the ranked and
+    * sampled ids — the same set networkx assembles via `add_edges_from`
+    * + `add_nodes_from`. Top-k sides are broadcast (≤ k rows); the only
+    * full-size inputs are the two seeded samples, scanned once each. */
+  def dotGraph(edges: DataFrame, hubs: DataFrame, auths: DataFrame,
+      mode: String, k: Int = 50, nodeFraction: Double = 0.01,
+      edgeFraction: Double = 0.004, seed: Long = 81L): DataFrame = {
+    require(Set("hub", "auth", "both")(mode), s"unknown render mode: $mode")
+    import edges.sparkSession.implicits._
+    val topHubs = topK(hubs, k).select(col("id"), col("score").as("hub_score"))
+    val topAuths = topK(auths, k)
+      .select(col("id"), col("score").as("auth_score"))
+    val sampledNodes = sample(hubs, nodeFraction, seed).select(col("id"))
+    val sampledEdges = sample(edges, edgeFraction, seed).select("src", "dst")
+    val rankedIds = mode match {
+      case "hub"  => topHubs.select("id")
+      case "auth" => topAuths.select("id")
+      case "both" => topHubs.select("id").unionAll(topAuths.select("id"))
+    }
+    val universe = sampledEdges.select(col("src").as("id"))
+      .unionAll(sampledEdges.select(col("dst").as("id")))
+      .unionAll(rankedIds).unionAll(sampledNodes)
+      .distinct()
+    val ann = universe
+      .join(broadcast(topHubs), Seq("id"), "left")
+      .join(broadcast(topAuths), Seq("id"), "left")
+    val hubHit = col("hub_score").isNotNull
+    val authHit = col("auth_score").isNotNull
+    val (color, width) = mode match {
+      case "hub" => (
+        when(hubHit, "red").otherwise("grey"),
+        coalesce(col("hub_score") * 10000, lit(500.0)))
+      case "auth" => (
+        when(authHit, "blue").otherwise("grey"),
+        coalesce(col("auth_score") * 10000, lit(500.0)))
+      case "both" => (
+        when(hubHit && authHit, "purple").when(hubHit, "red")
+          .when(authHit, "blue").otherwise("grey"),
+        coalesce(col("hub_score") * 10000, col("auth_score") * 10000,
+          lit(500.0)))
+    }
+    // format_string, not format_number: grouping separators (e.g.
+    // "1,514.2490") are not a valid DOT attribute token.
+    val nodeLines = ann.select(
+      concat(lit("  \""), col("id"), lit("\" [color="), color,
+        lit(", width="), format_string("%.4f", width), lit("];")).as("line"),
+      lit(1).as("ord"))
+    val edgeLines = sampledEdges.select(
+      concat(lit("  \""), col("src"), lit("\" -> \""), col("dst"),
+        lit("\";")).as("line"), lit(2).as("ord"))
+    Seq(("digraph G {", 0)).toDF("line", "ord")
+      .unionAll(nodeLines).unionAll(edgeLines)
+      .unionAll(Seq(("}", 3)).toDF("line", "ord"))
+      .orderBy(col("ord"), col("line"))
+      .select(col("line"))
+  }
+
+  /** Three-file DOT export mirroring the reference's three PNGs per run
+    * (`graph_<name>_hub.png`, `graph_<name>_authorities.png`,
+    * `graph_<name>_HubAndAuthorities.png` — `draw_graphs.py:23,45,73`). */
+  def writeDotGraphs(edges: DataFrame, hubs: DataFrame, auths: DataFrame,
+      dir: String, name: String, k: Int = 50, nodeFraction: Double = 0.01,
+      edgeFraction: Double = 0.004, seed: Long = 81L): Unit =
+    Seq("hub" -> "hub", "auth" -> "authorities",
+        "both" -> "HubAndAuthorities").foreach { case (mode, suffix) =>
+      dotGraph(edges, hubs, auths, mode, k, nodeFraction, edgeFraction, seed)
+        .coalesce(1).write.mode("overwrite")
+        .text(s"$dir/graph_${name}_$suffix.dot")
+    }
 }

@@ -80,6 +80,51 @@ class FunctionsSpec extends SparkSuite {
     assert(!lines.contains("  \"x\" -> \"a\";")) // x not in top-k
   }
 
+  test("dotGraph emits the reference's three color-coded views") {
+    import spark.implicits._
+    val hubs = Seq(("h", 0.9), ("hb", 0.8), ("z", 0.001)).toDF("id", "score")
+    val auths = Seq(("a", 0.7), ("hb", 0.6)).toDF("id", "score")
+    val edges = Seq(("h", "a", 1.0), ("z", "q", 1.0))
+      .toDF("src", "dst", "weight")
+    def colorOf(lines: Array[String], id: String): String =
+      lines.find(_.startsWith(s"""  "$id" [""")).get
+        .split("color=")(1).split(",")(0)
+    // k=2 → top hubs {h, hb}, top auths {a, hb}; fraction-1 samples make
+    // the seeded inputs deterministic for assertion.
+    val both = RankOutput.dotGraph(edges, hubs, auths, "both", k = 2,
+      nodeFraction = 1.0, edgeFraction = 1.0).collect().map(_.getString(0))
+    assert(both.head == "digraph G {" && both.last == "}")
+    assert(colorOf(both, "hb") == "purple") // hub ∧ auth
+    assert(colorOf(both, "h") == "red")
+    assert(colorOf(both, "a") == "blue")
+    assert(colorOf(both, "z") == "grey") // sampled node below top-k
+    assert(colorOf(both, "q") == "grey") // edge endpoint only
+    assert(both.contains("  \"h\" -> \"a\";"))
+    val hub = RankOutput.dotGraph(edges, hubs, auths, "hub", k = 2,
+      nodeFraction = 1.0, edgeFraction = 1.0).collect().map(_.getString(0))
+    assert(colorOf(hub, "h") == "red" && colorOf(hub, "a") == "grey")
+    // node width follows the reference's node_size: score*10000 / 500
+    assert(hub.contains("  \"h\" [color=red, width=9000.0000];"))
+    assert(hub.contains("  \"q\" [color=grey, width=500.0000];"))
+    val auth = RankOutput.dotGraph(edges, hubs, auths, "auth", k = 2,
+      nodeFraction = 1.0, edgeFraction = 1.0).collect().map(_.getString(0))
+    assert(colorOf(auth, "a") == "blue" && colorOf(auth, "h") == "grey")
+  }
+
+  test("dotGraph edge section carries only the seeded edge sample") {
+    import spark.implicits._
+    val hubs = Seq(("h", 0.9)).toDF("id", "score")
+    val auths = Seq(("a", 0.7)).toDF("id", "score")
+    val edges = Seq(("z", "q", 1.0)).toDF("src", "dst", "weight")
+    // edgeFraction 0 → no edges survive the sample: no edge lines, and
+    // endpoints of unsampled edges never enter the node universe.
+    val lines = RankOutput.dotGraph(edges, hubs, auths, "both", k = 1,
+      nodeFraction = 1.0, edgeFraction = 0.0).collect().map(_.getString(0))
+    assert(!lines.exists(_.contains("->")))
+    assert(lines.exists(_.startsWith("  \"h\" [")))
+    assert(!lines.exists(_.contains("\"q\"")))
+  }
+
   test("seeded sample is reproducible for the same seed") {
     import spark.implicits._
     val df = (1 to 500).map(_.toString).toDF("id")

@@ -56,6 +56,19 @@ class GraphIOSpec extends SparkSuite {
     assert(g2.edges.columns.toSeq == Seq("src", "dst", "weight"))
   }
 
+  test("evict unpersists cached graphs and forces a rebuild") {
+    val sfDir = "/root/testdata/sf0.001"
+    val g1 = GraphIO.orderGraph(spark, sfDir)
+    assert(g1.edges.storageLevel.useMemory) // cached while live
+    assert(GraphIO.orderGraph(spark, sfDir) eq g1) // cache hit
+    GraphIO.evict(spark, sfDir)
+    assert(!g1.edges.storageLevel.useMemory) // blocks released
+    assert(!g1.nodes.storageLevel.useMemory)
+    val g2 = GraphIO.orderGraph(spark, sfDir) // entry dropped → rebuilt
+    assert(g2 ne g1)
+    assert(g2.nodes.count() == g1.nodes.count())
+  }
+
   test("SparkEntry.entry returns rows (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
