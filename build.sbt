@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] runs everything (driver + 32 task threads + persisted
+  // graph caches) in one JVM: an 8g heap GC-thrashes at sf0.1 and makes
+  // kernel timings swing 2-3x run to run. 48g leaves headroom on the
+  // 128 GiB box while staying well under container limits.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )

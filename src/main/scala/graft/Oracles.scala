@@ -513,6 +513,56 @@ object Oracles {
        |WHERE rn <= $k ORDER BY query_id, rn""".stripMargin
   }
 
+  private def sqDistSql(x: String, y: String): String =
+    s"list_reduce(list_prepend(0::DOUBLE, list_transform(list_zip($x, $y), " +
+      s"z -> (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE)) * " +
+      s"(CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE)))), (acc, v) -> acc + v)"
+
+  /** IVF ANN top-k (mirror of
+    * [[graft.pipelines.Similarity.annTopKIvf]]): seed centroids, one
+    * Lloyd step with 6-decimal rounding, nearest-cell index, nprobe
+    * cell-probe search, exact cosine rerank. */
+  def annTopKIvf(nq: Int = 10, k: Int = 5, nlist: Int = 8,
+      nprobe: Int = 2, dim: Int = 64): String =
+    s"""WITH base AS MATERIALIZED (
+       |  SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM embeddings),
+       |seeds AS MATERIALIZED (
+       |  SELECT vec_id AS cid, embedding AS cvec FROM base WHERE vec_id < $nlist),
+       |a0 AS MATERIALIZED (
+       |  SELECT vec_id, embedding, cid FROM (
+       |    SELECT b.vec_id, b.embedding, s.cid,
+       |           ROW_NUMBER() OVER (PARTITION BY b.vec_id
+       |             ORDER BY ${sqDistSql("b.embedding", "s.cvec")}, s.cid) AS rn
+       |    FROM base b CROSS JOIN seeds s) WHERE rn = 1),
+       |cent AS MATERIALIZED (
+       |  SELECT cid, list(round(m, 6) ORDER BY pos) AS cvec FROM (
+       |    SELECT cid, i AS pos, avg(CAST(embedding[i] AS DOUBLE)) AS m
+       |    FROM a0 CROSS JOIN (SELECT unnest(generate_series(1, $dim)) AS i) ix
+       |    GROUP BY cid, i) GROUP BY cid),
+       |a1 AS MATERIALIZED (
+       |  SELECT vec_id, embedding, nrm, cid FROM (
+       |    SELECT b.vec_id, b.embedding, b.nrm, c.cid,
+       |           ROW_NUMBER() OVER (PARTITION BY b.vec_id
+       |             ORDER BY ${sqDistSql("b.embedding", "c.cvec")}, c.cid) AS rn
+       |    FROM base b CROSS JOIN cent c) WHERE rn = 1),
+       |probes AS MATERIALIZED (
+       |  SELECT query_id, cid FROM (
+       |    SELECT b.vec_id AS query_id, c.cid,
+       |           ROW_NUMBER() OVER (PARTITION BY b.vec_id
+       |             ORDER BY ${sqDistSql("b.embedding", "c.cvec")}, c.cid) AS rn
+       |    FROM base b CROSS JOIN cent c WHERE b.vec_id < $nq) WHERE rn <= $nprobe),
+       |scored AS (
+       |  SELECT p.query_id, a.vec_id AS neighbor_id,
+       |         ${dotSql("q.embedding", "a.embedding")} / (q.nrm * a.nrm) AS cos
+       |  FROM a1 a JOIN probes p ON a.cid = p.cid AND a.vec_id <> p.query_id
+       |            JOIN base q ON q.vec_id = p.query_id),
+       |r AS (
+       |  SELECT query_id, neighbor_id, cos,
+       |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+       |  FROM scored)
+       |SELECT query_id, rn, neighbor_id, round(cos, 6) AS cosine FROM r
+       |WHERE rn <= $k ORDER BY query_id, rn""".stripMargin
+
   /** Frame-sampling fingerprints (mirror of
     * [[graft.pipelines.Multimodal.chunkFingerprints]]). */
   def multimodalChunks(frame: Int = 64): String =

@@ -1,0 +1,114 @@
+package graft
+
+import graft.operators.{Degrees, Hits, Salsa}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Order-of-magnitude scaling evidence: derives a ~10x corpus from the
+  * sf0.1 testdata by key-shifted replication (each replica's keys move
+  * into a disjoint range, so node and edge counts really grow ~10x —
+  * no artificial duplicate collapse), then times the headline kernels
+  * on both corpora on the same cores.
+  *
+  * The point is the scaling *shape*, not absolute numbers: a kernel
+  * whose plan holds at 1000 executors should scale ~linearly in edge
+  * count here (same partition count, 10x rows per partition), and the
+  * skewed event graph's hot authorities stress AQE skew handling.
+  *
+  * {{{
+  * sbt "runMain graft.ScaleBench [baseSfDir] [scaledDir] [reps]"
+  * }}}
+  *
+  * Prints one JSON line per corpus with per-query seconds, then a
+  * per-query scale factor line. Results land in SCALING.md by hand.
+  */
+object ScaleBench {
+
+  private val Shift = 10000000L // far above every sf0.1 key range
+
+  private def replicate(spark: SparkSession, baseDir: String,
+      outDir: String, reps: Int): Unit = {
+    def scaled(table: String, keyCols: Seq[String]): DataFrame = {
+      val df = spark.read.parquet(s"$baseDir/$table.parquet")
+      (0 until reps).map { r =>
+        keyCols.foldLeft(df)((d, c) =>
+          d.withColumn(c, col(c) + lit(r * Shift)))
+      }.reduce(_ unionAll _)
+    }
+    scaled("orders", Seq("o_orderkey", "o_custkey"))
+      .write.mode("overwrite").parquet(s"$outDir/orders.parquet")
+    scaled("lineitem", Seq("l_orderkey", "l_partkey"))
+      .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
+    // events: shift users (the hub side); keep event_type so the skewed
+    // authorities get ~reps x their in-degree — the skew stress case.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet(s"$baseDir/events.parquet")
+    (0 until reps).map { r =>
+      ev.withColumn("user_id", col("user_id") + lit(r * Shift))
+        .withColumn("event_id", col("event_id") + lit(r * Shift))
+    }.reduce(_ unionAll _)
+      .write.mode("overwrite").parquet(s"$outDir/events.parquet")
+  }
+
+  private val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "graph_degrees" -> ((s, dir) => {
+      val e = GraphIO.orderGraph(s, dir).edges
+      Degrees.out(e).unionAll(Degrees.in(e))
+    }),
+    "hits_base" -> ((s, dir) =>
+      Hits.run(GraphIO.orderGraph(s, dir)).auths),
+    "hits_teleport" -> ((s, dir) =>
+      Hits.runTeleport(GraphIO.orderGraph(s, dir)).auths),
+    "salsa_iterative" -> ((s, dir) =>
+      Salsa.run(GraphIO.orderGraph(s, dir)).auths),
+    "hits_query_dependent" -> ((s, dir) =>
+      Hits.runQueryDependent(GraphIO.orderGraph(s, dir), "part").auths),
+    "evt_hits_base" -> ((s, dir) =>
+      Hits.run(GraphIO.eventGraph(s, dir)).auths))
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val outDir = if (args.length > 1) args(1) else "target/sf1-derived"
+    val reps = if (args.length > 2) args(2).toInt else 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    if (!new java.io.File(s"$outDir/orders.parquet/_SUCCESS").exists()) {
+      val t0 = System.nanoTime()
+      replicate(spark, baseDir, outDir, reps)
+      println(f"generated $outDir (${reps}x $baseDir) in " +
+        f"${(System.nanoTime() - t0) / 1e9}%.1f s")
+    }
+
+    def benchDir(dir: String): Map[String, Double] = {
+      // warm the shared graph caches like Bench does
+      GraphIO.orderGraph(spark, dir).edges.count()
+      GraphIO.eventGraph(spark, dir).edges.count()
+      val r = queries.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        fn(spark, dir).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"[scale] $dir $name $dt%.2f s")
+        name -> dt
+      }.toMap
+      GraphIO.evict(spark, dir) // release before the next corpus
+      r
+    }
+
+    val base = benchDir(baseDir)
+    val big = benchDir(outDir)
+    def js(m: Map[String, Double]): String =
+      m.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+    println(s"""{"corpus":"$baseDir","queries":${js(base)}}""")
+    println(s"""{"corpus":"$outDir","reps":$reps,"queries":${js(big)}}""")
+    val ratios = queries.map { case (n, _) =>
+      f""""$n":${big(n) / base(n)}%.2f""" }.mkString("{", ",", "}")
+    println(s"""{"metric":"scale_ratio_${reps}x","ratios":$ratios}""")
+    spark.stop()
+  }
+}

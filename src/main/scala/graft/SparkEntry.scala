@@ -170,6 +170,9 @@ object SparkEntry {
     "ann_topk_lsh" -> ((s, dir) =>
       Similarity.annTopKLsh(GraphIO.embeddings(s, dir))
         .withColumn("rn", col("rn").cast("long"))),
+    "ann_topk_ivf" -> ((s, dir) =>
+      Similarity.annTopKIvf(GraphIO.embeddings(s, dir))
+        .withColumn("rn", col("rn").cast("long"))),
     // ---- multimodal plumbing ----
     "multimodal_meta" -> ((s, dir) =>
       Multimodal.metaQuery(s, GraphIO.documents(s, dir))),
@@ -217,6 +220,7 @@ object SparkEntry {
     "dedup_embedding" -> Oracles.dedupEmbedding(0.3),
     "ann_topk" -> Oracles.annTopK(),
     "ann_topk_lsh" -> Oracles.annTopKLsh(),
+    "ann_topk_ivf" -> Oracles.annTopKIvf(),
     "multimodal_chunks" -> Oracles.multimodalChunks(),
     "multimodal_meta" -> Oracles.multimodalMeta)
 }

@@ -22,6 +22,15 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Squared L2 distance as a sequential fold — the coarse-quantizer
+    * metric of the IVF index, bit-reproducible against the oracle's
+    * `list_reduce` twin. */
+  def sqDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) =>
+      (x.cast("double") - y.cast("double")) *
+        (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, v) => acc + v)
+
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
@@ -89,6 +98,64 @@ object Similarity {
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
         col("nrm").as("qn"))
     val scored = cand.join(base, Seq("vec_id")).join(broadcast(qe), Seq("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (dot(col("qv"), col("embedding")) / (col("qn") * col("nrm"))).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("rn"), col("neighbor_id"),
+        round(col("cos"), 6).as("cosine"))
+      .orderBy(col("query_id"), col("rn"))
+  }
+
+  /** IVF (inverted-file) ANN top-k — the cell-probe scale path: the
+    * corpus is partitioned into `nlist` cells by nearest centroid, and
+    * each query scores only the vectors in its `nprobe` nearest cells,
+    * so the scored set is ~`nprobe/nlist` of the corpus per query
+    * instead of all of it.
+    *
+    * Coarse quantizer: `nlist` seed centroids (the first `nlist` corpus
+    * vectors) refined by one Lloyd step — cell means, rounded to 6
+    * decimals so the trained centroids (a cross-row float sum) are
+    * reproducible across engines; assignment order is determinized by a
+    * (distance, cid) tiebreak. Centroids are always broadcast (`nlist`
+    * rows); the corpus streams once per stage. At 100 TB the training
+    * stage runs on a seeded sample instead of the full corpus — the
+    * index/search stages are unchanged. */
+  def annTopKIvf(emb: DataFrame, nq: Int = 10, k: Int = 5,
+      nlist: Int = 8, nprobe: Int = 2): DataFrame = {
+    val corpus = emb.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("nrm"))
+    val seeds = corpus.filter(col("vec_id") < nlist)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    def nearestCells(vecs: DataFrame, cents: DataFrame, n: Int): DataFrame = {
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("d"), col("cid"))
+      vecs.crossJoin(broadcast(cents))
+        .withColumn("d", sqDist(col("embedding"), col("cvec")))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= n)
+        .drop("cvec", "d", "rn")
+    }
+    val assign0 = nearestCells(corpus, seeds, 1)
+    // One Lloyd refinement: element-wise cell means via posexplode +
+    // hash agg, re-assembled in dimension order.
+    val cent1 = assign0
+      .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("cid"), col("pos"))
+      .agg(avg(col("v").cast("double")).as("m"))
+      .groupBy(col("cid"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        s => round(s.getField("m"), 6)).as("cvec"))
+    val indexed = nearestCells(corpus, cent1, 1)
+    val probes = nearestCells(corpus.filter(col("vec_id") < nq), cent1, nprobe)
+      .select(col("vec_id").as("query_id"), col("cid"))
+    val queries = corpus.filter(col("vec_id") < nq)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("nrm").as("qn"))
+    val scored = indexed.join(broadcast(probes), Seq("cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .join(broadcast(queries), Seq("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         (dot(col("qv"), col("embedding")) / (col("qn") * col("nrm"))).as("cos"))
     val w = Window.partitionBy(col("query_id"))

@@ -92,6 +92,38 @@ class PipelinesSpec extends SparkSuite {
     assert(got.toSeq == Seq((1, 100L), (2, 101L)))
   }
 
+  test("annTopKIvf with nprobe == nlist degenerates to exact brute force") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val emb = (0L until 60L).map(i =>
+      (i, Array.fill(8)(rnd.nextFloat() - 0.5f))).toDF("vec_id", "embedding")
+    // probing every cell scores every non-self vector → identical ranking
+    val ivf = Similarity.annTopKIvf(emb, nq = 4, k = 3, nlist = 4, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val bf = Similarity.annTopK(emb, nq = 4, k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(ivf.toSeq == bf.toSeq)
+  }
+
+  test("annTopKIvf narrow probe scores only probed cells") {
+    import spark.implicits._
+    // two well-separated clusters around +x and +y: queries stay inside
+    // their own cluster's cell when nprobe = 1
+    val rnd = new scala.util.Random(3)
+    def jitter(base: Array[Float]): Array[Float] =
+      base.map(v => v + (rnd.nextFloat() - 0.5f) * 0.05f)
+    // even ids +x, odd ids +y → the two seed centroids (vec 0, vec 1)
+    // start one per cluster
+    val xs = (0L until 40L by 2).map(i => (i, jitter(Array(1f, 0f, 0f, 0f))))
+    val ys = (1L until 40L by 2).map(i => (i, jitter(Array(0f, 1f, 0f, 0f))))
+    val emb = (xs ++ ys).toDF("vec_id", "embedding")
+    val got = Similarity.annTopKIvf(emb, nq = 2, k = 5, nlist = 2, nprobe = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(got.nonEmpty)
+    // each query's neighbors all come from its own cluster's cell
+    assert(got.forall { case (q, n) => n % 2 == q % 2 })
+  }
+
   test("subtoken count splits alpha runs, digit runs and marks") {
     import spark.implicits._
     import graft.functions.{TextFunctions => TF}
