@@ -56,6 +56,27 @@ class GraphIOSpec extends SparkSuite {
     assert(g2.edges.columns.toSeq == Seq("src", "dst", "weight"))
   }
 
+  test("bucketed graph layout round-trips and exposes bucket metadata") {
+    val g = GraphIO.orderGraph(spark, "/root/testdata/sf0.001")
+    GraphIO.writeBucketedGraph(g, "giospec", buckets = 4)
+    try {
+      val g2 = GraphIO.readBucketedGraph(spark, "giospec")
+      assert(g2.edges.count() == g.edges.count())
+      assert(g2.nodes.count() == g.nodes.count())
+      val desc = spark.sql("DESCRIBE TABLE EXTENDED giospec_edges_by_dst")
+        .collect().map(r => r.getString(0) + " " + r.getString(1)).mkString("\n")
+      assert(desc.contains("Num Buckets 4"))
+      assert(desc.contains("Bucket Columns [`dst`]"))
+      // a groupBy on the bucket key of a bucketed scan plans no exchange
+      val plan = g2.edges.groupBy("dst").count()
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"))
+    } finally {
+      Seq("giospec_edges_by_dst", "giospec_edges_by_src", "giospec_nodes")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("evict unpersists cached graphs and forces a rebuild") {
     val sfDir = "/root/testdata/sf0.001"
     val g1 = GraphIO.orderGraph(spark, sfDir)
