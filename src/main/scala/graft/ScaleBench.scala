@@ -86,9 +86,11 @@ object ScaleBench {
     }
 
     def benchDir(dir: String): Map[String, Double] = {
-      // warm the shared graph caches like Bench does
+      // warm the shared graph caches AND the kernel codegen/JIT paths
+      // (same rationale as Bench: one-time JVM cost, not operator cost)
       GraphIO.orderGraph(spark, dir).edges.count()
       GraphIO.eventGraph(spark, dir).edges.count()
+      Hits.run(GraphIO.orderGraph(spark, dir), numIter = 1).auths.count()
       val r = queries.map { case (name, fn) =>
         val t0 = System.nanoTime()
         fn(spark, dir).count()
