@@ -420,9 +420,12 @@ object Oracles {
 
   /** Word-3-gram Jaccard similarity >= threshold, via shared-shingle
     * candidate join. Integer set sizes -> exact double division. */
+  /** Shingles are hashed to int64 before set semantics apply — the
+    * mirror of [[graft.pipelines.Dedup.ngramJaccard]]'s shuffle-key
+    * optimization: both engines agree on hash merges by construction. */
   def dedupNgramJaccard(threshold: Double = 0.5): String =
     s"""WITH sh AS MATERIALIZED (
-       |  SELECT DISTINCT doc_id, sh FROM (
+       |  SELECT DISTINCT doc_id, ${GraftHash.duckdbSql("sh")} AS sh FROM (
        |    SELECT doc_id, unnest(${TF.sqlShingles("text", 3)}) AS sh FROM documents) t),
        |sz AS MATERIALIZED (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
        |common AS (

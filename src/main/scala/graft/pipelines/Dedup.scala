@@ -124,32 +124,46 @@ object Dedup {
     * >maxShingleDf docs carries no dedup signal). */
   def ngramJaccard(docs: DataFrame, threshold: Double = 0.5,
       maxShingleDf: Int = 64): DataFrame = {
+    val spark = docs.sparkSession
+    // Shingles are hashed to int64 (graftHash — the same fold the
+    // MinHash path and the DuckDB twin use) BEFORE any shuffle: the
+    // distinct, both aggregations and the pair join then move 8-byte
+    // keys instead of 20+-byte strings. Set semantics are over hashed
+    // shingles on both engines, so a (rare) hash merge is consistent
+    // cross-engine rather than a divergence. The hashed shingle set
+    // feeds three aggregations and both pair-join sides, so it is
+    // computed once and cached; the (tiny) result is eagerly
+    // checkpointed so the cache can be dropped before returning.
     val sh = docs
-      .select(col("doc_id"), explode(TF.shingles(col("text"), 3)).as("sh"))
-      .distinct()
-    val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val dfs = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-    val nDropped = dfs.filter(col("df") > maxShingleDf).count()
-    if (nDropped > 0)
-      org.slf4j.LoggerFactory.getLogger(getClass).warn(
-        s"ngramJaccard: dropped $nDropped hot shingles (df > $maxShingleDf) " +
-          "before the pair join; their pairs' jaccard is undercounted")
-    // Semi join keeps the kept-shingle rows without widening the schema;
-    // both sides are hash-partitioned on sh, and df is a post-aggregate
-    // (small) side.
-    val kept = sh.join(dfs.filter(col("df") <= maxShingleDf),
-      Seq("sh"), "left_semi")
-    val x = kept.select(col("doc_id").as("a"), col("sh"))
-    val y = kept.select(col("doc_id").as("b"), col("sh").as("sh2"))
-    val common = x.join(y, col("sh") === col("sh2") && col("a") < col("b"))
-      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c"))
-    val jac = common
-      .join(sz.select(col("doc_id").as("a"), col("n").as("na")), Seq("a"))
-      .join(sz.select(col("doc_id").as("b"), col("n").as("nb")), Seq("b"))
-      .select(col("a"), col("b"), (col("c").cast("double") /
-        (col("na") + col("nb") - col("c")).cast("double")).as("jac"))
-    jac.filter(col("jac") >= lit(threshold))
-      .select(col("a"), col("b"), round(col("jac"), 6).as("jaccard"))
-      .orderBy(col("a"), col("b"))
+      .select(col("doc_id"), explode(TF.shingles(col("text"), 3)).as("s"))
+      .select(col("doc_id"), GraftHash.graftHash(spark, col("s")).as("sh"))
+      .distinct().persist()
+    try {
+      val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val dfs = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      val nDropped = dfs.filter(col("df") > maxShingleDf).count()
+      if (nDropped > 0)
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"ngramJaccard: dropped $nDropped hot shingles (df > $maxShingleDf) " +
+            "before the pair join; their pairs' jaccard is undercounted")
+      // Semi join keeps the kept-shingle rows without widening the
+      // schema; both sides are hash-partitioned on sh, and df is a
+      // post-aggregate (small) side.
+      val kept = sh.join(dfs.filter(col("df") <= maxShingleDf),
+        Seq("sh"), "left_semi")
+      val x = kept.select(col("doc_id").as("a"), col("sh"))
+      val y = kept.select(col("doc_id").as("b"), col("sh").as("sh2"))
+      val common = x.join(y, col("sh") === col("sh2") && col("a") < col("b"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c"))
+      val jac = common
+        .join(sz.select(col("doc_id").as("a"), col("n").as("na")), Seq("a"))
+        .join(sz.select(col("doc_id").as("b"), col("n").as("nb")), Seq("b"))
+        .select(col("a"), col("b"), (col("c").cast("double") /
+          (col("na") + col("nb") - col("c")).cast("double")).as("jac"))
+      jac.filter(col("jac") >= lit(threshold))
+        .select(col("a"), col("b"), round(col("jac"), 6).as("jaccard"))
+        .orderBy(col("a"), col("b"))
+        .localCheckpoint(true)
+    } finally sh.unpersist(false)
   }
 }
