@@ -68,10 +68,14 @@ object Dedup {
     * 16 min-hash slots → 4 bands of 4 rows → equi-join on (band, sig).
     * Returns distinct (a, b) candidate pairs, a < b. */
   def minhashLsh(spark: SparkSession, docs: DataFrame): DataFrame = {
+    // Hash before distinct: the dedup shuffle then moves (doc_id, int64)
+    // instead of raw shingle strings. Equivalent regardless of hash
+    // collisions — min() is multiplicity-insensitive, so collapsing two
+    // colliding shingles to one h row cannot change any min slot.
     val hh = docs
       .select(col("doc_id"), explode(TF.shingles(col("text"), 3)).as("sh"))
-      .distinct()
       .select(col("doc_id"), GraftHash.graftHash(spark, col("sh")).as("h"))
+      .distinct()
     val minAggs = MinHashParams.params.zipWithIndex.map { case ((a, b), j) =>
       min((lit(a) * col("h") + lit(b)) % lit(MinHashParams.P)).as(s"m$j")
     }
@@ -98,8 +102,8 @@ object Dedup {
     import spark.implicits._
     docs
       .select(col("doc_id"), explode(TF.shingles(col("text"), 3)).as("sh"))
-      .distinct()
       .select(col("doc_id"), GraftHash.graftHash(spark, col("sh")).as("h"))
+      .distinct() // int64 keys; equivalent (min is multiplicity-insensitive)
       .as[(Long, Long)]
       .groupByKey(_._1).mapValues(_._2)
       .agg(graft.functions.MinHashAgg.toColumn.name("sig"))
