@@ -147,6 +147,10 @@ object Similarity {
       .groupBy(col("cid"))
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
         s => round(s.getField("m"), 6)).as("cvec"))
+      // nlist rows; eagerly materialized so the training subtree (seed
+      // assignment + Lloyd means over the full corpus) runs once, not
+      // once per downstream consumer (index + probes).
+      .localCheckpoint(true)
     val indexed = nearestCells(corpus, cent1, 1)
     val probes = nearestCells(corpus.filter(col("vec_id") < nq), cent1, nprobe)
       .select(col("vec_id").as("query_id"), col("cid"))
