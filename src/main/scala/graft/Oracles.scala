@@ -349,6 +349,15 @@ object Oracles {
     s"SELECT doc_id, ${GraftHash.duckdbSql("text")} AS fp " +
       "FROM documents ORDER BY doc_id"
 
+  /** Mirror of [[graft.functions.TextFunctions.normalizeText]] +
+    * fingerprint of the normalized form. */
+  def textNormalize: String = {
+    val norm = TF.sqlNormalizeText("text")
+    s"SELECT doc_id, $norm AS norm_text, " +
+      s"${GraftHash.duckdbSql(norm)} AS norm_fp " +
+      "FROM documents ORDER BY doc_id"
+  }
+
   def textLangIdNgram: String =
     s"SELECT doc_id, ${TF.sqlLangIdNgram("text")} AS lang_tri " +
       "FROM documents ORDER BY doc_id"

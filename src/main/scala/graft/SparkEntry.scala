@@ -144,6 +144,13 @@ object SparkEntry {
       GraphIO.documents(s, dir).select(col("doc_id"),
         TF.fingerprint(s, col("text")).as("fp"))
         .orderBy(col("doc_id"))),
+    "text_normalize" -> ((s, dir) => {
+      val norm = TF.normalizeText(s, col("text"))
+      GraphIO.documents(s, dir).select(col("doc_id"),
+          norm.as("norm_text"),
+          GraftHash.graftHash(s, norm).as("norm_fp"))
+        .orderBy(col("doc_id"))
+    }),
     // ---- dedup ----
     "dedup_exact" -> ((s, dir) =>
       Dedup.exact(GraphIO.documents(s, dir))),
@@ -210,6 +217,7 @@ object SparkEntry {
     "events_top_users" -> Oracles.eventsTopUsers,
     "text_stats" -> Oracles.textStats,
     "text_fingerprint" -> Oracles.textFingerprint,
+    "text_normalize" -> Oracles.textNormalize,
     "dedup_exact" -> Oracles.dedupExact,
     "dedup_exact_hash" -> Oracles.dedupExactHash,
     "text_langid_ngram" -> Oracles.textLangIdNgram,

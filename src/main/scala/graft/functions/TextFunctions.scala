@@ -85,6 +85,22 @@ object TextFunctions {
   }
 
   /** Rolling-hash document fingerprint (custom codegen'd expression). */
+  /** Canonical text cleaning: Unicode NFC composition (custom codegen'd
+    * expression, [[NfcNormalize]]), lowercase, control chars to spaces,
+    * whitespace runs collapsed, trimmed — the normalization pass a
+    * training-data pipeline applies before dedup/fingerprinting so that
+    * byte-different renderings of the same text collapse to one form. */
+  def normalizeText(spark: SparkSession, text: Column): Column =
+    trim(regexp_replace(regexp_replace(
+      lower(NfcNormalize.nfcNormalize(spark, text)),
+      "[\\p{Cntrl}]", " "), "\\s+", " "))
+
+  /** DuckDB twin of [[normalizeText]] (RE2 classes; `g` = replace-all,
+    * Spark's regexp_replace default). */
+  def sqlNormalizeText(col: String): String =
+    s"trim(regexp_replace(regexp_replace(lower(nfc_normalize($col)), " +
+      s"'[[:cntrl:]]', ' ', 'g'), '\\s+', ' ', 'g'))"
+
   def fingerprint(spark: SparkSession, text: Column): Column =
     GraftHash.graftHash(spark, text)
 

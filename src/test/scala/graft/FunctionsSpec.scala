@@ -20,6 +20,29 @@ class FunctionsSpec extends SparkSuite {
     assert(got.toSeq == want)
   }
 
+  test("nfc_normalize composes decomposed forms; normalizeText cleans") {
+    import spark.implicits._
+    import graft.functions.NfcNormalize
+    // "é" decomposed (e + combining acute) vs precomposed
+    val decomposed = "cafe\u0301"
+    val composed = "caf\u00e9"
+    val df = Seq(decomposed, composed, "abc").toDF("t")
+      .select(NfcNormalize.nfcNormalize(spark, col("t")).as("n"))
+    val got = df.collect().map(_.getString(0))
+    assert(got(0) == composed && got(1) == composed && got(2) == "abc")
+    // interpreted eval agrees with the codegen'd path
+    val litExpr = org.apache.spark.sql.catalyst.expressions.Literal(
+      org.apache.spark.unsafe.types.UTF8String.fromString(decomposed),
+      org.apache.spark.sql.types.StringType)
+    assert(NfcNormalize(litExpr).eval(null)
+      .asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+      .toString == composed)
+    val cleaned = Seq("  Mixed\tCASE text\n\nhere  ").toDF("t")
+      .select(TF.normalizeText(spark, col("t")).as("n"))
+      .head.getString(0)
+    assert(cleaned == "mixed case text here")
+  }
+
   test("tokens: blank text yields empty array, whitespace runs collapse") {
     import spark.implicits._
     val df = Seq("", "   ", "a  b\tc", " x ").toDF("t")
