@@ -297,6 +297,24 @@ object Oracles {
        |FROM events WHERE user_id < $maxUser
        |ORDER BY user_id, event_id""".stripMargin
 
+  /** As-of join oracle: DuckDB's native ASOF LEFT JOIN against the
+    * same tie-collapsed view side (mirror of
+    * [[graft.streaming.EventPipelines.asofPurchaseView]]). Timestamps
+    * are emitted as epoch nanos to match Spark's `nanosAsLong` view of
+    * the TIMESTAMP(NANOS) column. */
+  def eventsAsof: String =
+    s"""WITH vr AS MATERIALIZED (
+       |  SELECT user_id, ts, max(value) AS view_value FROM events
+       |  WHERE event_type = 'view' GROUP BY user_id, ts),
+       |p AS MATERIALIZED (
+       |  SELECT event_id, user_id, ts, value FROM events
+       |  WHERE event_type = 'purchase')
+       |SELECT p.event_id, p.user_id, epoch_ns(p.ts) AS ts, p.value,
+       |       epoch_ns(vr.ts) AS view_ts, vr.view_value
+       |FROM p ASOF LEFT JOIN vr
+       |  ON p.user_id = vr.user_id AND p.ts >= vr.ts
+       |ORDER BY event_id""".stripMargin
+
   /** Oracle for the salted-join query: the salted join's result set is
     * by construction identical to the plain equi-join, so the plain
     * join IS the oracle (the salting is a physical routing change). */

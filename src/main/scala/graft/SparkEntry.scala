@@ -126,6 +126,8 @@ object SparkEntry {
           round(sum(col("value")) * lit(100.0)).cast("long").as("cents"))
         .orderBy(col("tag"))
     }),
+    "events_asof" -> ((s, dir) =>
+      EventPipelines.asofPurchaseView(GraphIO.events(s, dir))),
     "events_props_json" -> ((s, dir) =>
       EventPipelines.propsJsonStats(GraphIO.events(s, dir))),
     "events_top_users" -> ((s, dir) =>
@@ -214,6 +216,7 @@ object SparkEntry {
     "events_running_totals" -> Oracles.eventsRunningTotals(),
     "skew_salted_join" -> Oracles.skewSaltedJoin,
     "events_props_json" -> Oracles.eventsPropsJson,
+    "events_asof" -> Oracles.eventsAsof,
     "events_top_users" -> Oracles.eventsTopUsers,
     "text_stats" -> Oracles.textStats,
     "text_fingerprint" -> Oracles.textFingerprint,

@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -126,6 +127,53 @@ object EventPipelines {
     * pipelines routinely carry JSON sidecar metadata): per event type,
     * count and sum of the extracted integer field. Exact-integer
     * oracle. */
+  /** As-of join, composed from existing operators (Spark has no native
+    * one; DuckDB's `ASOF LEFT JOIN` is the oracle twin): each purchase
+    * event gets the user's most recent view at or before it.
+    *
+    * Shape: union-tag both inputs, then one running
+    * `last(..., ignoreNulls)` over a single `(user_id)`-partitioned
+    * time sort — both inputs shuffle exactly once on the join key and
+    * no per-row range probe exists, which is the 100 TB-safe form of a
+    * time-series as-of (a theta-join `r.ts <= l.ts` would plan as a
+    * nested loop). Right rows sort before left rows at equal ts
+    * (side 0 < 1), so an exactly-simultaneous view matches, like
+    * ASOF's `>=`. Equal-ts view ties are pre-collapsed with `max` so
+    * the matched row is engine-independent; the carried (ts, value)
+    * pair travels as one struct so a NULL view value can never split
+    * the match across two different view rows. */
+  def asofPurchaseView(events: DataFrame): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("value")).as("view_value"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val tsType = events.schema("ts").dataType
+    val taggedR = views.select(col("user_id"), col("ts"), lit(0).as("side"),
+      lit(null).cast("long").as("event_id"),
+      lit(null).cast("double").as("value"),
+      struct(col("ts").as("r_ts"), col("view_value")).as("m"))
+    val taggedL = purchases.select(col("user_id"), col("ts"),
+      lit(1).as("side"), col("event_id"), col("value"),
+      lit(null).cast(s"struct<r_ts:${tsType.sql},view_value:double>").as("m"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // Output timestamps are floored to µs: DuckDB materializes
+    // TIMESTAMP(NANOS) parquet at its native µs precision, so the
+    // cross-engine contract for *emitted* times is µs. Matching itself
+    // runs on full-ns values (events in the corpus are ≥ms apart, so a
+    // sub-µs ordering flip cannot change which view wins).
+    def us(c: org.apache.spark.sql.Column) = (c - pmod(c, lit(1000L)))
+    taggedR.unionAll(taggedL)
+      .withColumn("mm", last(col("m"), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select(col("event_id"), col("user_id"), us(col("ts")).as("ts"),
+        col("value"), us(col("mm.r_ts")).as("view_ts"),
+        col("mm.view_value").as("view_value"))
+      .orderBy(col("event_id"))
+  }
+
   def propsJsonStats(events: DataFrame): DataFrame =
     events.select(col("event_type"),
         get_json_object(col("props"), "$.k").cast("long").as("k"))

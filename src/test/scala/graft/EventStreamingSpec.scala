@@ -10,6 +10,31 @@ import java.nio.file.Files
   * twin on the same data. */
 class EventStreamingSpec extends SparkSuite {
 
+  test("asofPurchaseView matches the most recent view at or before") {
+    import spark.implicits._
+    val u = 1000L // ts are nanos; outputs are µs-floored
+    val rows = Seq(
+      // (event_id, user_id, ts, type, value)
+      (1L, 1L, 100 * u, "view", 5.0),
+      (2L, 1L, 200 * u, "purchase", 9.0), // matches view@100µs
+      (3L, 1L, 300 * u, "view", 6.0),
+      (4L, 1L, 300 * u, "purchase", 9.5), // equal-ts view matches (>= rule)
+      (5L, 2L, 50 * u, "purchase", 1.0),  // no prior view → nulls
+      (6L, 2L, 60 * u, "view", 7.0),      // future view must not match id 5
+      (7L, 2L, 60 * u, "view", 3.0),      // equal-ts tie → max value wins
+      (8L, 2L, 70 * u, "purchase", 2.0))
+    val df = rows.toDF("event_id", "user_id", "ts", "event_type", "value")
+    val got = EventPipelines.asofPurchaseView(df).collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)),
+        if (r.isNullAt(5)) None else Some(r.getDouble(5))))
+    assert(got.toSeq == Seq(
+      (2L, Some(100 * u), Some(5.0)),
+      (4L, Some(300 * u), Some(6.0)),
+      (5L, None, None),
+      (8L, Some(60 * u), Some(7.0))))
+  }
+
   test("stateful streaming sessionization splits on the gap like batch") {
     import spark.implicits._
     val gap = 30L * 60 * 1000000000L // 30 min in ns
