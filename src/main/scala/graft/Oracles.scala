@@ -204,6 +204,31 @@ object Oracles {
       initSql = Some("SELECT id, CASE WHEN flag = 0 THEN 0::DOUBLE " +
         "ELSE 1::DOUBLE / (2 * (SELECT n FROM tnv)) END AS score FROM flags"))
 
+  /** PageRank (kernel-family extension; mirror of
+    * [[graft.operators.PageRank.run]]). All arithmetic forced to DOUBLE
+    * (`1::DOUBLE - d::DOUBLE`) so both engines run the same IEEE ops —
+    * DuckDB would otherwise evaluate `1 - 0.85` in exact DECIMAL and
+    * produce a different double than Scala's `1.0 - 0.85`. */
+  def pageRank(damping: Double = 0.85, numIter: Int = 8,
+      digits: Int = 9): String = {
+    val sb = new StringBuilder
+    sb ++= s"WITH $graphCtes"
+    sb ++= ",\nnv AS MATERIALIZED (SELECT COUNT(*) AS n FROM nodes)"
+    sb ++= ",\nodeg AS MATERIALIZED (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src)"
+    sb ++= ",\np0 AS MATERIALIZED (SELECT id, 1::DOUBLE / (SELECT n FROM nv) AS score FROM nodes)"
+    for (i <- 1 to numIter) {
+      val prev = if (i == 1) "p0" else s"p${i - 1}"
+      sb ++= s",\nc$i AS MATERIALIZED (SELECT e.dst AS id, SUM(p.score / d.deg) AS mass FROM edges e " +
+        s"JOIN odeg d ON d.src = e.src JOIN $prev p ON p.id = e.src GROUP BY e.dst)"
+      sb ++= s",\np$i AS MATERIALIZED (SELECT n.id, " +
+        s"(1::DOUBLE - $damping::DOUBLE) / (SELECT n FROM nv) + " +
+        s"$damping::DOUBLE * COALESCE(c.mass, 0::DOUBLE) AS score " +
+        s"FROM nodes n LEFT JOIN c$i c ON c.id = n.id)"
+    }
+    sb ++= s"\nSELECT id, round(score, $digits) AS score FROM p$numIter ORDER BY id"
+    sb.toString
+  }
+
   /** Simplified SALSA (K7/K9/K12): degree mass, L1. */
   def salsaSimplified(weighted: Boolean = false, extraCtes: Seq[String] = Nil,
       edgesRel: String = "edges", digits: Int = 9,

@@ -89,6 +89,11 @@ object SparkEntry {
       GraphIO.orderGraph(s, dir).nodes.select(col("id"))
         .filter(GraftHash.graftHash(s, col("id")) % 100 < 5)
         .orderBy(col("id"))),
+    // ---- PageRank extension (kernel-family completeness) ----
+    "pagerank" -> ((s, dir) =>
+      PageRank.run(GraphIO.orderGraph(s, dir))
+        .select(col("id"), round(col("score"), 9).as("score"))
+        .orderBy(col("id"))),
     // ---- event-graph kernels (skewed in-degree coverage) ----
     "evt_hits_base" -> ((s, dir) =>
       hitsOut(Hits.run(GraphIO.eventGraph(s, dir)))),
@@ -208,6 +213,7 @@ object SparkEntry {
     "rank_topk" -> Oracles.rankTopK(),
     "sample_hash" -> Oracles.sampleHash(),
     "evt_hits_base" -> Oracles.hitsEventBase,
+    "pagerank" -> Oracles.pageRank(),
     "evt_salsa_weighted" -> Oracles.salsaEventWeighted,
     "hits_converged" -> Oracles.hitsConverged(numIter = 12),
     "events_sessionize" -> Oracles.sessionize(),

@@ -1,0 +1,60 @@
+package graft.operators
+
+import graft.Graph
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** PageRank — a kernel-family extension (the reference covers HITS and
+  * SALSA; PageRank is the third member of the classical link-analysis
+  * trio and shares their execution shape, so a reference user gets it
+  * for free from the same engine):
+  *
+  *   p'(v) = (1-d)/N + d * Σ_{(u,v)∈E} p(u)/outdeg(u)
+  *
+  * Dangling-node mass is NOT redistributed — the standard simplified
+  * formulation; the DuckDB oracle implements the identical recurrence,
+  * so the simplification is cross-engine consistent.
+  *
+  * Execution discipline mirrors [[Hits.iterate]]: the edge table (the
+  * 100 TB side) is degree-annotated and hashed on `src` exactly once;
+  * each iteration shuffles only the |V|-sized score vector (the
+  * aggregation output is hash-partitioned on id, which co-partitions
+  * both the node left-join and the next iteration's probe side);
+  * `localCheckpoint` truncates the iterative plan.
+  */
+object PageRank {
+
+  def run(g: Graph, damping: Double = 0.85, numIter: Int = 8): DataFrame = {
+    val spark = g.edges.sparkSession
+    val prevSmj = spark.conf.get("spark.sql.join.preferSortMergeJoin")
+    spark.conf.set("spark.sql.join.preferSortMergeJoin", "false")
+    val np = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val proj = g.edges.select(col("src"), col("dst"))
+    val eOut = proj.repartition(np, col("src"))
+      .join(Degrees.out(proj), col("src") === col("id"))
+      .select(col("src"), col("dst"), col("out_degree")).persist()
+    // node universe, pre-hashed once: the per-iteration left join that
+    // gives rankless nodes their (1-d)/N floor is then shuffle-free on
+    // both sides
+    val nodeIds = g.nodes.select(col("id"))
+      .repartition(np, col("id")).persist()
+    val n = g.nodes.count()
+    try {
+      var p = g.nodes.select(col("id"), lit(1.0 / n).as("score"))
+      for (_ <- 1 to numIter) {
+        val contrib = eOut.join(p, eOut("src") === p("id"))
+          .groupBy(eOut("dst").as("id"))
+          .agg(sum(col("score") / col("out_degree")).as("mass"))
+        p = nodeIds.join(contrib, Seq("id"), "left")
+          .select(col("id"), (lit((1.0 - damping) / n) +
+            lit(damping) * coalesce(col("mass"), lit(0.0))).as("score"))
+          .localCheckpoint(true)
+      }
+      p
+    } finally {
+      eOut.unpersist(false)
+      nodeIds.unpersist(false)
+      spark.conf.set("spark.sql.join.preferSortMergeJoin", prevSmj)
+    }
+  }
+}

@@ -1,0 +1,36 @@
+package graft
+
+import graft.operators.PageRank
+import org.apache.spark.sql.functions._
+
+/** Closed-form PageRank checks on micro-graphs (same fixtures style as
+  * HitsSpec). */
+class PageRankSpec extends SparkSuite {
+
+  /** a→b, b→a: symmetric 2-cycle — uniform is the fixed point. */
+  test("2-cycle fixed point stays uniform at any damping") {
+    val g = graph(Seq(("a", "b", 1.0), ("b", "a", 1.0)))
+    val p = scoresMap(PageRank.run(g, damping = 0.85, numIter = 8))
+    assertApprox(p, Map("a" -> 0.5, "b" -> 0.5))
+  }
+
+  test("one iteration closed form with a dangling node") {
+    // a→b, a→c, b→c; c dangles (its mass leaks, per the documented
+    // simplification). Init 1/3 each, d = 0.5:
+    // p(a) = (1-d)/3                      = 1/6
+    // p(b) = (1-d)/3 + d*(1/3)/2          = 1/6 + 1/12 = 0.25
+    // p(c) = (1-d)/3 + d*((1/3)/2 + 1/3)  = 1/6 + 1/4  = 5/12
+    val g = graph(Seq(("a", "b", 1.0), ("a", "c", 1.0), ("b", "c", 1.0)))
+    val p = scoresMap(PageRank.run(g, damping = 0.5, numIter = 1))
+    assertApprox(p, Map("a" -> 1.0 / 6, "b" -> 0.25, "c" -> 5.0 / 12))
+  }
+
+  test("every node keeps the (1-d)/N floor and ranks follow in-links") {
+    val g = graph(Seq(("a", "c", 1.0), ("b", "c", 1.0), ("c", "d", 1.0)))
+    val p = scoresMap(PageRank.run(g, numIter = 8))
+    assert(p.keySet == Set("a", "b", "c", "d")) // no dropout
+    val floor = (1.0 - 0.85) / 4
+    assert(p.values.forall(_ >= floor - 1e-12))
+    assert(p("c") > p("a") && p("d") > p("a")) // in-linked beat sources
+  }
+}
