@@ -340,6 +340,22 @@ object Oracles {
        |  ON p.user_id = vr.user_id AND p.ts >= vr.ts
        |ORDER BY event_id""".stripMargin
 
+  /** Range join oracle: the plain range predicate (mirror of
+    * [[graft.streaming.EventPipelines.rangeJoinClicksBeforeErrors]] —
+    * the bucketing there is a physical routing change, so the naive
+    * form IS the semantic oracle). */
+  def eventsRangeJoin(windowNs: Long = 3600L * 1000000000L): String =
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT event_id AS err_id, user_id, epoch_ns(ts) AS err_ts
+       |  FROM events WHERE event_type = 'error'),
+       |c AS MATERIALIZED (
+       |  SELECT event_id AS click_id, user_id, epoch_ns(ts) AS click_ts
+       |  FROM events WHERE event_type = 'click')
+       |SELECT e.err_id, c.click_id, e.err_ts - c.click_ts AS lag_ns
+       |FROM e JOIN c ON e.user_id = c.user_id
+       |  AND c.click_ts <= e.err_ts AND c.click_ts >= e.err_ts - $windowNs
+       |ORDER BY err_id, click_id""".stripMargin
+
   /** Oracle for the salted-join query: the salted join's result set is
     * by construction identical to the plain equi-join, so the plain
     * join IS the oracle (the salting is a physical routing change). */

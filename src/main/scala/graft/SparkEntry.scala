@@ -133,6 +133,8 @@ object SparkEntry {
     }),
     "events_asof" -> ((s, dir) =>
       EventPipelines.asofPurchaseView(GraphIO.events(s, dir))),
+    "events_range_join" -> ((s, dir) =>
+      EventPipelines.rangeJoinClicksBeforeErrors(GraphIO.events(s, dir))),
     "events_props_json" -> ((s, dir) =>
       EventPipelines.propsJsonStats(GraphIO.events(s, dir))),
     "events_top_users" -> ((s, dir) =>
@@ -223,6 +225,7 @@ object SparkEntry {
     "skew_salted_join" -> Oracles.skewSaltedJoin,
     "events_props_json" -> Oracles.eventsPropsJson,
     "events_asof" -> Oracles.eventsAsof,
+    "events_range_join" -> Oracles.eventsRangeJoin(),
     "events_top_users" -> Oracles.eventsTopUsers,
     "text_stats" -> Oracles.textStats,
     "text_fingerprint" -> Oracles.textFingerprint,

@@ -174,6 +174,38 @@ object EventPipelines {
       .orderBy(col("event_id"))
   }
 
+  /** Range join via time-bucketed equi-join — the scale-correct form of
+    * `r.ts BETWEEN l.ts - W AND l.ts` (a raw theta-join plans as a
+    * nested loop; at 100 TB that is all-pairs per user). Each error
+    * event is joined to the same user's clicks in the preceding
+    * `windowNs`. Both sides bucket ts into W-sized bins; a click within
+    * the window is always in the error's bin or the one before, so the
+    * candidate join is an equi-join on (user, bin) with each error
+    * probing exactly two bins, then the exact range predicate filters
+    * residuals. Timestamps are µs-floored on both engines before
+    * comparing (DuckDB materializes TIMESTAMP(NANOS) at µs), so window
+    * membership is bit-identical cross-engine. */
+  def rangeJoinClicksBeforeErrors(events: DataFrame,
+      windowNs: Long = 3600L * 1000000000L): DataFrame = {
+    def us(c: org.apache.spark.sql.Column) = c - pmod(c, lit(1000L))
+    val errs = events.filter(col("event_type") === "error")
+      .select(col("event_id").as("err_id"), col("user_id"),
+        us(col("ts")).as("err_ts"))
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        us(col("ts")).as("click_ts"))
+    val probes = errs
+      .withColumn("bin0", expr(s"err_ts div $windowNs"))
+      .withColumn("bin", explode(array(col("bin0"), col("bin0") - 1)))
+    val binned = clicks.withColumn("bin", expr(s"click_ts div $windowNs"))
+    probes.join(binned, Seq("user_id", "bin"))
+      .filter(col("click_ts") <= col("err_ts") &&
+        col("click_ts") >= col("err_ts") - lit(windowNs))
+      .select(col("err_id"), col("click_id"),
+        (col("err_ts") - col("click_ts")).as("lag_ns"))
+      .orderBy(col("err_id"), col("click_id"))
+  }
+
   def propsJsonStats(events: DataFrame): DataFrame =
     events.select(col("event_type"),
         get_json_object(col("props"), "$.k").cast("long").as("k"))

@@ -35,6 +35,25 @@ class EventStreamingSpec extends SparkSuite {
       (8L, Some(60 * u), Some(7.0))))
   }
 
+  test("rangeJoin finds same-user clicks in the window across bins") {
+    import spark.implicits._
+    val W = 3600L * 1000000000L
+    val rows = Seq(
+      // (event_id, user_id, ts, type, value)
+      (1L, 1L, W + 1000L, "click", 0.0),      // just after a bin boundary
+      (2L, 1L, W - 1000L, "click", 0.0),      // previous bin, in window
+      (3L, 1L, 2L * W - 1000L, "error", 0.0), // matches both clicks
+      (4L, 1L, 3L * W, "error", 0.0),         // both clicks outside window
+      (5L, 2L, W + 1000L, "click", 0.0),      // other user: never matches
+      (6L, 1L, 2L * W - 1000L, "view", 0.0))  // wrong type: never matches
+    val df = rows.toDF("event_id", "user_id", "ts", "event_type", "value")
+    val got = EventPipelines.rangeJoinClicksBeforeErrors(df)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq(
+      (3L, 1L, W - 2000L),
+      (3L, 2L, W)))
+  }
+
   test("stateful streaming sessionization splits on the gap like batch") {
     import spark.implicits._
     val gap = 30L * 60 * 1000000000L // 30 min in ns
