@@ -506,6 +506,24 @@ object Oracles {
        |SELECT a, b, round(jac, 6) AS jaccard FROM j
        |WHERE jac >= $threshold::DOUBLE ORDER BY a, b""".stripMargin
 
+  /** End-to-end corpus cleaning (mirror of
+    * [[graft.pipelines.Dedup.cleanCorpus]]): normalize → language gate →
+    * quality gate → exact dedup on normalized text. */
+  def pipelineCleanCorpus(minQuality: Double = 0.5,
+      lang: String = "en"): String = {
+    val norm = TF.sqlNormalizeText("text")
+    val q = TF.sqlQualityScore("norm_text")
+    s"""WITH n AS MATERIALIZED (
+       |  SELECT doc_id, $norm AS norm_text FROM documents),
+       |f AS MATERIALIZED (
+       |  SELECT doc_id, norm_text, $q AS quality FROM n
+       |  WHERE ${TF.sqlLangId("norm_text")} = '$lang'
+       |    AND $q >= $minQuality::DOUBLE)
+       |SELECT min(doc_id) AS keep_id, COUNT(*) AS n_copies,
+       |       round(max(quality), 6) AS quality
+       |FROM f GROUP BY norm_text ORDER BY keep_id""".stripMargin
+  }
+
   private def dotSql(x: String, y: String): String =
     s"list_reduce(list_prepend(0::DOUBLE, list_transform(list_zip($x, $y), " +
       s"z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))), (acc, v) -> acc + v)"

@@ -153,6 +153,8 @@ object SparkEntry {
       GraphIO.documents(s, dir).select(col("doc_id"),
         TF.fingerprint(s, col("text")).as("fp"))
         .orderBy(col("doc_id"))),
+    "pipeline_clean_corpus" -> ((s, dir) =>
+      Dedup.cleanCorpus(s, GraphIO.documents(s, dir))),
     "text_normalize" -> ((s, dir) => {
       val norm = TF.normalizeText(s, col("text"))
       GraphIO.documents(s, dir).select(col("doc_id"),
@@ -230,6 +232,7 @@ object SparkEntry {
     "text_stats" -> Oracles.textStats,
     "text_fingerprint" -> Oracles.textFingerprint,
     "text_normalize" -> Oracles.textNormalize,
+    "pipeline_clean_corpus" -> Oracles.pipelineCleanCorpus(),
     "dedup_exact" -> Oracles.dedupExact,
     "dedup_exact_hash" -> Oracles.dedupExactHash,
     "text_langid_ngram" -> Oracles.textLangIdNgram,

@@ -40,6 +40,31 @@ object Dedup {
       .select(col("keep_id"), col("n_copies"))
       .orderBy(col("keep_id"))
 
+  /** End-to-end corpus cleaning — the composition a training-data
+    * pipeline runs before tokenization, as one operator: NFC + case +
+    * whitespace canonicalization ([[TF.normalizeText]]), language gate,
+    * quality gate, then exact dedup on the *normalized* text in the
+    * hash-groupBy shape (dedup after normalization is the point: byte
+    * variants of one document collapse to one survivor). Output is the
+    * surviving `keep_id` per distinct normalized text with its copy
+    * count and quality. Every stage is a scan-local projection or a
+    * single fixed-width-key aggregation — one shuffle end to end. */
+  def cleanCorpus(spark: SparkSession, docs: DataFrame,
+      minQuality: Double = 0.5, lang: String = "en"): DataFrame = {
+    val base = docs
+      .select(col("doc_id"), TF.normalizeText(spark, col("text")).as("norm_text"))
+      .withColumn("quality", TF.qualityScore(col("norm_text")))
+      .filter(TF.langId(col("norm_text")) === lang &&
+        col("quality") >= lit(minQuality))
+    base.select(GraftHash.graftHash(spark, col("norm_text")).as("h"),
+        col("norm_text"), col("doc_id"), col("quality"))
+      .groupBy(col("h"), col("norm_text"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"),
+        round(max(col("quality")), 6).as("quality"))
+      .select(col("keep_id"), col("n_copies"), col("quality"))
+      .orderBy(col("keep_id"))
+  }
+
   /** 16-bit SimHash over whitespace tokens (with multiplicity): bit b of
     * the fingerprint is the sign of Σ_tokens (2·bit_b(hash(t)) − 1).
     * Exact integer arithmetic end-to-end. */

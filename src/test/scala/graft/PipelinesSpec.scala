@@ -124,6 +124,23 @@ class PipelinesSpec extends SparkSuite {
     assert(got.forall { case (q, n) => n % 2 == q % 2 })
   }
 
+  test("cleanCorpus gates language/quality and collapses byte variants") {
+    import spark.implicits._
+    import graft.pipelines.Dedup
+    val good = "the cat and the dog sat in the house with a hat and a map " +
+      "and the bird was on the roof of the barn all day long"
+    val docs = Seq(
+      (1L, good),
+      (2L, "  " + good.toUpperCase + "\t"), // byte variant of doc 1
+      (3L, "el gato y la casa de un perro que en la calle es un dia"),
+      (4L, "x")).toDF("doc_id", "text") // quality below threshold
+    val got = Dedup.cleanCorpus(spark, docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // doc 3 fails the language gate, doc 4 the quality gate; docs 1+2
+    // normalize identically and collapse to keep_id 1 with 2 copies
+    assert(got.toSeq == Seq((1L, 2L)))
+  }
+
   test("subtoken count splits alpha runs, digit runs and marks") {
     import spark.implicits._
     import graft.functions.{TextFunctions => TF}
