@@ -108,12 +108,15 @@ object Hits {
       var done = false
       while (it < maxIter && !done) {
         it += 1
+        // Same materialization discipline as `iterate`: only the
+        // normalized auth vector is checkpointed (one eager job per
+        // iteration) — the hub subtree stays lazy inside it, and the
+        // returned hubs plan hangs off the last checkpointed auths, so
+        // plan depth stays bounded without 3 materializations/iteration.
         val hubsU = eDst.join(auths, eDst("dst") === auths("id"))
           .groupBy(eDst("src").as("id")).agg(sum(col("score")).as("score"))
-          .localCheckpoint(true)
         val authsU = eSrc.join(hubsU, eSrc("src") === hubsU("id"))
           .groupBy(eSrc("dst").as("id")).agg(sum(col("score")).as("score"))
-          .localCheckpoint(true)
         hubs = Normalize.l2(hubsU)
         val cur = Normalize.l2(authsU).localCheckpoint(true)
         prev.foreach { p =>
@@ -127,7 +130,10 @@ object Hits {
         prev = Some(cur)
         auths = cur
       }
-      (Result(hubs, auths), it)
+      // The final hub vector re-derives from the last checkpoint when
+      // consumed; materialize it here so callers (and the unpersist
+      // below) cannot race the edge-cache release.
+      (Result(hubs.localCheckpoint(true), auths), it)
     } finally {
       // Restore the planner flag and drop the caches even on failure —
       // the loop runs eager actions, so exceptions mid-loop are real.
