@@ -73,39 +73,55 @@ object GraphIO {
     * (weight l_quantity). Labels: customer / order / part.
     * Cached + persisted per sfDir: every kernel query shares one scan. */
   def orderGraph(spark: SparkSession, sfDir: String): Graph =
-    cache.getOrElseUpdate(s"order:${sessionKey(spark)}:$sfDir", {
-      val orders = spark.read.parquet(s"$sfDir/orders.parquet")
-      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
-      val e1 = orders.select(
-        concat(lit("c"), col("o_custkey").cast(StringType)).as("src"),
-        concat(lit("o"), col("o_orderkey").cast(StringType)).as("dst"),
-        col("o_totalprice").as("weight"))
-      val e2 = li.select(
-        concat(lit("o"), col("l_orderkey").cast(StringType)).as("src"),
-        concat(lit("p"), col("l_partkey").cast(StringType)).as("dst"),
-        col("l_extendedprice").as("weight"))
-      // p→p co-occurrence chain within an order. The window is ordered by
-      // the emitted values themselves (partkey, quantity), never by row
-      // identity: (l_orderkey, l_linenumber) is NOT unique in the
-      // testdata, and value-ordering makes the lead-pair multiset
-      // deterministic across engines even under sort ties.
-      val w = Window.partitionBy(col("l_orderkey"))
-        .orderBy(col("l_partkey"), col("l_quantity"))
-      val e3 = li.select(
-        concat(lit("p"), col("l_partkey").cast(StringType)).as("src"),
-        concat(lit("p"), lead(col("l_partkey"), 1).over(w).cast(StringType)).as("dst"),
-        col("l_quantity").as("weight"))
-        .where(col("dst").isNotNull)
-      val edges = e1.unionAll(e2).unionAll(e3).persist()
-      val nodes = edges.select(col("src").as("id"))
-        .union(edges.select(col("dst").as("id"))).distinct()
-        .withColumn("label",
-          when(substring(col("id"), 1, 1) === "c", "customer")
-            .when(substring(col("id"), 1, 1) === "o", "order")
-            .otherwise("part"))
-        .persist()
-      Graph(nodes, edges)
-    })
+    cache.getOrElseUpdate(s"order:${sessionKey(spark)}:$sfDir",
+      buildOrderGraph(spark, sfDir, altWeights = false))
+
+  /** The order graph with the ALTERNATIVE weight columns — same
+    * topology, weights swapped to (o_totalprice, l_quantity,
+    * l_discount). The reference runs its weighted kernel twice with
+    * different `weightCol` arguments against one edge file (reference
+    * `src/weighted_hits.py:30-31`, `outputs/weighted_HITS_tfidf/`);
+    * this is that second run's derived-testdata analogue. l_discount
+    * is zero on ~5% of rows, so the zero-weight-edge semantics (note G)
+    * are exercised under the oracle gate, not just in a spec. */
+  def orderGraphAltWeights(spark: SparkSession, sfDir: String): Graph =
+    cache.getOrElseUpdate(s"orderalt:${sessionKey(spark)}:$sfDir",
+      buildOrderGraph(spark, sfDir, altWeights = true))
+
+  private def buildOrderGraph(spark: SparkSession, sfDir: String,
+      altWeights: Boolean): Graph = {
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val e1 = orders.select(
+      concat(lit("c"), col("o_custkey").cast(StringType)).as("src"),
+      concat(lit("o"), col("o_orderkey").cast(StringType)).as("dst"),
+      col("o_totalprice").as("weight"))
+    val e2 = li.select(
+      concat(lit("o"), col("l_orderkey").cast(StringType)).as("src"),
+      concat(lit("p"), col("l_partkey").cast(StringType)).as("dst"),
+      (if (altWeights) col("l_quantity") else col("l_extendedprice")).as("weight"))
+    // p→p co-occurrence chain within an order. The window is ordered by
+    // the emitted values themselves (partkey, quantity), never by row
+    // identity: (l_orderkey, l_linenumber) is NOT unique in the
+    // testdata, and value-ordering makes the lead-pair multiset
+    // deterministic across engines even under sort ties.
+    val w = Window.partitionBy(col("l_orderkey"))
+      .orderBy(col("l_partkey"), col("l_quantity"))
+    val e3 = li.select(
+      concat(lit("p"), col("l_partkey").cast(StringType)).as("src"),
+      concat(lit("p"), lead(col("l_partkey"), 1).over(w).cast(StringType)).as("dst"),
+      (if (altWeights) col("l_discount") else col("l_quantity")).as("weight"))
+      .where(col("dst").isNotNull)
+    val edges = e1.unionAll(e2).unionAll(e3).persist()
+    val nodes = edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id"))).distinct()
+      .withColumn("label",
+        when(substring(col("id"), 1, 1) === "c", "customer")
+          .when(substring(col("id"), 1, 1) === "o", "order")
+          .otherwise("part"))
+      .persist()
+    Graph(nodes, edges)
+  }
 
   private def sessionKey(spark: SparkSession): String =
     s"${spark.sparkContext.applicationId}:${System.identityHashCode(spark)}"
@@ -121,7 +137,7 @@ object GraphIO {
     * long-lived multi-tenant session; callers that cycle through many
     * datasets evict the ones they are done with. */
   def evict(spark: SparkSession, sfDir: String): Unit =
-    Seq("order", "event").foreach { kind =>
+    Seq("order", "orderalt", "event").foreach { kind =>
       cache.remove(s"$kind:${sessionKey(spark)}:$sfDir").foreach(release)
     }
 

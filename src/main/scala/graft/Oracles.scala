@@ -19,9 +19,12 @@ import graft.functions.{GraftHash, TextFunctions => TF}
   */
 object Oracles {
 
-  /** Directed order graph, must match [[GraphIO.orderGraph]] exactly. */
-  val edgesCte: String =
-    """edges AS MATERIALIZED (
+  /** Directed order graph, must match [[GraphIO.orderGraph]] exactly.
+    * `w2`/`w3` select the lineitem weight columns — the default pair is
+    * [[GraphIO.orderGraph]], the (l_quantity, l_discount) pair is
+    * [[GraphIO.orderGraphAltWeights]]. */
+  def edgesCteWith(w2: String, w3: String): String =
+    s"""edges AS MATERIALIZED (
       |  SELECT 'c' || CAST(o_custkey AS VARCHAR) AS src,
       |         'o' || CAST(o_orderkey AS VARCHAR) AS dst,
       |         o_totalprice AS w
@@ -29,16 +32,18 @@ object Oracles {
       |  UNION ALL
       |  SELECT 'o' || CAST(l_orderkey AS VARCHAR),
       |         'p' || CAST(l_partkey AS VARCHAR),
-      |         l_extendedprice
+      |         $w2
       |  FROM lineitem
       |  UNION ALL
       |  SELECT src, dst, w FROM (
       |    SELECT 'p' || CAST(l_partkey AS VARCHAR) AS src,
       |           'p' || CAST(LEAD(l_partkey) OVER (PARTITION BY l_orderkey ORDER BY l_partkey, l_quantity) AS VARCHAR) AS dst,
-      |           l_quantity AS w
+      |           $w3 AS w
       |    FROM lineitem) t
       |  WHERE dst IS NOT NULL
       |)""".stripMargin
+
+  val edgesCte: String = edgesCteWith("l_extendedprice", "l_quantity")
 
   val nodesCte: String =
     """nodes AS MATERIALIZED (
@@ -153,6 +158,11 @@ object Oracles {
     hits(numIter = numIter, extraSelects = Seq(
       s"SELECT 'iter' AS kind, 'n_iter' AS id, $numIter::DOUBLE AS score"))
   def hitsWeighted: String = hits(weighted = true)
+  /** Second weighted run, alternative weight columns (mirror of
+    * [[GraphIO.orderGraphAltWeights]] — the reference's tf-idf
+    * `weightCol` variant, `src/weighted_hits.py:30-31`). */
+  def hitsWeightedAlt: String = hits(weighted = true,
+    graph = s"${edgesCteWith("l_quantity", "l_discount")},\n$nodesCte")
   def hitsTeleport(beta: Double = 0.8): String =
     hits(post = TeleportAll(beta, "(SELECT n FROM nv)"))
   def hitsTopic(topic: String, beta: Double = 0.8): String =
@@ -404,6 +414,45 @@ object Oracles {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  /** Mirror of [[graft.pipelines.TextMetrics.repetitionSignals]]:
+    * type/token ratio, top-token dominance, duplicate-bigram fraction —
+    * same guarded denominators, same 6-decimal rounding. */
+  def textRepetition: String = {
+    val toks = TF.sqlTokens("text")
+    val bi = TF.sqlShingles("text", 2)
+    def len(e: String) = s"coalesce(array_length($e), 0)"
+    s"""WITH t AS MATERIALIZED (
+       |  SELECT doc_id, $toks AS toks, $bi AS bigrams FROM documents),
+       |top AS MATERIALIZED (
+       |  SELECT doc_id, max(c) AS top_count FROM (
+       |    SELECT doc_id, tok, count(*) AS c FROM (
+       |      SELECT doc_id, unnest(toks) AS tok FROM t) u
+       |    GROUP BY doc_id, tok) g
+       |  GROUP BY doc_id)
+       |SELECT t.doc_id,
+       |       CAST(${len("t.toks")} AS BIGINT) AS n_tokens,
+       |       round(CAST(${len("list_distinct(t.toks)")} AS DOUBLE)
+       |             / greatest(${len("t.toks")}, 1), 6) AS type_token_ratio,
+       |       round(CAST(coalesce(top.top_count, 0) AS DOUBLE)
+       |             / greatest(${len("t.toks")}, 1), 6) AS top_token_frac,
+       |       round(CAST(${len("t.bigrams")} - ${len("list_distinct(t.bigrams)")} AS DOUBLE)
+       |             / greatest(${len("t.bigrams")}, 1), 6) AS dup_bigram_frac
+       |FROM t LEFT JOIN top USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Mirror of
+    * [[graft.streaming.EventPipelines.typePercentiles]]: continuous
+    * quantiles over exact integer cents (`quantile_cont` and Spark's
+    * exact `percentile` share the linear-interpolation definition). */
+  def eventsPercentiles: String = {
+    val cents = "CAST(round(value * 100.0) AS BIGINT)"
+    def p(q: String) = s"round(quantile_cont($cents, $q), 6)"
+    s"""SELECT event_type, count(*) AS n,
+       |       ${p("0.5")} AS p50, ${p("0.9")} AS p90, ${p("0.99")} AS p99
+       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+  }
+
   def textFingerprint: String =
     s"SELECT doc_id, ${GraftHash.duckdbSql("text")} AS fp " +
       "FROM documents ORDER BY doc_id"
@@ -446,9 +495,10 @@ object Oracles {
        |SELECT doc_id, CAST($fp AS BIGINT) AS simhash FROM bits ORDER BY doc_id""".stripMargin
   }
 
-  /** MinHash/LSH candidate pairs: 16 hash slots, 4 bands of 4 rows.
-    * Same (a_j, b_j) constants as the Spark side ([[MinHashParams]]). */
-  def dedupMinHashLsh: String = {
+  /** Shared CTE chain ending in `pairs(a, b)` — the MinHash/LSH
+    * candidate pairs: 16 hash slots, 4 bands of 4 rows, same (a_j, b_j)
+    * constants as the Spark side ([[MinHashParams]]). */
+  private def minhashPairCtes: String = {
     val mins = MinHashParams.params.zipWithIndex.map { case ((a, b), j) =>
       s"MIN(($a * h + $b) % ${MinHashParams.P}) AS m$j"
     }.mkString(", ")
@@ -457,17 +507,39 @@ object Oracles {
         .map(r => s"m${bd * MinHashParams.Rows + r}")
       s"SELECT doc_id, $bd AS band, (((((($x0 * 31 + $x1) % ${MinHashParams.P}) * 31 + $x2) % ${MinHashParams.P}) * 31 + $x3) % ${MinHashParams.P}) AS sig FROM mh"
     }.mkString("\nUNION ALL ")
-    s"""WITH sh AS MATERIALIZED (
+    s"""sh AS MATERIALIZED (
        |  SELECT DISTINCT doc_id, sh FROM (
        |    SELECT doc_id, unnest(${TF.sqlShingles("text", 3)}) AS sh FROM documents) t),
        |hh AS MATERIALIZED (SELECT doc_id, ${GraftHash.duckdbSql("sh")} AS h FROM sh),
        |mh AS MATERIALIZED (SELECT doc_id, $mins FROM hh GROUP BY doc_id),
        |bands AS MATERIALIZED ($bandRows),
-       |pairs AS (
+       |pairs AS MATERIALIZED (
        |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-       |  FROM bands x JOIN bands y ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id)
-       |SELECT a, b FROM pairs ORDER BY a, b""".stripMargin
+       |  FROM bands x JOIN bands y ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id)""".stripMargin
   }
+
+  def dedupMinHashLsh: String =
+    s"WITH $minhashPairCtes\nSELECT a, b FROM pairs ORDER BY a, b"
+
+  /** Duplicate-cluster resolution (mirror of
+    * [[graft.operators.ConnectedComponents.clusters]] over the
+    * MinHash/LSH pairs): connected components of the undirected pair
+    * graph via a recursive reachability CTE — every node collects the
+    * labels of everything it can reach, then keeps the minimum. */
+  def dedupClusters: String =
+    s"""WITH RECURSIVE $minhashPairCtes,
+       |e AS MATERIALIZED (
+       |  SELECT a AS x, b AS y FROM pairs
+       |  UNION ALL SELECT b, a FROM pairs),
+       |reach AS (
+       |  SELECT x AS id, x AS comp FROM e
+       |  UNION
+       |  SELECT e.x, r.comp FROM e JOIN reach r ON r.id = e.y),
+       |cc AS MATERIALIZED (
+       |  SELECT id, MIN(comp) AS cluster_id FROM reach GROUP BY id)
+       |SELECT id AS doc_id, cluster_id,
+       |       COUNT(*) OVER (PARTITION BY cluster_id) AS n_members
+       |FROM cc ORDER BY doc_id""".stripMargin
 
   /** Folded MinHash signature per document (mirror of
     * [[graft.functions.MinHashAgg]]): sig = fold(0)((s,m) => (s*31+m)%P)
@@ -607,13 +679,12 @@ object Oracles {
       s"z -> (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE)) * " +
       s"(CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE)))), (acc, v) -> acc + v)"
 
-  /** IVF ANN top-k (mirror of
-    * [[graft.pipelines.Similarity.annTopKIvf]]): seed centroids, one
-    * Lloyd step with 6-decimal rounding, nearest-cell index, nprobe
-    * cell-probe search, exact cosine rerank. */
-  def annTopKIvf(nq: Int = 10, k: Int = 5, nlist: Int = 8,
-      nprobe: Int = 2, dim: Int = 64): String =
-    s"""WITH base AS MATERIALIZED (
+  /** Shared IVF CTE chain ending in `a1(vec_id, embedding, nrm, cid)` —
+    * seed centroids, one Lloyd step with 6-decimal rounding, nearest-
+    * cell index (mirror of the `ivfCentroids` + assignment stages of
+    * [[graft.pipelines.Similarity]]). */
+  private def ivfCtes(nlist: Int, dim: Int): String =
+    s"""base AS MATERIALIZED (
        |  SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM embeddings),
        |seeds AS MATERIALIZED (
        |  SELECT vec_id AS cid, embedding AS cvec FROM base WHERE vec_id < $nlist),
@@ -633,7 +704,14 @@ object Oracles {
        |    SELECT b.vec_id, b.embedding, b.nrm, c.cid,
        |           ROW_NUMBER() OVER (PARTITION BY b.vec_id
        |             ORDER BY ${sqDistSql("b.embedding", "c.cvec")}, c.cid) AS rn
-       |    FROM base b CROSS JOIN cent c) WHERE rn = 1),
+       |    FROM base b CROSS JOIN cent c) WHERE rn = 1)""".stripMargin
+
+  /** IVF ANN top-k (mirror of
+    * [[graft.pipelines.Similarity.annTopKIvf]]): [[ivfCtes]] +
+    * nprobe cell-probe search, exact cosine rerank. */
+  def annTopKIvf(nq: Int = 10, k: Int = 5, nlist: Int = 8,
+      nprobe: Int = 2, dim: Int = 64): String =
+    s"""WITH ${ivfCtes(nlist, dim)},
        |probes AS MATERIALIZED (
        |  SELECT query_id, cid FROM (
        |    SELECT b.vec_id AS query_id, c.cid,
@@ -651,6 +729,19 @@ object Oracles {
        |  FROM scored)
        |SELECT query_id, rn, neighbor_id, round(cos, 6) AS cosine FROM r
        |WHERE rn <= $k ORDER BY query_id, rn""".stripMargin
+
+  /** SemDeDup-style semantic near-dup pairs (mirror of
+    * [[graft.pipelines.Similarity.semanticDuplicates]]): IVF cell
+    * assignment ([[ivfCtes]]), exact cosine only inside a cell. */
+  def dedupSemantic(threshold: Double, nlist: Int = 8,
+      dim: Int = 64): String =
+    s"""WITH ${ivfCtes(nlist, dim)},
+       |p AS (
+       |  SELECT x.cid, x.vec_id AS a, y.vec_id AS b,
+       |         ${dotSql("x.embedding", "y.embedding")} / (x.nrm * y.nrm) AS cos
+       |  FROM a1 x JOIN a1 y ON x.cid = y.cid AND x.vec_id < y.vec_id)
+       |SELECT cid, a, b, round(cos, 6) AS cosine FROM p
+       |WHERE cos >= $threshold::DOUBLE ORDER BY a, b""".stripMargin
 
   /** Frame-sampling fingerprints (mirror of
     * [[graft.pipelines.Multimodal.chunkFingerprints]]). */

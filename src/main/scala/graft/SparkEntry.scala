@@ -2,7 +2,7 @@ package graft
 
 import graft.functions.{GraftHash, TextFunctions => TF}
 import graft.operators._
-import graft.pipelines.{Dedup, Multimodal, Similarity}
+import graft.pipelines.{Dedup, Multimodal, Similarity, TextMetrics}
 import graft.streaming.EventPipelines
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -48,6 +48,8 @@ object SparkEntry {
       hitsOut(Hits.run(GraphIO.orderGraph(s, dir)))),
     "hits_weighted" -> ((s, dir) =>
       hitsOut(Hits.runWeighted(GraphIO.orderGraph(s, dir)))),
+    "hits_weighted_alt" -> ((s, dir) =>
+      hitsOut(Hits.runWeighted(GraphIO.orderGraphAltWeights(s, dir)))),
     "hits_teleport" -> ((s, dir) =>
       hitsOut(Hits.runTeleport(GraphIO.orderGraph(s, dir)))),
     "hits_topic" -> ((s, dir) =>
@@ -153,6 +155,10 @@ object SparkEntry {
       GraphIO.documents(s, dir).select(col("doc_id"),
         TF.fingerprint(s, col("text")).as("fp"))
         .orderBy(col("doc_id"))),
+    "text_repetition" -> ((s, dir) =>
+      TextMetrics.repetitionSignals(GraphIO.documents(s, dir))),
+    "events_percentiles" -> ((s, dir) =>
+      EventPipelines.typePercentiles(GraphIO.events(s, dir))),
     "pipeline_clean_corpus" -> ((s, dir) =>
       Dedup.cleanCorpus(s, GraphIO.documents(s, dir))),
     "text_normalize" -> ((s, dir) => {
@@ -173,6 +179,9 @@ object SparkEntry {
         .orderBy(col("doc_id"))),
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhash(s, GraphIO.documents(s, dir))),
+    "dedup_clusters" -> ((s, dir) =>
+      ConnectedComponents.clusters(
+        Dedup.minhashLsh(s, GraphIO.documents(s, dir)))),
     "dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashLsh(s, GraphIO.documents(s, dir))),
     "dedup_minhash_signature" -> ((s, dir) =>
@@ -182,6 +191,8 @@ object SparkEntry {
     "dedup_embedding" -> ((s, dir) =>
       Similarity.nearDuplicates(GraphIO.embeddings(s, dir), 0.3)),
     // ---- similarity search ----
+    "dedup_semantic" -> ((s, dir) =>
+      Similarity.semanticDuplicates(GraphIO.embeddings(s, dir), 0.3)),
     "ann_topk" -> ((s, dir) =>
       Similarity.annTopK(GraphIO.embeddings(s, dir))
         .withColumn("rn", col("rn").cast("long"))),
@@ -202,6 +213,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "hits_base" -> Oracles.hitsBase,
     "hits_weighted" -> Oracles.hitsWeighted,
+    "hits_weighted_alt" -> Oracles.hitsWeightedAlt,
     "hits_teleport" -> Oracles.hitsTeleport(),
     "hits_topic" -> Oracles.hitsTopic(Topic),
     "hits_topic_exclusive" -> Oracles.hitsTopicExclusive(Topic),
@@ -230,6 +242,8 @@ object SparkEntry {
     "events_range_join" -> Oracles.eventsRangeJoin(),
     "events_top_users" -> Oracles.eventsTopUsers,
     "text_stats" -> Oracles.textStats,
+    "text_repetition" -> Oracles.textRepetition,
+    "events_percentiles" -> Oracles.eventsPercentiles,
     "text_fingerprint" -> Oracles.textFingerprint,
     "text_normalize" -> Oracles.textNormalize,
     "pipeline_clean_corpus" -> Oracles.pipelineCleanCorpus(),
@@ -237,10 +251,12 @@ object SparkEntry {
     "dedup_exact_hash" -> Oracles.dedupExactHash,
     "text_langid_ngram" -> Oracles.textLangIdNgram,
     "dedup_simhash" -> Oracles.dedupSimhash,
+    "dedup_clusters" -> Oracles.dedupClusters,
     "dedup_minhash_lsh" -> Oracles.dedupMinHashLsh,
     "dedup_minhash_signature" -> Oracles.dedupMinHashSignature,
     "dedup_ngram_jaccard" -> Oracles.dedupNgramJaccard(),
     "dedup_embedding" -> Oracles.dedupEmbedding(0.3),
+    "dedup_semantic" -> Oracles.dedupSemantic(0.3),
     "ann_topk" -> Oracles.annTopK(),
     "ann_topk_lsh" -> Oracles.annTopKLsh(),
     "ann_topk_ivf" -> Oracles.annTopKIvf(),

@@ -123,24 +123,30 @@ object Similarity {
     * rows); the corpus streams once per stage. At 100 TB the training
     * stage runs on a seeded sample instead of the full corpus — the
     * index/search stages are unchanged. */
-  def annTopKIvf(emb: DataFrame, nq: Int = 10, k: Int = 5,
-      nlist: Int = 8, nprobe: Int = 2): DataFrame = {
-    val corpus = emb.select(col("vec_id"), col("embedding"),
-      norm(col("embedding")).as("nrm"))
+  /** Nearest-`n` centroid assignment: centroids are always broadcast
+    * (`nlist` rows), the vector side streams once; deterministic
+    * (distance, cid) tiebreak. */
+  private def nearestCells(vecs: DataFrame, cents: DataFrame,
+      n: Int): DataFrame = {
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("d"), col("cid"))
+    vecs.crossJoin(broadcast(cents))
+      .withColumn("d", sqDist(col("embedding"), col("cvec")))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= n)
+      .drop("cvec", "d", "rn")
+  }
+
+  /** IVF coarse quantizer: `nlist` seed centroids (the first `nlist`
+    * corpus vectors) refined by one Lloyd step — element-wise cell means
+    * via posexplode + hash agg, re-assembled in dimension order and
+    * rounded to 6 decimals so the trained centroids (a cross-row float
+    * sum) are reproducible across engines. The `corpus` argument must
+    * carry `(vec_id, embedding)`. */
+  private def ivfCentroids(corpus: DataFrame, nlist: Int): DataFrame = {
     val seeds = corpus.filter(col("vec_id") < nlist)
       .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
-    def nearestCells(vecs: DataFrame, cents: DataFrame, n: Int): DataFrame = {
-      val w = Window.partitionBy(col("vec_id"))
-        .orderBy(col("d"), col("cid"))
-      vecs.crossJoin(broadcast(cents))
-        .withColumn("d", sqDist(col("embedding"), col("cvec")))
-        .withColumn("rn", row_number().over(w)).filter(col("rn") <= n)
-        .drop("cvec", "d", "rn")
-    }
     val assign0 = nearestCells(corpus, seeds, 1)
-    // One Lloyd refinement: element-wise cell means via posexplode +
-    // hash agg, re-assembled in dimension order.
-    val cent1 = assign0
+    assign0
       .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "v")))
       .groupBy(col("cid"), col("pos"))
       .agg(avg(col("v").cast("double")).as("m"))
@@ -151,6 +157,13 @@ object Similarity {
       // assignment + Lloyd means over the full corpus) runs once, not
       // once per downstream consumer (index + probes).
       .localCheckpoint(true)
+  }
+
+  def annTopKIvf(emb: DataFrame, nq: Int = 10, k: Int = 5,
+      nlist: Int = 8, nprobe: Int = 2): DataFrame = {
+    val corpus = emb.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("nrm"))
+    val cent1 = ivfCentroids(corpus, nlist)
     val indexed = nearestCells(corpus, cent1, 1)
     val probes = nearestCells(corpus.filter(col("vec_id") < nq), cent1, nprobe)
       .select(col("vec_id").as("query_id"), col("cid"))
@@ -169,6 +182,34 @@ object Similarity {
       .select(col("query_id"), col("rn"), col("neighbor_id"),
         round(col("cos"), 6).as("cosine"))
       .orderBy(col("query_id"), col("rn"))
+  }
+
+  /** SemDeDup-style semantic near-duplicate pairs: cluster the corpus
+    * with the IVF coarse quantizer ([[ivfCentroids]], nearest-cell
+    * assignment), then score exact cosine only for pairs sharing a
+    * cell, keeping pairs at or above `threshold`. This is the
+    * embedding-space analogue of MinHash banding: the quadratic pair
+    * space is cut to Σ|cell|² — with `nlist` scaled ∝ corpus size the
+    * per-cell population (and so the pair work) stays bounded as the
+    * corpus grows, which is exactly how SemDeDup runs over web-scale
+    * corpora (k-means first, pairwise cosine only inside clusters).
+    * Norms are computed once per vector, never per pair. */
+  def semanticDuplicates(emb: DataFrame, threshold: Double,
+      nlist: Int = 8): DataFrame = {
+    val corpus = emb.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("nrm"))
+    val indexed = nearestCells(corpus, ivfCentroids(corpus, nlist), 1)
+    val x = indexed.select(col("cid"), col("vec_id").as("a"),
+      col("embedding").as("va"), col("nrm").as("na"))
+    val y = indexed.select(col("cid").as("cid2"), col("vec_id").as("b"),
+      col("embedding").as("vb"), col("nrm").as("nb"))
+    x.join(y, col("cid") === col("cid2") && col("a") < col("b"))
+      .select(col("cid"), col("a"), col("b"),
+        (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
+      .filter(col("cos") >= lit(threshold))
+      .select(col("cid"), col("a"), col("b"),
+        round(col("cos"), 6).as("cosine"))
+      .orderBy(col("a"), col("b"))
   }
 
   /** Brute-force cosine top-k for the first `nq` query vectors: the

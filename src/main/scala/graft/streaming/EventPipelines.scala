@@ -238,6 +238,23 @@ object EventPipelines {
       .orderBy(col("user_id"), col("event_id"))
   }
 
+  /** Exact continuous percentiles (p50/p90/p99) of event value per
+    * event type. Computed over exact integer cents so both engines
+    * interpolate between identical integers (the only floats in play
+    * are the interpolation weights), then rounded. Spark's exact
+    * `percentile` aggregate is a sort-based ObjectHashAggregate —
+    * per-group state is the group's value multiset, fine for a
+    * bounded-cardinality key like event_type; for high-cardinality
+    * keys at 100 TB the approx_percentile sketch is the drop-in. */
+  def typePercentiles(events: DataFrame): DataFrame = {
+    val cents = round(col("value") * lit(100.0)).cast("long")
+    def p(q: Double) = round(percentile(cents, lit(q)), 6)
+    events.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), p(0.5).as("p50"),
+        p(0.9).as("p90"), p(0.99).as("p99"))
+      .orderBy(col("event_type"))
+  }
+
   /** Streaming exact dedup: drop duplicate (user_id, event_type) pairs
     * within the watermark window — the streaming flavor of exact dedup
     * with bounded state. */

@@ -1,6 +1,6 @@
 package graft
 
-import graft.pipelines.{Dedup, Multimodal, Similarity}
+import graft.pipelines.{Dedup, Multimodal, Similarity, TextMetrics}
 import org.apache.spark.sql.functions._
 
 class PipelinesSpec extends SparkSuite {
@@ -122,6 +122,56 @@ class PipelinesSpec extends SparkSuite {
     assert(got.nonEmpty)
     // each query's neighbors all come from its own cluster's cell
     assert(got.forall { case (q, n) => n % 2 == q % 2 })
+  }
+
+  test("semanticDuplicates pairs near vectors within a cell, skips cross-cell") {
+    import spark.implicits._
+    // two well-separated clusters (+x, +y); near-identical twins inside
+    // each cluster must pair, vectors from different clusters must not —
+    // both by the cell cut AND the cosine threshold.
+    val rnd = new scala.util.Random(5)
+    def jitter(base: Array[Float]): Array[Float] =
+      base.map(v => v + (rnd.nextFloat() - 0.5f) * 0.02f)
+    val xs = (0L until 20L by 2).map(i => (i, jitter(Array(1f, 0f, 0f, 0f))))
+    val ys = (1L until 20L by 2).map(i => (i, jitter(Array(0f, 1f, 0f, 0f))))
+    val emb = (xs ++ ys).toDF("vec_id", "embedding")
+    val got = Similarity.semanticDuplicates(emb, 0.9, nlist = 2).collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    assert(got.nonEmpty)
+    // pairs never straddle the two clusters (even ids +x, odd ids +y)
+    assert(got.forall { case (a, b) => a % 2 == b % 2 })
+    // jittered same-cluster vectors are all >= 0.9 cosine → complete
+    // within-cluster pairing: C(10,2) per cluster
+    assert(got.length == 2 * (10 * 9) / 2)
+  }
+
+  test("repetitionSignals: closed-form ratios, empty doc scores zero") {
+    // "a a a b": 4 tokens, 2 types -> ttr 0.5; top token 'a' x3 -> 0.75;
+    // bigrams [a a, a a, a b]: 3 total, 2 distinct -> dup frac 1/3.
+    val d = docs((1L, "a a a b"), (2L, "w x y z"), (3L, "  "))
+    val got = TextMetrics.repetitionSignals(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(got.toSeq == Seq(
+      (1L, 4L, 0.5, 0.75, 0.333333),
+      (2L, 4L, 1.0, 0.25, 0.0),
+      (3L, 0L, 0.0, 0.0, 0.0)))
+  }
+
+  test("typePercentiles: interpolated quantiles per type") {
+    import spark.implicits._
+    import graft.streaming.EventPipelines
+    // values 1..5 for 'a': p50=3, p90=4.6, p99=4.96 (cents *100)
+    val ev = ((1 to 5).map(i => ("a", i.toDouble)) :+ ("b", 7.0))
+      .zipWithIndex.map { case ((t, v), i) =>
+        (i.toLong, new java.sql.Timestamp(1000L * i), i.toLong, t, v, "{}")
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = EventPipelines.typePercentiles(ev).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(got.toSeq == Seq(
+      ("a", 5L, 300.0, 460.0, 496.0),
+      ("b", 1L, 700.0, 700.0, 700.0)))
   }
 
   test("cleanCorpus gates language/quality and collapses byte variants") {
