@@ -31,4 +31,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // kernel timings swing 2-3x run to run. 48g leaves headroom on the
   // 128 GiB box while staying well under container limits.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // Spark's ContextCleaner frees dead shuffle/checkpoint blocks by
+  // calling System.gc() (spark.cleaner.periodicGC.interval). On a heap
+  // this size an explicit full GC is a 30-40s stop-the-world pause that
+  // lands on whatever query is running; make it a concurrent G1 cycle
+  // instead — same old-gen draining, millisecond pauses.
+  "-XX:+ExplicitGCInvokesConcurrent",
 )

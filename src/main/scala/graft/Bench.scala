@@ -10,6 +10,13 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // Superseded per-iteration localCheckpoint blocks are only freed
+      // once a driver GC lets the ContextCleaner see the dead RDDs; on
+      // a large heap that can take the whole run, the old gen fills
+      // with dead block data and a multi-10s full GC lands on whichever
+      // query is unlucky. A short periodic-GC interval keeps the
+      // cleaner draining incrementally.
+      .config("spark.cleaner.periodicGC.interval", "30s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm the shared input caches (graph derivation + persist) once so
@@ -18,6 +25,7 @@ object Bench {
     val w0 = System.nanoTime()
     try {
       GraphIO.orderGraph(spark, sfDir).edges.count()
+      GraphIO.orderGraphAltWeights(spark, sfDir).edges.count()
       GraphIO.eventGraph(spark, sfDir).edges.count()
       // One throwaway kernel iteration: JIT + whole-stage-codegen
       // compilation of the join/agg/checkpoint paths is a one-time JVM

@@ -1,0 +1,26 @@
+package graft
+import org.apache.spark.sql.SparkSession
+
+/** Single-query profiling harness: times each named query twice (cold
+  * including JIT/codegen, then warm) in isolation from the full bench —
+  * the tool that separates "this operator is slow" from "this operator
+  * ate a GC pause that belongs to the whole run". */
+object BenchOne {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    args.foreach { name =>
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, sfDir).count()
+      println(f"[benchone] $name first ${(System.nanoTime()-t0)/1e9}%.2f s")
+      val t1 = System.nanoTime()
+      SparkEntry.queries(name)(spark, sfDir).count()
+      println(f"[benchone] $name second ${(System.nanoTime()-t1)/1e9}%.2f s")
+    }
+    spark.stop()
+  }
+}

@@ -526,8 +526,11 @@ object Oracles {
     * MinHash/LSH pairs): connected components of the undirected pair
     * graph via a recursive reachability CTE — every node collects the
     * labels of everything it can reach, then keeps the minimum. */
-  def dedupClusters: String =
-    s"""WITH RECURSIVE $minhashPairCtes,
+  /** Shared recursive-CC CTE chain ending in `cc(id, cluster_id)` over
+    * the MinHash/LSH pairs: every node collects the labels of
+    * everything it can reach, then keeps the minimum. */
+  private def ccCtes: String =
+    s"""$minhashPairCtes,
        |e AS MATERIALIZED (
        |  SELECT a AS x, b AS y FROM pairs
        |  UNION ALL SELECT b, a FROM pairs),
@@ -536,10 +539,27 @@ object Oracles {
        |  UNION
        |  SELECT e.x, r.comp FROM e JOIN reach r ON r.id = e.y),
        |cc AS MATERIALIZED (
-       |  SELECT id, MIN(comp) AS cluster_id FROM reach GROUP BY id)
+       |  SELECT id, MIN(comp) AS cluster_id FROM reach GROUP BY id)""".stripMargin
+
+  def dedupClusters: String =
+    s"""WITH RECURSIVE $ccCtes
        |SELECT id AS doc_id, cluster_id,
        |       COUNT(*) OVER (PARTITION BY cluster_id) AS n_members
        |FROM cc ORDER BY doc_id""".stripMargin
+
+  /** Mirror of [[graft.pipelines.Dedup.nearDedupCorpus]]: the kept
+    * corpus after cluster-level near-dedup — canonical (minimum-id)
+    * member of each cluster plus all unpaired documents. */
+  def pipelineNearDedup: String =
+    s"""WITH RECURSIVE $ccCtes,
+       |sizes AS MATERIALIZED (
+       |  SELECT cluster_id, COUNT(*) AS n FROM cc GROUP BY cluster_id)
+       |SELECT d.doc_id, coalesce(s.n - 1, 0) AS n_dups_removed
+       |FROM documents d
+       |LEFT JOIN cc ON cc.id = d.doc_id
+       |LEFT JOIN sizes s ON s.cluster_id = d.doc_id
+       |WHERE cc.id IS NULL OR cc.cluster_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
 
   /** Folded MinHash signature per document (mirror of
     * [[graft.functions.MinHashAgg]]): sig = fold(0)((s,m) => (s*31+m)%P)

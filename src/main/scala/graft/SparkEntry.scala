@@ -182,6 +182,8 @@ object SparkEntry {
     "dedup_clusters" -> ((s, dir) =>
       ConnectedComponents.clusters(
         Dedup.minhashLsh(s, GraphIO.documents(s, dir)))),
+    "pipeline_near_dedup" -> ((s, dir) =>
+      Dedup.nearDedupCorpus(s, GraphIO.documents(s, dir))),
     "dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashLsh(s, GraphIO.documents(s, dir))),
     "dedup_minhash_signature" -> ((s, dir) =>
@@ -252,6 +254,7 @@ object SparkEntry {
     "text_langid_ngram" -> Oracles.textLangIdNgram,
     "dedup_simhash" -> Oracles.dedupSimhash,
     "dedup_clusters" -> Oracles.dedupClusters,
+    "pipeline_near_dedup" -> Oracles.pipelineNearDedup,
     "dedup_minhash_lsh" -> Oracles.dedupMinHashLsh,
     "dedup_minhash_signature" -> Oracles.dedupMinHashSignature,
     "dedup_ngram_jaccard" -> Oracles.dedupNgramJaccard(),

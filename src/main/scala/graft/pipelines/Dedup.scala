@@ -65,6 +65,31 @@ object Dedup {
       .orderBy(col("keep_id"))
   }
 
+  /** Near-duplicate corpus dedup end to end: MinHash-LSH candidate
+    * pairs ([[minhashLsh]]) → duplicate clusters
+    * ([[graft.operators.ConnectedComponents]]) → keep one canonical
+    * (minimum-id) document per cluster plus every unpaired document.
+    * Returns `(doc_id, n_dups_removed)` for the kept set — the
+    * survivor list a training pipeline feeds to tokenization.
+    *
+    * Scale shape: pairs are banded (never quadratic), components run
+    * join+agg rounds bounded by cluster diameter (shallow for dedup
+    * graphs), and the final keep step is one left-anti join of the
+    * corpus against the clustered-id set — each stage is an equi-join
+    * or hash agg on a fixed-width key. */
+  def nearDedupCorpus(spark: SparkSession, docs: DataFrame): DataFrame = {
+    val comp = graft.operators.ConnectedComponents
+      .run(minhashLsh(spark, docs))
+    val sizes = comp.groupBy(col("comp")).agg(count(lit(1)).as("n"))
+    val canon = comp.join(sizes, Seq("comp"))
+      .filter(col("id") === col("comp"))
+      .select(col("id").as("doc_id"), (col("n") - 1).as("n_dups_removed"))
+    docs.join(comp.select(col("id").as("doc_id")), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), lit(0L).as("n_dups_removed"))
+      .unionAll(canon)
+      .orderBy(col("doc_id"))
+  }
+
   /** 16-bit SimHash over whitespace tokens (with multiplicity): bit b of
     * the fingerprint is the sign of Σ_tokens (2·bit_b(hash(t)) − 1).
     * Exact integer arithmetic end-to-end. */

@@ -145,6 +145,40 @@ class PipelinesSpec extends SparkSuite {
     assert(got.length == 2 * (10 * 9) / 2)
   }
 
+  test("plan audit: dedup pair generation and semantic dedup never go cartesian") {
+    import spark.implicits._
+    val d = docs((1L, "a b c d e"), (2L, "a b c d e"), (3L, "f g h i j"))
+    val emb = Seq((0L, Array(1f, 0f)), (1L, Array(0f, 1f)), (2L, Array(1f, 0.1f)))
+      .toDF("vec_id", "embedding")
+    // LSH pairs + near-dedup: every join is an equi-join on a band/cid
+    // bucket key — a cartesian/BNLJ here would be the O(n²) plan the
+    // banding exists to avoid.
+    for (df <- Seq(Dedup.minhashLsh(spark, d), Dedup.nearDedupCorpus(spark, d))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), plan)
+      assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    }
+    // Semantic dedup: the ONLY non-equi join allowed is the bounded
+    // nearest-cell crossJoin against the broadcast nlist-row centroid
+    // table; the pair-scoring join must be an equi-join on cid.
+    val sem = Similarity.semanticDuplicates(emb, 0.5, nlist = 2)
+    val planStr = sem.queryExecution.executedPlan.toString
+    assert(!planStr.contains("CartesianProduct"), planStr)
+    // the pair-scoring join is a hash equi-join keyed on the cell id
+    assert(planStr.contains("HashJoin [cid"), planStr)
+  }
+
+  test("nearDedupCorpus keeps the min id per cluster and all unpaired docs") {
+    val text = "one two three four five six seven eight nine ten"
+    val d = docs((1L, text), (2L, text), (5L, text),
+      (3L, "a completely different set of words to stand alone here"),
+      (4L, "yet another unrelated document body with its own phrasing"))
+    val got = Dedup.nearDedupCorpus(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // {1,2,5} cluster -> keep 1 with 2 removed; 3 and 4 unpaired
+    assert(got.toSeq == Seq((1L, 2L), (3L, 0L), (4L, 0L)))
+  }
+
   test("repetitionSignals: closed-form ratios, empty doc scores zero") {
     // "a a a b": 4 tokens, 2 types -> ttr 0.5; top token 'a' x3 -> 0.75;
     // bigrams [a a, a a, a b]: 3 total, 2 distinct -> dup frac 1/3.
