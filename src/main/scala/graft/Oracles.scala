@@ -763,6 +763,123 @@ object Oracles {
        |SELECT cid, a, b, round(cos, 6) AS cosine FROM p
        |WHERE cos >= $threshold::DOUBLE ORDER BY a, b""".stripMargin
 
+  /** Mirror of [[graft.pipelines.TextMetrics.tfidf]]: term frequency,
+    * document frequency, `tf * ln(N/df)` rounded to 6 decimals. */
+  def textTfidf: String = {
+    val toks = TF.sqlTokens("text")
+    s"""WITH tf AS MATERIALIZED (
+       |  SELECT doc_id, term, count(*) AS tf FROM (
+       |    SELECT doc_id, unnest($toks) AS term FROM documents) u
+       |  GROUP BY doc_id, term),
+       |dfx AS MATERIALIZED (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       |n AS (SELECT count(*) AS n_docs FROM documents)
+       |SELECT doc_id, term, tf, df,
+       |       round(CAST(tf AS DOUBLE) * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)), 6) AS tfidf
+       |FROM tf JOIN dfx USING (term) CROSS JOIN n
+       |ORDER BY doc_id, term""".stripMargin
+  }
+
+  /** Mirror of [[graft.pipelines.TextMetrics.mixtureReport]]: per
+    * (source, lang) counts, token totals, and the integer-micro-unit
+    * quality mean (exact cross-row sum, then one division). */
+  def corpusMixture: String = {
+    val q = TF.sqlQualityScore("text")
+    s"""SELECT source, lang, count(*) AS n_docs,
+       |       CAST(sum(${TF.sqlTokenCount("text")}) AS BIGINT) AS n_tokens,
+       |       round(CAST(sum(CAST(round($q * 1000000.0) AS BIGINT)) AS DOUBLE)
+       |             / 1000000.0 / count(*), 6) AS mean_quality
+       |FROM documents GROUP BY source, lang ORDER BY source, lang""".stripMargin
+  }
+
+  /** Mirror of [[graft.pipelines.Dedup.benchmarkContamination]] with
+    * the gate split `doc_id % 10 = 7` as the benchmark set: per corpus
+    * doc, the fraction of its hashed word-n-gram shingles present in
+    * the benchmark shingle set. */
+  def decontaminate(n: Int = 3, threshold: Double = 0.2): String = {
+    def shingleSet(pred: String) =
+      s"SELECT DISTINCT doc_id, ${GraftHash.duckdbSql("s")} AS h FROM (" +
+        s"SELECT doc_id, unnest(${TF.sqlShingles("text", n)}) AS s " +
+        s"FROM documents WHERE $pred) t"
+    s"""WITH cs AS MATERIALIZED (${shingleSet("doc_id % 10 <> 7")}),
+       |bs AS MATERIALIZED (
+       |  SELECT DISTINCT h FROM (${shingleSet("doc_id % 10 = 7")}) bb),
+       |m AS (
+       |  SELECT cs.doc_id, count(*) AS n_grams, count(bs.h) AS n_hits
+       |  FROM cs LEFT JOIN bs ON cs.h = bs.h
+       |  GROUP BY cs.doc_id)
+       |SELECT doc_id, n_grams, n_hits,
+       |       round(CAST(n_hits AS DOUBLE) / CAST(n_grams AS DOUBLE), 6) AS overlap_frac,
+       |       (CAST(n_hits AS DOUBLE) / CAST(n_grams AS DOUBLE)) >= $threshold::DOUBLE AS contaminated
+       |FROM m ORDER BY doc_id""".stripMargin
+  }
+
+  /** Mirror of [[graft.pipelines.Sampling.quotaPerGroup]] over
+    * (documents.source, doc_id): exactly `n` docs per source in
+    * deterministic hash order. */
+  def sampleQuota(n: Int = 25): String =
+    s"""SELECT source, doc_id, rn FROM (
+       |  SELECT source, doc_id,
+       |         ROW_NUMBER() OVER (PARTITION BY source
+       |           ORDER BY ${GraftHash.duckdbSql("CAST(doc_id AS VARCHAR)")}, doc_id) AS rn
+       |  FROM documents) t
+       |WHERE rn <= $n ORDER BY source, rn""".stripMargin
+
+  private def maxAbsSql(x: String): String =
+    s"list_reduce(list_prepend(0.0::DOUBLE, list_transform($x, " +
+      s"v -> abs(CAST(v AS DOUBLE)))), (a, v) -> greatest(a, v))"
+
+  /** Shared CTE chain `base` (embeddings + exact norm) → `qz`
+    * (max-abs int8 quantization, mirror of
+    * [[graft.pipelines.Similarity.quantizeQ8]]). */
+  private def quantizeCtes: String =
+    s"""base AS MATERIALIZED (
+       |  SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM embeddings),
+       |m0 AS MATERIALIZED (
+       |  SELECT vec_id, embedding, nrm, ${maxAbsSql("embedding")} AS ma FROM base),
+       |qz AS MATERIALIZED (
+       |  SELECT vec_id, embedding, nrm, ma,
+       |         CASE WHEN ma = 0 THEN list_transform(embedding, v -> 0::BIGINT)
+       |              ELSE list_transform(embedding,
+       |                v -> CAST(round(CAST(v AS DOUBLE) * 127.0 / ma) AS BIGINT)) END AS q
+       |  FROM m0)""".stripMargin
+
+  /** Mirror of [[graft.pipelines.Similarity.quantizeQ8]]. */
+  def embedQuantize: String =
+    s"""WITH $quantizeCtes
+       |SELECT vec_id, ma, q FROM qz ORDER BY vec_id""".stripMargin
+
+  /** Mirror of [[graft.pipelines.Similarity.annTopKQ8]]: quantized
+    * integer-dot prefilter (`cand` overfetch), exact cosine rerank. */
+  def annTopKQ8(nq: Int = 10, k: Int = 5, cand: Int = 20): String = {
+    val intdot = "list_reduce(list_prepend(0::BIGINT, " +
+      "list_transform(list_zip(c.q, qq.q), z -> z[1] * z[2])), (a, x) -> a + x)"
+    s"""WITH $quantizeCtes,
+       |qq AS MATERIALIZED (
+       |  SELECT vec_id AS query_id, q, ma, nrm FROM qz WHERE vec_id < $nq),
+       |approx AS (
+       |  SELECT qq.query_id, c.vec_id AS neighbor_id,
+       |         CAST($intdot AS DOUBLE) * c.ma * qq.ma
+       |           / (16129.0::DOUBLE * c.nrm * qq.nrm) AS qcos
+       |  FROM qz c JOIN qq ON c.vec_id <> qq.query_id),
+       |cnd AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |           ROW_NUMBER() OVER (PARTITION BY query_id
+       |             ORDER BY qcos DESC, neighbor_id) AS crn
+       |    FROM approx) WHERE crn <= $cand),
+       |exact AS (
+       |  SELECT cd.query_id, cd.neighbor_id,
+       |         ${dotSql("q.embedding", "e.embedding")} / (q.nrm * e.nrm) AS cos
+       |  FROM cnd cd JOIN base e ON e.vec_id = cd.neighbor_id
+       |              JOIN base q ON q.vec_id = cd.query_id),
+       |r AS (
+       |  SELECT query_id, neighbor_id, cos,
+       |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+       |  FROM exact)
+       |SELECT query_id, rn, neighbor_id, round(cos, 6) AS cosine FROM r
+       |WHERE rn <= $k ORDER BY query_id, rn""".stripMargin
+  }
+
   /** Frame-sampling fingerprints (mirror of
     * [[graft.pipelines.Multimodal.chunkFingerprints]]). */
   def multimodalChunks(frame: Int = 64): String =

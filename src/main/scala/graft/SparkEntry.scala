@@ -2,7 +2,7 @@ package graft
 
 import graft.functions.{GraftHash, TextFunctions => TF}
 import graft.operators._
-import graft.pipelines.{Dedup, Multimodal, Similarity, TextMetrics}
+import graft.pipelines.{Dedup, Multimodal, Sampling, Similarity, TextMetrics}
 import graft.streaming.EventPipelines
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -157,6 +157,18 @@ object SparkEntry {
         .orderBy(col("doc_id"))),
     "text_repetition" -> ((s, dir) =>
       TextMetrics.repetitionSignals(GraphIO.documents(s, dir))),
+    "text_tfidf" -> ((s, dir) =>
+      TextMetrics.tfidf(GraphIO.documents(s, dir))),
+    "corpus_mixture" -> ((s, dir) =>
+      TextMetrics.mixtureReport(GraphIO.documents(s, dir))),
+    "sample_quota" -> ((s, dir) =>
+      Sampling.quotaPerGroup(s, GraphIO.documents(s, dir),
+        "source", "doc_id", 25)),
+    "decontaminate" -> ((s, dir) => {
+      val d = GraphIO.documents(s, dir)
+      Dedup.benchmarkContamination(s,
+        d.filter(col("doc_id") % 10 =!= 7), d.filter(col("doc_id") % 10 === 7))
+    }),
     "events_percentiles" -> ((s, dir) =>
       EventPipelines.typePercentiles(GraphIO.events(s, dir))),
     "pipeline_clean_corpus" -> ((s, dir) =>
@@ -204,6 +216,12 @@ object SparkEntry {
     "ann_topk_ivf" -> ((s, dir) =>
       Similarity.annTopKIvf(GraphIO.embeddings(s, dir))
         .withColumn("rn", col("rn").cast("long"))),
+    "embed_quantize" -> ((s, dir) =>
+      Similarity.quantizeQ8(GraphIO.embeddings(s, dir))
+        .orderBy(col("vec_id"))),
+    "ann_topk_q8" -> ((s, dir) =>
+      Similarity.annTopKQ8(GraphIO.embeddings(s, dir))
+        .withColumn("rn", col("rn").cast("long"))),
     // ---- multimodal plumbing ----
     "multimodal_meta" -> ((s, dir) =>
       Multimodal.metaQuery(s, GraphIO.documents(s, dir))),
@@ -245,6 +263,12 @@ object SparkEntry {
     "events_top_users" -> Oracles.eventsTopUsers,
     "text_stats" -> Oracles.textStats,
     "text_repetition" -> Oracles.textRepetition,
+    "text_tfidf" -> Oracles.textTfidf,
+    "corpus_mixture" -> Oracles.corpusMixture,
+    "sample_quota" -> Oracles.sampleQuota(),
+    "decontaminate" -> Oracles.decontaminate(),
+    "embed_quantize" -> Oracles.embedQuantize,
+    "ann_topk_q8" -> Oracles.annTopKQ8(),
     "events_percentiles" -> Oracles.eventsPercentiles,
     "text_fingerprint" -> Oracles.textFingerprint,
     "text_normalize" -> Oracles.textNormalize,

@@ -161,6 +161,40 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Benchmark decontamination: per corpus document, the fraction of
+    * its word-`n`-gram shingles that also appear anywhere in the
+    * `bench` (evaluation) corpus — the test-set-overlap check a
+    * training pipeline runs before a corpus is allowed near a model.
+    * Returns `(doc_id, n_grams, n_hits, overlap_frac, contaminated)`;
+    * docs with fewer than `n` tokens have no shingles and are not
+    * scored (no row), mirroring the oracle.
+    *
+    * Scale shape: both shingle sets are hashed to int64 before any
+    * shuffle; the benchmark side collapses to a distinct hash set
+    * (typically tiny next to the corpus — broadcastable, and the
+    * left-semi join lets the planner pick broadcast when it fits);
+    * the corpus side is touched once: one left join marks each corpus
+    * shingle as hit/missed, one hash aggregation counts both per doc.
+    * Nothing is ever pairwise in documents. */
+  def benchmarkContamination(spark: SparkSession, corpus: DataFrame,
+      bench: DataFrame, n: Int = 3, threshold: Double = 0.2): DataFrame = {
+    def hashedShingles(docs: DataFrame) = docs
+      .select(col("doc_id"), explode(TF.shingles(col("text"), n)).as("s"))
+      .select(col("doc_id"), GraftHash.graftHash(spark, col("s")).as("h"))
+      .distinct()
+    val cs = hashedShingles(corpus)
+    val bs = hashedShingles(bench).select(col("h")).distinct()
+      .withColumn("hit", lit(1))
+    val counts = cs.join(bs, Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"), count(col("hit")).as("n_hits"))
+    val frac = col("n_hits").cast("double") / col("n_grams").cast("double")
+    counts.select(col("doc_id"), col("n_grams"), col("n_hits"),
+        round(frac, 6).as("overlap_frac"),
+        (frac >= lit(threshold)).as("contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
   /** N-gram Jaccard similarity via shared-shingle candidate generation:
     * only pairs with >= 1 common shingle are scored (the join prunes the
     * quadratic pair space). Integer set sizes -> exact double division.

@@ -1,0 +1,37 @@
+package graft.pipelines
+
+import graft.functions.GraftHash
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic corpus sampling for mixture construction — the step
+  * after [[TextMetrics.mixtureReport]] decides per-source quotas: take
+  * exactly `n` documents per group, chosen by a seedless deterministic
+  * hash order so any engine (and the DuckDB oracle) draws the same
+  * sample. The graph-side seeded Bernoulli sample
+  * (`RankOutput.sample`, reference `src/base_hits.py:78-79`) covers
+  * rate-based sampling; this covers exact-count quotas.
+  */
+object Sampling {
+
+  /** Exactly `n` docs per `group` column value, ordered by
+    * `graft_hash(id)` with an id tiebreak (hash collisions cannot make
+    * the draw ambiguous). Returns `(group, rn, id)`.
+    *
+    * Scale shape: one shuffle keyed by the group column; within a
+    * partition the sort is by (hash, id). Group count is small (it is
+    * a mixture dimension), so per-group data can be large — rank is
+    * computed by a window but never materializes more than `n` rows
+    * per group downstream, and a skewed group is one sort partition,
+    * the same cost profile as any per-group top-k. */
+  def quotaPerGroup(spark: SparkSession, df: DataFrame, group: String,
+      id: String, n: Int): DataFrame = {
+    val w = Window.partitionBy(col(group))
+      .orderBy(GraftHash.graftHash(spark, col(id).cast("string")), col(id))
+    df.select(col(group), col(id))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= n)
+      .orderBy(col(group), col("rn"))
+  }
+}

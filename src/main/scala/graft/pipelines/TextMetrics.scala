@@ -54,4 +54,49 @@ object TextMetrics {
           .as("dup_bigram_frac"))
       .orderBy(col("doc_id"))
   }
+
+  /** Per-(document, term) TF-IDF weights over whitespace tokens —
+    * the weighting the reference's second weighted-HITS run consumes
+    * (`/root/reference/src/weighted_hits.py:30-31` takes a tf-idf
+    * weight column produced upstream); here the computation itself is
+    * an engine operator: `tfidf = tf * ln(N / df)`.
+    *
+    * Scale shape: two hash aggregations (term frequency keyed by
+    * (doc_id, term), document frequency keyed by term) and one
+    * equi-join on term — partial map-side combine applies to both
+    * aggs, and the corpus count N rides along as a broadcast 1-row
+    * cross join (no driver collect). Stop-word terms make the df side
+    * skewed but never quadratic (one row per term), and AQE splits
+    * any hot term partition in the join. */
+  def tfidf(docs: DataFrame): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), explode(TF.tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    tf.join(dft, Seq("term"))
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        round(col("tf").cast("double") *
+          log(col("n_docs").cast("double") / col("df").cast("double")), 6)
+          .as("tfidf"))
+      .orderBy(col("doc_id"), col("term"))
+  }
+
+  /** Corpus mixture report: per (source, lang) document counts, token
+    * totals and mean quality — the summary a training-data pipeline
+    * uses to rebalance its source mixture before sampling
+    * ([[Sampling.quotaPerGroup]] consumes the quotas this informs).
+    * One hash aggregation over scan-local projections. The quality
+    * mean is accumulated in integer micro-units so the cross-row sum
+    * is exact — a float sum's value would depend on partition order
+    * and could not hash-match any oracle. */
+  def mixtureReport(docs: DataFrame): DataFrame =
+    docs.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TF.tokenCount(col("text")).cast("long")).as("n_tokens"),
+        round(sum(round(TF.qualityScore(col("text")) * lit(1e6))
+            .cast("long")).cast("double") / lit(1e6) /
+          count(lit(1)).cast("double"), 6).as("mean_quality"))
+      .orderBy(col("source"), col("lang"))
 }

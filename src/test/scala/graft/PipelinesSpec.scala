@@ -241,6 +241,84 @@ class PipelinesSpec extends SparkSuite {
     assert(new String(out.payload, "UTF-8") == "adgj")
   }
 
+  test("tfidf: corpus-wide terms weigh zero, rare terms weigh tf*ln(N/df)") {
+    val d = docs((1L, "apple apple banana"), (2L, "apple cherry"),
+      (3L, "apple dates"))
+    val got = TextMetrics.tfidf(d).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(4)).toMap
+    // 'apple' appears in all 3 docs -> idf = ln(1) = 0
+    assert(got((1L, "apple")) == 0.0 && got((2L, "apple")) == 0.0)
+    // 'banana' tf=1 df=1 -> ln(3)
+    assert(math.abs(got((1L, "banana")) - math.log(3.0)) < 1e-6)
+    // 'apple' tf=2 in doc 1 still 0; df column sanity via schema
+    assert(TextMetrics.tfidf(d).columns.toSeq ==
+      Seq("doc_id", "term", "tf", "df", "tfidf"))
+  }
+
+  test("mixtureReport aggregates per (source, lang) with exact micro-mean") {
+    import spark.implicits._
+    val d = Seq((1L, "good text here", "web", "en"),
+      (2L, "more good text", "web", "en"),
+      (3L, "otra cosa", "books", "es"))
+      .toDF("doc_id", "text", "source", "lang")
+    val got = TextMetrics.mixtureReport(d).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(got(("web", "en")) == ((2L, 6L)))
+    assert(got(("books", "es")) == ((1L, 2L)))
+  }
+
+  test("quotaPerGroup draws exactly n per group, deterministically") {
+    import spark.implicits._
+    val d = (1L to 30L).map(i =>
+      (i, if (i % 2 == 0) "even" else "odd")).toDF("doc_id", "source")
+    val s1 = graft.pipelines.Sampling
+      .quotaPerGroup(spark, d, "source", "doc_id", 4).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(s1.count(_._1 == "even") == 4 && s1.count(_._1 == "odd") == 4)
+    assert(s1.filter(_._1 == "even").map(_._3).sorted.toSeq == Seq(1L, 2L, 3L, 4L))
+    // deterministic: a second draw is identical
+    val s2 = graft.pipelines.Sampling
+      .quotaPerGroup(spark, d, "source", "doc_id", 4).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(s1.toSeq == s2.toSeq)
+  }
+
+  test("benchmarkContamination flags docs whose shingles appear in the bench set") {
+    val corpus = docs((1L, "alpha beta gamma delta epsilon"),
+      (2L, "totally unrelated fresh words here"))
+    val bench = docs((100L, "alpha beta gamma delta epsilon zeta"))
+    val got = Dedup.benchmarkContamination(spark, corpus, bench, n = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(4))).toMap
+    // doc 1: all 3 of its 3-gram shingles appear in the bench doc
+    assert(got(1L) == ((3L, 3L, true)))
+    assert(got(2L) == ((3L, 0L, false)))
+  }
+
+  test("quantizeQ8: max-abs scaling, half-up rounding, zero-vector guard") {
+    import spark.implicits._
+    val emb = Seq((0L, Array(1.0f, -0.5f, 0.25f)),
+      (1L, Array(0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val got = Similarity.quantizeQ8(emb).orderBy(col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getSeq[Long](2)))
+    assert(got(0)._2 == 1.0)
+    assert(got(0)._3 == Seq(127L, -64L, 32L)) // round(-63.5) away from 0
+    assert(got(1)._2 == 0.0 && got(1)._3 == Seq(0L, 0L, 0L))
+  }
+
+  test("annTopKQ8 with full-corpus overfetch matches exact brute force") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val emb = (0L until 40L).map(i =>
+      (i, Array.fill(8)(rnd.nextFloat() - 0.5f))).toDF("vec_id", "embedding")
+    val q8 = Similarity.annTopKQ8(emb, nq = 4, k = 3, cand = 40)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val bf = Similarity.annTopK(emb, nq = 4, k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(q8.toSeq == bf.toSeq)
+  }
+
   test("multimodal feature extraction: histogram + byte stats via mapPartitions") {
     val d = docs((1L, "abc"), (2L, ""))
     val feats = Multimodal.extractFeatures(spark, Multimodal.withPayload(d))
