@@ -27,14 +27,22 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   // local[32] runs everything (driver + 32 task threads + persisted
-  // graph caches) in one JVM: an 8g heap GC-thrashes at sf0.1 and makes
-  // kernel timings swing 2-3x run to run. 48g leaves headroom on the
-  // 128 GiB box while staying well under container limits.
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
-  // Spark's ContextCleaner frees dead shuffle/checkpoint blocks by
-  // calling System.gc() (spark.cleaner.periodicGC.interval). On a heap
-  // this size an explicit full GC is a 30-40s stop-the-world pause that
-  // lands on whatever query is running; make it a concurrent G1 cycle
-  // instead — same old-gen draining, millisecond pauses.
-  "-XX:+ExplicitGCInvokesConcurrent",
+  // graph caches) in one JVM. 16g fits the sf0.1 working set with
+  // headroom; bigger heaps actively hurt: G1 on a 48g heap degraded
+  // the iterative kernels 5-20x over a long run (multi-MB cached /
+  // localCheckpoint blocks become humongous regions; the concurrent
+  // cycles stall allocation while dead blocks pile up).
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // Throughput collector: this is a batch workload with no latency
+  // SLO. Parallel full GCs compact the block churn in ~1s, and the
+  // ContextCleaner's periodic System.gc() (Bench/Verify set
+  // spark.cleaner.periodicGC.interval) reclaims dead shuffle and
+  // checkpoint blocks promptly. Measured on the kernel sequence
+  // hits_base/hits_topic/salsa_iterative: 10-13s per kernel, no
+  // degradation, vs 65-277s under the 48g G1 setup.
+  "-XX:+UseParallelGC",
 )
+// Ad-hoc profiling/tuning knob: extra -D/-XX flags for the forked
+// mains without editing the build (e.g. event-log capture).
+javaOptions ++= sys.env.get("SPARK_EXTRA_JAVA_OPTS")
+  .toSeq.flatMap(_.split("\\s+").filter(_.nonEmpty).toSeq)

@@ -48,6 +48,27 @@ object ScaleBench {
         .withColumn("event_id", col("event_id") + lit(r * Shift))
     }.reduce(_ unionAll _)
       .write.mode("overwrite").parquet(s"$outDir/events.parquet")
+    // documents: shift ids AND salt the text per replica (append a
+    // replica tag token) so shingle/minhash/exact-dedup work genuinely
+    // grows — unsalted replicas would make every replica an exact dup
+    // and collapse the near-dup clusters into reps-sized stars instead
+    // of growing the corpus. Replica 0 keeps the original text so
+    // base-corpus structure survives.
+    val docs = spark.read.parquet(s"$baseDir/documents.parquet")
+    (0 until reps).map { r =>
+      docs.withColumn("doc_id", col("doc_id") + lit(r * Shift))
+        .withColumn("text", if (r == 0) col("text")
+          else concat(col("text"), lit(s" rep$r")))
+    }.reduce(_ unionAll _)
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    // embeddings: shift ids; keep vectors (ANN work scales with corpus
+    // row count; identical vectors across replicas are just near-dups,
+    // which is the realistic hard case for the candidate stages).
+    val emb = spark.read.parquet(s"$baseDir/embeddings.parquet")
+    (0 until reps).map { r =>
+      emb.withColumn("vec_id", col("vec_id") + lit(r * Shift))
+    }.reduce(_ unionAll _)
+      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
   }
 
   private val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
@@ -64,7 +85,24 @@ object ScaleBench {
     "hits_query_dependent" -> ((s, dir) =>
       Hits.runQueryDependent(GraphIO.orderGraph(s, dir), "part").auths),
     "evt_hits_base" -> ((s, dir) =>
-      Hits.run(GraphIO.eventGraph(s, dir)).auths))
+      Hits.run(GraphIO.eventGraph(s, dir)).auths),
+    // training-data pipeline ops: the candidate-generation stages are
+    // the scale risks (banding / bucketing must keep pairs near-linear)
+    "dedup_minhash_lsh" -> ((s, dir) =>
+      pipelines.Dedup.minhashLsh(s, GraphIO.documents(s, dir))),
+    "pipeline_near_dedup" -> ((s, dir) =>
+      pipelines.Dedup.nearDedupCorpus(s, GraphIO.documents(s, dir))),
+    "text_tfidf" -> ((s, dir) =>
+      pipelines.TextMetrics.tfidf(GraphIO.documents(s, dir))),
+    "decontaminate" -> ((s, dir) => {
+      val d = GraphIO.documents(s, dir)
+      pipelines.Dedup.benchmarkContamination(s,
+        d.filter(col("doc_id") % 10 =!= 7), d.filter(col("doc_id") % 10 === 7))
+    }),
+    "ann_topk_lsh" -> ((s, dir) =>
+      pipelines.Similarity.annTopKLsh(GraphIO.embeddings(s, dir))),
+    "ann_topk_q8" -> ((s, dir) =>
+      pipelines.Similarity.annTopKQ8(GraphIO.embeddings(s, dir))))
 
   def main(args: Array[String]): Unit = {
     val baseDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
