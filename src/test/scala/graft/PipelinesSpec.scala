@@ -168,6 +168,30 @@ class PipelinesSpec extends SparkSuite {
     assert(planStr.contains("HashJoin [cid"), planStr)
   }
 
+  test("plan audit: decontaminate/tfidf/q8-ANN never go cartesian; rerank joins are hash equi-joins") {
+    import spark.implicits._
+    val d = docs((1L, "a b c d e"), (7L, "a b c d e"), (2L, "f g h i j"))
+    val dec = Dedup.benchmarkContamination(spark,
+      d.filter(col("doc_id") % 10 =!= 7), d.filter(col("doc_id") % 10 === 7))
+    val p1 = dec.queryExecution.executedPlan.toString
+    assert(!p1.contains("CartesianProduct") &&
+      !p1.contains("BroadcastNestedLoopJoin"), p1)
+    // tfidf: the only permitted non-equi join is the 1-row corpus-count
+    // broadcast; the tf x df join must stay an equi-join on term.
+    val p2 = TextMetrics.tfidf(d).queryExecution.executedPlan.toString
+    assert(!p2.contains("CartesianProduct"), p2)
+    assert(p2.contains("HashJoin [term"), p2)
+    // q8 ANN: candidate scan broadcasts only the <=nq-row query side;
+    // the exact-rerank joins are hash equi-joins on the candidate keys.
+    val emb = (0L until 20L).map(i =>
+      (i, Array.fill(4)((i % 5).toFloat + 1f))).toDF("vec_id", "embedding")
+    val p3 = Similarity.annTopKQ8(emb, nq = 2, k = 2, cand = 5)
+      .queryExecution.executedPlan.toString
+    assert(!p3.contains("CartesianProduct"), p3)
+    assert(p3.contains("HashJoin [neighbor_id") ||
+      p3.contains("HashJoin [vec_id"), p3)
+  }
+
   test("nearDedupCorpus keeps the min id per cluster and all unpaired docs") {
     val text = "one two three four five six seven eight nine ten"
     val d = docs((1L, text), (2L, text), (5L, text),
