@@ -27,11 +27,18 @@ object Bench {
       GraphIO.orderGraph(spark, sfDir).edges.count()
       GraphIO.orderGraphAltWeights(spark, sfDir).edges.count()
       GraphIO.eventGraph(spark, sfDir).edges.count()
-      // One throwaway kernel iteration: JIT + whole-stage-codegen
-      // compilation of the join/agg/checkpoint paths is a one-time JVM
-      // cost (~10s) that otherwise lands on whichever heavy kernel the
-      // map iterates first, skewing that query's number 1.5-2x.
+      // One throwaway iteration per kernel family: JIT + whole-stage-
+      // codegen compilation of the join/agg/checkpoint paths is a
+      // one-time JVM cost (~10-15s) that otherwise lands on whichever
+      // heavy kernel the map iterates first, skewing that query's
+      // number 1.5-2x. The weighted and SALSA variants generate
+      // different stage classes than base HITS, so each needs its own
+      // warm pass.
       operators.Hits.run(GraphIO.orderGraph(spark, sfDir), numIter = 1)
+        .auths.count()
+      operators.Hits.runWeighted(GraphIO.orderGraph(spark, sfDir), numIter = 1)
+        .auths.count()
+      operators.Salsa.run(GraphIO.orderGraph(spark, sfDir), numIter = 1)
         .auths.count()
     } catch { case e: Throwable =>
       System.err.println(s"[bench] warmup failed: ${e.getMessage}")
