@@ -11,12 +11,12 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       // Superseded per-iteration localCheckpoint blocks are only freed
-      // once a driver GC lets the ContextCleaner see the dead RDDs; on
-      // a large heap that can take the whole run, the old gen fills
-      // with dead block data and a multi-10s full GC lands on whichever
-      // query is unlucky. A short periodic-GC interval keeps the
-      // cleaner draining incrementally.
-      .config("spark.cleaner.periodicGC.interval", "30s")
+      // once a driver GC lets the ContextCleaner see the dead RDDs.
+      // Under ParallelGC each periodic System.gc() is a stop-the-world
+      // full collection — cheap on a 16g heap, but every one is a
+      // chance to land on a query while the host hiccups, so drain at
+      // minutes, not seconds (the heap holds hours of dead-block churn).
+      .config("spark.cleaner.periodicGC.interval", "5min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm the shared input caches (graph derivation + persist) once so

@@ -12,9 +12,9 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // Same rationale as Bench: drain dead localCheckpoint blocks
-      // incrementally instead of letting them pile up until a full GC.
-      .config("spark.cleaner.periodicGC.interval", "30s")
+      // Same rationale as Bench: bounded dead-block cleanup, few
+      // stop-the-world windows.
+      .config("spark.cleaner.periodicGC.interval", "5min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
