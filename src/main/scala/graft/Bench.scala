@@ -3,6 +3,52 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 object Bench {
+
+  /** Which persisted input family a query draws on — used to order the
+    * run so each graph family's persisted blocks can be evicted the
+    * moment its last query finishes, instead of holding all three
+    * graphs (plus a run's worth of residue) for the whole suite. */
+  private[graft] def family(name: String): String =
+    if (name == "hits_weighted_alt") "orderalt"
+    else if (name.startsWith("evt_")) "event"
+    else if (name.startsWith("hits_") || name.startsWith("salsa_") ||
+      Set("pagerank", "topics_list", "graph_degrees", "rank_topk",
+        "sample_hash")(name)) "order"
+    else "flat" // documents/embeddings/events parquet — nothing persisted
+
+  private[graft] val familyOrder = Seq("order", "orderalt", "event", "flat")
+
+  /** Warm a family's shared input cache (graph derivation + persist) and,
+    * for the kernel-heavy order family, JIT/codegen-compile the iterative
+    * join/agg/checkpoint stage classes with one throwaway iteration per
+    * kernel shape — otherwise those one-time JVM costs (~10-15s) land on
+    * whichever heavy kernel runs first, skewing its number 1.5-2x. Each
+    * pass wears its own try/catch so one failure can't silently cancel
+    * the rest of the warmup. */
+  private def warm(fam: String, spark: SparkSession, sfDir: String): Unit = {
+    def pass(label: String)(body: => Unit): Unit =
+      try body catch { case e: Throwable =>
+        System.err.println(s"[bench] warmup $label failed: ${e.getMessage}")
+      }
+    fam match {
+      case "order" =>
+        pass("order-graph")(GraphIO.orderGraph(spark, sfDir).edges.count())
+        pass("hits-base")(operators.Hits
+          .run(GraphIO.orderGraph(spark, sfDir), numIter = 1).auths.count())
+        pass("hits-weighted")(operators.Hits
+          .runWeighted(GraphIO.orderGraph(spark, sfDir), numIter = 1)
+          .auths.count())
+        pass("salsa")(operators.Salsa
+          .run(GraphIO.orderGraph(spark, sfDir), numIter = 1).auths.count())
+      case "orderalt" =>
+        pass("orderalt-graph")(
+          GraphIO.orderGraphAltWeights(spark, sfDir).edges.count())
+      case "event" =>
+        pass("event-graph")(GraphIO.eventGraph(spark, sfDir).edges.count())
+      case _ => ()
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -10,49 +56,42 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
-      // Superseded per-iteration localCheckpoint blocks are only freed
-      // once a driver GC lets the ContextCleaner see the dead RDDs.
-      // Under ParallelGC each periodic System.gc() is a stop-the-world
-      // full collection — cheap on a 16g heap, but every one is a
-      // chance to land on a query while the host hiccups, so drain at
-      // minutes, not seconds (the heap holds hours of dead-block churn).
+      // Superseded iteration checkpoints are released eagerly by the
+      // kernels themselves ([[Checkpoints]]), so the periodic-GC drain is
+      // belt-and-braces for anything else the ContextCleaner tracks, not
+      // load-bearing heap hygiene.
       .config("spark.cleaner.periodicGC.interval", "5min")
+      // Headroom so a transient stall (host hiccup, one long GC) degrades
+      // one query's number instead of tripping the in-process executor's
+      // heartbeat kill switch and taking the whole JVM down — the
+      // round-4 failure mode.
+      .config("spark.executor.heartbeatInterval", "60s")
+      .config("spark.network.timeout", "600s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warm the shared input caches (graph derivation + persist) once so
-    // per-query numbers measure the operators, not the first query's
-    // one-time scan; reported separately for transparency.
-    val w0 = System.nanoTime()
-    try {
-      GraphIO.orderGraph(spark, sfDir).edges.count()
-      GraphIO.orderGraphAltWeights(spark, sfDir).edges.count()
-      GraphIO.eventGraph(spark, sfDir).edges.count()
-      // One throwaway iteration per kernel family: JIT + whole-stage-
-      // codegen compilation of the join/agg/checkpoint paths is a
-      // one-time JVM cost (~10-15s) that otherwise lands on whichever
-      // heavy kernel the map iterates first, skewing that query's
-      // number 1.5-2x. The weighted and SALSA variants generate
-      // different stage classes than base HITS, so each needs its own
-      // warm pass.
-      operators.Hits.run(GraphIO.orderGraph(spark, sfDir), numIter = 1)
-        .auths.count()
-      operators.Hits.runWeighted(GraphIO.orderGraph(spark, sfDir), numIter = 1)
-        .auths.count()
-      operators.Salsa.run(GraphIO.orderGraph(spark, sfDir), numIter = 1)
-        .auths.count()
-    } catch { case e: Throwable =>
-      System.err.println(s"[bench] warmup failed: ${e.getMessage}")
-    }
-    val warmup = (System.nanoTime() - w0) / 1e9
+    val byFam = SparkEntry.queries.toSeq.groupBy { case (n, _) => family(n) }
+    var warmup = 0.0
     var failed = List.empty[String]
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).count()
-      catch { case e: Throwable =>
-        failed ::= name
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+    val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    familyOrder.foreach { fam =>
+      val qs = byFam.getOrElse(fam, Nil)
+      if (qs.nonEmpty) {
+        val w0 = System.nanoTime()
+        warm(fam, spark, sfDir)
+        warmup += (System.nanoTime() - w0) / 1e9
+        // Within a family, run in name order (stable across rounds).
+        qs.sortBy(_._1).foreach { case (name, fn) =>
+          val t0 = System.nanoTime()
+          try fn(spark, sfDir).count()
+          catch { case e: Throwable =>
+            failed ::= name
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          }
+          results(name) = (System.nanoTime() - t0) / 1e9
+        }
+        // This family's persisted graph is done — drop its blocks now.
+        if (fam != "flat") GraphIO.evict(spark, sfDir, Seq(fam))
       }
-      name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

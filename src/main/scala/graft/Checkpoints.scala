@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.LogicalRDD
+
+/** Deterministic lifecycle for per-iteration plan checkpoints.
+  *
+  * Every iterative kernel (HITS, SALSA, PageRank, connected components)
+  * truncates its growing logical plan by checkpointing the fresh score
+  * vector each iteration. Spark frees a checkpoint's storage blocks only
+  * when the ContextCleaner notices the dead RDD reference — which
+  * requires a driver GC to run first. Over a long multi-query run
+  * (exactly what a 100 TB pipeline is) the superseded MEMORY_AND_DISK
+  * blocks accumulate between GCs and heap health becomes a GC-timing
+  * lottery; round 4's scoring harness died of it. The fix is
+  * structural, not JVM flags: each loop keeps a handle to the previous
+  * iteration's checkpointed plan and [[release]]s its blocks as soon as
+  * the next one is materialized, so the live block set per kernel stays
+  * O(2·|V|) regardless of run length.
+  *
+  * [[materialize]] also carries the fault-tolerance knob for real
+  * clusters: `localCheckpoint` stores blocks on the executors and is NOT
+  * executor-loss-safe — on a 1000-executor cluster one lost executor
+  * kills a 16-iteration run. Setting `spark.graft.checkpoint.reliable=
+  * true` (with `spark.graft.checkpoint.dir` pointing at shared storage,
+  * e.g. HDFS) switches every kernel loop to reliable `checkpoint`, which
+  * survives executor loss at the cost of writing each iteration's
+  * |V|-sized vector to the checkpoint dir (and recomputing it once for
+  * the write — the standard reliable-checkpoint trade).
+  */
+object Checkpoints {
+
+  /** Conf key: "true" switches kernel loops to reliable checkpoints. */
+  val ReliableKey = "spark.graft.checkpoint.reliable"
+  /** Conf key: checkpoint directory for the reliable mode (shared
+    * storage on a real cluster). */
+  val DirKey = "spark.graft.checkpoint.dir"
+
+  /** Eagerly materialize `df` with truncated lineage: `localCheckpoint`
+    * by default, reliable `checkpoint` when [[ReliableKey]] is set. */
+  def materialize(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    if (spark.conf.get(ReliableKey, "false").toBoolean) {
+      if (spark.sparkContext.getCheckpointDir.isEmpty)
+        spark.sparkContext.setCheckpointDir(spark.conf.get(DirKey,
+          sys.props("java.io.tmpdir") + "/graft-checkpoints"))
+      df.checkpoint(eager = true)
+    } else df.localCheckpoint(eager = true)
+  }
+
+  /** Eagerly release the storage blocks behind a [[materialize]]d (or
+    * `localCheckpoint`ed) DataFrame. Callers guarantee the plan is never
+    * consumed again — its lineage is truncated, so the data is
+    * unrecoverable after this. No-op for non-checkpoint plans and for
+    * reliable checkpoints (whose data lives in files, not blocks;
+    * `spark.cleaner.referenceTracking.cleanCheckpoints` reclaims those). */
+  def release(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: LogicalRDD => lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+}

@@ -132,12 +132,16 @@ object GraphIO {
   }
 
   /** Releases the persisted blocks of the graphs cached for `sfDir` in
-    * this session and drops their cache entries. The cache is otherwise
-    * process-lifetime — fine for a batch run, a slow leak in a
-    * long-lived multi-tenant session; callers that cycle through many
-    * datasets evict the ones they are done with. */
-  def evict(spark: SparkSession, sfDir: String): Unit =
-    Seq("order", "orderalt", "event").foreach { kind =>
+    * this session and drops their cache entries — all kinds by default,
+    * or just the named families (`"order"`, `"orderalt"`, `"event"`) so
+    * a long run can drop each graph as soon as its queries are done
+    * instead of holding all three persisted for the whole run. The
+    * cache is otherwise process-lifetime — fine for a batch run, a slow
+    * leak in a long-lived multi-tenant session; callers that cycle
+    * through many datasets evict the ones they are done with. */
+  def evict(spark: SparkSession, sfDir: String,
+      kinds: Seq[String] = Seq("order", "orderalt", "event")): Unit =
+    kinds.foreach { kind =>
       cache.remove(s"$kind:${sessionKey(spark)}:$sfDir").foreach(release)
     }
 

@@ -12,18 +12,28 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // Same rationale as Bench: bounded dead-block cleanup, few
-      // stop-the-world windows.
+      // Same rationale as Bench: the kernels release superseded
+      // checkpoints eagerly; the periodic drain and the timeout headroom
+      // are belt-and-braces so a transient stall degrades one query
+      // instead of killing the JVM.
       .config("spark.cleaner.periodicGC.interval", "5min")
+      .config("spark.executor.heartbeatInterval", "60s")
+      .config("spark.network.timeout", "600s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+    // Family-ordered like Bench: each graph family's persisted blocks are
+    // dropped as soon as its last query is dumped.
+    val byFam = SparkEntry.queries.toSeq.groupBy { case (n, _) => Bench.family(n) }
+    Bench.familyOrder.foreach { fam =>
+      byFam.getOrElse(fam, Nil).sortBy(_._1).foreach { case (name, fn) =>
+        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        catch { case e: Throwable =>
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        }
       }
+      if (fam != "flat") GraphIO.evict(spark, sfDir, Seq(fam))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Checkpoints
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -43,20 +44,22 @@ object ConnectedComponents {
       .unionAll(pairs.select(col(b).as("x"), col(a).as("y")))
       .persist()
     try {
-      var comp = e.groupBy(col("x").as("id"))
+      var comp = Checkpoints.materialize(e.groupBy(col("x").as("id"))
         .agg(min(col("y")).as("nmin"))
-        .select(col("id"), least(col("id"), col("nmin")).as("comp"))
-        .localCheckpoint(true)
+        .select(col("id"), least(col("id"), col("nmin")).as("comp")))
       var prevSum = checksum(comp)
       var converged = false
       while (!converged) {
         val nbrMin = e
           .join(comp.select(col("id").as("y"), col("comp").as("yc")), Seq("y"))
           .groupBy(col("x").as("id")).agg(min(col("yc")).as("nmin"))
-        val next = comp.join(nbrMin, Seq("id"))
-          .select(col("id"), least(col("comp"), col("nmin")).as("comp"))
-          .localCheckpoint(true)
+        val next = Checkpoints.materialize(comp.join(nbrMin, Seq("id"))
+          .select(col("id"), least(col("comp"), col("nmin")).as("comp")))
         val s = checksum(next)
+        // `next` is materialized and checksummed: the previous round's
+        // label checkpoint is unreachable — release eagerly (see
+        // [[graft.Checkpoints]]).
+        Checkpoints.release(comp)
         converged = s == prevSum
         prevSum = s
         comp = next

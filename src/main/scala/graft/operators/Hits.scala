@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.Graph
+import graft.{Checkpoints, Graph}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -104,6 +104,7 @@ object Hits {
       var hubs = init
       var auths = init
       var prev: Option[DataFrame] = None
+      var ck2: DataFrame = null // checkpoint superseded two iterations back
       var it = 0
       var done = false
       while (it < maxIter && !done) {
@@ -118,7 +119,7 @@ object Hits {
         val authsU = eSrc.join(hubsU, eSrc("src") === hubsU("id"))
           .groupBy(eSrc("dst").as("id")).agg(sum(col("score")).as("score"))
         hubs = Normalize.l2(hubsU)
-        val cur = Normalize.l2(authsU).localCheckpoint(true)
+        val cur = Checkpoints.materialize(Normalize.l2(authsU))
         prev.foreach { p =>
           val delta = cur.as("c")
             .join(p.as("p"), col("c.id") === col("p.id"), "full_outer")
@@ -127,13 +128,21 @@ object Hits {
             .agg(max(col("d"))).head.getDouble(0)
           if (delta < tol) done = true
         }
+        // Live references at this point: `cur` (it), `prev` (it-1, still
+        // feeding the pending lazy `hubs` plan). The it-2 checkpoint is
+        // unreachable — release it eagerly.
+        if (ck2 != null) Checkpoints.release(ck2)
+        ck2 = prev.orNull
         prev = Some(cur)
         auths = cur
       }
       // The final hub vector re-derives from the last checkpoint when
       // consumed; materialize it here so callers (and the unpersist
-      // below) cannot race the edge-cache release.
-      (Result(hubs.localCheckpoint(true), auths), it)
+      // below) cannot race the edge-cache release. Once materialized, the
+      // it-1 auth checkpoint it hung off is unreachable too.
+      val h = Checkpoints.materialize(hubs)
+      if (ck2 != null) Checkpoints.release(ck2)
+      (Result(h, auths), it)
     } finally {
       // Restore the planner flag and drop the caches even on failure —
       // the loop runs eager actions, so exceptions mid-loop are real.
@@ -172,6 +181,7 @@ object Hits {
 
   private[graft] def iterate(nodes: DataFrame, edges: DataFrame, numIter: Int,
       weighted: Boolean, post: Post): Result = {
+    require(numIter >= 1, s"numIter must be >= 1, got $numIter")
     val spark = edges.sparkSession
     // The score side of each join is an aggregation output (hash
     // partitioned on id) whose partitioning survives localCheckpoint, so
@@ -192,8 +202,15 @@ object Hits {
     // upstream edge derivation (incl. subgraph semi/anti joins for the
     // exclusive/query-dependent kernels) then runs exactly once
     val eSrc = eDst.repartition(np, col("src")).persist()
-    val n = nodes.count()
-    val init = nodes.select(col("id"), lit(1.0 / math.sqrt(n)).as("score"))
+    // Materialize the node-id set ONCE. For the subgraph kernels (K5/K6)
+    // `nodes` is a semi/anti-join plan over the edge tables that would
+    // otherwise re-execute for the count AND again when iteration 1
+    // consumes `init`; for plain kernels it is a cheap copy of the cached
+    // node table. Released in `finally` — init is consumed only inside
+    // the (eager) iteration-1 checkpoint job.
+    val nodeIds = Checkpoints.materialize(nodes.select(col("id")))
+    val n = nodeIds.count()
+    val init = nodeIds.select(col("id"), lit(1.0 / math.sqrt(n)).as("score"))
 
     def contribution(score: Column): Column =
       if (weighted) col("w") * score else score
@@ -201,6 +218,7 @@ object Hits {
     try {
       var hubs = init
       var auths = init
+      var prevCk: DataFrame = null
       for (i <- 1 to numIter) {
         // Hub: for each a, sum (weighted) authority scores over (a,b) edges.
         // Only the auth vector feeds the next iteration (Gauss-Seidel), so
@@ -212,24 +230,33 @@ object Hits {
             .groupBy(eDst("src").as("id"))
             .agg(sum(contribution(col("score"))).as("score")),
           post)
-        val hubsU = if (i == numIter) hubsRaw.localCheckpoint(true) else hubsRaw
+        val hubsU = if (i == numIter) Checkpoints.materialize(hubsRaw)
+          else hubsRaw
         // Authority: from the NEW, un-normalized hubs (Gauss-Seidel).
-        val authsU = applyPost(
+        val authsU = Checkpoints.materialize(applyPost(
           eSrc.join(hubsU, eSrc("src") === hubsU("id"))
             .groupBy(eSrc("dst").as("id"))
             .agg(sum(contribution(col("score"))).as("score")),
-          post).localCheckpoint(true)
+          post))
+        // The fresh auth checkpoint (and on the final iteration the hub
+        // one) is materialized; the previous iteration's auth blocks are
+        // now unreachable by any live plan — release them eagerly instead
+        // of waiting for a driver GC + ContextCleaner sweep. Live blocks
+        // per kernel stay O(2·|V|) however long the run.
+        if (prevCk != null) Checkpoints.release(prevCk)
+        prevCk = authsU
         hubs = Normalize.l2(hubsU)
         auths = Normalize.l2(authsU)
       }
       Result(hubs, auths)
     } finally {
       // Final results live on the last checkpoints only; the edge caches
-      // can go (non-blocking) without recompute risk. try/finally so an
-      // exception inside the eager loop cannot leak the mutated planner
-      // flag or the persisted edge copies.
+      // and the init node-id checkpoint can go (non-blocking) without
+      // recompute risk. try/finally so an exception inside the eager loop
+      // cannot leak the mutated planner flag or the persisted edge copies.
       eDst.unpersist(false)
       eSrc.unpersist(false)
+      Checkpoints.release(nodeIds)
       spark.conf.set("spark.sql.join.preferSortMergeJoin", prevSmj)
     }
   }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.Graph
+import graft.{Checkpoints, Graph}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -41,14 +41,19 @@ object PageRank {
     val n = g.nodes.count()
     try {
       var p = g.nodes.select(col("id"), lit(1.0 / n).as("score"))
+      var prevCk: DataFrame = null
       for (_ <- 1 to numIter) {
         val contrib = eOut.join(p, eOut("src") === p("id"))
           .groupBy(eOut("dst").as("id"))
           .agg(sum(col("score") / col("out_degree")).as("mass"))
-        p = nodeIds.join(contrib, Seq("id"), "left")
+        p = Checkpoints.materialize(nodeIds.join(contrib, Seq("id"), "left")
           .select(col("id"), (lit((1.0 - damping) / n) +
-            lit(damping) * coalesce(col("mass"), lit(0.0))).as("score"))
-          .localCheckpoint(true)
+            lit(damping) * coalesce(col("mass"), lit(0.0))).as("score")))
+        // Previous iteration's checkpoint is now unreachable — release
+        // its blocks eagerly (see [[graft.Checkpoints]]). The final
+        // checkpoint (the returned vector) is never released here.
+        if (prevCk != null) Checkpoints.release(prevCk)
+        prevCk = p
       }
       p
     } finally {

@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.Graph
+import graft.{Checkpoints, Graph}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -74,9 +74,17 @@ object Salsa {
   }
 
   /** K12 query-dependent SALSA: simplified SALSA on the neighborhood
-    * subgraph (reference `src/query_dependent_salsa.py:36-55`). */
-  def runQueryDependent(g: Graph, topic: String): Result =
-    runSimplified(Subgraph.queryDependent(g, topic).edges)
+    * subgraph (reference `src/query_dependent_salsa.py:36-55`). The
+    * subgraph's semi/anti-join edge derivation is persisted so the two
+    * degree aggregations (out + in) execute it once, not twice; both
+    * score vectors are materialized before the cache drops. */
+  def runQueryDependent(g: Graph, topic: String): Result = {
+    val e = Subgraph.queryDependent(g, topic).edges.persist()
+    try {
+      val r = runSimplified(e)
+      Result(Checkpoints.materialize(r.hubs), Checkpoints.materialize(r.auths))
+    } finally e.unpersist(false)
+  }
 
   // -----------------------------------------------------------------
 
@@ -112,6 +120,7 @@ object Salsa {
     try {
       var hubs = init
       var auths = init
+      var prevCk: DataFrame = null
       for (i <- 1 to numIter) {
         // Hub side checkpointed only on the final iteration — see
         // Hits.iterate: intermediate hubs are consumed solely by the auth
@@ -121,12 +130,17 @@ object Salsa {
             .groupBy(eIn("src").as("id"))
             .agg(sum(col("score") / col("in_degree")).as("score")),
           post)
-        val hubsU = if (i == numIter) hubsRaw.localCheckpoint(true) else hubsRaw
-        val authsU = applyPost(
+        val hubsU = if (i == numIter) Checkpoints.materialize(hubsRaw)
+          else hubsRaw
+        val authsU = Checkpoints.materialize(applyPost(
           eOut.join(hubsU, eOut("src") === hubsU("id"))
             .groupBy(eOut("dst").as("id"))
             .agg(sum(col("score") / col("out_degree")).as("score")),
-          post).localCheckpoint(true)
+          post))
+        // Previous iteration's auth checkpoint is now unreachable —
+        // release its blocks eagerly (see [[graft.Checkpoints]]).
+        if (prevCk != null) Checkpoints.release(prevCk)
+        prevCk = authsU
         hubs = Normalize.l1(hubsU)
         auths = Normalize.l1(authsU)
       }

@@ -17,7 +17,7 @@ object Sampling {
 
   /** Exactly `n` docs per `group` column value, ordered by
     * `graft_hash(id)` with an id tiebreak (hash collisions cannot make
-    * the draw ambiguous). Returns `(group, rn, id)`.
+    * the draw ambiguous). Returns `(group, id, rn)`.
     *
     * Scale shape: one shuffle keyed by the group column; within a
     * partition the sort is by (hash, id). Group count is small (it is

@@ -1,0 +1,99 @@
+package graft
+
+import graft.operators.{ConnectedComponents, Hits, PageRank, Salsa}
+import org.apache.spark.storage.StorageLevel
+
+/** The round-4 harness died because superseded per-iteration checkpoint
+  * blocks were freed only when a driver GC let the ContextCleaner run.
+  * These specs pin the structural fix: after a kernel run, the only
+  * NEW persisted RDDs left behind are the final result checkpoints —
+  * every intermediate iteration's blocks were released eagerly by the
+  * loop itself, with no GC involved.
+  */
+class CheckpointLifecycleSpec extends SparkSuite {
+
+  private def g1 = graph(Seq(
+    ("a", "c", 1.0), ("a", "d", 1.0), ("b", "c", 1.0), ("c", "d", 1.0)))
+
+  /** Persisted-RDD ids added by `body`, after forcing `body`'s results. */
+  private def addedPersistentRdds(body: => Unit): Set[Int] = {
+    val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
+    body
+    spark.sparkContext.getPersistentRDDs.keySet.toSet -- before
+  }
+
+  test("Hits leaves only the two result checkpoints after 8 iterations") {
+    val added = addedPersistentRdds {
+      val r = Hits.run(g1, numIter = 8)
+      assert(scoresMap(r.auths).nonEmpty && scoresMap(r.hubs).nonEmpty)
+    }
+    // 8 iterations make 9 checkpoints (8 auth + 1 final hub) plus the
+    // init node-id checkpoint; all but the final hub+auth pair must have
+    // been released by the loop itself (no GC ran here).
+    assert(added.size <= 2, s"leaked checkpoint RDDs: $added")
+  }
+
+  test("Salsa leaves only the two result checkpoints") {
+    val added = addedPersistentRdds {
+      val r = Salsa.run(g1, numIter = 8)
+      assert(scoresMap(r.auths).nonEmpty && scoresMap(r.hubs).nonEmpty)
+    }
+    assert(added.size <= 2, s"leaked checkpoint RDDs: $added")
+  }
+
+  test("PageRank leaves only the final score checkpoint") {
+    val added = addedPersistentRdds {
+      assert(PageRank.run(g1, numIter = 8).count() > 0)
+    }
+    assert(added.size <= 1, s"leaked checkpoint RDDs: $added")
+  }
+
+  test("runConverged leaves only the two result checkpoints") {
+    val added = addedPersistentRdds {
+      val (r, it) = Hits.runConverged(g1, tol = 1e-9, maxIter = 20)
+      assert(it > 1 && scoresMap(r.auths).nonEmpty)
+    }
+    assert(added.size <= 2, s"leaked checkpoint RDDs: $added")
+  }
+
+  test("ConnectedComponents leaves only the final label checkpoint") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L), (6L, 6L)).toDF("a", "b")
+    val added = addedPersistentRdds {
+      assert(ConnectedComponents.run(pairs).count() == 6)
+    }
+    assert(added.size <= 1, s"leaked checkpoint RDDs: $added")
+  }
+
+  test("released blocks are MEMORY_AND_DISK no more: storage drains") {
+    // Sanity on the release mechanism itself: a released checkpoint's
+    // RDD no longer reports a storage level with storage.
+    val df = g1.edges.localCheckpoint(true)
+    val rdd = df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+      case other => fail(s"expected LogicalRDD, got ${other.getClass}")
+    }
+    assert(rdd.getStorageLevel != StorageLevel.NONE)
+    Checkpoints.release(df)
+    assert(rdd.getStorageLevel == StorageLevel.NONE)
+  }
+
+  test("reliable checkpoint mode produces identical kernel scores") {
+    val local = Hits.run(g1, numIter = 8)
+    val (lh, la) = (scoresMap(local.hubs), scoresMap(local.auths))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-ckpt-spec").toString
+    spark.conf.set(Checkpoints.ReliableKey, "true")
+    spark.conf.set(Checkpoints.DirKey, dir)
+    try {
+      val reliable = Hits.run(g1, numIter = 8)
+      assertApprox(scoresMap(reliable.hubs), lh, 1e-15)
+      assertApprox(scoresMap(reliable.auths), la, 1e-15)
+      val pr = PageRank.run(g1, numIter = 4)
+      assert(pr.count() > 0)
+    } finally {
+      spark.conf.unset(Checkpoints.ReliableKey)
+      spark.conf.unset(Checkpoints.DirKey)
+    }
+  }
+}
