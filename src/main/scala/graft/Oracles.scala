@@ -880,6 +880,56 @@ object Oracles {
        |WHERE rn <= $k ORDER BY query_id, rn""".stripMargin
   }
 
+  /** Mirror of [[graft.pipelines.Similarity.annTopKQ8Ivf]]: IVF
+    * cell-probe candidate generation ([[ivfCtes]]) composed with the
+    * int8-quantized prefilter and the exact cosine rerank. */
+  def annTopKQ8Ivf(nq: Int = 10, k: Int = 5, nlist: Int = 8,
+      nprobe: Int = 2, cand: Int = 20, dim: Int = 64): String = {
+    val intdot = "list_reduce(list_prepend(0::BIGINT, " +
+      "list_transform(list_zip(c.q, qq.q), z -> z[1] * z[2])), (a, x) -> a + x)"
+    s"""WITH ${ivfCtes(nlist, dim)},
+       |m0 AS MATERIALIZED (
+       |  SELECT vec_id, ${maxAbsSql("embedding")} AS ma FROM base),
+       |qz AS MATERIALIZED (
+       |  SELECT a.vec_id, a.cid, a.nrm, m0.ma,
+       |         CASE WHEN m0.ma = 0 THEN list_transform(a.embedding, v -> 0::BIGINT)
+       |              ELSE list_transform(a.embedding,
+       |                v -> CAST(round(CAST(v AS DOUBLE) * 127.0 / m0.ma) AS BIGINT)) END AS q
+       |  FROM a1 a JOIN m0 ON m0.vec_id = a.vec_id),
+       |probes AS MATERIALIZED (
+       |  SELECT query_id, cid FROM (
+       |    SELECT b.vec_id AS query_id, c.cid,
+       |           ROW_NUMBER() OVER (PARTITION BY b.vec_id
+       |             ORDER BY ${sqDistSql("b.embedding", "c.cvec")}, c.cid) AS rn
+       |    FROM base b CROSS JOIN cent c WHERE b.vec_id < $nq) WHERE rn <= $nprobe),
+       |qq AS MATERIALIZED (
+       |  SELECT vec_id AS query_id, q, ma, nrm FROM qz WHERE vec_id < $nq),
+       |approx AS (
+       |  SELECT qq.query_id, c.vec_id AS neighbor_id,
+       |         CAST($intdot AS DOUBLE) * c.ma * qq.ma
+       |           / (16129.0::DOUBLE * c.nrm * qq.nrm) AS qcos
+       |  FROM qz c JOIN probes p ON c.cid = p.cid
+       |            JOIN qq ON qq.query_id = p.query_id
+       |  WHERE c.vec_id <> qq.query_id),
+       |cnd AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |           ROW_NUMBER() OVER (PARTITION BY query_id
+       |             ORDER BY qcos DESC, neighbor_id) AS crn
+       |    FROM approx) WHERE crn <= $cand),
+       |exact AS (
+       |  SELECT cd.query_id, cd.neighbor_id,
+       |         ${dotSql("q.embedding", "e.embedding")} / (q.nrm * e.nrm) AS cos
+       |  FROM cnd cd JOIN base e ON e.vec_id = cd.neighbor_id
+       |              JOIN base q ON q.vec_id = cd.query_id),
+       |r AS (
+       |  SELECT query_id, neighbor_id, cos,
+       |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+       |  FROM exact)
+       |SELECT query_id, rn, neighbor_id, round(cos, 6) AS cosine FROM r
+       |WHERE rn <= $k ORDER BY query_id, rn""".stripMargin
+  }
+
   /** Frame-sampling fingerprints (mirror of
     * [[graft.pipelines.Multimodal.chunkFingerprints]]). */
   def multimodalChunks(frame: Int = 64): String =
@@ -898,6 +948,60 @@ object Oracles {
     s"""SELECT doc_id, strlen(text) AS n_bytes,
        |       ${GraftHash.duckdbSql("text")} AS payload_fp
        |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** UTF-8 byte list of `text` via hex decoding: `instr` over the hex
+    * alphabet maps '0'→0 (not found) … 'F'→15, so each hex-digit pair
+    * reassembles its byte exactly — DuckDB has no direct byte accessor
+    * on BLOBs. CTE ends in `bl(doc_id, n, bs)`. */
+  private def byteListCtes: String =
+    s"""h AS MATERIALIZED (
+       |  SELECT doc_id, hex(encode(text)) AS hx,
+       |         octet_length(encode(text))::BIGINT AS n
+       |  FROM documents),
+       |bl AS MATERIALIZED (
+       |  SELECT doc_id, n, list_transform(range(n), i ->
+       |    instr('123456789ABCDEF', substr(hx, CAST(i*2+1 AS INT), 1)) * 16 +
+       |    instr('123456789ABCDEF', substr(hx, CAST(i*2+2 AS INT), 1))) AS bs
+       |  FROM h)""".stripMargin
+
+  /** Byte-feature projection over a byte list: mean byte value and the
+    * 8-bucket (v div 32) normalized histogram, both 6-decimal rounded —
+    * the exact-integer twin of the identity-codec features in
+    * [[graft.pipelines.Multimodal.extractFeatures]]. */
+  private def byteFeatureSql(bs: String, n: String): String = {
+    val hist = (0 until 8).map { k =>
+      s"CASE WHEN $n = 0 THEN 0.0::DOUBLE ELSE " +
+        s"round(CAST(len(list_filter($bs, v -> v // 32 = $k)) AS DOUBLE) " +
+        s"/ $n, 6) END"
+    }.mkString("[", ",\n         ", "]")
+    s"""$n AS n_bytes,
+       |       CASE WHEN $n = 0 THEN 0.0::DOUBLE ELSE
+       |         round(CAST(list_reduce(list_prepend(0::BIGINT, $bs),
+       |           (a, v) -> a + v) AS DOUBLE) / $n, 6) END AS byte_mean,
+       |       $hist AS hist""".stripMargin
+  }
+
+  /** Mirror of [[graft.pipelines.Multimodal.extractFeatures]] over the
+    * identity-codec payload (UTF-8 bytes of `text`). */
+  def multimodalFeatures: String =
+    s"""WITH $byteListCtes
+       |SELECT doc_id, ${byteFeatureSql("bs", "n")}
+       |FROM bl ORDER BY doc_id""".stripMargin
+
+  /** Mirror of [[graft.pipelines.Multimodal.resizeAll]] (+ feature
+    * extraction on the resized payload): the stub "resize" keeps every
+    * `factor`-th byte, so the resized byte list is a strided 1-based
+    * list-extract over the original. */
+  def multimodalResize(factor: Int = 4): String =
+    s"""WITH $byteListCtes,
+       |rz AS MATERIALIZED (
+       |  SELECT doc_id,
+       |         list_transform(range((n + ${factor - 1}) // $factor),
+       |           i -> bs[CAST(i * $factor + 1 AS INT)]) AS rs,
+       |         (n + ${factor - 1}) // $factor AS rn
+       |  FROM bl)
+       |SELECT doc_id, ${byteFeatureSql("rs", "rn")}
+       |FROM rz ORDER BY doc_id""".stripMargin
 }
 
 /** MinHash constants shared between the Spark pipeline and the oracle. */

@@ -58,6 +58,16 @@ object SparkEntry {
       hitsOut(Hits.runTopicExclusive(GraphIO.orderGraph(s, dir), Topic))),
     "hits_query_dependent" -> ((s, dir) =>
       hitsOut(Hits.runQueryDependent(GraphIO.orderGraph(s, dir), Topic))),
+    // Bucketed-layout run: write the graph once in the bucketed handoff
+    // layout, then run the kernel with ZERO edge-side shuffles (the
+    // scan itself is the co-partitioning). Scores — and so the oracle —
+    // are identical to hits_base; what this gates is the layout path.
+    "hits_bucketed" -> ((s, dir) => {
+      val np = s.conf.get("spark.sql.shuffle.partitions").toInt
+      GraphIO.writeBucketedGraph(GraphIO.orderGraph(s, dir),
+        "graft_bucketed_order", np)
+      hitsOut(Hits.runBucketed(s, "graft_bucketed_order"))
+    }),
     // ---- SALSA family (K7-K12) ----
     "salsa_simplified" -> ((s, dir) =>
       salsaOut(Salsa.runSimplified(GraphIO.orderGraph(s, dir).edges))),
@@ -222,11 +232,30 @@ object SparkEntry {
     "ann_topk_q8" -> ((s, dir) =>
       Similarity.annTopKQ8(GraphIO.embeddings(s, dir))
         .withColumn("rn", col("rn").cast("long"))),
+    "ann_topk_q8_ivf" -> ((s, dir) =>
+      Similarity.annTopKQ8Ivf(GraphIO.embeddings(s, dir))
+        .withColumn("rn", col("rn").cast("long"))),
     // ---- multimodal plumbing ----
     "multimodal_meta" -> ((s, dir) =>
       Multimodal.metaQuery(s, GraphIO.documents(s, dir))),
     "multimodal_chunks" -> ((s, dir) =>
-      Multimodal.chunkFingerprints(s, GraphIO.documents(s, dir))))
+      Multimodal.chunkFingerprints(s, GraphIO.documents(s, dir))),
+    "multimodal_features" -> ((s, dir) =>
+      featureRows(Multimodal.extractFeatures(s,
+        Multimodal.withPayload(GraphIO.documents(s, dir))).toDF())),
+    "multimodal_resize" -> ((s, dir) =>
+      featureRows(Multimodal.extractFeatures(s,
+        Multimodal.resizeAll(s,
+          Multimodal.withPayload(GraphIO.documents(s, dir)), 4).toDF())
+        .toDF())))
+
+  /** Oracle-aligned projection of [[Multimodal.extractFeatures]] rows:
+    * 6-decimal rounding on the float features, doc order. */
+  private def featureRows(feats: DataFrame): DataFrame =
+    feats.select(col("doc_id"), col("n_bytes"),
+      round(col("byte_mean"), 6).as("byte_mean"),
+      transform(col("hist"), v => round(v, 6)).as("hist"))
+      .orderBy(col("doc_id"))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. */
@@ -238,6 +267,7 @@ object SparkEntry {
     "hits_topic" -> Oracles.hitsTopic(Topic),
     "hits_topic_exclusive" -> Oracles.hitsTopicExclusive(Topic),
     "hits_query_dependent" -> Oracles.hitsQueryDependent(Topic),
+    "hits_bucketed" -> Oracles.hitsBase,
     "salsa_simplified" -> Oracles.salsaSimplifiedBase,
     "salsa_iterative" -> Oracles.salsaIterativeBase,
     "salsa_weighted" -> Oracles.salsaWeighted,
@@ -269,6 +299,7 @@ object SparkEntry {
     "decontaminate" -> Oracles.decontaminate(),
     "embed_quantize" -> Oracles.embedQuantize,
     "ann_topk_q8" -> Oracles.annTopKQ8(),
+    "ann_topk_q8_ivf" -> Oracles.annTopKQ8Ivf(),
     "events_percentiles" -> Oracles.eventsPercentiles,
     "text_fingerprint" -> Oracles.textFingerprint,
     "text_normalize" -> Oracles.textNormalize,
@@ -288,5 +319,7 @@ object SparkEntry {
     "ann_topk_lsh" -> Oracles.annTopKLsh(),
     "ann_topk_ivf" -> Oracles.annTopKIvf(),
     "multimodal_chunks" -> Oracles.multimodalChunks(),
-    "multimodal_meta" -> Oracles.multimodalMeta)
+    "multimodal_meta" -> Oracles.multimodalMeta,
+    "multimodal_features" -> Oracles.multimodalFeatures,
+    "multimodal_resize" -> Oracles.multimodalResize())
 }

@@ -181,19 +181,7 @@ object Hits {
 
   private[graft] def iterate(nodes: DataFrame, edges: DataFrame, numIter: Int,
       weighted: Boolean, post: Post): Result = {
-    require(numIter >= 1, s"numIter must be >= 1, got $numIter")
     val spark = edges.sparkSession
-    // The score side of each join is an aggregation output (hash
-    // partitioned on id) whose partitioning survives localCheckpoint, so
-    // pre-hashing the edge table on each join key makes every iteration
-    // shuffle ONLY the freshly aggregated |V|-sized vector — the edges
-    // (the 100 TB side) are shuffled once here and never again.
-    // Shuffle-hash joins beat sort-merge here: the probe side is cached
-    // and pre-partitioned, and re-sorting it every iteration is waste.
-    // The preference is restored after the (eager) loop so the session
-    // is not left with a mutated global planner flag.
-    val prevSmj = spark.conf.get("spark.sql.join.preferSortMergeJoin")
-    spark.conf.set("spark.sql.join.preferSortMergeJoin", "false")
     val np = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val proj = edges.select(col("src"), col("dst"),
       col("weight").cast("double").as("w"))
@@ -202,6 +190,60 @@ object Hits {
     // upstream edge derivation (incl. subgraph semi/anti joins for the
     // exclusive/query-dependent kernels) then runs exactly once
     val eSrc = eDst.repartition(np, col("src")).persist()
+    try loop(nodes, eDst, eSrc, numIter, weighted, post)
+    finally {
+      // Final results live on the last checkpoints only; the edge caches
+      // can go (non-blocking) without recompute risk.
+      eDst.unpersist(false)
+      eSrc.unpersist(false)
+    }
+  }
+
+  /** K1 over a [[graft.GraphIO.writeBucketedGraph]] layout: the edge
+    * tables come back from the catalog already hash-clustered on each
+    * join key (`<prefix>_edges_by_dst` / `_by_src`), so the kernel plans
+    * ZERO edge-side Exchange for the whole run — not even the once-per-
+    * run shuffle [[iterate]] pays to co-partition a derived edge set. At
+    * 100 TB that once-per-run shuffle is itself worth eliminating when a
+    * graph is reused across many runs; bucket count must equal the
+    * consumer's `spark.sql.shuffle.partitions` so the per-iteration
+    * score-aggregation output aligns with the bucket partitioning. */
+  def runBucketed(spark: org.apache.spark.sql.SparkSession, prefix: String,
+      numIter: Int = 8): Result = {
+    def edges(table: String): DataFrame =
+      spark.table(table).select(col("src"), col("dst"),
+        col("weight").cast("double").as("w"))
+    // Persisting keeps the parquet scan out of the per-iteration loop;
+    // the InMemoryRelation reports the bucketed scan's partitioning, so
+    // the no-Exchange property survives caching.
+    val eDst = edges(s"${prefix}_edges_by_dst").persist()
+    val eSrc = edges(s"${prefix}_edges_by_src").persist()
+    try loop(spark.table(s"${prefix}_nodes"), eDst, eSrc, numIter,
+      weighted = false, Identity)
+    finally {
+      eDst.unpersist(false)
+      eSrc.unpersist(false)
+    }
+  }
+
+  /** The shared kernel loop over pre-co-partitioned (and persisted) edge
+    * copies — `eDst` hash-clustered on `dst`, `eSrc` on `src`, both with
+    * schema `(src, dst, w)`. Every iteration shuffles ONLY the freshly
+    * aggregated |V|-sized vector: the score side of each join is an
+    * aggregation output (hash partitioned on id) whose partitioning
+    * survives the checkpoint, and the edge side's clustering comes from
+    * the caller (one up-front repartition, or a bucketed table layout
+    * with zero shuffles at all). */
+  private def loop(nodes: DataFrame, eDst: DataFrame, eSrc: DataFrame,
+      numIter: Int, weighted: Boolean, post: Post): Result = {
+    require(numIter >= 1, s"numIter must be >= 1, got $numIter")
+    val spark = eDst.sparkSession
+    // Shuffle-hash joins beat sort-merge here: the probe side is cached
+    // and pre-partitioned, and re-sorting it every iteration is waste.
+    // The preference is restored after the (eager) loop so the session
+    // is not left with a mutated global planner flag.
+    val prevSmj = spark.conf.get("spark.sql.join.preferSortMergeJoin")
+    spark.conf.set("spark.sql.join.preferSortMergeJoin", "false")
     // Materialize the node-id set ONCE. For the subgraph kernels (K5/K6)
     // `nodes` is a semi/anti-join plan over the edge tables that would
     // otherwise re-execute for the count AND again when iteration 1
@@ -250,12 +292,10 @@ object Hits {
       }
       Result(hubs, auths)
     } finally {
-      // Final results live on the last checkpoints only; the edge caches
-      // and the init node-id checkpoint can go (non-blocking) without
-      // recompute risk. try/finally so an exception inside the eager loop
-      // cannot leak the mutated planner flag or the persisted edge copies.
-      eDst.unpersist(false)
-      eSrc.unpersist(false)
+      // Final results live on the last checkpoints only; the init
+      // node-id checkpoint can go without recompute risk. try/finally so
+      // an exception inside the eager loop cannot leak the mutated
+      // planner flag.
       Checkpoints.release(nodeIds)
       spark.conf.set("spark.sql.join.preferSortMergeJoin", prevSmj)
     }

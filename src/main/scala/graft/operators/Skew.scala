@@ -15,6 +15,18 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  /** Content-derived salt: a Murmur3 hash of the WHOLE row, mod `salt`.
+    * Deterministic under task retry, AQE re-planning and input
+    * repartitioning (unlike partition-id/row-position schemes, which can
+    * route the same row differently between attempts and break
+    * deterministic-output assumptions downstream, e.g. a sink retry
+    * double-writing differently-routed rows), and it spreads a hot key
+    * as evenly as the row content varies — rows identical in every
+    * column collapse onto one replica, which only matters for corpora
+    * that are themselves pure duplicates. */
+  private[graft] def contentSalt(df: DataFrame, salt: Int): Column =
+    pmod(hash(df.columns.map(df(_)): _*), lit(salt))
+
   /** Equi-join `big ⋈ small` on `bigKey === smallKey` with `salt`-way
     * key spreading. For inner / left_outer joins the result set is
     * identical to the unsalted join (the salt assignment only routes
@@ -25,9 +37,7 @@ object Skew {
       smallKey: Column, salt: Int, joinType: String = "inner"): DataFrame = {
     require(Set("inner", "left_outer", "leftouter", "left")(joinType),
       s"saltedEquiJoin supports inner/left_outer joins, got $joinType")
-    val saltedBig = big.withColumn("__salt",
-      pmod(spark_partition_id() + monotonically_increasing_id(), lit(salt))
-        .cast("int"))
+    val saltedBig = big.withColumn("__salt", contentSalt(big, salt))
     val saltedSmall = small.withColumn("__salt",
       explode(sequence(lit(0), lit(salt - 1))))
     saltedBig.join(saltedSmall,

@@ -292,6 +292,65 @@ object Similarity {
       .orderBy(col("query_id"), col("rn"))
   }
 
+  /** The full 100 TB ANN ladder in one entry point: IVF cell-probe
+    * candidate generation composed with the int8-quantized prefilter
+    * and an exact rerank. [[annTopKQ8]] alone ranks the whole corpus
+    * per query at stage 1 — fine at gate size, linear at scale; here
+    * stage 1 touches only the `nprobe`/`nlist` fraction of the corpus
+    * that shares a probed IVF cell with the query, AND reads the 4-8×
+    * smaller quantized codes rather than the float embeddings, so
+    * per-query scan cost is sub-linear in corpus size with `nlist`
+    * scaled ∝ corpus. Stages: (0) train/assign IVF cells (broadcast
+    * centroids, corpus streamed once); (1) integer-dot quantized rank
+    * within probed cells, keep `cand` per query; (2) exact float
+    * cosine rerank of the candidates only. */
+  def annTopKQ8Ivf(emb: DataFrame, nq: Int = 10, k: Int = 5,
+      nlist: Int = 8, nprobe: Int = 2, cand: Int = 20): DataFrame = {
+    val corpus = emb.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("nrm"))
+    val cents = ivfCentroids(corpus, nlist)
+    val indexed = nearestCells(corpus, cents, 1)
+    val probes = nearestCells(corpus.filter(col("vec_id") < nq), cents, nprobe)
+      .select(col("vec_id").as("query_id"), col("cid"))
+    // Scan side: quantized codes + scale + norm, keyed by IVF cell. A
+    // vector lives in exactly one cell, so the probe join yields each
+    // (query, vector) pair at most once — no dedup stage needed.
+    val cellCodes = indexed.select(col("vec_id"), col("cid"), col("nrm"))
+      .join(quantizeQ8(emb).select(col("vec_id"), col("ma"), col("q")),
+        Seq("vec_id"))
+    val qcodes = cellCodes.filter(col("vec_id") < nq)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"),
+        col("ma").as("qma"), col("nrm").as("qn"))
+    val approx = cellCodes.join(broadcast(probes), Seq("cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .join(broadcast(qcodes), Seq("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (intDot(col("q"), col("qq")).cast("double") *
+          col("ma") * col("qma") /
+          (lit(127.0 * 127.0) * col("nrm") * col("qn"))).as("qcos"))
+    val wc = Window.partitionBy(col("query_id"))
+      .orderBy(col("qcos").desc, col("neighbor_id"))
+    val candidates = approx.withColumn("crn", row_number().over(wc))
+      .filter(col("crn") <= cand)
+      .select(col("query_id"), col("neighbor_id"))
+    val ce = corpus.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("ve"), col("nrm").as("vn"))
+    val qe = corpus.filter(col("vec_id") < nq)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("nrm").as("qxn"))
+    val exact = candidates.join(ce, Seq("neighbor_id"))
+      .join(broadcast(qe), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("qv"), col("ve")) / (col("qxn") * col("vn"))).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    exact.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("rn"), col("neighbor_id"),
+        round(col("cos"), 6).as("cosine"))
+      .orderBy(col("query_id"), col("rn"))
+  }
+
   /** Brute-force cosine top-k for the first `nq` query vectors: the
     * exact ANN baseline. Query norms and corpus norms are computed once;
     * the corpus streams through a single codegen'd stage against the

@@ -1,6 +1,7 @@
 package graft
 
 import graft.functions.{GraftHash, MinHashAgg}
+import graft.operators.Hits
 import graft.plans.DisjunctiveSemiJoinRewrite
 import org.apache.spark.sql.functions._
 
@@ -77,6 +78,23 @@ class CatalystSpec extends SparkSuite {
     assert(salted == plain && salted.length == 1000)
   }
 
+  test("contentSalt routes each row identically across repartitionings " +
+      "(retry/AQE-stable) and actually spreads a hot key") {
+    import spark.implicits._
+    import graft.operators.Skew
+    val big = (1 to 1000).map(i => ("hot", i)).toDF("k", "v")
+    def routing(df: org.apache.spark.sql.DataFrame): Seq[(Int, Int)] =
+      df.select(col("v"), Skew.contentSalt(df, 8).as("s"))
+        .collect().map(r => (r.getInt(0), r.getInt(1))).sorted.toSeq
+    val a = routing(big)
+    // A different physical layout (what a task retry or AQE re-plan
+    // produces) must not change any row's salt assignment.
+    val b = routing(big.repartition(7, col("v")))
+    assert(a == b)
+    // and the single hot key spreads over (nearly) all replicas
+    assert(a.map(_._2).distinct.size >= 7)
+  }
+
   test("bucketed edge tables join score vectors without an edge-side " +
       "exchange (bucket hash == shuffle hash partitioning)") {
     import spark.implicits._
@@ -106,6 +124,46 @@ class CatalystSpec extends SparkSuite {
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
       spark.sql("DROP TABLE IF EXISTS graft_bucketed_edges")
+    }
+  }
+
+  test("runBucketed matches Hits.run and the kernel join shape plans " +
+      "zero edge-side exchange over the bucketed layout") {
+    val g = graph(Seq(("a", "c", 1.0), ("a", "d", 1.0), ("b", "c", 1.0),
+      ("c", "d", 1.0)))
+    Seq("_edges_by_dst", "_edges_by_src", "_nodes").foreach(sfx =>
+      spark.sql(s"DROP TABLE IF EXISTS graft_spec_bucketed$sfx"))
+    GraphIO.writeBucketedGraph(g, "graft_spec_bucketed", 4)
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevSmj = spark.conf.get("spark.sql.join.preferSortMergeJoin")
+    try {
+      // identical scores to the repartition-based kernel
+      val base = Hits.run(g, numIter = 4)
+      val bucketed = Hits.runBucketed(spark, "graft_spec_bucketed", 4)
+      assertApprox(scoresMap(bucketed.hubs), scoresMap(base.hubs), 1e-12)
+      assertApprox(scoresMap(bucketed.auths), scoresMap(base.auths), 1e-12)
+      // plan shape: one hub update built exactly as the kernel loop
+      // builds it (bucketed eDst joined against an agg output on dst,
+      // re-aggregated on src) must shuffle ONLY the src-side agg —
+      // the bucketed scan IS the dst-side clustering.
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.join.preferSortMergeJoin", "false")
+      val eDst = spark.table("graft_spec_bucketed_edges_by_dst")
+        .select(col("src"), col("dst"), col("weight").cast("double").as("w"))
+      val auths = eDst.groupBy(col("dst").as("id"))
+        .agg(sum(col("w")).as("score"))
+      val hubs = eDst.join(auths, eDst("dst") === auths("id"))
+        .groupBy(eDst("src").as("id")).agg(sum(col("score")).as("score"))
+      val plan = hubs.queryExecution.executedPlan.toString
+      val exchanges = plan.split("\n").count(_.contains("Exchange"))
+      assert(exchanges <= 1, s"expected <=1 exchange (src agg only):\n$plan")
+      assert(plan.contains("Bucketed: true"), s"bucketed scan unused:\n$plan")
+      assert(hubs.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      spark.conf.set("spark.sql.join.preferSortMergeJoin", prevSmj)
+      Seq("_edges_by_dst", "_edges_by_src", "_nodes").foreach(sfx =>
+        spark.sql(s"DROP TABLE IF EXISTS graft_spec_bucketed$sfx"))
     }
   }
 
