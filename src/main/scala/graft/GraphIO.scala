@@ -191,15 +191,23 @@ object GraphIO {
     * `spark.sql.shuffle.partitions`. Tables land in the session catalog
     * (`spark.sql.warehouse.dir`) under the given prefix. */
   def writeBucketedGraph(g: Graph, prefix: String, buckets: Int): Unit = {
-    g.edges.write.mode("overwrite")
-      .bucketBy(buckets, "dst").sortBy("dst")
-      .saveAsTable(s"${prefix}_edges_by_dst")
-    g.edges.write.mode("overwrite")
-      .bucketBy(buckets, "src").sortBy("src")
-      .saveAsTable(s"${prefix}_edges_by_src")
-    g.nodes.write.mode("overwrite")
-      .bucketBy(buckets, "id").sortBy("id")
-      .saveAsTable(s"${prefix}_nodes")
+    val spark = g.edges.sparkSession
+    def write(df: DataFrame, table: String, key: String): Unit = {
+      // A fresh session's in-memory catalog doesn't know tables written
+      // by a previous JVM, but their warehouse directories survive and
+      // block saveAsTable — drop both the catalog entry and any orphan
+      // location so the layout write is idempotent across runs.
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+      df.write.mode("overwrite").bucketBy(buckets, key).sortBy(key)
+        .saveAsTable(table)
+    }
+    write(g.edges, s"${prefix}_edges_by_dst", "dst")
+    write(g.edges, s"${prefix}_edges_by_src", "src")
+    write(g.nodes, s"${prefix}_nodes", "id")
   }
 
   /** Reads a [[writeBucketedGraph]] layout. `edges` is the dst-bucketed

@@ -122,13 +122,15 @@ object Main {
       case "draw_graph" =>
         // Engine-side analog of the reference's base_hits.py →
         // draw_graphs.py flow: run base HITS, then emit the three
-        // color-coded views (hub / authorities / both) as DOT text sinks
-        // from the same seeded sample inputs the reference collects.
+        // color-coded views (hub / authorities / both) — raster PNGs
+        // like the reference plus DOT text sinks — from the same seeded
+        // sample inputs the reference collects.
         val g = load(arg(1, DefaultNodes), arg(2, DefaultEdges))
         val r = Hits.run(g, arg(0, "8").toInt)
         RankOutput.writeDotGraphs(g.edges, r.hubs, r.auths, "outputs", "base")
-        println("DOT graphs written: outputs/graph_base_{hub,authorities," +
-          "HubAndAuthorities}.dot")
+        GraphRender.writePngGraphs(g.edges, r.hubs, r.auths, "outputs", "base")
+        println("Graphs written: outputs/graph_base_{hub,authorities," +
+          "HubAndAuthorities}.{png,dot}")
       case "list_topics" =>
         val nodes = GraphIO.readNodesCsv(spark, arg(0, DefaultNodes))
         Topics.list(nodes).coalesce(1).write.mode("overwrite")

@@ -102,7 +102,11 @@ object ScaleBench {
     "ann_topk_lsh" -> ((s, dir) =>
       pipelines.Similarity.annTopKLsh(GraphIO.embeddings(s, dir))),
     "ann_topk_q8" -> ((s, dir) =>
-      pipelines.Similarity.annTopKQ8(GraphIO.embeddings(s, dir))))
+      pipelines.Similarity.annTopKQ8(GraphIO.embeddings(s, dir))),
+    // the composed 100 TB ladder: IVF cell probe -> quantized scan ->
+    // exact rerank; per-query cost must stay sub-linear in corpus size
+    "ann_topk_q8_ivf" -> ((s, dir) =>
+      pipelines.Similarity.annTopKQ8Ivf(GraphIO.embeddings(s, dir))))
 
   def main(args: Array[String]): Unit = {
     val baseDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

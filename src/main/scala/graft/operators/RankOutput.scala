@@ -95,11 +95,13 @@ object RankOutput {
     * sampled ids — the same set networkx assembles via `add_edges_from`
     * + `add_nodes_from`. Top-k sides are broadcast (≤ k rows); the only
     * full-size inputs are the two seeded samples, scanned once each. */
-  def dotGraph(edges: DataFrame, hubs: DataFrame, auths: DataFrame,
-      mode: String, k: Int = 50, nodeFraction: Double = 0.01,
-      edgeFraction: Double = 0.004, seed: Long = 81L): DataFrame = {
+  /** The shared render model behind the DOT and PNG exports: the
+    * annotated node set `(id, color, width)` and the sampled edge set
+    * `(src, dst)` for one of the three reference views. */
+  private[operators] def renderModel(edges: DataFrame, hubs: DataFrame,
+      auths: DataFrame, mode: String, k: Int, nodeFraction: Double,
+      edgeFraction: Double, seed: Long): (DataFrame, DataFrame) = {
     require(Set("hub", "auth", "both")(mode), s"unknown render mode: $mode")
-    import edges.sparkSession.implicits._
     val topHubs = topK(hubs, k).select(col("id"), col("score").as("hub_score"))
     val topAuths = topK(auths, k)
       .select(col("id"), col("score").as("auth_score"))
@@ -132,11 +134,22 @@ object RankOutput {
         coalesce(col("hub_score") * 10000, col("auth_score") * 10000,
           lit(500.0)))
     }
+    (ann.select(col("id"), color.as("color"), width.as("width")),
+      sampledEdges)
+  }
+
+  def dotGraph(edges: DataFrame, hubs: DataFrame, auths: DataFrame,
+      mode: String, k: Int = 50, nodeFraction: Double = 0.01,
+      edgeFraction: Double = 0.004, seed: Long = 81L): DataFrame = {
+    import edges.sparkSession.implicits._
+    val (nodes, sampledEdges) =
+      renderModel(edges, hubs, auths, mode, k, nodeFraction, edgeFraction, seed)
     // format_string, not format_number: grouping separators (e.g.
     // "1,514.2490") are not a valid DOT attribute token.
-    val nodeLines = ann.select(
-      concat(lit("  \""), col("id"), lit("\" [color="), color,
-        lit(", width="), format_string("%.4f", width), lit("];")).as("line"),
+    val nodeLines = nodes.select(
+      concat(lit("  \""), col("id"), lit("\" [color="), col("color"),
+        lit(", width="), format_string("%.4f", col("width")),
+        lit("];")).as("line"),
       lit(1).as("ord"))
     val edgeLines = sampledEdges.select(
       concat(lit("  \""), col("src"), lit("\" -> \""), col("dst"),
