@@ -88,8 +88,6 @@ object Hits {
   def runConverged(g: Graph, tol: Double = 1e-9,
       maxIter: Int = 50): (Result, Int) = {
     val spark = g.edges.sparkSession
-    val prevSmj = spark.conf.get("spark.sql.join.preferSortMergeJoin")
-    spark.conf.set("spark.sql.join.preferSortMergeJoin", "false")
     val np = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val proj = g.edges.select(col("src"), col("dst"),
       col("weight").cast("double").as("w"))
@@ -114,9 +112,15 @@ object Hits {
         // iteration) — the hub subtree stays lazy inside it, and the
         // returned hubs plan hangs off the last checkpointed auths, so
         // plan depth stays bounded without 3 materializations/iteration.
-        val hubsU = eDst.join(auths, eDst("dst") === auths("id"))
+        // SHUFFLE_HASH hints scoped to these joins (not a session-wide
+        // planner flag): the |V|-sized score side is the build side and
+        // is re-aggregated fresh each iteration — sorting it for SMJ
+        // every round is pure waste.
+        val a0 = auths.hint("SHUFFLE_HASH")
+        val hubsU = eDst.join(a0, eDst("dst") === a0("id"))
           .groupBy(eDst("src").as("id")).agg(sum(col("score")).as("score"))
-        val authsU = eSrc.join(hubsU, eSrc("src") === hubsU("id"))
+        val h0 = hubsU.hint("SHUFFLE_HASH")
+        val authsU = eSrc.join(h0, eSrc("src") === h0("id"))
           .groupBy(eSrc("dst").as("id")).agg(sum(col("score")).as("score"))
         hubs = Normalize.l2(hubsU)
         val cur = Checkpoints.materialize(Normalize.l2(authsU))
@@ -144,11 +148,10 @@ object Hits {
       if (ck2 != null) Checkpoints.release(ck2)
       (Result(h, auths), it)
     } finally {
-      // Restore the planner flag and drop the caches even on failure —
-      // the loop runs eager actions, so exceptions mid-loop are real.
+      // Drop the caches even on failure — the loop runs eager actions,
+      // so exceptions mid-loop are real.
       eDst.unpersist(false)
       eSrc.unpersist(false)
-      spark.conf.set("spark.sql.join.preferSortMergeJoin", prevSmj)
     }
   }
 
@@ -237,13 +240,6 @@ object Hits {
   private def loop(nodes: DataFrame, eDst: DataFrame, eSrc: DataFrame,
       numIter: Int, weighted: Boolean, post: Post): Result = {
     require(numIter >= 1, s"numIter must be >= 1, got $numIter")
-    val spark = eDst.sparkSession
-    // Shuffle-hash joins beat sort-merge here: the probe side is cached
-    // and pre-partitioned, and re-sorting it every iteration is waste.
-    // The preference is restored after the (eager) loop so the session
-    // is not left with a mutated global planner flag.
-    val prevSmj = spark.conf.get("spark.sql.join.preferSortMergeJoin")
-    spark.conf.set("spark.sql.join.preferSortMergeJoin", "false")
     // Materialize the node-id set ONCE. For the subgraph kernels (K5/K6)
     // `nodes` is a semi/anti-join plan over the edge tables that would
     // otherwise re-execute for the count AND again when iteration 1
@@ -267,16 +263,23 @@ object Hits {
         // the hub side is materialized just once, on the final iteration —
         // halving the per-iteration job count; intermediate hubs stay a
         // lazy subtree inside the auth checkpoint's job.
+        // SHUFFLE_HASH hints scoped to these two joins (not a session-
+        // wide planner flag, which would leak to concurrent queries on
+        // the same session): the |V|-sized score side is the build side
+        // and is re-aggregated fresh each iteration — sorting it for a
+        // sort-merge join every round is pure waste.
+        val a0 = auths.hint("SHUFFLE_HASH")
         val hubsRaw = applyPost(
-          eDst.join(auths, eDst("dst") === auths("id"))
+          eDst.join(a0, eDst("dst") === a0("id"))
             .groupBy(eDst("src").as("id"))
             .agg(sum(contribution(col("score"))).as("score")),
           post)
         val hubsU = if (i == numIter) Checkpoints.materialize(hubsRaw)
           else hubsRaw
         // Authority: from the NEW, un-normalized hubs (Gauss-Seidel).
+        val h0 = hubsU.hint("SHUFFLE_HASH")
         val authsU = Checkpoints.materialize(applyPost(
-          eSrc.join(hubsU, eSrc("src") === hubsU("id"))
+          eSrc.join(h0, eSrc("src") === h0("id"))
             .groupBy(eSrc("dst").as("id"))
             .agg(sum(contribution(col("score"))).as("score")),
           post))
@@ -294,10 +297,8 @@ object Hits {
     } finally {
       // Final results live on the last checkpoints only; the init
       // node-id checkpoint can go without recompute risk. try/finally so
-      // an exception inside the eager loop cannot leak the mutated
-      // planner flag.
+      // an exception inside the eager loop cannot leak it.
       Checkpoints.release(nodeIds)
-      spark.conf.set("spark.sql.join.preferSortMergeJoin", prevSmj)
     }
   }
 }

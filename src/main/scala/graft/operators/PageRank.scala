@@ -26,12 +26,13 @@ object PageRank {
 
   def run(g: Graph, damping: Double = 0.85, numIter: Int = 8): DataFrame = {
     val spark = g.edges.sparkSession
-    val prevSmj = spark.conf.get("spark.sql.join.preferSortMergeJoin")
-    spark.conf.set("spark.sql.join.preferSortMergeJoin", "false")
     val np = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val proj = g.edges.select(col("src"), col("dst"))
+    // Per-join SHUFFLE_HASH hints (not a session-wide planner flag) —
+    // the degree/score sides are the |V|-sized build sides.
+    val dOut = Degrees.out(proj).hint("SHUFFLE_HASH")
     val eOut = proj.repartition(np, col("src"))
-      .join(Degrees.out(proj), col("src") === col("id"))
+      .join(dOut, col("src") === dOut("id"))
       .select(col("src"), col("dst"), col("out_degree")).persist()
     // node universe, pre-hashed once: the per-iteration left join that
     // gives rankless nodes their (1-d)/N floor is then shuffle-free on
@@ -43,12 +44,14 @@ object PageRank {
       var p = g.nodes.select(col("id"), lit(1.0 / n).as("score"))
       var prevCk: DataFrame = null
       for (_ <- 1 to numIter) {
-        val contrib = eOut.join(p, eOut("src") === p("id"))
+        val p0 = p.hint("SHUFFLE_HASH")
+        val contrib = eOut.join(p0, eOut("src") === p0("id"))
           .groupBy(eOut("dst").as("id"))
           .agg(sum(col("score") / col("out_degree")).as("mass"))
-        p = Checkpoints.materialize(nodeIds.join(contrib, Seq("id"), "left")
-          .select(col("id"), (lit((1.0 - damping) / n) +
-            lit(damping) * coalesce(col("mass"), lit(0.0))).as("score")))
+        p = Checkpoints.materialize(
+          nodeIds.join(contrib.hint("SHUFFLE_HASH"), Seq("id"), "left")
+            .select(col("id"), (lit((1.0 - damping) / n) +
+              lit(damping) * coalesce(col("mass"), lit(0.0))).as("score")))
         // Previous iteration's checkpoint is now unreachable — release
         // its blocks eagerly (see [[graft.Checkpoints]]). The final
         // checkpoint (the returned vector) is never released here.
@@ -59,7 +62,6 @@ object PageRank {
     } finally {
       eOut.unpersist(false)
       nodeIds.unpersist(false)
-      spark.conf.set("spark.sql.join.preferSortMergeJoin", prevSmj)
     }
   }
 }

@@ -98,8 +98,6 @@ object Salsa {
   private def iterate(init: DataFrame, edges: DataFrame, numIter: Int,
       post: Hits.Post): Result = {
     val spark = edges.sparkSession
-    val prevSmj = spark.conf.get("spark.sql.join.preferSortMergeJoin")
-    spark.conf.set("spark.sql.join.preferSortMergeJoin", "false")
     val np = spark.conf.get("spark.sql.shuffle.partitions").toInt
     // The upstream edge derivation (union of three projections; for K12
     // also the subgraph semi/anti joins) runs exactly ONCE into `eBase`;
@@ -109,12 +107,16 @@ object Salsa {
       .repartition(np, col("dst")).persist()
     // eBase is dst-hashed and Degrees.in's agg output is dst-hashed too,
     // so this join (and the per-iteration score join on dst) add no edge
-    // shuffle; eIn inherits the dst partitioning.
-    val eIn = eBase.join(Degrees.in(eBase), eBase("dst") === col("id"))
+    // shuffle; eIn inherits the dst partitioning. SHUFFLE_HASH hints on
+    // the (small) degree sides keep the joins hash-based without
+    // touching session-wide planner flags.
+    val dIn = Degrees.in(eBase).hint("SHUFFLE_HASH")
+    val eIn = eBase.join(dIn, eBase("dst") === dIn("id"))
       .select(col("src"), col("dst"), col("in_degree")).persist()
     // The src-hashed copy re-reads the eBase cache, not the raw plan.
+    val dOut = Degrees.out(eBase).hint("SHUFFLE_HASH")
     val eOut = eBase.repartition(np, col("src"))
-      .join(Degrees.out(eBase), col("src") === col("id"))
+      .join(dOut, col("src") === dOut("id"))
       .select(col("src"), col("dst"), col("out_degree")).persist()
 
     try {
@@ -125,15 +127,18 @@ object Salsa {
         // Hub side checkpointed only on the final iteration — see
         // Hits.iterate: intermediate hubs are consumed solely by the auth
         // update within the same job.
+        // Per-join SHUFFLE_HASH hints — see Hits.loop.
+        val a0 = auths.hint("SHUFFLE_HASH")
         val hubsRaw = applyPost(
-          eIn.join(auths, eIn("dst") === auths("id"))
+          eIn.join(a0, eIn("dst") === a0("id"))
             .groupBy(eIn("src").as("id"))
             .agg(sum(col("score") / col("in_degree")).as("score")),
           post)
         val hubsU = if (i == numIter) Checkpoints.materialize(hubsRaw)
           else hubsRaw
+        val h0 = hubsU.hint("SHUFFLE_HASH")
         val authsU = Checkpoints.materialize(applyPost(
-          eOut.join(hubsU, eOut("src") === hubsU("id"))
+          eOut.join(h0, eOut("src") === h0("id"))
             .groupBy(eOut("dst").as("id"))
             .agg(sum(col("score") / col("out_degree")).as("score")),
           post))
@@ -146,12 +151,11 @@ object Salsa {
       }
       Result(hubs, auths)
     } finally {
-      // Restore the planner flag and drop the caches even if an action
-      // inside the (eager) loop throws — no leaked session state.
+      // Drop the caches even if an action inside the (eager) loop
+      // throws — no leaked session state.
       eIn.unpersist(false)
       eOut.unpersist(false)
       eBase.unpersist(false)
-      spark.conf.set("spark.sql.join.preferSortMergeJoin", prevSmj)
     }
   }
 
