@@ -82,7 +82,11 @@ object Bench {
         // Within a family, run in name order (stable across rounds).
         qs.sortBy(_._1).foreach { case (name, fn) =>
           val t0 = System.nanoTime()
-          try fn(spark, sfDir).count()
+          // noop sink, not count(): under count Catalyst prunes computed
+          // columns on projection-shaped queries (a text_normalize count
+          // never runs the NFC expression), which under-measures them.
+          // The noop write evaluates every output column of every row.
+          try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
           catch { case e: Throwable =>
             failed ::= name
             System.err.println(s"[bench] $name failed: ${e.getMessage}")

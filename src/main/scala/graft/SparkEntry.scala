@@ -204,6 +204,12 @@ object SparkEntry {
     "dedup_clusters" -> ((s, dir) =>
       ConnectedComponents.clusters(
         Dedup.minhashLsh(s, GraphIO.documents(s, dir)))),
+    // Same clusters via the large-star/small-star engine (O(log d)
+    // rounds — the adversarial-chain-safe variant); oracle shared with
+    // dedup_clusters because the output contract is identical.
+    "dedup_clusters_star" -> ((s, dir) =>
+      ConnectedComponents.clustersStar(
+        Dedup.minhashLsh(s, GraphIO.documents(s, dir)))),
     "pipeline_near_dedup" -> ((s, dir) =>
       Dedup.nearDedupCorpus(s, GraphIO.documents(s, dir))),
     "dedup_minhash_lsh" -> ((s, dir) =>
@@ -309,6 +315,7 @@ object SparkEntry {
     "text_langid_ngram" -> Oracles.textLangIdNgram,
     "dedup_simhash" -> Oracles.dedupSimhash,
     "dedup_clusters" -> Oracles.dedupClusters,
+    "dedup_clusters_star" -> Oracles.dedupClusters,
     "pipeline_near_dedup" -> Oracles.pipelineNearDedup,
     "dedup_minhash_lsh" -> Oracles.dedupMinHashLsh,
     "dedup_minhash_signature" -> Oracles.dedupMinHashSignature,

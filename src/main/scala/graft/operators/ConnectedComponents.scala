@@ -71,11 +71,100 @@ object ConnectedComponents {
   private def checksum(comp: DataFrame): Long =
     comp.agg(sum(col("comp"))).head.getLong(0)
 
+  /** Alternating large-star/small-star connected components (Kiveris et
+    * al., "Connected Components in MapReduce and Beyond") — the
+    * adversarial-scale path: distances to the component minimum halve
+    * (better) per round, so a length-d chain converges in O(log d)
+    * rounds where [[run]]'s min-label propagation needs d. Same output
+    * contract as [[run]]: `(id, comp)` for every node in some pair,
+    * `comp` = min node id of its component.
+    *
+    * Each round is two groupBy-min aggregations + two joins over the
+    * current edge set — all equi-keyed, nothing quadratic; the edge set
+    * only shrinks toward the star forest. Every round's edge set is
+    * checkpointed ([[graft.Checkpoints]] lifecycle: superseded rounds
+    * released eagerly), and convergence is one in-plan scalar per round
+    * (edge multiset checksum — stars are the fixed point of both steps). */
+  def runStar(pairs: DataFrame, a: String = "a", b: String = "b"): DataFrame =
+    runStarCounted(pairs, a, b)._1
+
+  private[graft] def runStarCounted(pairs: DataFrame, a: String = "a",
+      b: String = "b"): (DataFrame, Int) = {
+    // Large-star over the symmetric view: every neighbor v > u connects
+    // to m(u) = min(N(u) ∪ {u}). Small-star over the min-oriented view
+    // ((hi, lo), lo <= hi): hi and all its smaller neighbors connect to
+    // the minimum. Self-loops are dropped; both steps emit canonical
+    // (hi, lo) pairs so the checksum is orientation-stable.
+    def canonical(df: DataFrame): DataFrame =
+      df.filter(col("x") =!= col("y"))
+        .select(greatest(col("x"), col("y")).as("x"),
+          least(col("x"), col("y")).as("y"))
+        .distinct()
+
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.unionAll(e.select(col("y").as("x"), col("x").as("y")))
+      val m = sym.groupBy(col("x").as("u"))
+        .agg(least(min(col("y")), first(col("x"))).as("m"))
+      canonical(sym.join(m.hint("SHUFFLE_HASH"), col("x") === col("u"))
+        .filter(col("y") > col("x"))
+        .select(col("y").as("x"), col("m").as("y")))
+    }
+
+    def smallStar(e: DataFrame): DataFrame = {
+      // e is canonical (x=hi, y=lo): group by hi over its smaller
+      // neighbors; hi plus every smaller neighbor links to the min.
+      val m = e.groupBy(col("x").as("u")).agg(min(col("y")).as("m"))
+      val withM = e.join(m.hint("SHUFFLE_HASH"), col("x") === col("u"))
+      canonical(
+        withM.select(col("y").as("x"), col("m").as("y"))
+          .unionAll(m.select(col("u").as("x"), col("m").as("y"))))
+    }
+
+    var e = Checkpoints.materialize(
+      canonical(pairs.select(col(a).as("x"), col(b).as("y"))))
+    var prevSum = edgeChecksum(e)
+    var rounds = 0
+    var converged = false
+    while (!converged) {
+      rounds += 1
+      val next = Checkpoints.materialize(smallStar(largeStar(e)))
+      val s = edgeChecksum(next)
+      Checkpoints.release(e)
+      converged = s == prevSum
+      prevSum = s
+      e = next
+    }
+    // Star forest: every non-center node appears as `x` pointing at its
+    // component min. The node universe comes from the ORIGINAL pairs so
+    // nodes seen only in self-pairs (dropped by `canonical`) still map
+    // to themselves, like [[run]].
+    val nodes = pairs.select(col(a).as("id"))
+      .unionAll(pairs.select(col(b).as("id"))).distinct()
+    val parent = e.select(col("x").as("id"), col("y").as("c"))
+    val comp = nodes.join(parent.hint("SHUFFLE_HASH"), Seq("id"), "left")
+      .groupBy(col("id"))
+      .agg(least(min(col("c")), first(col("id"))).as("comp"))
+    (comp, rounds)
+  }
+
+  /** (cardinality, content-hash sum) folded into one comparable long —
+    * set equality evidence for the convergence check. */
+  private def edgeChecksum(e: DataFrame): (Long, Long) = {
+    val r = e.agg(count(lit(1)),
+      coalesce(sum(hash(col("x"), col("y")).cast("long")), lit(0L))).head
+    (r.getLong(0), r.getLong(1))
+  }
+
   /** Duplicate-cluster view over near-dup candidate `(a, b)` pairs:
     * `(doc_id, cluster_id, n_members)`, cluster_id = the canonical
     * (minimum) doc id of the cluster — the survivor a dedup pass keeps. */
-  def clusters(pairs: DataFrame): DataFrame = {
-    val comp = run(pairs)
+  def clusters(pairs: DataFrame): DataFrame = clustersFrom(run(pairs))
+
+  /** [[clusters]] computed by the [[runStar]] engine — identical output,
+    * O(log d) rounds on adversarial long-chain graphs. */
+  def clustersStar(pairs: DataFrame): DataFrame = clustersFrom(runStar(pairs))
+
+  private def clustersFrom(comp: DataFrame): DataFrame = {
     val sizes = comp.groupBy(col("comp")).agg(count(lit(1)).as("n_members"))
     comp.join(sizes, Seq("comp"))
       .select(col("id").as("doc_id"), col("comp").as("cluster_id"),

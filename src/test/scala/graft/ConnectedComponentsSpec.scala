@@ -23,6 +23,40 @@ class ConnectedComponentsSpec extends SparkSuite {
     assert(comp == Map(1L -> 1L, 3L -> 1L, 5L -> 1L, 7L -> 1L, 9L -> 1L))
   }
 
+  test("runStar matches run on random graphs (incl. singleton self-pairs)") {
+    val rnd = new scala.util.Random(7)
+    (0 until 3).foreach { _ =>
+      val es = (0 until 60).map(_ =>
+        (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong)) :+ (99L, 99L)
+      val p = pairs(es: _*)
+      val want = ConnectedComponents.run(p)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val got = ConnectedComponents.runStar(p)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want)
+      assert(got(99L) == 99L) // self-pair singleton survives
+    }
+  }
+
+  test("runStar converges in O(log d) rounds on a long chain") {
+    // Path of 257 nodes (diameter 256): min-label propagation needs
+    // ~256 rounds; the star algorithm must stay logarithmic.
+    val chain = (0 until 256).map(i => (i.toLong, i.toLong + 1))
+    val (comp, rounds) = ConnectedComponents.runStarCounted(pairs(chain: _*))
+    val got = comp.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 257 && got.values.forall(_ == 0L))
+    assert(rounds <= 12, s"expected O(log 256) rounds, took $rounds")
+  }
+
+  test("clustersStar equals clusters on the canonical fixture") {
+    val p = pairs((1L, 2L), (2L, 3L), (5L, 6L), (8L, 9L), (8L, 10L))
+    val a = ConnectedComponents.clusters(p)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val b = ConnectedComponents.clustersStar(p)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(a == b)
+  }
+
   test("clusters view: canonical keep id and member counts") {
     val got = ConnectedComponents.clusters(
         pairs((1L, 2L), (2L, 3L), (5L, 6L), (8L, 9L), (8L, 10L)))
