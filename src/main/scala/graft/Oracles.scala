@@ -56,6 +56,17 @@ object Oracles {
 
   private def graphCtes: String = s"$edgesCte,\n$nodesCte"
 
+  /** Cardinalities of the bucketed-layout tables written by
+    * `graph_bucketed_write` (two edge copies + the node table of the
+    * derived order graph). */
+  def bucketedWrite: String =
+    s"""WITH $edgesCte,
+       |$nodesCte
+       |SELECT 'edges_by_dst' AS bucket_table, COUNT(*)::BIGINT AS n_rows FROM edges
+       |UNION ALL SELECT 'edges_by_src', COUNT(*)::BIGINT FROM edges
+       |UNION ALL SELECT 'nodes', COUNT(*)::BIGINT FROM nodes
+       |ORDER BY bucket_table""".stripMargin
+
   /** Skewed bipartite event graph, must match [[GraphIO.eventGraph]]. */
   val eventGraphCtes: String =
     """edges AS MATERIALIZED (
