@@ -40,6 +40,8 @@ object Bench {
           .auths.count())
         pass("salsa")(operators.Salsa
           .run(GraphIO.orderGraph(spark, sfDir), numIter = 1).auths.count())
+        pass("pagerank")(operators.PageRank
+          .run(GraphIO.orderGraph(spark, sfDir), numIter = 1).count())
       case "orderalt" =>
         pass("orderalt-graph")(
           GraphIO.orderGraphAltWeights(spark, sfDir).edges.count())

@@ -125,8 +125,14 @@ object Hits {
         hubs = Normalize.l2(hubsU)
         val cur = Checkpoints.materialize(Normalize.l2(authsU))
         prev.foreach { p =>
+          // Both sides are checkpointed aggregation outputs hash-
+          // partitioned on id — the full-outer delta join is
+          // co-partitioned, and the SHUFFLE_HASH hint skips re-sorting
+          // both |V|-sized vectors every iteration (full-outer
+          // shuffled-hash joins are supported since Spark 3.1).
           val delta = cur.as("c")
-            .join(p.as("p"), col("c.id") === col("p.id"), "full_outer")
+            .join(p.as("p").hint("SHUFFLE_HASH"),
+              col("c.id") === col("p.id"), "full_outer")
             .select(abs(coalesce(col("c.score"), lit(0.0)) -
               coalesce(col("p.score"), lit(0.0))).as("d"))
             .agg(max(col("d"))).head.getDouble(0)
