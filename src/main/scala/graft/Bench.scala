@@ -43,8 +43,13 @@ object Bench {
         pass("pagerank")(operators.PageRank
           .run(GraphIO.orderGraph(spark, sfDir), numIter = 1).count())
       case "orderalt" =>
-        pass("orderalt-graph")(
-          GraphIO.orderGraphAltWeights(spark, sfDir).edges.count())
+        // One throwaway weighted iteration, mirroring the order family's
+        // warm: materializes BOTH persisted sides of the graph (the
+        // edges.count alone leaves the node union-distinct to land on
+        // the first timed kernel).
+        pass("orderalt-graph")(operators.Hits
+          .runWeighted(GraphIO.orderGraphAltWeights(spark, sfDir),
+            numIter = 1).auths.count())
       case "event" =>
         pass("event-graph")(GraphIO.eventGraph(spark, sfDir).edges.count())
       case _ => ()
