@@ -68,8 +68,11 @@ object ConnectedComponents {
     } finally e.unpersist(false)
   }
 
+  /** Null-safe: an empty label vector (zero candidate pairs — a real
+    * outcome of a clean corpus) sums to NULL, which must read as a
+    * stable 0, not an NPE. */
   private def checksum(comp: DataFrame): Long =
-    comp.agg(sum(col("comp"))).head.getLong(0)
+    comp.agg(coalesce(sum(col("comp")), lit(0L))).head.getLong(0)
 
   /** Alternating large-star/small-star connected components (Kiveris et
     * al., "Connected Components in MapReduce and Beyond") — the

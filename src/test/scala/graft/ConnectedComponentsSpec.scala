@@ -9,6 +9,15 @@ class ConnectedComponentsSpec extends SparkSuite {
     rows.toDF("a", "b")
   }
 
+  test("empty candidate set yields empty clusters, no crash") {
+    // A clean corpus produces zero near-dup pairs — both engines must
+    // return an empty (not null-summing) result.
+    val none = pairs()
+    assert(ConnectedComponents.run(none).count() == 0L)
+    assert(ConnectedComponents.runStar(none).count() == 0L)
+    assert(ConnectedComponents.clusters(none).count() == 0L)
+  }
+
   test("two disjoint components resolve to their minimum ids") {
     val comp = ConnectedComponents.run(pairs((1L, 2L), (2L, 3L), (5L, 6L)))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
