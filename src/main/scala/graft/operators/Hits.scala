@@ -135,7 +135,9 @@ object Hits {
               col("c.id") === col("p.id"), "full_outer")
             .select(abs(coalesce(col("c.score"), lit(0.0)) -
               coalesce(col("p.score"), lit(0.0))).as("d"))
-            .agg(max(col("d"))).head.getDouble(0)
+            // coalesce: an empty vector pair (degenerate empty graph)
+            // has max-delta NULL, which must read as converged, not NPE.
+            .agg(coalesce(max(col("d")), lit(0.0))).head.getDouble(0)
           if (delta < tol) done = true
         }
         // Live references at this point: `cur` (it), `prev` (it-1, still

@@ -105,6 +105,12 @@ class HitsSpec extends SparkSuite {
     assertApprox(scoresMap(r.auths), scoresMap(fixed.auths), 1e-9)
   }
 
+  test("runConverged on an empty graph converges immediately, no crash") {
+    val (r, iters) = Hits.runConverged(graph(Seq.empty), maxIter = 5)
+    assert(r.hubs.count() == 0L && r.auths.count() == 0L)
+    assert(iters <= 2) // empty delta reads as 0 < tol on the first check
+  }
+
   test("edge input order does not change scores (permutation invariance)") {
     val edges = Seq(("a", "c", 1.0), ("a", "d", 1.0), ("b", "c", 1.0),
       ("c", "d", 1.0))
