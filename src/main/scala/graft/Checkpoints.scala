@@ -48,15 +48,40 @@ object Checkpoints {
     } else df.localCheckpoint(eager = true)
   }
 
-  /** Eagerly release the storage blocks behind a [[materialize]]d (or
+  /** Eagerly release the storage behind a [[materialize]]d (or
     * `localCheckpoint`ed) DataFrame. Callers guarantee the plan is never
     * consumed again — its lineage is truncated, so the data is
-    * unrecoverable after this. No-op for non-checkpoint plans and for
-    * reliable checkpoints (whose data lives in files, not blocks;
-    * `spark.cleaner.referenceTracking.cleanCheckpoints` reclaims those). */
+    * unrecoverable after this. Local checkpoints free their storage
+    * blocks; reliable checkpoints also delete their files (the
+    * ContextCleaner's `cleanCheckpoints` path is GC-timing-dependent and
+    * off by default — the same lottery this object exists to end, on the
+    * storage axis). No-op for non-checkpoint plans. */
   def release(df: DataFrame): Unit =
     df.queryExecution.analyzed match {
-      case lr: LogicalRDD => lr.rdd.unpersist(blocking = false)
+      case lr: LogicalRDD => releaseRdd(df.sparkSession, lr)
       case _ => ()
     }
+
+  /** [[release]] for a CONSUMED query result whose checkpoints sit below
+    * other operators (sort, project, join…): walks the analyzed plan and
+    * releases every checkpoint leaf. A long multi-query run (bench,
+    * verify, a 100 TB pipeline driver) calls this after each query's
+    * sink completes, so final per-query score vectors don't accumulate
+    * as dead blocks between driver GCs. */
+  def releaseAll(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: LogicalRDD => releaseRdd(df.sparkSession, lr)
+      case _ => ()
+    }
+
+  private def releaseRdd(spark: org.apache.spark.sql.SparkSession,
+      lr: LogicalRDD): Unit = {
+    lr.rdd.unpersist(blocking = false)
+    lr.rdd.getCheckpointFile.foreach { dir =>
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      try fs.delete(p, true)
+      catch { case _: java.io.IOException => () } // best-effort reclaim
+    }
+  }
 }

@@ -123,31 +123,63 @@ object ConnectedComponents {
           .unionAll(m.select(col("u").as("x"), col("m").as("y"))))
     }
 
-    var e = Checkpoints.materialize(
-      canonical(pairs.select(col(a).as("x"), col(b).as("y"))))
-    var prevSum = edgeChecksum(e)
-    var rounds = 0
-    var converged = false
-    while (!converged) {
-      rounds += 1
-      val next = Checkpoints.materialize(smallStar(largeStar(e)))
-      val s = edgeChecksum(next)
-      Checkpoints.release(e)
-      converged = s == prevSum
-      prevSum = s
-      e = next
-    }
-    // Star forest: every non-center node appears as `x` pointing at its
-    // component min. The node universe comes from the ORIGINAL pairs so
-    // nodes seen only in self-pairs (dropped by `canonical`) still map
-    // to themselves, like [[run]].
-    val nodes = pairs.select(col(a).as("id"))
-      .unionAll(pairs.select(col(b).as("id"))).distinct()
-    val parent = e.select(col("x").as("id"), col("y").as("c"))
-    val comp = nodes.join(parent.hint("SHUFFLE_HASH"), Seq("id"), "left")
-      .groupBy(col("id"))
-      .agg(least(min(col("c")), first(col("id"))).as("comp"))
-    (comp, rounds)
+    // One pass over the upstream pairs plan (often a full LSH candidate
+    // pipeline): both the canonical edge set and the node universe
+    // derive from this cache, not from re-executions of `pairs`.
+    val p0 = pairs.select(col(a).as("x"), col(b).as("y")).persist()
+    try {
+      var e = Checkpoints.materialize(canonical(p0))
+      var prevSum = edgeChecksum(e)
+      var rounds = 0
+      var converged = false
+      while (!converged) {
+        rounds += 1
+        // Distances to the component min halve per round, so any real
+        // graph converges in well under 64 rounds; exceeding the cap
+        // means the convergence test is being dodged — fail loudly
+        // rather than spin or return unconverged labels.
+        require(rounds <= 100,
+          "large-star/small-star did not reach a star forest in 100 rounds")
+        val next = Checkpoints.materialize(smallStar(largeStar(e)))
+        val s = edgeChecksum(next)
+        Checkpoints.release(e)
+        // The (count, hash-sum) checksum is a fast filter, not proof —
+        // two different edge sets can collide. Before declaring the
+        // fixed point, confirm structurally that `next` IS a star
+        // forest (one parent per child, no center is a child): one
+        // extra agg+join job that normally runs exactly once, at the
+        // real fixed point.
+        converged = s == prevSum && isStarForest(next)
+        prevSum = s
+        e = next
+      }
+      // Star forest: every non-center node appears as `x` pointing at
+      // its component min. The node universe comes from the full pair
+      // set so nodes seen only in self-pairs (dropped by `canonical`)
+      // still map to themselves, like [[run]].
+      val nodes = p0.select(col("x").as("id"))
+        .unionAll(p0.select(col("y").as("id"))).distinct()
+      val parent = e.select(col("x").as("id"), col("y").as("c"))
+      val comp = Checkpoints.materialize(
+        nodes.join(parent.hint("SHUFFLE_HASH"), Seq("id"), "left")
+          .groupBy(col("id"))
+          .agg(least(min(col("c")), first(col("id"))).as("comp")))
+      Checkpoints.release(e) // comp is materialized; the star forest is dead
+      (comp, rounds)
+    } finally p0.unpersist(false)
+  }
+
+  /** True iff `e` (canonical (hi, lo) pairs) is a star forest: every
+    * child `x` has exactly one parent and no parent is itself a child.
+    * Sound convergence evidence where the checksum is probabilistic. */
+  private def isStarForest(e: DataFrame): Boolean = {
+    val children = e.groupBy(col("x")).agg(count(lit(1)).as("n"))
+    val multiParent = children.filter(col("n") > 1).limit(1).count()
+    val centerIsChild = e.select(col("y"))
+      .join(e.select(col("x").as("y")).hint("SHUFFLE_HASH"), Seq("y"),
+        "left_semi")
+      .limit(1).count()
+    multiParent == 0L && centerIsChild == 0L
   }
 
   /** (cardinality, content-hash sum) folded into one comparable long —
