@@ -27,9 +27,14 @@ object Verify {
     val byFam = SparkEntry.queries.toSeq.groupBy { case (n, _) => Bench.family(n) }
     Bench.familyOrder.foreach { fam =>
       byFam.getOrElse(fam, Nil).sortBy(_._1).foreach { case (name, fn) =>
-        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
-        catch { case e: Throwable =>
+        try {
+          val df = fn(spark, sfDir)
+          df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+          // Dumped to parquet; release the query's final score
+          // checkpoints now rather than accruing 60+ queries' worth of
+          // dead blocks between driver GCs.
+          Checkpoints.releaseAll(df)
+        } catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
       }
