@@ -13,7 +13,7 @@ object Bench {
     else if (name.startsWith("evt_")) "event"
     else if (name.startsWith("hits_") || name.startsWith("salsa_") ||
       Set("pagerank", "topics_list", "graph_degrees", "rank_topk",
-        "sample_hash", "graph_bucketed_write")(name)) "order"
+        "sample_hash", "render_model", "graph_bucketed_write")(name)) "order"
     else "flat" // documents/embeddings/events parquet — nothing persisted
 
   private[graft] val familyOrder = Seq("order", "orderalt", "event", "flat")

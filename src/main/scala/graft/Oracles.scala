@@ -130,7 +130,8 @@ object Oracles {
   def hits(weighted: Boolean = false, post: Post = NoPost,
       extraCtes: Seq[String] = Nil, edgesRel: String = "edges",
       initRel: String = "nodes", numIter: Int = 8, digits: Int = 6,
-      graph: String = null, extraSelects: Seq[String] = Nil): String = {
+      graph: String = null, extraSelects: Seq[String] = Nil,
+      tailSql: String = null): String = {
     val sb = new StringBuilder
     sb ++= s"WITH ${if (graph == null) graphCtes else graph}"
     extraCtes.foreach(c => sb ++= s",\n$c")
@@ -149,10 +150,13 @@ object Oracles {
       sb ++= s",\nh$i AS MATERIALIZED (SELECT id, score / (SELECT sqrt(SUM(score*score)) FROM hu$i) AS score FROM hu$i)"
       sb ++= s",\na$i AS MATERIALIZED (SELECT id, score / (SELECT sqrt(SUM(score*score)) FROM au$i) AS score FROM au$i)"
     }
-    sb ++= s"\nSELECT 'auth' AS kind, id, round(score, $digits) AS score FROM a$numIter"
-    sb ++= s"\nUNION ALL SELECT 'hub' AS kind, id, round(score, $digits) AS score FROM h$numIter"
-    extraSelects.foreach(q => sb ++= s"\nUNION ALL $q")
-    sb ++= "\nORDER BY kind, id"
+    if (tailSql != null) sb ++= s"\n$tailSql"
+    else {
+      sb ++= s"\nSELECT 'auth' AS kind, id, round(score, $digits) AS score FROM a$numIter"
+      sb ++= s"\nUNION ALL SELECT 'hub' AS kind, id, round(score, $digits) AS score FROM h$numIter"
+      extraSelects.foreach(q => sb ++= s"\nUNION ALL $q")
+      sb ++= "\nORDER BY kind, id"
+    }
     sb.toString
   }
 
@@ -315,6 +319,35 @@ object Oracles {
   def sampleHash(pct: Int = 5): String =
     s"WITH $graphCtes\nSELECT id FROM nodes WHERE " +
       s"${GraftHash.duckdbSql("id")} % 100 < $pct ORDER BY id"
+
+  /** Oracle twin of [[graft.operators.RankOutput.renderModelHash]] (mode
+    * `"both"`) over the base-HITS vectors: top-k hub/auth sets with the
+    * deterministic (score DESC, id) tiebreak, hash-gated node/edge
+    * samples replayed exactly via the graft_hash SQL twin, and the
+    * reference's color/size view semantics
+    * (`src/draw_graphs.py:59-67`). */
+  def renderModel(k: Int = 20, nodePct: Int = 5, edgePm: Int = 4): String = {
+    val nh = GraftHash.duckdbSql("id")
+    val eh = GraftHash.duckdbSql("src || '|' || dst")
+    hits(tailSql = s""",
+      |toph AS MATERIALIZED (SELECT id, score FROM h8 ORDER BY score DESC, id LIMIT $k),
+      |topa AS MATERIALIZED (SELECT id, score FROM a8 ORDER BY score DESC, id LIMIT $k),
+      |sampn AS (SELECT id FROM h8 WHERE $nh % 100 < $nodePct),
+      |sampe AS MATERIALIZED (SELECT src, dst FROM edges WHERE $eh % 1000 < $edgePm),
+      |univ AS (SELECT DISTINCT id FROM (
+      |  SELECT src AS id FROM sampe UNION ALL SELECT dst FROM sampe
+      |  UNION ALL SELECT id FROM toph UNION ALL SELECT id FROM topa
+      |  UNION ALL SELECT id FROM sampn))
+      |SELECT u.id,
+      |  CASE WHEN th.id IS NOT NULL AND ta.id IS NOT NULL THEN 'purple'
+      |       WHEN th.id IS NOT NULL THEN 'red'
+      |       WHEN ta.id IS NOT NULL THEN 'blue' ELSE 'grey' END AS color,
+      |  round(coalesce(th.score * 10000, ta.score * 10000, 500.0::DOUBLE), 6) AS width
+      |FROM univ u
+      |LEFT JOIN toph th ON u.id = th.id
+      |LEFT JOIN topa ta ON u.id = ta.id
+      |ORDER BY u.id""".stripMargin)
+  }
 
   // ------------------- events (batch twins of the streaming pipeline) ----
 

@@ -116,6 +116,17 @@ object SparkEntry {
       GraphIO.orderGraph(s, dir).nodes.select(col("id"))
         .filter(GraftHash.graftHash(s, col("id")) % 100 < 5)
         .orderBy(col("id"))),
+    // S5 graph-render model: the annotated (id, color, width) node set
+    // behind the reference's HubAndAuthorities PNG view, hash-sampled so
+    // DuckDB replays the identical selection.
+    "render_model" -> ((s, dir) => {
+      val g = GraphIO.orderGraph(s, dir)
+      val r = Hits.run(g)
+      val (nodes, _) = RankOutput.renderModelHash(g.edges, r.hubs, r.auths,
+        "both")
+      nodes.select(col("id"), col("color"),
+        round(col("width"), 6).as("width")).orderBy(col("id"))
+    }),
     // ---- PageRank extension (kernel-family completeness) ----
     "pagerank" -> ((s, dir) =>
       PageRank.run(GraphIO.orderGraph(s, dir))
@@ -305,6 +316,7 @@ object SparkEntry {
     "graph_degrees" -> Oracles.degrees,
     "rank_topk" -> Oracles.rankTopK(),
     "sample_hash" -> Oracles.sampleHash(),
+    "render_model" -> Oracles.renderModel(),
     "evt_hits_base" -> Oracles.hitsEventBase,
     "pagerank" -> Oracles.pageRank(),
     "evt_salsa_weighted" -> Oracles.salsaEventWeighted,

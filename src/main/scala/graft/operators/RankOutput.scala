@@ -100,13 +100,38 @@ object RankOutput {
     * `(src, dst)` for one of the three reference views. */
   private[operators] def renderModel(edges: DataFrame, hubs: DataFrame,
       auths: DataFrame, mode: String, k: Int, nodeFraction: Double,
-      edgeFraction: Double, seed: Long): (DataFrame, DataFrame) = {
+      edgeFraction: Double, seed: Long): (DataFrame, DataFrame) =
+    model(
+      sample(hubs, nodeFraction, seed).select(col("id")),
+      sample(edges, edgeFraction, seed).select("src", "dst"),
+      hubs, auths, mode, k)
+
+  /** [[renderModel]] with hash-gated sampling instead of seeded
+    * Bernoulli: node/edge membership is a pure function of content
+    * (`graft_hash(id) % 100 < nodePct`), so the same rows are selected
+    * by any engine — this is the oracle-checkable variant (DuckDB
+    * replays the identical predicate via [[graft.functions.GraftHash
+    * .duckdbSql]]). Same annotated-node/sampled-edge output contract. */
+  def renderModelHash(edges: DataFrame, hubs: DataFrame, auths: DataFrame,
+      mode: String, k: Int = 20, nodePct: Int = 5,
+      edgePermille: Int = 4): (DataFrame, DataFrame) = {
+    val s = edges.sparkSession
+    model(
+      hubs.filter(graft.functions.GraftHash.graftHash(s, col("id")) % 100
+        < nodePct).select(col("id")),
+      edges.filter(graft.functions.GraftHash.graftHash(s,
+        concat_ws("|", col("src"), col("dst"))) % 1000 < edgePermille)
+        .select("src", "dst"),
+      hubs, auths, mode, k)
+  }
+
+  private def model(sampledNodes: DataFrame, sampledEdges: DataFrame,
+      hubs: DataFrame, auths: DataFrame, mode: String,
+      k: Int): (DataFrame, DataFrame) = {
     require(Set("hub", "auth", "both")(mode), s"unknown render mode: $mode")
     val topHubs = topK(hubs, k).select(col("id"), col("score").as("hub_score"))
     val topAuths = topK(auths, k)
       .select(col("id"), col("score").as("auth_score"))
-    val sampledNodes = sample(hubs, nodeFraction, seed).select(col("id"))
-    val sampledEdges = sample(edges, edgeFraction, seed).select("src", "dst")
     val rankedIds = mode match {
       case "hub"  => topHubs.select("id")
       case "auth" => topAuths.select("id")

@@ -134,37 +134,6 @@ class FunctionsSpec extends SparkSuite {
     assert(colorOf(auth, "a") == "blue" && colorOf(auth, "h") == "grey")
   }
 
-  test("PNG render writes the three reference views, deterministically, " +
-      "with ranked-node colors present") {
-    import spark.implicits._
-    import graft.operators.GraphRender
-    val hubs = Seq(("h", 0.9), ("hb", 0.8), ("z", 0.001)).toDF("id", "score")
-    val auths = Seq(("a", 0.7), ("hb", 0.6)).toDF("id", "score")
-    val edges = Seq(("h", "a", 1.0), ("z", "q", 1.0))
-      .toDF("src", "dst", "weight")
-    val dir = java.nio.file.Files.createTempDirectory("graft-png").toString
-    GraphRender.writePngGraphs(edges, hubs, auths, dir, "spec", k = 2,
-      nodeFraction = 1.0, edgeFraction = 1.0, size = 400)
-    val files = Seq("hub", "authorities", "HubAndAuthorities")
-      .map(s => new java.io.File(s"$dir/graph_spec_$s.png"))
-    files.foreach(f => assert(f.exists(), s"$f missing"))
-    val img = javax.imageio.ImageIO.read(files.head)
-    assert(img.getWidth == 400 && img.getHeight == 400)
-    // the hub view must actually contain red (top-hub) and grey pixels
-    // on the white background
-    val pixels = for (x <- 0 until 400; y <- 0 until 400)
-      yield img.getRGB(x, y) & 0xffffff
-    assert(pixels.contains(0xd62b2b), "no red hub pixel rendered")
-    assert(pixels.contains(0xb0b0b0), "no grey node pixel rendered")
-    assert(pixels.count(_ == 0xffffff) > 400 * 400 / 2, "background not white")
-    // deterministic: a second render of the same view is byte-identical
-    val first = java.nio.file.Files.readAllBytes(files.head.toPath)
-    GraphRender.writePngGraphs(edges, hubs, auths, dir, "spec", k = 2,
-      nodeFraction = 1.0, edgeFraction = 1.0, size = 400)
-    val second = java.nio.file.Files.readAllBytes(files.head.toPath)
-    assert(java.util.Arrays.equals(first, second))
-  }
-
   test("dotGraph edge section carries only the seeded edge sample") {
     import spark.implicits._
     val hubs = Seq(("h", 0.9)).toDF("id", "score")
