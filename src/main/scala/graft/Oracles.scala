@@ -860,6 +860,36 @@ object Oracles {
   /** Mirror of [[graft.pipelines.Sampling.quotaPerGroup]] over
     * (documents.source, doc_id): exactly `n` docs per source in
     * deterministic hash order. */
+  /** Shared CTE chain for the sequence-packing twins (mirror of
+    * [[graft.pipelines.Packing.packDocs]]): hash-bucketed docs, within-
+    * bucket running subtoken totals in (hash, id) order, pack id =
+    * bucket · 10⁹ + floor(preceding-total / capacity). */
+  private def packCtes(capacity: Long, buckets: Int): String = {
+    val h = GraftHash.duckdbSql("CAST(doc_id AS VARCHAR)")
+    s"""t AS MATERIALIZED (
+       |  SELECT doc_id, ${TF.sqlSubtokenCount("text")}::BIGINT AS n_tokens,
+       |         $h % $buckets AS bucket, $h AS h
+       |  FROM documents),
+       |r AS MATERIALIZED (
+       |  SELECT doc_id, n_tokens,
+       |         bucket * ${graft.pipelines.Packing.PacksPerBucket} +
+       |           CAST(floor((CAST(SUM(n_tokens) OVER (PARTITION BY bucket
+       |             ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+       |             - n_tokens) / ${capacity}.0) AS BIGINT) AS pack
+       |  FROM t)""".stripMargin
+  }
+
+  def packSequences(capacity: Long = 2000, buckets: Int = 8): String =
+    s"WITH ${packCtes(capacity, buckets)}\n" +
+      "SELECT doc_id, pack, n_tokens FROM r ORDER BY doc_id"
+
+  def packManifest(capacity: Long = 2000, buckets: Int = 8): String =
+    s"WITH ${packCtes(capacity, buckets)}\n" +
+      """SELECT pack, COUNT(*) AS n_docs,
+        |       CAST(SUM(n_tokens) AS BIGINT) AS tokens,
+        |       MIN(doc_id) AS first_id
+        |FROM r GROUP BY pack ORDER BY pack""".stripMargin
+
   def sampleQuota(n: Int = 25): String =
     s"""SELECT source, doc_id, rn FROM (
        |  SELECT source, doc_id,

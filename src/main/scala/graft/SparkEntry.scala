@@ -2,7 +2,8 @@ package graft
 
 import graft.functions.{GraftHash, TextFunctions => TF}
 import graft.operators._
-import graft.pipelines.{Dedup, Multimodal, Sampling, Similarity, TextMetrics}
+import graft.pipelines.{Dedup, Multimodal, Packing, Sampling, Similarity,
+  TextMetrics}
 import graft.streaming.EventPipelines
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -178,6 +179,14 @@ object SparkEntry {
     "events_top_users" -> ((s, dir) =>
       EventPipelines.topUsers(GraphIO.events(s, dir))
         .withColumn("rn", col("rn").cast("long"))),
+    // ---- sequence packing (LLM batch assembly) ----
+    "pack_sequences" -> ((s, dir) =>
+      Packing.packDocs(s, GraphIO.documents(s, dir), "doc_id", "text",
+        capacity = 2000L, buckets = 8).orderBy(col("doc_id"))),
+    "pack_manifest" -> ((s, dir) =>
+      Packing.packManifest(
+        Packing.packDocs(s, GraphIO.documents(s, dir), "doc_id", "text",
+          capacity = 2000L, buckets = 8), "doc_id").orderBy(col("pack"))),
     // ---- text analysis ----
     "text_stats" -> ((s, dir) =>
       GraphIO.documents(s, dir).select(col("doc_id"),
@@ -335,6 +344,8 @@ object SparkEntry {
     "text_tfidf" -> Oracles.textTfidf,
     "corpus_mixture" -> Oracles.corpusMixture,
     "sample_quota" -> Oracles.sampleQuota(),
+    "pack_sequences" -> Oracles.packSequences(),
+    "pack_manifest" -> Oracles.packManifest(),
     "decontaminate" -> Oracles.decontaminate(),
     "embed_quantize" -> Oracles.embedQuantize,
     "ann_topk_q8" -> Oracles.annTopKQ8(),

@@ -1,0 +1,71 @@
+package graft.pipelines
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{GraftHash, TextFunctions}
+
+/** Deterministic sequence packing — the batch-assembly step of an LLM
+  * training pipeline: group documents into "packs" whose token totals
+  * hit a target context budget, so downstream batch assembly reads
+  * whole packs instead of re-binning the corpus.
+  *
+  * The scheme is contiguous greedy binning in a content-derived order:
+  * docs are bucketed by `graft_hash(id) % buckets`, ordered within a
+  * bucket by `(hash, id)`, and a doc opens a new pack whenever the
+  * running token total before it has crossed a multiple of `capacity`
+  * (so a pack may overflow by less than one document — the standard
+  * trade against a sequential bin-packer, which cannot be expressed as
+  * a distributed plan). Everything is a pure function of document
+  * content: any engine — including the DuckDB oracle — derives the
+  * identical assignment, and a re-run after failure re-packs
+  * identically (safe sink retries).
+  *
+  * Scale shape: ONE shuffle, keyed by the bucket column, then a
+  * per-bucket sort for the running-sum window — the same cost profile
+  * as any per-group top-k. `buckets` is the 100 TB knob: packs never
+  * span buckets, so buckets pack in parallel and a bucket only needs
+  * its own docs' (id, count) pairs in one task; size `buckets` so a
+  * bucket's rows fit a task (corpus_docs / buckets ≲ 10⁷). Token
+  * counting is the codegen'd BPE-ish subtoken expression — no UDFs.
+  */
+object Packing {
+
+  /** Per-bucket pack index space in the composed pack id
+    * (`pack = bucket · 10⁹ + local`). A bucket holding more packs than
+    * this would alias ids; with capacity ≥ 1 that means > 10⁹ tokens
+    * per pack slot — raise `buckets` long before that. */
+  val PacksPerBucket = 1000000000L
+
+  /** Assign every document a deterministic pack id.
+    * Returns `(id, pack, n_tokens)` with `id` named after `idCol`. */
+  def packDocs(spark: SparkSession, docs: DataFrame, idCol: String,
+      textCol: String, capacity: Long, buckets: Int): DataFrame = {
+    require(capacity > 0, s"capacity must be positive, got $capacity")
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val h: Column = GraftHash.graftHash(spark, col(idCol).cast("string"))
+    val base = docs.select(col(idCol),
+      TextFunctions.subtokenCount(col(textCol)).cast("long").as("n_tokens"),
+      (h % buckets).as("bucket"), h.as("h"))
+    val w = Window.partitionBy(col("bucket")).orderBy(col("h"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base
+      .withColumn("run", sum(col("n_tokens")).over(w))
+      .select(col(idCol),
+        (col("bucket").cast("long") * PacksPerBucket +
+          floor((col("run") - col("n_tokens")) / lit(capacity.toDouble))
+            .cast("long")).as("pack"),
+        col("n_tokens"))
+  }
+
+  /** Pack-level manifest: token totals and sizes per pack — what a
+    * batch-assembly reader consumes, and the fill-rate evidence that
+    * the packer works (mean fill → capacity as docs shrink relative to
+    * it). Derived from [[packDocs]] output by one aggregation on the
+    * pack key. */
+  def packManifest(assignments: DataFrame, idCol: String): DataFrame =
+    assignments.groupBy(col("pack"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tokens"),
+        min(col(idCol)).as("first_id"))
+}

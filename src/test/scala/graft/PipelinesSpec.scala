@@ -343,6 +343,42 @@ class PipelinesSpec extends SparkSuite {
     assert(q8.toSeq == bf.toSeq)
   }
 
+  test("packDocs: every doc packed once, packs never span buckets, " +
+      "fill bounded by capacity + one doc") {
+    import graft.pipelines.Packing
+    val rnd = new scala.util.Random(13)
+    val d = docs((1L to 200L).map(i =>
+      i -> Seq.fill(1 + rnd.nextInt(30))("tok").mkString(" ")): _*)
+    val capacity = 40L
+    val a = Packing.packDocs(spark, d, "doc_id", "text", capacity, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(a.length == 200 && a.map(_._1).distinct.length == 200)
+    // the composed pack id's bucket component matches each member's
+    // content hash — packs never span buckets
+    def bucketOf(id: Long): Long =
+      id.toString.foldLeft(0L)((h, c) => (h * 31 + c) % 1000000007L) % 4
+    val byPack = a.groupBy(_._2)
+    byPack.foreach { case (pack, rows) =>
+      assert(rows.forall(r => bucketOf(r._1) == pack / Packing.PacksPerBucket),
+        s"pack $pack spans buckets")
+      val total = rows.map(_._3).sum
+      val maxDoc = rows.map(_._3).max
+      assert(total < capacity + maxDoc,
+        s"pack $pack holds $total tokens > capacity+maxDoc")
+    }
+    // deterministic: same input → identical assignment
+    val b = Packing.packDocs(spark, d, "doc_id", "text", capacity, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(a.sortBy(_._1).toSeq == b.sortBy(_._1).toSeq)
+    // manifest aggregates the same totals
+    val m = Packing.packManifest(
+      Packing.packDocs(spark, d, "doc_id", "text", capacity, 4), "doc_id")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(m.keySet == byPack.keySet)
+    byPack.foreach { case (pack, rows) =>
+      assert(m(pack) == (rows.length.toLong, rows.map(_._3).sum)) }
+  }
+
   test("multimodal feature extraction: histogram + byte stats via mapPartitions") {
     val d = docs((1L, "abc"), (2L, ""))
     val feats = Multimodal.extractFeatures(spark, Multimodal.withPayload(d))
