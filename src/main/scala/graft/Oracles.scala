@@ -342,7 +342,7 @@ object Oracles {
       |  CASE WHEN th.id IS NOT NULL AND ta.id IS NOT NULL THEN 'purple'
       |       WHEN th.id IS NOT NULL THEN 'red'
       |       WHEN ta.id IS NOT NULL THEN 'blue' ELSE 'grey' END AS color,
-      |  round(coalesce(th.score * 10000, ta.score * 10000, 500.0::DOUBLE), 6) AS width
+      |  round(coalesce(th.score * 10000, ta.score * 10000, 500.0::DOUBLE), 2) AS width
       |FROM univ u
       |LEFT JOIN toph th ON u.id = th.id
       |LEFT JOIN topa ta ON u.id = ta.id
@@ -857,9 +857,6 @@ object Oracles {
        |FROM m ORDER BY doc_id""".stripMargin
   }
 
-  /** Mirror of [[graft.pipelines.Sampling.quotaPerGroup]] over
-    * (documents.source, doc_id): exactly `n` docs per source in
-    * deterministic hash order. */
   /** Shared CTE chain for the sequence-packing twins (mirror of
     * [[graft.pipelines.Packing.packDocs]]): hash-bucketed docs, within-
     * bucket running subtoken totals in (hash, id) order, pack id =
@@ -890,6 +887,9 @@ object Oracles {
         |       MIN(doc_id) AS first_id
         |FROM r GROUP BY pack ORDER BY pack""".stripMargin
 
+  /** Mirror of [[graft.pipelines.Sampling.quotaPerGroup]] over
+    * (documents.source, doc_id): exactly `n` docs per source in
+    * deterministic hash order. */
   def sampleQuota(n: Int = 25): String =
     s"""SELECT source, doc_id, rn FROM (
        |  SELECT source, doc_id,

@@ -106,7 +106,11 @@ object ScaleBench {
     // the composed 100 TB ladder: IVF cell probe -> quantized scan ->
     // exact rerank; per-query cost must stay sub-linear in corpus size
     "ann_topk_q8_ivf" -> ((s, dir) =>
-      pipelines.Similarity.annTopKQ8Ivf(GraphIO.embeddings(s, dir))))
+      pipelines.Similarity.annTopKQ8Ivf(GraphIO.embeddings(s, dir))),
+    // one shuffle + per-bucket window; must stay ~linear in doc count
+    "pack_sequences" -> ((s, dir) =>
+      pipelines.Packing.packDocs(s, GraphIO.documents(s, dir), "doc_id",
+        "text", capacity = 2000L, buckets = 8)))
 
   def main(args: Array[String]): Unit = {
     val baseDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
@@ -135,8 +139,15 @@ object ScaleBench {
       Hits.run(GraphIO.orderGraph(spark, dir), numIter = 1).auths.count()
       val r = queries.map { case (name, fn) =>
         val t0 = System.nanoTime()
-        fn(spark, dir).count()
+        // noop sink, not count(): under count Catalyst prunes unreferenced
+        // Window/projection work (pack_sequences would time an empty plan)
+        val df = fn(spark, dir)
+        df.write.format("noop").mode("overwrite").save()
         val dt = (System.nanoTime() - t0) / 1e9
+        // Release the query's checkpoints before timing the next one —
+        // same lifecycle as Bench/Verify, so accumulated dead blocks
+        // can't distort the very scale ratios this evidence exists for.
+        Checkpoints.releaseAll(df)
         println(f"[scale] $dir $name $dt%.2f s")
         name -> dt
       }.toMap

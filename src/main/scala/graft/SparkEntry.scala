@@ -125,8 +125,10 @@ object SparkEntry {
       val r = Hits.run(g)
       val (nodes, _) = RankOutput.renderModelHash(g.edges, r.hubs, r.auths,
         "both")
+      // width = score*10000, so 2 decimals here = the same 1e-6 absolute
+      // tolerance on score that every other HITS oracle gates on.
       nodes.select(col("id"), col("color"),
-        round(col("width"), 6).as("width")).orderBy(col("id"))
+        round(col("width"), 2).as("width")).orderBy(col("id"))
     }),
     // ---- PageRank extension (kernel-family completeness) ----
     "pagerank" -> ((s, dir) =>

@@ -27,15 +27,17 @@ object Verify {
     val byFam = SparkEntry.queries.toSeq.groupBy { case (n, _) => Bench.family(n) }
     Bench.familyOrder.foreach { fam =>
       byFam.getOrElse(fam, Nil).sortBy(_._1).foreach { case (name, fn) =>
+        var df: org.apache.spark.sql.DataFrame = null
         try {
-          val df = fn(spark, sfDir)
+          df = fn(spark, sfDir)
           df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
-          // Dumped to parquet; release the query's final score
-          // checkpoints now rather than accruing 60+ queries' worth of
-          // dead blocks between driver GCs.
-          Checkpoints.releaseAll(df)
         } catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        } finally {
+          // Release the query's score checkpoints whether or not the dump
+          // succeeded — a failed write must not leak its materialized
+          // blocks into the remaining 60+ queries' heap budget.
+          if (df != null) Checkpoints.releaseAll(df)
         }
       }
       if (fam != "flat") GraphIO.evict(spark, sfDir, Seq(fam))

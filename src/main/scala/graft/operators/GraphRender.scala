@@ -148,6 +148,7 @@ object GraphRender {
         g.drawOval((x - r).toInt, (y - r).toInt, (2 * r).toInt, (2 * r).toInt)
       }
     } finally g.dispose()
+    Option(file.getParentFile).foreach(_.mkdirs())
     javax.imageio.ImageIO.write(img, "png", file)
   }
 

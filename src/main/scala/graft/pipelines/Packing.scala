@@ -50,12 +50,18 @@ object Packing {
       (h % buckets).as("bucket"), h.as("h"))
     val w = Window.partitionBy(col("bucket")).orderBy(col("h"), col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = floor((col("run") - col("n_tokens")) / lit(capacity.toDouble))
+      .cast("long")
+    // Fail loudly if a bucket would exceed its pack-id space — silently
+    // bleeding into bucket+1's range would break the packs-never-span-
+    // buckets invariant. Raise `buckets` when this fires.
+    val guarded = when(local < lit(PacksPerBucket), local).otherwise(
+      raise_error(concat(lit(s"graft.Packing: bucket "), col("bucket"),
+        lit(s" exceeds $PacksPerBucket packs; raise buckets"))).cast("long"))
     base
       .withColumn("run", sum(col("n_tokens")).over(w))
       .select(col(idCol),
-        (col("bucket").cast("long") * PacksPerBucket +
-          floor((col("run") - col("n_tokens")) / lit(capacity.toDouble))
-            .cast("long")).as("pack"),
+        (col("bucket").cast("long") * PacksPerBucket + guarded).as("pack"),
         col("n_tokens"))
   }
 
