@@ -887,6 +887,20 @@ object Oracles {
         |       MIN(doc_id) AS first_id
         |FROM r GROUP BY pack ORDER BY pack""".stripMargin
 
+  /** Mirror of [[graft.pipelines.Sampling.splitByHash]] over documents:
+    * per-mille hash ranges on the `|split`-salted id hash. */
+  def sampleSplit(splits: Seq[(String, Int)] =
+      Seq("train" -> 900, "val" -> 50, "test" -> 50)): String = {
+    val h = GraftHash.duckdbSql("CAST(doc_id AS VARCHAR) || '|split'")
+    val bounds = splits.scanLeft(0)(_ + _._2).tail
+    val cases = splits.zip(bounds).init
+      .map { case ((name, _), upper) => s"WHEN b < $upper THEN '$name'" }
+      .mkString(" ")
+    s"""SELECT doc_id, CASE $cases ELSE '${splits.last._1}' END AS split
+       |FROM (SELECT doc_id, $h % 1000 AS b FROM documents) t
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** Mirror of [[graft.pipelines.Sampling.quotaPerGroup]] over
     * (documents.source, doc_id): exactly `n` docs per source in
     * deterministic hash order. */

@@ -211,6 +211,10 @@ object SparkEntry {
     "sample_quota" -> ((s, dir) =>
       Sampling.quotaPerGroup(s, GraphIO.documents(s, dir),
         "source", "doc_id", 25)),
+    "sample_split" -> ((s, dir) =>
+      Sampling.splitByHash(s, GraphIO.documents(s, dir), "doc_id",
+        Seq("train" -> 900, "val" -> 50, "test" -> 50))
+        .orderBy(col("doc_id"))),
     "decontaminate" -> ((s, dir) => {
       val d = GraphIO.documents(s, dir)
       Dedup.benchmarkContamination(s,
@@ -346,6 +350,7 @@ object SparkEntry {
     "text_tfidf" -> Oracles.textTfidf,
     "corpus_mixture" -> Oracles.corpusMixture,
     "sample_quota" -> Oracles.sampleQuota(),
+    "sample_split" -> Oracles.sampleSplit(),
     "pack_sequences" -> Oracles.packSequences(),
     "pack_manifest" -> Oracles.packManifest(),
     "decontaminate" -> Oracles.decontaminate(),

@@ -34,4 +34,30 @@ object Sampling {
       .filter(col("rn") <= n)
       .orderBy(col(group), col("rn"))
   }
+
+  /** Deterministic train/val/test (or any) split: each id lands in the
+    * split whose cumulative per-mille range covers
+    * `graft_hash(id || '|split') % 1000`. Weights are per-mille and must
+    * sum to 1000, so the assignment is total and disjoint by
+    * construction. The `|split` salt decorrelates the draw from every
+    * other hash use of the same id (sampling, bucketing, packing).
+    *
+    * Scale shape: a pure per-row codegen'd projection — no shuffle, no
+    * state; membership of any id is recomputable by any engine, so
+    * train/test placement survives re-runs, engine swaps, and
+    * incremental corpus growth (new docs never move old ones). */
+  def splitByHash(spark: SparkSession, df: DataFrame, id: String,
+      splits: Seq[(String, Int)]): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0),
+      s"splits need positive per-mille weights, got $splits")
+    require(splits.map(_._2).sum == 1000,
+      s"per-mille weights must sum to 1000, got ${splits.map(_._2).sum}")
+    val b = GraftHash.graftHash(spark,
+      concat(col(id).cast("string"), lit("|split"))) % 1000
+    val bounds = splits.scanLeft(0)(_ + _._2).tail // cumulative upper bounds
+    val label = splits.zip(bounds).init.foldRight(lit(splits.last._1)) {
+      case (((name, _), upper), rest) => when(b < upper, name).otherwise(rest)
+    }
+    df.select(col(id), label.as("split"))
+  }
 }

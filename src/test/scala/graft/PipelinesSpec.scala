@@ -308,6 +308,32 @@ class PipelinesSpec extends SparkSuite {
     assert(s1.toSeq == s2.toSeq)
   }
 
+  test("splitByHash is total, disjoint, stable under corpus growth") {
+    import spark.implicits._
+    val splits = Seq("train" -> 900, "val" -> 50, "test" -> 50)
+    val d = (1L to 2000L).toDF("doc_id")
+    val got = graft.pipelines.Sampling
+      .splitByHash(spark, d, "doc_id", splits).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // total and disjoint: every id gets exactly one of the three labels
+    assert(got.size == 2000 && got.values.toSet.subsetOf(
+      Set("train", "val", "test")))
+    // proportions track the per-mille weights (hash-uniformity, loose)
+    val train = got.values.count(_ == "train")
+    assert(train > 1700 && train < 1990, s"train=$train of 2000")
+    assert(got.values.count(_ != "train") > 10)
+    // growing the corpus never moves an existing id between splits
+    val grown = graft.pipelines.Sampling
+      .splitByHash(spark, (1L to 4000L).toDF("doc_id"), "doc_id", splits)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.forall { case (id, s) => grown(id) == s })
+    // bad weights fail loudly
+    intercept[IllegalArgumentException] {
+      graft.pipelines.Sampling.splitByHash(spark, d, "doc_id",
+        Seq("a" -> 500, "b" -> 400))
+    }
+  }
+
   test("benchmarkContamination flags docs whose shingles appear in the bench set") {
     val corpus = docs((1L, "alpha beta gamma delta epsilon"),
       (2L, "totally unrelated fresh words here"))
