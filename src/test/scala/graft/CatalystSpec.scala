@@ -167,6 +167,22 @@ class CatalystSpec extends SparkSuite {
     }
   }
 
+  test("splitByHash plans as a shuffle-free projection; packDocs plans " +
+      "exactly one exchange (the bucket-keyed window shuffle)") {
+    import spark.implicits._
+    val docs = (1L to 50L).map(i => (i, s"tok$i tok tok")).toDF("doc_id", "text")
+    val split = graft.pipelines.Sampling.splitByHash(spark, docs, "doc_id",
+      Seq("train" -> 900, "val" -> 100))
+    val splitPlan = split.queryExecution.executedPlan.toString
+    assert(!splitPlan.contains("Exchange"),
+      s"splitByHash must not shuffle:\n$splitPlan")
+    val packed = graft.pipelines.Packing.packDocs(spark, docs, "doc_id",
+      "text", capacity = 10L, buckets = 4)
+    val packPlan = packed.queryExecution.executedPlan.toString
+    val exchanges = packPlan.split("\n").count(_.contains("Exchange"))
+    assert(exchanges == 1, s"expected exactly 1 exchange:\n$packPlan")
+  }
+
   test("MinHashAgg merge combines partial buffers slot-wise") {
     val b1 = MinHashAgg.reduce(MinHashAgg.zero, 42L)
     val b2 = MinHashAgg.reduce(MinHashAgg.zero, 7L)
