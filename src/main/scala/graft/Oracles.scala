@@ -565,11 +565,6 @@ object Oracles {
   def dedupMinHashLsh: String =
     s"WITH $minhashPairCtes\nSELECT a, b FROM pairs ORDER BY a, b"
 
-  /** Duplicate-cluster resolution (mirror of
-    * [[graft.operators.ConnectedComponents.clusters]] over the
-    * MinHash/LSH pairs): connected components of the undirected pair
-    * graph via a recursive reachability CTE — every node collects the
-    * labels of everything it can reach, then keeps the minimum. */
   /** Shared recursive-CC CTE chain ending in `cc(id, cluster_id)` over
     * the MinHash/LSH pairs: every node collects the labels of
     * everything it can reach, then keeps the minimum. */
@@ -585,6 +580,10 @@ object Oracles {
        |cc AS MATERIALIZED (
        |  SELECT id, MIN(comp) AS cluster_id FROM reach GROUP BY id)""".stripMargin
 
+  /** Duplicate-cluster resolution (mirror of
+    * [[graft.operators.ConnectedComponents.clusters]] over the
+    * MinHash/LSH pairs): connected components of the undirected pair
+    * graph via a recursive reachability CTE. */
   def dedupClusters: String =
     s"""WITH RECURSIVE $ccCtes
        |SELECT id AS doc_id, cluster_id,
@@ -623,8 +622,8 @@ object Oracles {
   }
 
   /** Word-3-gram Jaccard similarity >= threshold, via shared-shingle
-    * candidate join. Integer set sizes -> exact double division. */
-  /** Shingles are hashed to int64 before set semantics apply — the
+    * candidate join; integer set sizes -> exact double division.
+    * Shingles are hashed to int64 before set semantics apply — the
     * mirror of [[graft.pipelines.Dedup.ngramJaccard]]'s shuffle-key
     * optimization: both engines agree on hash merges by construction. */
   def dedupNgramJaccard(threshold: Double = 0.5): String =

@@ -84,7 +84,6 @@ object TextFunctions {
       lit(0.3) * least(lit(1.0), stopRatio * lit(5.0))
   }
 
-  /** Rolling-hash document fingerprint (custom codegen'd expression). */
   /** Canonical text cleaning: Unicode NFC composition (custom codegen'd
     * expression, [[NfcNormalize]]), lowercase, control chars to spaces,
     * whitespace runs collapsed, trimmed — the normalization pass a
@@ -101,6 +100,7 @@ object TextFunctions {
     s"trim(regexp_replace(regexp_replace(lower(nfc_normalize($col)), " +
       s"'[[:cntrl:]]', ' ', 'g'), '\\s+', ' ', 'g'))"
 
+  /** Rolling-hash document fingerprint (custom codegen'd expression). */
   def fingerprint(spark: SparkSession, text: Column): Column =
     GraftHash.graftHash(spark, text)
 

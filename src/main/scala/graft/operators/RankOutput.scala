@@ -95,9 +95,6 @@ object RankOutput {
     * sampled ids — the same set networkx assembles via `add_edges_from`
     * + `add_nodes_from`. Top-k sides are broadcast (≤ k rows); the only
     * full-size inputs are the two seeded samples, scanned once each. */
-  /** The shared render model behind the DOT and PNG exports: the
-    * annotated node set `(id, color, width)` and the sampled edge set
-    * `(src, dst)` for one of the three reference views. */
   private[operators] def renderModel(edges: DataFrame, hubs: DataFrame,
       auths: DataFrame, mode: String, k: Int, nodeFraction: Double,
       edgeFraction: Double, seed: Long): (DataFrame, DataFrame) =
@@ -125,6 +122,9 @@ object RankOutput {
       hubs, auths, mode, k)
   }
 
+  /** The shared render model behind the DOT and PNG exports: the
+    * annotated node set `(id, color, width)` and the sampled edge set
+    * `(src, dst)` for one of the three reference views. */
   private def model(sampledNodes: DataFrame, sampledEdges: DataFrame,
       hubs: DataFrame, auths: DataFrame, mode: String,
       k: Int): (DataFrame, DataFrame) = {

@@ -109,20 +109,6 @@ object Similarity {
       .orderBy(col("query_id"), col("rn"))
   }
 
-  /** IVF (inverted-file) ANN top-k — the cell-probe scale path: the
-    * corpus is partitioned into `nlist` cells by nearest centroid, and
-    * each query scores only the vectors in its `nprobe` nearest cells,
-    * so the scored set is ~`nprobe/nlist` of the corpus per query
-    * instead of all of it.
-    *
-    * Coarse quantizer: `nlist` seed centroids (the first `nlist` corpus
-    * vectors) refined by one Lloyd step — cell means, rounded to 6
-    * decimals so the trained centroids (a cross-row float sum) are
-    * reproducible across engines; assignment order is determinized by a
-    * (distance, cid) tiebreak. Centroids are always broadcast (`nlist`
-    * rows); the corpus streams once per stage. At 100 TB the training
-    * stage runs on a seeded sample instead of the full corpus — the
-    * index/search stages are unchanged. */
   /** Nearest-`n` centroid assignment: centroids are always broadcast
     * (`nlist` rows), the vector side streams once; deterministic
     * (distance, cid) tiebreak. */
@@ -159,6 +145,20 @@ object Similarity {
       .localCheckpoint(true)
   }
 
+  /** IVF (inverted-file) ANN top-k — the cell-probe scale path: the
+    * corpus is partitioned into `nlist` cells by nearest centroid, and
+    * each query scores only the vectors in its `nprobe` nearest cells,
+    * so the scored set is ~`nprobe/nlist` of the corpus per query
+    * instead of all of it.
+    *
+    * Coarse quantizer: `nlist` seed centroids (the first `nlist` corpus
+    * vectors) refined by one Lloyd step — cell means, rounded to 6
+    * decimals so the trained centroids (a cross-row float sum) are
+    * reproducible across engines; assignment order is determinized by a
+    * (distance, cid) tiebreak. Centroids are always broadcast (`nlist`
+    * rows); the corpus streams once per stage. At 100 TB the training
+    * stage runs on a seeded sample instead of the full corpus — the
+    * index/search stages are unchanged. */
   def annTopKIvf(emb: DataFrame, nq: Int = 10, k: Int = 5,
       nlist: Int = 8, nprobe: Int = 2): DataFrame = {
     val corpus = emb.select(col("vec_id"), col("embedding"),

@@ -123,10 +123,6 @@ object EventPipelines {
         GroupStateTimeout.EventTimeTimeout)(update)
   }
 
-  /** JSON-metadata extraction over the `props` column (training
-    * pipelines routinely carry JSON sidecar metadata): per event type,
-    * count and sum of the extracted integer field. Exact-integer
-    * oracle. */
   /** As-of join, composed from existing operators (Spark has no native
     * one; DuckDB's `ASOF LEFT JOIN` is the oracle twin): each purchase
     * event gets the user's most recent view at or before it.
@@ -206,6 +202,10 @@ object EventPipelines {
       .orderBy(col("err_id"), col("click_id"))
   }
 
+  /** JSON-metadata extraction over the `props` column (training
+    * pipelines routinely carry JSON sidecar metadata): per event type,
+    * count and sum of the extracted integer field. Exact-integer
+    * oracle. */
   def propsJsonStats(events: DataFrame): DataFrame =
     events.select(col("event_type"),
         get_json_object(col("props"), "$.k").cast("long").as("k"))
