@@ -886,6 +886,14 @@ object Oracles {
         |       MIN(doc_id) AS first_id
         |FROM r GROUP BY pack ORDER BY pack""".stripMargin
 
+  /** Mirror of [[graft.pipelines.Sampling.shuffleByHash]] over
+    * documents: the `|shuffle`-salted hash order. */
+  def corpusShuffle: String = {
+    val h = GraftHash.duckdbSql("CAST(doc_id AS VARCHAR) || '|shuffle'")
+    s"""SELECT doc_id, $h AS sort_key FROM documents
+       |ORDER BY sort_key, doc_id""".stripMargin
+  }
+
   /** Mirror of [[graft.pipelines.Sampling.splitByHash]] over documents:
     * per-mille hash ranges on the `|split`-salted id hash. */
   def sampleSplit(splits: Seq[(String, Int)] =

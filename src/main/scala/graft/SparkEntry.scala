@@ -215,6 +215,8 @@ object SparkEntry {
       Sampling.splitByHash(s, GraphIO.documents(s, dir), "doc_id",
         Seq("train" -> 900, "val" -> 50, "test" -> 50))
         .orderBy(col("doc_id"))),
+    "corpus_shuffle" -> ((s, dir) =>
+      Sampling.shuffleByHash(s, GraphIO.documents(s, dir), "doc_id")),
     "decontaminate" -> ((s, dir) => {
       val d = GraphIO.documents(s, dir)
       Dedup.benchmarkContamination(s,
@@ -351,6 +353,7 @@ object SparkEntry {
     "corpus_mixture" -> Oracles.corpusMixture,
     "sample_quota" -> Oracles.sampleQuota(),
     "sample_split" -> Oracles.sampleSplit(),
+    "corpus_shuffle" -> Oracles.corpusShuffle,
     "pack_sequences" -> Oracles.packSequences(),
     "pack_manifest" -> Oracles.packManifest(),
     "decontaminate" -> Oracles.decontaminate(),

@@ -46,6 +46,23 @@ object Sampling {
     * state; membership of any id is recomputable by any engine, so
     * train/test placement survives re-runs, engine swaps, and
     * incremental corpus growth (new docs never move old ones). */
+  /** Deterministic corpus shuffle — reproducible training order: rows
+    * sort by `graft_hash(id || '|shuffle')` with an id tiebreak. The
+    * salt decorrelates the permutation from sampling/split/packing
+    * hashes of the same ids, and re-salting (e.g. `|shuffle2`) is a
+    * fresh epoch permutation.
+    *
+    * Scale shape: one range exchange + per-partition sort (Spark's
+    * global orderBy) — no global window, no single-task stage; any
+    * engine derives the identical order, so a resumed training run
+    * replays the same sequence. */
+  def shuffleByHash(spark: SparkSession, df: DataFrame, id: String,
+      salt: String = "|shuffle"): DataFrame = {
+    val h = GraftHash.graftHash(spark,
+      concat(col(id).cast("string"), lit(salt)))
+    df.select(col(id), h.as("sort_key")).orderBy(col("sort_key"), col(id))
+  }
+
   def splitByHash(spark: SparkSession, df: DataFrame, id: String,
       splits: Seq[(String, Int)]): DataFrame = {
     require(splits.nonEmpty && splits.forall(_._2 > 0),

@@ -334,6 +334,24 @@ class PipelinesSpec extends SparkSuite {
     }
   }
 
+  test("shuffleByHash is a deterministic permutation; epochs differ by salt") {
+    import spark.implicits._
+    val d = (1L to 500L).toDF("doc_id")
+    val o1 = graft.pipelines.Sampling.shuffleByHash(spark, d, "doc_id")
+      .collect().map(_.getLong(0))
+    // a permutation of the ids, not the identity order
+    assert(o1.sorted.toSeq == (1L to 500L) && o1.toSeq != (1L to 500L).toSeq)
+    // deterministic across runs
+    val o2 = graft.pipelines.Sampling.shuffleByHash(spark, d, "doc_id")
+      .collect().map(_.getLong(0))
+    assert(o1.toSeq == o2.toSeq)
+    // a different salt is a different epoch permutation
+    val e2 = graft.pipelines.Sampling
+      .shuffleByHash(spark, d, "doc_id", "|shuffle2")
+      .collect().map(_.getLong(0))
+    assert(e2.sorted.toSeq == (1L to 500L) && e2.toSeq != o1.toSeq)
+  }
+
   test("benchmarkContamination flags docs whose shingles appear in the bench set") {
     val corpus = docs((1L, "alpha beta gamma delta epsilon"),
       (2L, "totally unrelated fresh words here"))
