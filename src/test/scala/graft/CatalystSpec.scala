@@ -181,6 +181,13 @@ class CatalystSpec extends SparkSuite {
     val packPlan = packed.queryExecution.executedPlan.toString
     val exchanges = packPlan.split("\n").count(_.contains("Exchange"))
     assert(exchanges == 1, s"expected exactly 1 exchange:\n$packPlan")
+    // corpus shuffle: a range exchange + local sort, never a global
+    // window (a single-task stage at 100 TB)
+    val shuf = graft.pipelines.Sampling.shuffleByHash(spark, docs, "doc_id")
+    val shufPlan = shuf.queryExecution.executedPlan.toString
+    assert(shufPlan.contains("rangepartitioning"),
+      s"global sort must range-partition:\n$shufPlan")
+    assert(!shufPlan.contains("Window"), s"no window expected:\n$shufPlan")
   }
 
   test("MinHashAgg merge combines partial buffers slot-wise") {
