@@ -35,6 +35,37 @@ class PropertiesSpec extends SparkSuite {
     }
   }
 
+  test("split/shuffle/pack invariants over random id sets") {
+    import spark.implicits._
+    val genIds: Gen[List[Long]] = for {
+      n <- Gen.choose(5, 60)
+      ids <- Gen.listOfN(n, Gen.choose(Long.MinValue / 2, Long.MaxValue / 2))
+    } yield ids.distinct
+    val idSets = (1 to 5).flatMap(i =>
+      genIds.apply(Gen.Parameters.default, Seed(100L + i)))
+    idSets.foreach { ids =>
+      val d = ids.toDF("doc_id")
+      // split: total + disjoint over arbitrary (incl. negative) ids
+      val sp = graft.pipelines.Sampling.splitByHash(spark, d, "doc_id",
+        Seq("a" -> 500, "b" -> 500)).collect()
+      assert(sp.length == ids.size &&
+        sp.forall(r => Set("a", "b")(r.getString(1))))
+      // shuffle: bijective over the id set
+      val sh = graft.pipelines.Sampling.shuffleByHash(spark, d, "doc_id")
+        .collect().map(_.getLong(0))
+      assert(sh.sorted.toSeq == ids.sorted)
+      // pack: every doc assigned; pack ids stay in their bucket's range
+      val docs = ids.map(i => (i, s"w$i x y")).toDF("doc_id", "text")
+      val pk = graft.pipelines.Packing.packDocs(spark, docs, "doc_id",
+        "text", capacity = 5L, buckets = 3).collect()
+      assert(pk.length == ids.size)
+      assert(pk.forall { r =>
+        val b = r.getLong(1) / graft.pipelines.Packing.PacksPerBucket
+        b >= 0 && b < 3
+      })
+    }
+  }
+
   test("normalize: rescaling input leaves normalized output unchanged") {
     import spark.implicits._
     samples(4).foreach { edges =>
