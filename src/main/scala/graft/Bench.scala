@@ -93,17 +93,19 @@ object Bench {
           // columns on projection-shaped queries (a text_normalize count
           // never runs the NFC expression), which under-measures them.
           // The noop write evaluates every output column of every row.
+          var df: org.apache.spark.sql.DataFrame = null
           try {
-            val df = fn(spark, sfDir)
+            df = fn(spark, sfDir)
             df.write.format("noop").mode("overwrite").save()
-            // The sink consumed the result; its final per-query score
-            // checkpoints (1-2 |V| vectors each) are dead — release
-            // them now instead of letting ~60 queries' worth wait on
-            // GC-timed ContextCleaner sweeps.
-            Checkpoints.releaseAll(df)
           } catch { case e: Throwable =>
             failed ::= name
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          } finally {
+            // The sink consumed (or abandoned) the result; its final
+            // per-query score checkpoints (1-2 |V| vectors each) are
+            // dead — release them even on failure instead of letting
+            // ~60 queries' worth wait on GC-timed ContextCleaner sweeps.
+            if (df != null) Checkpoints.releaseAll(df)
           }
           results(name) = (System.nanoTime() - t0) / 1e9
         }

@@ -142,12 +142,13 @@ object ScaleBench {
         // noop sink, not count(): under count Catalyst prunes unreferenced
         // Window/projection work (pack_sequences would time an empty plan)
         val df = fn(spark, dir)
-        df.write.format("noop").mode("overwrite").save()
+        try df.write.format("noop").mode("overwrite").save()
+        finally
+          // Release the query's checkpoints before timing the next one —
+          // same lifecycle as Bench/Verify, so accumulated dead blocks
+          // can't distort the very scale ratios this evidence exists for.
+          Checkpoints.releaseAll(df)
         val dt = (System.nanoTime() - t0) / 1e9
-        // Release the query's checkpoints before timing the next one —
-        // same lifecycle as Bench/Verify, so accumulated dead blocks
-        // can't distort the very scale ratios this evidence exists for.
-        Checkpoints.releaseAll(df)
         println(f"[scale] $dir $name $dt%.2f s")
         name -> dt
       }.toMap
