@@ -14,10 +14,15 @@ object BenchOne {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     args.foreach { name =>
-      // Same action as Bench: a noop write evaluates every output
-      // column (count() would let Catalyst prune computed columns).
-      def once(): Unit = SparkEntry.queries(name)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
+      // Same action and lifecycle as Bench: a noop write evaluates
+      // every output column (count() would let Catalyst prune computed
+      // columns), and the run's checkpoints are released afterwards so
+      // the first pass's dead blocks can't distort the second's timing.
+      def once(): Unit = {
+        val df = SparkEntry.queries(name)(spark, sfDir)
+        try df.write.format("noop").mode("overwrite").save()
+        finally Checkpoints.releaseAll(df)
+      }
       val t0 = System.nanoTime()
       once()
       println(f"[benchone] $name first ${(System.nanoTime()-t0)/1e9}%.2f s")
