@@ -30,26 +30,50 @@ object Bench {
       try body catch { case e: Throwable =>
         System.err.println(s"[bench] warmup $label failed: ${e.getMessage}")
       }
+    // Warm results are throwaways: count to force the work, then release
+    // their final score checkpoints so ~9 |V|-sized blocks don't persist
+    // for the whole bench run outside the eager-release lifecycle.
+    def drain(auths: org.apache.spark.sql.DataFrame,
+        hubs: org.apache.spark.sql.DataFrame): Unit = {
+      auths.count()
+      Checkpoints.releaseAll(auths)
+      Checkpoints.releaseAll(hubs)
+    }
     fam match {
       case "order" =>
         pass("order-graph")(GraphIO.orderGraph(spark, sfDir).edges.count())
-        pass("hits-base")(operators.Hits
-          .run(GraphIO.orderGraph(spark, sfDir), numIter = 1).auths.count())
-        pass("hits-weighted")(operators.Hits
-          .runWeighted(GraphIO.orderGraph(spark, sfDir), numIter = 1)
-          .auths.count())
-        pass("salsa")(operators.Salsa
-          .run(GraphIO.orderGraph(spark, sfDir), numIter = 1).auths.count())
-        pass("pagerank")(operators.PageRank
-          .run(GraphIO.orderGraph(spark, sfDir), numIter = 1).count())
+        pass("hits-base") {
+          val r = operators.Hits.run(GraphIO.orderGraph(spark, sfDir),
+            numIter = 1)
+          drain(r.auths, r.hubs)
+        }
+        pass("hits-weighted") {
+          val r = operators.Hits.runWeighted(GraphIO.orderGraph(spark, sfDir),
+            numIter = 1)
+          drain(r.auths, r.hubs)
+        }
+        pass("salsa") {
+          val r = operators.Salsa.run(GraphIO.orderGraph(spark, sfDir),
+            numIter = 1)
+          drain(r.auths, r.hubs)
+        }
+        pass("pagerank") {
+          val pr = operators.PageRank
+            .run(GraphIO.orderGraph(spark, sfDir), numIter = 1)
+          pr.count()
+          Checkpoints.releaseAll(pr)
+        }
       case "orderalt" =>
         // One throwaway weighted iteration, mirroring the order family's
         // warm: materializes BOTH persisted sides of the graph (the
         // edges.count alone leaves the node union-distinct to land on
         // the first timed kernel).
-        pass("orderalt-graph")(operators.Hits
-          .runWeighted(GraphIO.orderGraphAltWeights(spark, sfDir),
-            numIter = 1).auths.count())
+        pass("orderalt-graph") {
+          val r = operators.Hits
+            .runWeighted(GraphIO.orderGraphAltWeights(spark, sfDir),
+              numIter = 1)
+          drain(r.auths, r.hubs)
+        }
       case "event" =>
         pass("event-graph")(GraphIO.eventGraph(spark, sfDir).edges.count())
       case _ => ()
@@ -62,6 +86,9 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Deterministic events.ts NTZ→instant conversion (GraphIO.events)
+      // regardless of host zone.
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // Superseded iteration checkpoints are released eagerly by the
       // kernels themselves ([[Checkpoints]]), so the periodic-GC drain is

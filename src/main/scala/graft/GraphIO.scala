@@ -155,7 +155,7 @@ object GraphIO {
   /** Skewed bipartite event graph: user -> event_type, weight = value. */
   def eventGraph(spark: SparkSession, sfDir: String): Graph =
     cache.getOrElseUpdate(s"event:${sessionKey(spark)}:$sfDir", {
-      val ev = events(spark, sfDir) // sets the nanos conf (see below)
+      val ev = events(spark, sfDir) // ts normalized to epoch-nanos (see below)
       val edges = ev.select(
         concat(lit("u"), col("user_id").cast(StringType)).as("src"),
         concat(lit("e"), col("event_type")).as("dst"),
@@ -223,12 +223,40 @@ object GraphIO {
   def embeddings(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"$sfDir/embeddings.parquet")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's reader
-    * rejects; `nanosAsLong` surfaces it as epoch-nanos BIGINT and
-    * downstream ops use integer arithmetic (nanos exceed double
-    * precision, so no FP conversion is safe). */
+  /** Events table with `ts` normalized to epoch-nanos BIGINT regardless
+    * of the file's parquet timestamp unit, so every downstream pipeline
+    * sees one stable integer-nanos contract (nanos exceed double
+    * precision, so no FP conversion is safe):
+    *
+    *  - TIMESTAMP(MICROS/MILLIS) reads as a (possibly NTZ) timestamp and
+    *    is converted with exact integer arithmetic (`unix_micros * 1000`;
+    *    NTZ is rebased through the session zone, UTC in every graft
+    *    entry point).
+    *  - TIMESTAMP(NANOS) is rejected by Spark's schema inference unless
+    *    `nanosAsLong` is on; that legacy conf is scoped to a cloned
+    *    session (`newSession` shares the SparkContext but not the conf),
+    *    so the caller's session is never mutated — another reader of
+    *    nanos parquet in the same session keeps its own semantics. */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/events.parquet")
+    val path = s"$sfDir/events.parquet"
+    val raw =
+      try spark.read.parquet(path)
+      catch {
+        case _: org.apache.spark.sql.AnalysisException =>
+          val scoped = spark.newSession()
+          scoped.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+          scoped.read.parquet(path)
+      }
+    raw.schema("ts").dataType match {
+      case LongType => raw // TIMESTAMP(NANOS) under nanosAsLong: already epoch-nanos
+      case TimestampType =>
+        raw.withColumn("ts", unix_micros(col("ts")) * lit(1000L))
+      case TimestampNTZType =>
+        raw.withColumn("ts",
+          unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
+      case other => throw new IllegalArgumentException(
+        s"events.ts has unsupported type $other; expected a timestamp " +
+          "or epoch-nanos BIGINT")
+    }
   }
 }

@@ -1,11 +1,22 @@
 package graft
 
 import graft.operators._
+import graft.pipelines.{Dedup, Packing, Sampling, Similarity}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** CLI mirroring the reference's 14 driver scripts, so a reference user
-  * can run every query they run today against the same CSV layout:
+  * can run every query they run today against the same CSV layout —
+  * plus `dedup` / `ann` / `split` / `shuffle` / `pack` verbs that drive
+  * the LLM-data-pipeline surface over parquet paths without sbt console:
+  *
+  * {{{
+  * runMain graft.Main dedup <docs.parquet> <out_dir> [exact|near|clean]
+  * runMain graft.Main ann <embeddings.parquet> <out_dir> [exact|lsh|ivf|q8|q8ivf] [nq] [k]
+  * runMain graft.Main split <in.parquet> <out_dir> [id_col] [train‰ val‰ test‰]
+  * runMain graft.Main shuffle <in.parquet> <out_dir> [id_col]
+  * runMain graft.Main pack <docs.parquet> <out_dir> [capacity] [buckets]
+  * }}}
   *
   * {{{
   * runMain graft.Main base_hits [num_iter] [nodes_csv] [edges_csv]
@@ -39,6 +50,9 @@ object Main {
       .appName(s"graft-${args(0)}")
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      // Deterministic events.ts NTZ→instant conversion (GraphIO.events)
+      // regardless of host zone.
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -47,13 +61,17 @@ object Main {
   }
 
   private def usage(): Unit =
-    System.err.println("Usage: graft.Main <kernel> [args] — kernels: " +
+    System.err.println("Usage: graft.Main <verb> [args] — kernels: " +
       "base_hits weighted_hits random_teleport_hits topic_specific_hits " +
       "topic_exclusive_hits query_dependent_hits base_salsa base_salsa_2 " +
       "weighted_salsa random_teleport_salsa topic_specific_salsa " +
-      "query_dependent_salsa list_topics")
+      "query_dependent_salsa list_topics draw_graph; pipelines: " +
+      "dedup <in> <out> [exact|near|clean], " +
+      "ann <in> <out> [exact|lsh|ivf|q8|q8ivf] [nq] [k], " +
+      "split <in> <out> [id_col] [train val test (per-mille)], " +
+      "shuffle <in> <out> [id_col], pack <in> <out> [capacity] [buckets]")
 
-  private def run(spark: SparkSession, cmd: String, a: Array[String]): Unit = {
+  private[graft] def run(spark: SparkSession, cmd: String, a: Array[String]): Unit = {
     def arg(i: Int, dflt: String): String = if (a.length > i) a(i) else dflt
     val needsTopic = Set("topic_specific_hits", "topic_exclusive_hits",
       "query_dependent_hits", "topic_specific_salsa", "query_dependent_salsa")
@@ -131,6 +149,59 @@ object Main {
         GraphRender.writePngGraphs(g.edges, r.hubs, r.auths, "outputs", "base")
         println("Graphs written: outputs/graph_base_{hub,authorities," +
           "HubAndAuthorities}.{png,dot}")
+      // ---- pipeline verbs: parquet in → parquet out ----
+      case "dedup" =>
+        val (in, out) = pipelineIo(cmd, a)
+        val docs = spark.read.parquet(in)
+        val result = arg(2, "near") match {
+          case "exact" => Dedup.exactByHash(spark, docs)
+          case "near"  => Dedup.nearDedupCorpus(spark, docs)
+          case "clean" => Dedup.cleanCorpus(spark, docs)
+          case m => System.err.println(s"Unknown dedup method: $m")
+            usage(); sys.exit(2); null
+        }
+        result.write.mode("overwrite").parquet(out)
+        println(s"Dedup (${arg(2, "near")}) written to $out")
+      case "ann" =>
+        val (in, out) = pipelineIo(cmd, a)
+        val strategy = arg(2, "q8ivf") match {
+          case "exact" => Similarity.AnnStrategy.Exact
+          case "lsh"   => Similarity.AnnStrategy.Lsh
+          case "ivf"   => Similarity.AnnStrategy.Ivf
+          case "q8"    => Similarity.AnnStrategy.Q8
+          case "q8ivf" => Similarity.AnnStrategy.Q8Ivf
+          case s => System.err.println(s"Unknown ann strategy: $s")
+            usage(); sys.exit(2); null
+        }
+        Similarity.ann(spark.read.parquet(in), strategy,
+            nq = arg(3, "10").toInt, k = arg(4, "5").toInt)
+          .write.mode("overwrite").parquet(out)
+        println(s"ANN top-k (${arg(2, "q8ivf")}) written to $out")
+      case "split" =>
+        val (in, out) = pipelineIo(cmd, a)
+        val weights = if (a.length > 3)
+          Seq("train" -> a(3).toInt, "val" -> arg(4, "0").toInt,
+            "test" -> arg(5, "0").toInt).filter(_._2 > 0)
+        else Seq("train" -> 900, "val" -> 50, "test" -> 50)
+        Sampling.splitByHash(spark, spark.read.parquet(in),
+            arg(2, "doc_id"), weights)
+          .write.mode("overwrite").partitionBy("split").parquet(out)
+        println(s"Split ${weights.map(w => s"${w._1}=${w._2}‰").mkString(" ")} " +
+          s"written to $out (partitioned by split)")
+      case "shuffle" =>
+        val (in, out) = pipelineIo(cmd, a)
+        Sampling.shuffleByHash(spark, spark.read.parquet(in), arg(2, "doc_id"))
+          .write.mode("overwrite").parquet(out)
+        println(s"Deterministic shuffle written to $out")
+      case "pack" =>
+        val (in, out) = pipelineIo(cmd, a)
+        val assignments = Packing.packDocs(spark, spark.read.parquet(in),
+          arg(4, "doc_id"), arg(5, "text"),
+          capacity = arg(2, "2048").toLong, buckets = arg(3, "32").toInt)
+        assignments.write.mode("overwrite").parquet(s"$out/assignments")
+        Packing.packManifest(assignments, arg(4, "doc_id"))
+          .write.mode("overwrite").parquet(s"$out/manifest")
+        println(s"Pack assignments + manifest written under $out/")
       case "list_topics" =>
         val nodes = GraphIO.readNodesCsv(spark, arg(0, DefaultNodes))
         Topics.list(nodes).coalesce(1).write.mode("overwrite")
@@ -139,6 +210,16 @@ object Main {
       case other =>
         System.err.println(s"Unknown kernel: $other"); usage(); sys.exit(2)
     }
+  }
+
+  /** Pipeline verbs all take `<in.parquet> <out_dir>` as their first two
+    * arguments; fail fast with usage when either is missing. */
+  private def pipelineIo(cmd: String, a: Array[String]): (String, String) = {
+    if (a.length < 2) {
+      System.err.println(s"$cmd requires <in.parquet> <out_dir>")
+      usage(); sys.exit(2)
+    }
+    (a(0), a(1))
   }
 
   private def emit(dir: String, r: Hits.Result): Unit =

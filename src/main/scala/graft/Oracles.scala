@@ -379,8 +379,9 @@ object Oracles {
   /** As-of join oracle: DuckDB's native ASOF LEFT JOIN against the
     * same tie-collapsed view side (mirror of
     * [[graft.streaming.EventPipelines.asofPurchaseView]]). Timestamps
-    * are emitted as epoch nanos to match Spark's `nanosAsLong` view of
-    * the TIMESTAMP(NANOS) column. */
+    * are emitted as epoch nanos (`epoch_ns`, unit-agnostic) to match
+    * the epoch-nanos BIGINT `ts` contract of
+    * [[graft.GraphIO.events]]. */
   def eventsAsof: String =
     s"""WITH vr AS MATERIALIZED (
        |  SELECT user_id, ts, max(value) AS view_value FROM events
@@ -887,15 +888,17 @@ object Oracles {
         |FROM r GROUP BY pack ORDER BY pack""".stripMargin
 
   /** Mirror of [[graft.pipelines.Sampling.shuffleByHash]] over
-    * documents: the `|shuffle`-salted hash order. */
+    * documents: the `|shuffle`-salted hash order, with the `source`
+    * payload column riding along (pass-through check). */
   def corpusShuffle: String = {
     val h = GraftHash.duckdbSql("CAST(doc_id AS VARCHAR) || '|shuffle'")
-    s"""SELECT doc_id, $h AS sort_key FROM documents
+    s"""SELECT doc_id, source, $h AS sort_key FROM documents
        |ORDER BY sort_key, doc_id""".stripMargin
   }
 
   /** Mirror of [[graft.pipelines.Sampling.splitByHash]] over documents:
-    * per-mille hash ranges on the `|split`-salted id hash. */
+    * per-mille hash ranges on the `|split`-salted id hash, with the
+    * `source` payload column riding along (pass-through check). */
   def sampleSplit(splits: Seq[(String, Int)] =
       Seq("train" -> 900, "val" -> 50, "test" -> 50)): String = {
     val h = GraftHash.duckdbSql("CAST(doc_id AS VARCHAR) || '|split'")
@@ -903,8 +906,9 @@ object Oracles {
     val cases = splits.zip(bounds).init
       .map { case ((name, _), upper) => s"WHEN b < $upper THEN '$name'" }
       .mkString(" ")
-    s"""SELECT doc_id, CASE $cases ELSE '${splits.last._1}' END AS split
-       |FROM (SELECT doc_id, $h % 1000 AS b FROM documents) t
+    s"""SELECT doc_id, source,
+       |       CASE $cases ELSE '${splits.last._1}' END AS split
+       |FROM (SELECT doc_id, source, $h % 1000 AS b FROM documents) t
        |ORDER BY doc_id""".stripMargin
   }
 
@@ -938,10 +942,15 @@ object Oracles {
        |                v -> CAST(round(CAST(v AS DOUBLE) * 127.0 / ma) AS BIGINT)) END AS q
        |  FROM m0)""".stripMargin
 
-  /** Mirror of [[graft.pipelines.Similarity.quantizeQ8]]. */
+  /** Mirror of [[graft.pipelines.Similarity.quantizeQ8]], exploded to
+    * (vec_id, ma, pos, qv) scalar rows like the Spark gate (zipped
+    * unnests — driver-sortable columns, no array output). */
   def embedQuantize: String =
     s"""WITH $quantizeCtes
-       |SELECT vec_id, ma, q FROM qz ORDER BY vec_id""".stripMargin
+       |SELECT vec_id, ma, pos, qv FROM (
+       |  SELECT vec_id, ma, unnest(range(len(q))) AS pos, unnest(q) AS qv
+       |  FROM qz)
+       |ORDER BY vec_id, pos""".stripMargin
 
   /** Mirror of [[graft.pipelines.Similarity.annTopKQ8]]: quantized
     * integer-dot prefilter (`cand` overfetch), exact cosine rerank. */
@@ -1077,11 +1086,16 @@ object Oracles {
   }
 
   /** Mirror of [[graft.pipelines.Multimodal.extractFeatures]] over the
-    * identity-codec payload (UTF-8 bytes of `text`). */
+    * identity-codec payload (UTF-8 bytes of `text`), histogram exploded
+    * to (pos, hist_v) scalar rows like the Spark gate. */
   def multimodalFeatures: String =
-    s"""WITH $byteListCtes
-       |SELECT doc_id, ${byteFeatureSql("bs", "n")}
-       |FROM bl ORDER BY doc_id""".stripMargin
+    s"""WITH $byteListCtes,
+       |f AS (SELECT doc_id, ${byteFeatureSql("bs", "n")} FROM bl)
+       |SELECT doc_id, n_bytes, byte_mean, pos, hist_v FROM (
+       |  SELECT doc_id, n_bytes, byte_mean,
+       |         unnest(range(8)) AS pos, unnest(hist) AS hist_v
+       |  FROM f)
+       |ORDER BY doc_id, pos""".stripMargin
 
   /** Mirror of [[graft.pipelines.Multimodal.resizeAll]] (+ feature
     * extraction on the resized payload): the stub "resize" keeps every
@@ -1094,9 +1108,13 @@ object Oracles {
        |         list_transform(range((n + ${factor - 1}) // $factor),
        |           i -> bs[CAST(i * $factor + 1 AS INT)]) AS rs,
        |         (n + ${factor - 1}) // $factor AS rn
-       |  FROM bl)
-       |SELECT doc_id, ${byteFeatureSql("rs", "rn")}
-       |FROM rz ORDER BY doc_id""".stripMargin
+       |  FROM bl),
+       |f AS (SELECT doc_id, ${byteFeatureSql("rs", "rn")} FROM rz)
+       |SELECT doc_id, n_bytes, byte_mean, pos, hist_v FROM (
+       |  SELECT doc_id, n_bytes, byte_mean,
+       |         unnest(range(8)) AS pos, unnest(hist) AS hist_v
+       |  FROM f)
+       |ORDER BY doc_id, pos""".stripMargin
 }
 
 /** MinHash constants shared between the Spark pipeline and the oracle. */

@@ -211,12 +211,17 @@ object SparkEntry {
     "sample_quota" -> ((s, dir) =>
       Sampling.quotaPerGroup(s, GraphIO.documents(s, dir),
         "source", "doc_id", 25)),
+    // Both split and shuffle now carry the full input row; the gates
+    // project one payload column (source) alongside the assignment so
+    // the pass-through itself is oracle-checked.
     "sample_split" -> ((s, dir) =>
       Sampling.splitByHash(s, GraphIO.documents(s, dir), "doc_id",
         Seq("train" -> 900, "val" -> 50, "test" -> 50))
+        .select(col("doc_id"), col("source"), col("split"))
         .orderBy(col("doc_id"))),
     "corpus_shuffle" -> ((s, dir) =>
-      Sampling.shuffleByHash(s, GraphIO.documents(s, dir), "doc_id")),
+      Sampling.shuffleByHash(s, GraphIO.documents(s, dir), "doc_id")
+        .select(col("doc_id"), col("source"), col("sort_key"))),
     "decontaminate" -> ((s, dir) => {
       val d = GraphIO.documents(s, dir)
       Dedup.benchmarkContamination(s,
@@ -266,23 +271,34 @@ object SparkEntry {
     // ---- similarity search ----
     "dedup_semantic" -> ((s, dir) =>
       Similarity.semanticDuplicates(GraphIO.embeddings(s, dir), 0.3)),
+    // The five ANN gates all route through the unified
+    // [[graft.pipelines.Similarity.ann]] entry point, so what the
+    // oracles certify is the one surface users call.
     "ann_topk" -> ((s, dir) =>
-      Similarity.annTopK(GraphIO.embeddings(s, dir))
+      Similarity.ann(GraphIO.embeddings(s, dir), Similarity.AnnStrategy.Exact)
         .withColumn("rn", col("rn").cast("long"))),
     "ann_topk_lsh" -> ((s, dir) =>
-      Similarity.annTopKLsh(GraphIO.embeddings(s, dir))
+      Similarity.ann(GraphIO.embeddings(s, dir), Similarity.AnnStrategy.Lsh)
         .withColumn("rn", col("rn").cast("long"))),
     "ann_topk_ivf" -> ((s, dir) =>
-      Similarity.annTopKIvf(GraphIO.embeddings(s, dir))
+      Similarity.ann(GraphIO.embeddings(s, dir), Similarity.AnnStrategy.Ivf)
         .withColumn("rn", col("rn").cast("long"))),
+    // Exploded to (vec_id, ma, pos, qv) scalar rows: the driver's
+    // comparator sorts result columns with pandas, which cannot order an
+    // array-typed column — the native array<bigint> API
+    // ([[graft.pipelines.Similarity.quantizeQ8]]) is unchanged.
     "embed_quantize" -> ((s, dir) =>
       Similarity.quantizeQ8(GraphIO.embeddings(s, dir))
-        .orderBy(col("vec_id"))),
+        .select(col("vec_id"), col("ma"),
+          posexplode(col("q")).as(Seq("pos", "qv")))
+        .select(col("vec_id"), col("ma"), col("pos").cast("long").as("pos"),
+          col("qv"))
+        .orderBy(col("vec_id"), col("pos"))),
     "ann_topk_q8" -> ((s, dir) =>
-      Similarity.annTopKQ8(GraphIO.embeddings(s, dir))
+      Similarity.ann(GraphIO.embeddings(s, dir), Similarity.AnnStrategy.Q8)
         .withColumn("rn", col("rn").cast("long"))),
     "ann_topk_q8_ivf" -> ((s, dir) =>
-      Similarity.annTopKQ8Ivf(GraphIO.embeddings(s, dir))
+      Similarity.ann(GraphIO.embeddings(s, dir), Similarity.AnnStrategy.Q8Ivf)
         .withColumn("rn", col("rn").cast("long"))),
     // ---- multimodal plumbing ----
     "multimodal_meta" -> ((s, dir) =>
@@ -304,12 +320,19 @@ object SparkEntry {
     "graft_bucketed_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
 
   /** Oracle-aligned projection of [[Multimodal.extractFeatures]] rows:
-    * 6-decimal rounding on the float features, doc order. */
+    * 6-decimal rounding on the float features, histogram exploded to
+    * (pos, hist_v) scalar rows — the driver's comparator sorts result
+    * columns with pandas, which cannot order an array-typed column. The
+    * native array-valued API ([[Multimodal.extractFeatures]]) is
+    * unchanged. */
   private def featureRows(feats: DataFrame): DataFrame =
     feats.select(col("doc_id"), col("n_bytes"),
       round(col("byte_mean"), 6).as("byte_mean"),
-      transform(col("hist"), v => round(v, 6)).as("hist"))
-      .orderBy(col("doc_id"))
+      posexplode(transform(col("hist"), v => round(v, 6)))
+        .as(Seq("pos", "hist_v")))
+      .select(col("doc_id"), col("n_bytes"), col("byte_mean"),
+        col("pos").cast("long").as("pos"), col("hist_v"))
+      .orderBy(col("doc_id"), col("pos"))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. */

@@ -221,6 +221,21 @@ object Hits {
     * score-aggregation output aligns with the bucket partitioning. */
   def runBucketed(spark: org.apache.spark.sql.SparkSession, prefix: String,
       numIter: Int = 8): Result = {
+    // The zero-edge-Exchange property holds only when the layout's bucket
+    // count equals this session's shuffle partition count — a layout
+    // written under a different setting would silently reintroduce
+    // per-iteration edge shuffles (exactly what this entry point exists
+    // to eliminate), so fail fast with the fix in the message.
+    val buckets = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(
+        s"${prefix}_edges_by_dst"))
+      .bucketSpec.map(_.numBuckets)
+    val shufflePartitions = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    require(buckets.contains(shufflePartitions),
+      s"bucketed layout '$prefix' has ${buckets.fold("no bucket spec")(
+        _.toString + " buckets")} but spark.sql.shuffle.partitions is " +
+        s"$shufflePartitions; set them equal (or rewrite the layout) to " +
+        "keep the kernel's zero-edge-Exchange plan")
     def edges(table: String): DataFrame =
       spark.table(table).select(col("src"), col("dst"),
         col("weight").cast("double").as("w"))

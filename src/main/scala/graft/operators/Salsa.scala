@@ -82,7 +82,14 @@ object Salsa {
     val e = Subgraph.queryDependent(g, topic).edges.persist()
     try {
       val r = runSimplified(e)
-      Result(Checkpoints.materialize(r.hubs), Checkpoints.materialize(r.auths))
+      val out =
+        Result(Checkpoints.materialize(r.hubs), Checkpoints.materialize(r.auths))
+      // The re-materialized copies supersede iterate's final checkpoints;
+      // release those now rather than leaving two |V|-sized blocks to the
+      // GC-timed ContextCleaner path.
+      Checkpoints.releaseAll(r.hubs)
+      Checkpoints.releaseAll(r.auths)
+      out
     } finally e.unpersist(false)
   }
 

@@ -32,7 +32,13 @@ object Skew {
     * identical to the unsalted join (the salt assignment only routes
     * rows; every big row still meets every matching small row exactly
     * once). Right/full-outer are rejected: unmatched small-side rows
-    * would surface once per replica. */
+    * would surface once per replica.
+    *
+    * Limitation (see [[contentSalt]]): big-side rows identical in EVERY
+    * column share one salt replica, so a hot key made of pure full-row
+    * duplicates is not spread. Callers with duplicate-heavy inputs
+    * should carry a distinguishing column (an id, a file/offset) into
+    * `big` — any column that varies restores the spread. */
   def saltedEquiJoin(big: DataFrame, small: DataFrame, bigKey: Column,
       smallKey: Column, salt: Int, joinType: String = "inner"): DataFrame = {
     require(Set("inner", "left_outer", "leftouter", "left")(joinType),

@@ -35,22 +35,14 @@ object Sampling {
       .orderBy(col(group), col("rn"))
   }
 
-  /** Deterministic train/val/test (or any) split: each id lands in the
-    * split whose cumulative per-mille range covers
-    * `graft_hash(id || '|split') % 1000`. Weights are per-mille and must
-    * sum to 1000, so the assignment is total and disjoint by
-    * construction. The `|split` salt decorrelates the draw from every
-    * other hash use of the same id (sampling, bucketing, packing).
-    *
-    * Scale shape: a pure per-row codegen'd projection — no shuffle, no
-    * state; membership of any id is recomputable by any engine, so
-    * train/test placement survives re-runs, engine swaps, and
-    * incremental corpus growth (new docs never move old ones). */
-  /** Deterministic corpus shuffle — reproducible training order: rows
-    * sort by `graft_hash(id || '|shuffle')` with an id tiebreak. The
-    * salt decorrelates the permutation from sampling/split/packing
-    * hashes of the same ids, and re-salting (e.g. `|shuffle2`) is a
-    * fresh epoch permutation.
+  /** Deterministic corpus shuffle — reproducible training order: the
+    * full input row plus a `sort_key` column, sorted by
+    * `graft_hash(id || '|shuffle')` with an id tiebreak. The salt
+    * decorrelates the permutation from sampling/split/packing hashes of
+    * the same ids, and re-salting (e.g. `|shuffle2`) is a fresh epoch
+    * permutation. Payload columns ride along so the shuffled corpus is
+    * directly consumable — no join back onto the input (which would cost
+    * the extra shuffle this operator exists to avoid).
     *
     * Scale shape: one range exchange + per-partition sort (Spark's
     * global orderBy) — no global window, no single-task stage; any
@@ -60,9 +52,23 @@ object Sampling {
       salt: String = "|shuffle"): DataFrame = {
     val h = GraftHash.graftHash(spark,
       concat(col(id).cast("string"), lit(salt)))
-    df.select(col(id), h.as("sort_key")).orderBy(col("sort_key"), col(id))
+    df.select(df.columns.map(col) :+ h.as("sort_key"): _*)
+      .orderBy(col("sort_key"), col(id))
   }
 
+  /** Deterministic train/val/test (or any) split: the full input row
+    * plus a `split` column — each id lands in the split whose cumulative
+    * per-mille range covers `graft_hash(id || '|split') % 1000`. Weights
+    * are per-mille and must sum to 1000, so the assignment is total and
+    * disjoint by construction. The `|split` salt decorrelates the draw
+    * from every other hash use of the same id (sampling, bucketing,
+    * packing). Payload columns ride along so each split is directly
+    * writable — no join back onto the input.
+    *
+    * Scale shape: a pure per-row codegen'd projection — no shuffle, no
+    * state; membership of any id is recomputable by any engine, so
+    * train/test placement survives re-runs, engine swaps, and
+    * incremental corpus growth (new docs never move old ones). */
   def splitByHash(spark: SparkSession, df: DataFrame, id: String,
       splits: Seq[(String, Int)]): DataFrame = {
     require(splits.nonEmpty && splits.forall(_._2 > 0),
@@ -75,6 +81,6 @@ object Sampling {
     val label = splits.zip(bounds).init.foldRight(lit(splits.last._1)) {
       case (((name, _), upper), rest) => when(b < upper, name).otherwise(rest)
     }
-    df.select(col(id), label.as("split"))
+    df.select(df.columns.map(col) :+ label.as("split"): _*)
   }
 }

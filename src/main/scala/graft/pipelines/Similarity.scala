@@ -1,5 +1,6 @@
 package graft.pipelines
 
+import graft.functions.GraftHash
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -21,6 +22,39 @@ import org.apache.spark.sql.functions._
   *    precomputed once per vector, never per pair.
   */
 object Similarity {
+
+  /** ANN search strategy for the unified [[Similarity.ann]] entry point.
+    * The ladder, cheapest-at-scale last: [[Exact]] (brute force — the
+    * correctness baseline, linear per query), [[Lsh]] (hyperplane
+    * buckets), [[Ivf]] (cell-probe), [[Q8]] (int8 prefilter + exact
+    * rerank, full-corpus stage 1), [[Q8Ivf]] (cell-probe + int8 + exact
+    * rerank — the 100 TB configuration). */
+  sealed abstract class AnnStrategy
+  object AnnStrategy {
+    case object Exact extends AnnStrategy
+    case object Lsh extends AnnStrategy
+    case object Ivf extends AnnStrategy
+    case object Q8 extends AnnStrategy
+    case object Q8Ivf extends AnnStrategy
+  }
+
+  /** Unified ANN entry point: one signature over every strategy in the
+    * ladder, so callers pick accuracy/cost without tracking five
+    * function shapes (and the per-strategy functions can evolve without
+    * call-site drift). Parameters not used by a strategy are ignored:
+    * `nlist`/`nprobe`/`trainFraction` drive the IVF variants, `cand` the
+    * quantized rerank width. Output shape is identical across
+    * strategies: `(query_id, rn, neighbor_id, cosine)`. */
+  def ann(emb: DataFrame, strategy: AnnStrategy, nq: Int = 10, k: Int = 5,
+      nlist: Int = 8, nprobe: Int = 2, cand: Int = 20,
+      trainFraction: Double = 1.0): DataFrame = strategy match {
+    case AnnStrategy.Exact => annTopK(emb, nq, k)
+    case AnnStrategy.Lsh => annTopKLsh(emb, nq, k)
+    case AnnStrategy.Ivf => annTopKIvf(emb, nq, k, nlist, nprobe, trainFraction)
+    case AnnStrategy.Q8 => annTopKQ8(emb, nq, k, cand)
+    case AnnStrategy.Q8Ivf =>
+      annTopKQ8Ivf(emb, nq, k, nlist, nprobe, cand, trainFraction)
+  }
 
   /** Squared L2 distance as a sequential fold — the coarse-quantizer
     * metric of the IVF index, bit-reproducible against the oracle's
@@ -127,11 +161,33 @@ object Similarity {
     * via posexplode + hash agg, re-assembled in dimension order and
     * rounded to 6 decimals so the trained centroids (a cross-row float
     * sum) are reproducible across engines. The `corpus` argument must
-    * carry `(vec_id, embedding)`. */
-  private def ivfCentroids(corpus: DataFrame, nlist: Int): DataFrame = {
+    * carry `(vec_id, embedding)`.
+    *
+    * `trainFraction` < 1 trains on a deterministic hash-gated sample of
+    * the corpus (`graft_hash(vec_id || '|ivftrain') ‰` — the same
+    * engine-portable gate every other sampler here uses) instead of
+    * streaming all of it: at 100 TB centroid quality needs a few million
+    * vectors, not the corpus, so training cost is decoupled from corpus
+    * size while index/probe stages are unchanged. The seed vectors are
+    * force-included so every cell keeps at least its seed member and the
+    * sampled draw (like the split/shuffle hashes) is stable under corpus
+    * growth. `trainFraction = 1` is byte-identical to the unsampled
+    * path. */
+  private[graft] def ivfCentroids(corpus: DataFrame, nlist: Int,
+      trainFraction: Double = 1.0): DataFrame = {
+    require(trainFraction > 0.0 && trainFraction <= 1.0,
+      s"trainFraction must be in (0, 1], got $trainFraction")
     val seeds = corpus.filter(col("vec_id") < nlist)
       .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
-    val assign0 = nearestCells(corpus, seeds, 1)
+    val train =
+      if (trainFraction >= 1.0) corpus
+      else {
+        val gate = GraftHash.graftHash(corpus.sparkSession,
+          concat(col("vec_id").cast("string"), lit("|ivftrain"))) % 1000
+        corpus.filter(col("vec_id") < nlist ||
+          gate < math.round(trainFraction * 1000).toInt)
+      }
+    val assign0 = nearestCells(train, seeds, 1)
     assign0
       .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "v")))
       .groupBy(col("cid"), col("pos"))
@@ -156,14 +212,16 @@ object Similarity {
     * decimals so the trained centroids (a cross-row float sum) are
     * reproducible across engines; assignment order is determinized by a
     * (distance, cid) tiebreak. Centroids are always broadcast (`nlist`
-    * rows); the corpus streams once per stage. At 100 TB the training
-    * stage runs on a seeded sample instead of the full corpus — the
-    * index/search stages are unchanged. */
+    * rows); the corpus streams once per stage. At 100 TB pass
+    * `trainFraction` < 1 so the training stage runs on a deterministic
+    * hash-gated sample instead of the full corpus — the index/search
+    * stages are unchanged (see [[ivfCentroids]]). */
   def annTopKIvf(emb: DataFrame, nq: Int = 10, k: Int = 5,
-      nlist: Int = 8, nprobe: Int = 2): DataFrame = {
+      nlist: Int = 8, nprobe: Int = 2,
+      trainFraction: Double = 1.0): DataFrame = {
     val corpus = emb.select(col("vec_id"), col("embedding"),
       norm(col("embedding")).as("nrm"))
-    val cent1 = ivfCentroids(corpus, nlist)
+    val cent1 = ivfCentroids(corpus, nlist, trainFraction)
     val indexed = nearestCells(corpus, cent1, 1)
     val probes = nearestCells(corpus.filter(col("vec_id") < nq), cent1, nprobe)
       .select(col("vec_id").as("query_id"), col("cid"))
@@ -193,12 +251,15 @@ object Similarity {
     * per-cell population (and so the pair work) stays bounded as the
     * corpus grows, which is exactly how SemDeDup runs over web-scale
     * corpora (k-means first, pairwise cosine only inside clusters).
-    * Norms are computed once per vector, never per pair. */
+    * Norms are computed once per vector, never per pair. At 100 TB
+    * pass `trainFraction` < 1 so centroid training runs on a
+    * deterministic hash-gated sample (see [[ivfCentroids]]). */
   def semanticDuplicates(emb: DataFrame, threshold: Double,
-      nlist: Int = 8): DataFrame = {
+      nlist: Int = 8, trainFraction: Double = 1.0): DataFrame = {
     val corpus = emb.select(col("vec_id"), col("embedding"),
       norm(col("embedding")).as("nrm"))
-    val indexed = nearestCells(corpus, ivfCentroids(corpus, nlist), 1)
+    val indexed =
+      nearestCells(corpus, ivfCentroids(corpus, nlist, trainFraction), 1)
     val x = indexed.select(col("cid"), col("vec_id").as("a"),
       col("embedding").as("va"), col("nrm").as("na"))
     val y = indexed.select(col("cid").as("cid2"), col("vec_id").as("b"),
@@ -303,12 +364,15 @@ object Similarity {
     * scaled ∝ corpus. Stages: (0) train/assign IVF cells (broadcast
     * centroids, corpus streamed once); (1) integer-dot quantized rank
     * within probed cells, keep `cand` per query; (2) exact float
-    * cosine rerank of the candidates only. */
+    * cosine rerank of the candidates only. At 100 TB pass
+    * `trainFraction` < 1 so centroid training runs on a deterministic
+    * hash-gated sample (see [[ivfCentroids]]). */
   def annTopKQ8Ivf(emb: DataFrame, nq: Int = 10, k: Int = 5,
-      nlist: Int = 8, nprobe: Int = 2, cand: Int = 20): DataFrame = {
+      nlist: Int = 8, nprobe: Int = 2, cand: Int = 20,
+      trainFraction: Double = 1.0): DataFrame = {
     val corpus = emb.select(col("vec_id"), col("embedding"),
       norm(col("embedding")).as("nrm"))
-    val cents = ivfCentroids(corpus, nlist)
+    val cents = ivfCentroids(corpus, nlist, trainFraction)
     val indexed = nearestCells(corpus, cents, 1)
     val probes = nearestCells(corpus.filter(col("vec_id") < nq), cents, nprobe)
       .select(col("vec_id").as("query_id"), col("cid"))

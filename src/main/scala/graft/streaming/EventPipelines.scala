@@ -42,9 +42,10 @@ object EventPipelines {
   def sessionizeBatch(events: DataFrame,
       gapUs: Long = 30L * 60 * 1000000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // Microsecond resolution on both sides: DuckDB truncates parquet
-    // TIMESTAMP(NANOS) to µs, so the oracle can only see µs — the ns
-    // input is floored identically here (integer div, no FP).
+    // Microsecond resolution on both sides: DuckDB timestamps carry µs
+    // (nanos layouts truncate on read), so the oracle can only see µs —
+    // the normalized ns input is floored identically here (integer div,
+    // no FP).
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("e"), col("event_id"))
     val flagged = events

@@ -1,0 +1,78 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+/** End-to-end checks of the pipeline CLI verbs (`dedup` / `ann` /
+  * `split` / `shuffle` / `pack`): each verb runs over a tiny parquet
+  * corpus and its parquet output is read back and sanity-checked, so the
+  * shell surface — not just the library API — is known to work. */
+class MainCliSpec extends SparkSuite {
+
+  private lazy val tmp = Files.createTempDirectory("graft-cli").toString
+
+  private lazy val docsPath = {
+    import spark.implicits._
+    val p = s"$tmp/docs"
+    (Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+      (3L, "unrelated totally different words here"),
+      (4L, "alpha beta gamma delta"),
+      (5L, "more unrelated text entirely")))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(p)
+    p
+  }
+
+  private lazy val embPath = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val p = s"$tmp/emb"
+    (0L until 30L).map(i => (i, Array.fill(8)(rnd.nextFloat() - 0.5f)))
+      .toDF("vec_id", "embedding").write.mode("overwrite").parquet(p)
+    p
+  }
+
+  test("dedup verb: exact method writes survivor rows") {
+    val out = s"$tmp/dedup_out"
+    Main.run(spark, "dedup", Array(docsPath, out, "exact"))
+    val got = spark.read.parquet(out)
+    assert(got.count() > 0)
+    assert(got.columns.contains("doc_id") || got.columns.contains("keep_id"))
+  }
+
+  test("ann verb: exact strategy writes well-formed top-k") {
+    val out = s"$tmp/ann_out"
+    Main.run(spark, "ann", Array(embPath, out, "exact", "3", "2"))
+    val got = spark.read.parquet(out).collect()
+    assert(got.map(_.getLong(0)).toSet == Set(0L, 1L, 2L))
+    assert(got.forall(r => r.getInt(1) >= 1 && r.getInt(1) <= 2))
+  }
+
+  test("split verb: partitioned output is a disjoint total cover") {
+    val out = s"$tmp/split_out"
+    Main.run(spark, "split", Array(docsPath, out))
+    val got = spark.read.parquet(out)
+    assert(got.select(col("doc_id")).distinct().count() == 5)
+    assert(got.count() == 5) // each doc in exactly one split
+    // payload rides along — the split output is directly consumable
+    assert(got.columns.toSet == Set("doc_id", "text", "split"))
+  }
+
+  test("shuffle verb: full payload in deterministic hash order") {
+    val out = s"$tmp/shuffle_out"
+    Main.run(spark, "shuffle", Array(docsPath, out))
+    val got = spark.read.parquet(out)
+    assert(got.count() == 5)
+    assert(got.columns.toSet == Set("doc_id", "text", "sort_key"))
+  }
+
+  test("pack verb: assignments cover every doc; manifest totals match") {
+    val out = s"$tmp/pack_out"
+    Main.run(spark, "pack", Array(docsPath, out, "16", "2"))
+    val assign = spark.read.parquet(s"$out/assignments")
+    assert(assign.select(col("doc_id")).distinct().count() == 5)
+    val manifest = spark.read.parquet(s"$out/manifest")
+    val total = manifest.agg(sum(col("tokens"))).collect()(0).getLong(0)
+    val direct = assign.agg(sum(col("n_tokens"))).collect()(0).getLong(0)
+    assert(total == direct)
+  }
+}

@@ -124,6 +124,39 @@ class PipelinesSpec extends SparkSuite {
     assert(got.forall { case (q, n) => n % 2 == q % 2 })
   }
 
+  test("ivfCentroids trainFraction: deterministic, valid shape, 1.0 = unsampled") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val emb = (0L until 80L).map(i =>
+      (i, Array.fill(8)(rnd.nextFloat() - 0.5f))).toDF("vec_id", "embedding")
+    // trainFraction = 1.0 must be byte-identical to the default path
+    val full = Similarity.annTopKIvf(emb, nq = 3, k = 3, nlist = 4, nprobe = 2)
+      .collect().toSeq
+    val fullExplicit = Similarity.annTopKIvf(emb, nq = 3, k = 3, nlist = 4,
+      nprobe = 2, trainFraction = 1.0).collect().toSeq
+    assert(full == fullExplicit)
+    // sampled training is deterministic across invocations (hash gate,
+    // no RNG) and still yields a well-formed gated top-k
+    def sampled() = Similarity.annTopKIvf(emb, nq = 3, k = 3, nlist = 4,
+      nprobe = 2, trainFraction = 0.5).collect().toSeq
+    val s1 = sampled()
+    assert(s1 == sampled())
+    val byQuery = s1.groupBy(_.getLong(0))
+    assert(byQuery.keySet == Set(0L, 1L, 2L))
+    for ((q, rows) <- byQuery) {
+      assert(rows.map(_.getInt(1)).sorted == (1 to rows.length).toList)
+      assert(rows.forall(r => r.getLong(2) != q))
+      assert(rows.forall(r => math.abs(r.getDouble(3)) <= 1.0 + 1e-9))
+    }
+    // the sampled ladder + SemDeDup variants stay well-formed too
+    val q8 = Similarity.annTopKQ8Ivf(emb, nq = 2, k = 3, nlist = 4,
+      nprobe = 2, trainFraction = 0.5).collect()
+    assert(q8.nonEmpty && q8.forall(r => r.getLong(2) != r.getLong(0)))
+    val sem = Similarity.semanticDuplicates(emb, 0.0, nlist = 4,
+      trainFraction = 0.5).collect()
+    assert(sem.forall(r => r.getLong(1) < r.getLong(2)))
+  }
+
   test("semanticDuplicates pairs near vectors within a cell, skips cross-cell") {
     import spark.implicits._
     // two well-separated clusters (+x, +y); near-identical twins inside
