@@ -167,6 +167,24 @@ class CatalystSpec extends SparkSuite {
     }
   }
 
+  test("runBucketed fails fast when the layout's bucket count differs " +
+      "from spark.sql.shuffle.partitions") {
+    val g = graph(Seq(("a", "b", 1.0), ("b", "c", 1.0)))
+    Seq("_edges_by_dst", "_edges_by_src", "_nodes").foreach(sfx =>
+      spark.sql(s"DROP TABLE IF EXISTS graft_spec_mismatch$sfx"))
+    // layout written under 2 buckets; the session runs 4 shuffle
+    // partitions — silently proceeding would reintroduce the
+    // per-iteration edge shuffles the bucketed entry point eliminates
+    GraphIO.writeBucketedGraph(g, "graft_spec_mismatch", 2)
+    try {
+      val e = intercept[IllegalArgumentException] {
+        Hits.runBucketed(spark, "graft_spec_mismatch", 2)
+      }
+      assert(e.getMessage.contains("zero-edge-Exchange"))
+    } finally Seq("_edges_by_dst", "_edges_by_src", "_nodes").foreach(sfx =>
+      spark.sql(s"DROP TABLE IF EXISTS graft_spec_mismatch$sfx"))
+  }
+
   test("splitByHash plans as a shuffle-free projection; packDocs plans " +
       "exactly one exchange (the bucket-keyed window shuffle)") {
     import spark.implicits._
