@@ -642,6 +642,40 @@ object Oracles {
        |SELECT a, b, round(jac, 6) AS jaccard FROM j
        |WHERE jac >= $threshold::DOUBLE ORDER BY a, b""".stripMargin
 
+  /** Mirror of [[graft.pipelines.Dedup.repeatedPassages]]: consecutive
+    * non-overlapping `window`-word passages (full windows only),
+    * fingerprinted with the shared graft hash, kept when appearing in
+    * at least `minDocs` distinct documents. DuckDB `list_slice` takes
+    * 1-based INCLUSIVE (begin, end) where Spark `slice` takes (start,
+    * length) — both forms below cover the same `window` tokens. */
+  def dedupPassages(window: Int = 3, minDocs: Int = 2): String =
+    s"""WITH t AS MATERIALIZED (
+       |  SELECT doc_id, ${TF.sqlTokens("text")} AS toks FROM documents
+       |  WHERE coalesce(array_length(${TF.sqlTokens("text")}), 0) >= $window),
+       |w AS (
+       |  SELECT doc_id,
+       |         array_to_string(list_slice(toks, i*$window + 1, i*$window + $window), ' ') AS passage
+       |  FROM (SELECT doc_id, toks,
+       |          unnest(range(len(toks) // $window)) AS i FROM t)),
+       |h AS (
+       |  SELECT ${GraftHash.duckdbSql("passage")} AS p_hash,
+       |         COUNT(DISTINCT doc_id) AS n_docs,
+       |         COUNT(*) AS n_occurrences,
+       |         MIN(doc_id) AS first_doc
+       |  FROM w GROUP BY 1)
+       |SELECT p_hash, n_docs, n_occurrences, first_doc FROM h
+       |WHERE n_docs >= $minDocs ORDER BY p_hash""".stripMargin
+
+  /** Mirror of [[graft.pipelines.TextMetrics.scrub]]. DuckDB's
+    * regexp_replace needs the 'g' flag for the global semantics Spark's
+    * has by default; the pattern must stay in the engine-portable regex
+    * subset (alternation/classes/quantifiers, no lookaround). */
+  def textScrub(pattern: String, replacement: String): String =
+    s"""SELECT doc_id,
+       |       regexp_replace(text, '$pattern', '$replacement', 'g') AS scrubbed,
+       |       CAST(coalesce(array_length(regexp_extract_all(text, '$pattern')), 0) AS BIGINT) AS n_redactions
+       |FROM documents ORDER BY doc_id""".stripMargin
+
   /** End-to-end corpus cleaning (mirror of
     * [[graft.pipelines.Dedup.cleanCorpus]]): normalize → language gate →
     * quality gate → exact dedup on normalized text. */

@@ -206,6 +206,9 @@ object SparkEntry {
       TextMetrics.repetitionSignals(GraphIO.documents(s, dir))),
     "text_tfidf" -> ((s, dir) =>
       TextMetrics.tfidf(GraphIO.documents(s, dir))),
+    "text_scrub" -> ((s, dir) =>
+      TextMetrics.scrub(GraphIO.documents(s, dir),
+        "(customer|supplier)", "[X]")),
     "corpus_mixture" -> ((s, dir) =>
       TextMetrics.mixtureReport(GraphIO.documents(s, dir))),
     "sample_quota" -> ((s, dir) =>
@@ -266,6 +269,8 @@ object SparkEntry {
       Dedup.minhashSignature(s, GraphIO.documents(s, dir))),
     "dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccard(GraphIO.documents(s, dir))),
+    "dedup_passages" -> ((s, dir) =>
+      Dedup.repeatedPassages(s, GraphIO.documents(s, dir))),
     "dedup_embedding" -> ((s, dir) =>
       Similarity.nearDuplicates(GraphIO.embeddings(s, dir), 0.3)),
     // ---- similarity search ----
@@ -373,6 +378,7 @@ object SparkEntry {
     "text_stats" -> Oracles.textStats,
     "text_repetition" -> Oracles.textRepetition,
     "text_tfidf" -> Oracles.textTfidf,
+    "text_scrub" -> Oracles.textScrub("(customer|supplier)", "[X]"),
     "corpus_mixture" -> Oracles.corpusMixture,
     "sample_quota" -> Oracles.sampleQuota(),
     "sample_split" -> Oracles.sampleSplit(),
@@ -397,6 +403,7 @@ object SparkEntry {
     "dedup_minhash_lsh" -> Oracles.dedupMinHashLsh,
     "dedup_minhash_signature" -> Oracles.dedupMinHashSignature,
     "dedup_ngram_jaccard" -> Oracles.dedupNgramJaccard(),
+    "dedup_passages" -> Oracles.dedupPassages(),
     "dedup_embedding" -> Oracles.dedupEmbedding(0.3),
     "dedup_semantic" -> Oracles.dedupSemantic(0.3),
     "ann_topk" -> Oracles.annTopK(),

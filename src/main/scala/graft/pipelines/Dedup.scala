@@ -254,4 +254,43 @@ object Dedup {
         .localCheckpoint(true)
     } finally sh.unpersist(false)
   }
+
+  /** Cross-document repeated-passage detection — the boilerplate filter
+    * of C4/Gopher-style cleaning: split each document into consecutive
+    * non-overlapping `window`-word passages (tail words shorter than a
+    * window are skipped), fingerprint each passage, and report every
+    * passage appearing in at least `minDocs` DISTINCT documents with its
+    * occurrence count and lowest containing doc. Downstream a cleaner
+    * drops or collapses those passages (headers, license blocks,
+    * navigation chrome).
+    *
+    * Scale shape: explode to one row per passage (rows ∝ corpus tokens /
+    * window), hash to an int64 BEFORE the shuffle so the aggregate moves
+    * 8-byte keys, then one hash aggregation on the fingerprint with
+    * map-side partial aggregation; the `minDocs` filter prunes the
+    * (overwhelmingly unique) tail before the final sort. Nothing is
+    * quadratic and nothing is collected. */
+  def repeatedPassages(spark: SparkSession, docs: DataFrame,
+      window: Int = 3, minDocs: Int = 2): DataFrame = {
+    require(window > 0, s"window must be positive, got $window")
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val toks = TF.tokens(col("text"))
+    val passages = docs
+      .select(col("doc_id"), toks.as("toks"))
+      .filter(size(col("toks")) >= window)
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0),
+          floor(size(col("toks")) / window).cast("int") - 1)).as("i"))
+      .select(col("doc_id"),
+        array_join(slice(col("toks"), col("i") * window + 1, window), " ")
+          .as("passage"))
+    passages
+      .select(col("doc_id"), GraftHash.graftHash(spark, col("passage")).as("p_hash"))
+      .groupBy(col("p_hash"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occurrences"),
+        min(col("doc_id")).as("first_doc"))
+      .filter(col("n_docs") >= minDocs)
+      .orderBy(col("p_hash"))
+  }
 }

@@ -99,4 +99,24 @@ object TextMetrics {
             .cast("long")).cast("double") / lit(1e6) /
           count(lit(1)).cast("double"), 6).as("mean_quality"))
       .orderBy(col("source"), col("lang"))
+
+  /** Regex scrub/redaction — the PII-removal shape of a training-data
+    * pipeline: every match of `pattern` in `text` is replaced with
+    * `replacement`, and the match count is reported per document so the
+    * pipeline can audit redaction volume (or drop documents whose count
+    * exceeds a policy bound). Callers supply the real patterns (emails,
+    * phone numbers, credential-looking strings); the operator is the
+    * plumbing, deliberately pattern-agnostic.
+    *
+    * A pure per-row codegen'd projection — no shuffle, no state, scales
+    * with the scan. Keep `pattern` inside the regex subset with
+    * identical semantics across engines (alternation, classes,
+    * quantifiers — no lookaround) when oracle-checking cross-engine. */
+  def scrub(docs: DataFrame, pattern: String,
+      replacement: String = "[REDACTED]"): DataFrame =
+    docs.select(col("doc_id"),
+      regexp_replace(col("text"), pattern, replacement).as("scrubbed"),
+      coalesce(size(regexp_extract_all(col("text"), lit(pattern), lit(0))),
+        lit(0)).cast("long").as("n_redactions"))
+      .orderBy(col("doc_id"))
 }

@@ -90,6 +90,27 @@ class GraphIOSpec extends SparkSuite {
     assert(g2.nodes.count() == g1.nodes.count())
   }
 
+  test("events.ts normalizes to epoch-nanos BIGINT from timestamp parquet " +
+      "without touching session conf") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-events").toString
+    // micros-precision instant 2026-01-02T03:04:05.123456Z — written as
+    // parquet timestamp (the unit the round-6 driver testdata ships)
+    val micros = 1767323045123456L
+    Seq((1L, new java.sql.Timestamp(micros / 1000), 7L, "click", 1.5, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts", timestamp_micros(lit(micros)))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val before = spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
+    val got = GraphIO.events(spark, dir)
+    assert(got.schema("ts").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(got.select(col("ts")).collect()(0).getLong(0) == micros * 1000L)
+    // the caller's session conf is never mutated
+    assert(spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
+      == before)
+  }
+
   test("SparkEntry.entry returns rows (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
