@@ -282,7 +282,7 @@ object Dedup {
         explode(sequence(lit(0),
           floor(size(col("toks")) / window).cast("int") - 1)).as("i"))
       .select(col("doc_id"),
-        array_join(slice(col("toks"), col("i") * window + 1, window), " ")
+        array_join(slice(col("toks"), col("i") * window + 1, lit(window)), " ")
           .as("passage"))
     passages
       .select(col("doc_id"), GraftHash.graftHash(spark, col("passage")).as("p_hash"))
