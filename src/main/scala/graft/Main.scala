@@ -15,7 +15,7 @@ import org.apache.spark.sql.functions._
   * runMain graft.Main ann <embeddings.parquet> <out_dir> [exact|lsh|ivf|q8|q8ivf] [nq] [k]
   * runMain graft.Main split <in.parquet> <out_dir> [id_col] [train‰ val‰ test‰]
   * runMain graft.Main shuffle <in.parquet> <out_dir> [id_col]
-  * runMain graft.Main pack <docs.parquet> <out_dir> [capacity] [buckets]
+  * runMain graft.Main pack <docs.parquet> <out_dir> [capacity] [buckets] [id_col] [text_col]
   * }}}
   *
   * {{{
@@ -57,8 +57,18 @@ object Main {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try run(spark, args(0), args.drop(1))
+    catch {
+      case CliArgError(msg) =>
+        System.err.println(msg); usage(); sys.exit(2)
+    }
     finally spark.stop()
   }
+
+  /** Bad CLI input — caught in [[main]] (usage + exit 2); surfaced as a
+    * plain exception from [[run]] so specs can exercise the error paths
+    * without killing the JVM. */
+  private[graft] final case class CliArgError(msg: String)
+    extends IllegalArgumentException(msg)
 
   private def usage(): Unit =
     System.err.println("Usage: graft.Main <verb> [args] — kernels: " +
@@ -69,16 +79,24 @@ object Main {
       "dedup <in> <out> [exact|near|clean], " +
       "ann <in> <out> [exact|lsh|ivf|q8|q8ivf] [nq] [k], " +
       "split <in> <out> [id_col] [train val test (per-mille)], " +
-      "shuffle <in> <out> [id_col], pack <in> <out> [capacity] [buckets]")
+      "shuffle <in> <out> [id_col], " +
+      "pack <in> <out> [capacity] [buckets] [id_col] [text_col]")
 
   private[graft] def run(spark: SparkSession, cmd: String, a: Array[String]): Unit = {
     def arg(i: Int, dflt: String): String = if (a.length > i) a(i) else dflt
+    def intArg(i: Int, dflt: String, what: String): Int =
+      try arg(i, dflt).toInt catch { case _: NumberFormatException =>
+        throw CliArgError(s"$cmd: $what must be an integer, got '${arg(i, dflt)}'") }
+    def longArg(i: Int, dflt: String, what: String): Long =
+      try arg(i, dflt).toLong catch { case _: NumberFormatException =>
+        throw CliArgError(s"$cmd: $what must be an integer, got '${arg(i, dflt)}'") }
+    def doubleArg(i: Int, dflt: String, what: String): Double =
+      try arg(i, dflt).toDouble catch { case _: NumberFormatException =>
+        throw CliArgError(s"$cmd: $what must be a number, got '${arg(i, dflt)}'") }
     val needsTopic = Set("topic_specific_hits", "topic_exclusive_hits",
       "query_dependent_hits", "topic_specific_salsa", "query_dependent_salsa")
-    if (needsTopic(cmd) && a.isEmpty) {
-      System.err.println(s"$cmd requires a topic label as its first argument")
-      usage(); sys.exit(2)
-    }
+    if (needsTopic(cmd) && a.isEmpty)
+      throw CliArgError(s"$cmd requires a topic label as its first argument")
     def load(nodesPath: String, edgesPath: String,
         weightCol: String = "mrho:double"): Graph =
       Graph(GraphIO.readNodesCsv(spark, nodesPath),
@@ -87,27 +105,27 @@ object Main {
     cmd match {
       case "base_hits" =>
         val g = load(arg(1, DefaultNodes), arg(2, DefaultEdges))
-        emit("base_HITS", Hits.run(g, arg(0, "8").toInt))
+        emit("base_HITS", Hits.run(g, intArg(0, "8", "num_iter")))
       case "weighted_hits" =>
         val g = load(arg(2, DefaultNodes), arg(3, DefaultEdges),
           arg(1, "mrho:double"))
-        emit("weighted_HITS", Hits.runWeighted(g, arg(0, "8").toInt))
+        emit("weighted_HITS", Hits.runWeighted(g, intArg(0, "8", "num_iter")))
       case "random_teleport_hits" =>
         val g = load(arg(2, DefaultNodes), arg(3, DefaultEdges))
         emit("random_teleport_HITS",
-          Hits.runTeleport(g, arg(1, "0.8").toDouble, arg(0, "8").toInt))
+          Hits.runTeleport(g, doubleArg(1, "0.8", "beta"), intArg(0, "8", "num_iter")))
       case "topic_specific_hits" =>
         val g = load(arg(3, DefaultNodes), arg(4, DefaultEdges))
         emit(s"topic_specific_HITS/${a(0)}", Hits.runTopicSpecific(g, a(0),
-          arg(2, "0.8").toDouble, arg(1, "8").toInt))
+          doubleArg(2, "0.8", "beta"), intArg(1, "8", "num_iter")))
       case "topic_exclusive_hits" =>
         val g = load(arg(2, DefaultNodes), arg(3, DefaultEdges))
         emit(s"topic_exclusive_HITS/${a(0)}",
-          Hits.runTopicExclusive(g, a(0), arg(1, "8").toInt))
+          Hits.runTopicExclusive(g, a(0), intArg(1, "8", "num_iter")))
       case "query_dependent_hits" =>
         val g = load(arg(2, DefaultNodes), arg(3, DefaultEdges))
         emit(s"query_dependent_HITS/${a(0)}",
-          Hits.runQueryDependent(g, a(0), arg(1, "8").toInt))
+          Hits.runQueryDependent(g, a(0), intArg(1, "8", "num_iter")))
       case "base_salsa" =>
         val g = load(arg(0, DefaultNodes), arg(1, DefaultEdges))
         emitS("SALSA/base_SALSA", Salsa.runSimplified(g.edges))
@@ -119,7 +137,7 @@ object Main {
         // nodes path.
         val off = if (a.length >= 4) 1 else 0
         val g = load(arg(1 + off, DefaultNodes), arg(2 + off, DefaultEdges))
-        emitS("SALSA/base_SALSA_2", Salsa.run(g, arg(0, "8").toInt))
+        emitS("SALSA/base_SALSA_2", Salsa.run(g, intArg(0, "8", "num_iter")))
       case "weighted_salsa" =>
         val g = load(arg(1, DefaultNodes), arg(2, DefaultEdges),
           arg(0, "mrho:double"))
@@ -127,12 +145,12 @@ object Main {
       case "random_teleport_salsa" =>
         val g = load(arg(2, DefaultNodes), arg(3, DefaultEdges))
         emitS("SALSA/random_teleport_SALSA",
-          Salsa.runTeleport(g, arg(1, "0.8").toDouble, arg(0, "8").toInt))
+          Salsa.runTeleport(g, doubleArg(1, "0.8", "beta"), intArg(0, "8", "num_iter")))
       case "topic_specific_salsa" =>
         val g = load(arg(3, DefaultNodes), arg(4, DefaultEdges))
         emitS(s"SALSA/topic_specific_SALSA/${a(0)}",
-          Salsa.runTopicSpecific(g, a(0), arg(2, "0.8").toDouble,
-            arg(1, "8").toInt))
+          Salsa.runTopicSpecific(g, a(0), doubleArg(2, "0.8", "beta"),
+            intArg(1, "8", "num_iter")))
       case "query_dependent_salsa" =>
         val g = load(arg(1, DefaultNodes), arg(2, DefaultEdges))
         emitS(s"SALSA/query_dependent_SALSA/${a(0)}",
@@ -144,7 +162,7 @@ object Main {
         // like the reference plus DOT text sinks — from the same seeded
         // sample inputs the reference collects.
         val g = load(arg(1, DefaultNodes), arg(2, DefaultEdges))
-        val r = Hits.run(g, arg(0, "8").toInt)
+        val r = Hits.run(g, intArg(0, "8", "num_iter"))
         RankOutput.writeDotGraphs(g.edges, r.hubs, r.auths, "outputs", "base")
         GraphRender.writePngGraphs(g.edges, r.hubs, r.auths, "outputs", "base")
         println("Graphs written: outputs/graph_base_{hub,authorities," +
@@ -157,8 +175,7 @@ object Main {
           case "exact" => Dedup.exactByHash(spark, docs)
           case "near"  => Dedup.nearDedupCorpus(spark, docs)
           case "clean" => Dedup.cleanCorpus(spark, docs)
-          case m => System.err.println(s"Unknown dedup method: $m")
-            usage(); sys.exit(2); null
+          case m => throw CliArgError(s"Unknown dedup method: $m")
         }
         result.write.mode("overwrite").parquet(out)
         println(s"Dedup (${arg(2, "near")}) written to $out")
@@ -170,18 +187,18 @@ object Main {
           case "ivf"   => Similarity.AnnStrategy.Ivf
           case "q8"    => Similarity.AnnStrategy.Q8
           case "q8ivf" => Similarity.AnnStrategy.Q8Ivf
-          case s => System.err.println(s"Unknown ann strategy: $s")
-            usage(); sys.exit(2); null
+          case s => throw CliArgError(s"Unknown ann strategy: $s")
         }
         Similarity.ann(spark.read.parquet(in), strategy,
-            nq = arg(3, "10").toInt, k = arg(4, "5").toInt)
+            nq = intArg(3, "10", "nq"), k = intArg(4, "5", "k"))
           .write.mode("overwrite").parquet(out)
         println(s"ANN top-k (${arg(2, "q8ivf")}) written to $out")
       case "split" =>
         val (in, out) = pipelineIo(cmd, a)
         val weights = if (a.length > 3)
-          Seq("train" -> a(3).toInt, "val" -> arg(4, "0").toInt,
-            "test" -> arg(5, "0").toInt).filter(_._2 > 0)
+          Seq("train" -> intArg(3, "0", "train per-mille"),
+            "val" -> intArg(4, "0", "val per-mille"),
+            "test" -> intArg(5, "0", "test per-mille")).filter(_._2 > 0)
         else Seq("train" -> 900, "val" -> 50, "test" -> 50)
         Sampling.splitByHash(spark, spark.read.parquet(in),
             arg(2, "doc_id"), weights)
@@ -197,7 +214,7 @@ object Main {
         val (in, out) = pipelineIo(cmd, a)
         val assignments = Packing.packDocs(spark, spark.read.parquet(in),
           arg(4, "doc_id"), arg(5, "text"),
-          capacity = arg(2, "2048").toLong, buckets = arg(3, "32").toInt)
+          capacity = longArg(2, "2048", "capacity"), buckets = intArg(3, "32", "buckets"))
         assignments.write.mode("overwrite").parquet(s"$out/assignments")
         Packing.packManifest(assignments, arg(4, "doc_id"))
           .write.mode("overwrite").parquet(s"$out/manifest")
@@ -207,18 +224,14 @@ object Main {
         Topics.list(nodes).coalesce(1).write.mode("overwrite")
           .text("outputs/node_topics.txt")
         println("Topics written to outputs/node_topics.txt")
-      case other =>
-        System.err.println(s"Unknown kernel: $other"); usage(); sys.exit(2)
+      case other => throw CliArgError(s"Unknown kernel: $other")
     }
   }
 
   /** Pipeline verbs all take `<in.parquet> <out_dir>` as their first two
     * arguments; fail fast with usage when either is missing. */
   private def pipelineIo(cmd: String, a: Array[String]): (String, String) = {
-    if (a.length < 2) {
-      System.err.println(s"$cmd requires <in.parquet> <out_dir>")
-      usage(); sys.exit(2)
-    }
+    if (a.length < 2) throw CliArgError(s"$cmd requires <in.parquet> <out_dir>")
     (a(0), a(1))
   }
 

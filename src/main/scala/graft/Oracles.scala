@@ -89,6 +89,13 @@ object Oracles {
 
   private def betaSql(beta: Double) = s"$beta::DOUBLE"
 
+  /** Escape a caller-supplied string for inclusion in a single-quoted
+    * SQL literal (standard SQL doubles the quote; DuckDB's default
+    * string literals do not process backslash escapes, so `\` in regex
+    * patterns passes through untouched). Every `'$x'` interpolation of
+    * a non-constant below must go through this. */
+  private def sq(s: String): String = s.replace("'", "''")
+
   private def postWrap(raw: String, post: Post): String = post match {
     case NoPost => s"SELECT id, score FROM $raw"
     case TeleportAll(b, d) =>
@@ -101,7 +108,7 @@ object Oracles {
 
   /** Topic-subgraph CTEs shared by the exclusive / query-dependent kernels. */
   private def exclusiveCtes(topic: String): String =
-    s"""tnodes AS MATERIALIZED (SELECT id FROM nodes WHERE label = '$topic'),
+    s"""tnodes AS MATERIALIZED (SELECT id FROM nodes WHERE label = '${sq(topic)}'),
        |xedges AS MATERIALIZED (
        |  SELECT e.* FROM edges e
        |  WHERE EXISTS (SELECT 1 FROM tnodes t WHERE t.id = e.src)
@@ -109,7 +116,7 @@ object Oracles {
        |)""".stripMargin
 
   private def queryDepCtes(topic: String): String =
-    s"""tnodes AS MATERIALIZED (SELECT id FROM nodes WHERE label = '$topic'),
+    s"""tnodes AS MATERIALIZED (SELECT id FROM nodes WHERE label = '${sq(topic)}'),
        |qedges AS MATERIALIZED (
        |  SELECT e.* FROM edges e
        |  WHERE EXISTS (SELECT 1 FROM tnodes t WHERE t.id = e.src)
@@ -121,7 +128,7 @@ object Oracles {
        |)""".stripMargin
 
   private def topicCtes(topic: String): String =
-    s"""flags AS MATERIALIZED (SELECT id, CASE WHEN label = '$topic' THEN 1 ELSE 0 END AS flag FROM nodes),
+    s"""flags AS MATERIALIZED (SELECT id, CASE WHEN label = '${sq(topic)}' THEN 1 ELSE 0 END AS flag FROM nodes),
        |tnv AS MATERIALIZED (SELECT COUNT(*) AS n FROM flags WHERE flag = 1)""".stripMargin
 
   /** HITS family (K1-K6). `edgesRel`/`initRel` select the (sub)graph.
@@ -672,8 +679,8 @@ object Oracles {
     * subset (alternation/classes/quantifiers, no lookaround). */
   def textScrub(pattern: String, replacement: String): String =
     s"""SELECT doc_id,
-       |       regexp_replace(text, '$pattern', '$replacement', 'g') AS scrubbed,
-       |       CAST(coalesce(array_length(regexp_extract_all(text, '$pattern')), 0) AS BIGINT) AS n_redactions
+       |       regexp_replace(text, '${sq(pattern)}', '${sq(replacement)}', 'g') AS scrubbed,
+       |       CAST(coalesce(array_length(regexp_extract_all(text, '${sq(pattern)}')), 0) AS BIGINT) AS n_redactions
        |FROM documents ORDER BY doc_id""".stripMargin
 
   /** End-to-end corpus cleaning (mirror of
@@ -687,7 +694,7 @@ object Oracles {
        |  SELECT doc_id, $norm AS norm_text FROM documents),
        |f AS MATERIALIZED (
        |  SELECT doc_id, norm_text, $q AS quality FROM n
-       |  WHERE ${TF.sqlLangId("norm_text")} = '$lang'
+       |  WHERE ${TF.sqlLangId("norm_text")} = '${sq(lang)}'
        |    AND $q >= $minQuality::DOUBLE)
        |SELECT min(doc_id) AS keep_id, COUNT(*) AS n_copies,
        |       round(max(quality), 6) AS quality
@@ -938,10 +945,10 @@ object Oracles {
     val h = GraftHash.duckdbSql("CAST(doc_id AS VARCHAR) || '|split'")
     val bounds = splits.scanLeft(0)(_ + _._2).tail
     val cases = splits.zip(bounds).init
-      .map { case ((name, _), upper) => s"WHEN b < $upper THEN '$name'" }
+      .map { case ((name, _), upper) => s"WHEN b < $upper THEN '${sq(name)}'" }
       .mkString(" ")
     s"""SELECT doc_id, source,
-       |       CASE $cases ELSE '${splits.last._1}' END AS split
+       |       CASE $cases ELSE '${sq(splits.last._1)}' END AS split
        |FROM (SELECT doc_id, source, $h % 1000 AS b FROM documents) t
        |ORDER BY doc_id""".stripMargin
   }

@@ -50,6 +50,8 @@ object Sampling {
     * replays the same sequence. */
   def shuffleByHash(spark: SparkSession, df: DataFrame, id: String,
       salt: String = "|shuffle"): DataFrame = {
+    require(!df.columns.contains("sort_key"),
+      "input already has a 'sort_key' column; rename it before shuffleByHash")
     val h = GraftHash.graftHash(spark,
       concat(col(id).cast("string"), lit(salt)))
     df.select(df.columns.map(col) :+ h.as("sort_key"): _*)
@@ -71,6 +73,8 @@ object Sampling {
     * incremental corpus growth (new docs never move old ones). */
   def splitByHash(spark: SparkSession, df: DataFrame, id: String,
       splits: Seq[(String, Int)]): DataFrame = {
+    require(!df.columns.contains("split"),
+      "input already has a 'split' column; rename it before splitByHash")
     require(splits.nonEmpty && splits.forall(_._2 > 0),
       s"splits need positive per-mille weights, got $splits")
     require(splits.map(_._2).sum == 1000,

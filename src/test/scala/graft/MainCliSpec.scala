@@ -65,6 +65,39 @@ class MainCliSpec extends SparkSuite {
     assert(got.columns.toSet == Set("doc_id", "text", "sort_key"))
   }
 
+  test("malformed args fail fast as CliArgError, not raw stack traces") {
+    // malformed numerics in pack / ann / split
+    intercept[Main.CliArgError] {
+      Main.run(spark, "pack", Array(docsPath, s"$tmp/x", "huge", "2"))
+    }
+    intercept[Main.CliArgError] {
+      Main.run(spark, "ann", Array(embPath, s"$tmp/x", "exact", "three"))
+    }
+    intercept[Main.CliArgError] {
+      Main.run(spark, "split", Array(docsPath, s"$tmp/x", "doc_id", "9k"))
+    }
+    // missing in/out, unknown method, unknown verb, missing topic
+    intercept[Main.CliArgError] { Main.run(spark, "dedup", Array(docsPath)) }
+    intercept[Main.CliArgError] {
+      Main.run(spark, "dedup", Array(docsPath, s"$tmp/x", "fuzzy"))
+    }
+    intercept[Main.CliArgError] { Main.run(spark, "no_such_verb", Array()) }
+    intercept[Main.CliArgError] {
+      Main.run(spark, "topic_specific_hits", Array())
+    }
+  }
+
+  test("pack verb: custom id/text column names (documented args 4/5)") {
+    import spark.implicits._
+    val p = s"$tmp/docs_renamed"
+    Seq((1L, "alpha beta"), (2L, "gamma delta epsilon"))
+      .toDF("id", "body").write.mode("overwrite").parquet(p)
+    val out = s"$tmp/pack_renamed_out"
+    Main.run(spark, "pack", Array(p, out, "16", "2", "id", "body"))
+    val assign = spark.read.parquet(s"$out/assignments")
+    assert(assign.select(col("id")).distinct().count() == 2)
+  }
+
   test("pack verb: assignments cover every doc; manifest totals match") {
     val out = s"$tmp/pack_out"
     Main.run(spark, "pack", Array(docsPath, out, "16", "2"))

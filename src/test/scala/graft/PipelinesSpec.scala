@@ -365,6 +365,11 @@ class PipelinesSpec extends SparkSuite {
       graft.pipelines.Sampling.splitByHash(spark, d, "doc_id",
         Seq("a" -> 500, "b" -> 400))
     }
+    // a pre-existing `split` column would silently duplicate — fail loudly
+    intercept[IllegalArgumentException] {
+      graft.pipelines.Sampling.splitByHash(spark,
+        d.withColumn("split", lit("x")), "doc_id", splits)
+    }
   }
 
   test("shuffleByHash is a deterministic permutation; epochs differ by salt") {
@@ -383,6 +388,11 @@ class PipelinesSpec extends SparkSuite {
       .shuffleByHash(spark, d, "doc_id", "|shuffle2")
       .collect().map(_.getLong(0))
     assert(e2.sorted.toSeq == (1L to 500L) && e2.toSeq != o1.toSeq)
+    // a pre-existing `sort_key` column would silently duplicate — fail loudly
+    intercept[IllegalArgumentException] {
+      graft.pipelines.Sampling.shuffleByHash(spark,
+        d.withColumn("sort_key", lit(0L)), "doc_id")
+    }
   }
 
   test("benchmarkContamination flags docs whose shingles appear in the bench set") {
@@ -454,6 +464,19 @@ class PipelinesSpec extends SparkSuite {
     assert(m.keySet == byPack.keySet)
     byPack.foreach { case (pack, rows) =>
       assert(m(pack) == (rows.length.toLong, rows.map(_._3).sum)) }
+  }
+
+  test("scrub handles patterns containing quotes and backslashes; oracle escapes them") {
+    val d = docs((1L, "it's o'clock at 12 o'clock"), (2L, "no match here"))
+    val got = TextMetrics.scrub(d, """o'\w+""", "[T]").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(got(1L) == ("it's [T] at 12 [T]", 2L))
+    assert(got(2L) == ("no match here", 0L))
+    // oracle SQL doubles single quotes and leaves regex backslashes intact
+    val sql = Oracles.textScrub("""o'\w+""", "it's")
+    assert(sql.contains("'o''\\w+'"), sql)
+    assert(sql.contains("'it''s'"), sql)
+    assert(!sql.contains("'o'\\w+'"), "unescaped quote leaked into SQL")
   }
 
   test("multimodal feature extraction: histogram + byte stats via mapPartitions") {
