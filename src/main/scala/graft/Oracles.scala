@@ -197,10 +197,12 @@ object Oracles {
     hits(extraCtes = Seq(queryDepCtes(topic)), edgesRel = "qedges",
       initRel = "qnodes")
 
-  /** Iterative SALSA (K8/K10/K11). `initSql` overrides the uniform init. */
+  /** Iterative SALSA (K8/K10/K11). `initSql` overrides the uniform init;
+    * `extraSelects` are appended as UNION ALL legs before the final
+    * ORDER BY (used by the convergence oracle's iteration-count row). */
   def salsaIterative(post: Post = NoPost, extraCtes: Seq[String] = Nil,
       initSql: Option[String] = None, numIter: Int = 8,
-      digits: Int = 9): String = {
+      digits: Int = 9, extraSelects: Seq[String] = Nil): String = {
     val sb = new StringBuilder
     sb ++= s"WITH $graphCtes"
     extraCtes.foreach(c => sb ++= s",\n$c")
@@ -222,11 +224,21 @@ object Oracles {
     }
     sb ++= s"\nSELECT 'auth' AS kind, id, round(score, $digits) AS score FROM a$numIter"
     sb ++= s"\nUNION ALL SELECT 'hub' AS kind, id, round(score, $digits) AS score FROM h$numIter"
+    extraSelects.foreach(sel => sb ++= s"\nUNION ALL $sel")
     sb ++= "\nORDER BY kind, id"
     sb.toString
   }
 
   def salsaIterativeBase: String = salsaIterative()
+
+  /** Convergence-run oracle for [[graft.operators.Salsa.runConverged]],
+    * determinized exactly like [[hitsConverged]]: unrolled to the
+    * iteration count the gate corpus converges at, plus a
+    * ('iter','n_iter',N) assertion row that fails the hash compare if
+    * the kernel stops at any other count. */
+  def salsaConverged(numIter: Int): String =
+    salsaIterative(numIter = numIter, extraSelects = Seq(
+      s"SELECT 'iter' AS kind, 'n_iter' AS id, $numIter::DOUBLE AS score"))
   def salsaTeleport(beta: Double = 0.8): String =
     salsaIterative(post = TeleportAll(beta, "(2 * (SELECT n FROM nv))"))
   def salsaTopic(topic: String, beta: Double = 0.8): String =

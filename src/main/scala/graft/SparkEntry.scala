@@ -97,6 +97,19 @@ object SparkEntry {
       salsaOut(Salsa.runTopicSpecific(GraphIO.orderGraph(s, dir), Topic))),
     "salsa_query_dependent" -> ((s, dir) =>
       salsaOut(Salsa.runQueryDependent(GraphIO.orderGraph(s, dir), Topic))),
+    // Convergence extension, determinized like hits_converged: the
+    // sf0.01 gate corpus stops at iteration 13 (tol 1e-9; delta(12)
+    // ≈1.6e-9, delta(13)≈6e-10, so the count has ≥1.4× margin both
+    // ways), and the oracle unrolls exactly 13 iterations.
+    "salsa_converged" -> ((s, dir) => {
+      import s.implicits._
+      val (r, iters) =
+        Salsa.runConverged(GraphIO.orderGraph(s, dir), 1e-9, 20)
+      scoresRows(r.hubs, r.auths, 9)
+        .unionAll(Seq(("iter", "n_iter", iters.toDouble))
+          .toDF("kind", "id", "score"))
+        .orderBy(col("kind"), col("id"))
+    }),
     // ---- utility operators (K13, degrees, top-k, sampling) ----
     "topics_list" -> ((s, dir) =>
       Topics.list(GraphIO.orderGraph(s, dir).nodes).orderBy(col("label"))),
@@ -366,6 +379,7 @@ object SparkEntry {
     "pagerank" -> Oracles.pageRank(),
     "evt_salsa_weighted" -> Oracles.salsaEventWeighted,
     "hits_converged" -> Oracles.hitsConverged(numIter = 12),
+    "salsa_converged" -> Oracles.salsaConverged(numIter = 13),
     "events_sessionize" -> Oracles.sessionize(),
     "events_window" -> Oracles.eventsWindow,
     "events_rollup" -> Oracles.eventsRollup,

@@ -93,6 +93,80 @@ object Salsa {
     } finally e.unpersist(false)
   }
 
+  /** Fixed-point extension mirroring [[Hits.runConverged]] (the
+    * reference always runs a fixed 8 iterations — `src/base_salsa_2
+    * .py:71-84`): iterate the K8 mutual update until the max absolute
+    * change of the L1-normalized authority vector drops below `tol`.
+    * Same edge-cache discipline as [[iterate]] (edges shuffled once per
+    * run, degree joins co-partitioned), plus one |V|-sized full-outer
+    * delta join per iteration. Returns the result and the number of
+    * iterations executed. */
+  def runConverged(g: Graph, tol: Double = 1e-9,
+      maxIter: Int = 50): (Result, Int) = {
+    val spark = g.edges.sparkSession
+    val np = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val eBase = g.edges.select(col("src"), col("dst"))
+      .repartition(np, col("dst")).persist()
+    val dIn = Degrees.in(eBase).hint("SHUFFLE_HASH")
+    val eIn = eBase.join(dIn, eBase("dst") === dIn("id"))
+      .select(col("src"), col("dst"), col("in_degree")).persist()
+    val dOut = Degrees.out(eBase).hint("SHUFFLE_HASH")
+    val eOut = eBase.repartition(np, col("src"))
+      .join(dOut, col("src") === dOut("id"))
+      .select(col("src"), col("dst"), col("out_degree")).persist()
+    val init = initUniform(g.nodes)
+
+    try {
+      var hubs = init
+      var auths = init
+      var prev: Option[DataFrame] = None
+      var ck2: DataFrame = null // checkpoint superseded two iterations back
+      var it = 0
+      var done = false
+      while (it < maxIter && !done) {
+        it += 1
+        // Same materialization discipline as Hits.runConverged: only the
+        // normalized auth vector is checkpointed each iteration; the hub
+        // subtree stays lazy inside it. The auth update consumes the
+        // UN-normalized fresh hubs (matching iterate / the reference's
+        // update order); normalization applies to the carried vectors.
+        val a0 = auths.hint("SHUFFLE_HASH")
+        val hubsU = eIn.join(a0, eIn("dst") === a0("id"))
+          .groupBy(eIn("src").as("id"))
+          .agg(sum(col("score") / col("in_degree")).as("score"))
+        val h0 = hubsU.hint("SHUFFLE_HASH")
+        val authsU = eOut.join(h0, eOut("src") === h0("id"))
+          .groupBy(eOut("dst").as("id"))
+          .agg(sum(col("score") / col("out_degree")).as("score"))
+        hubs = Normalize.l1(hubsU)
+        val cur = Checkpoints.materialize(Normalize.l1(authsU))
+        prev.foreach { p =>
+          // Co-partitioned full-outer delta join — see Hits.runConverged.
+          val delta = cur.as("c")
+            .join(p.as("p").hint("SHUFFLE_HASH"),
+              col("c.id") === col("p.id"), "full_outer")
+            .select(abs(coalesce(col("c.score"), lit(0.0)) -
+              coalesce(col("p.score"), lit(0.0))).as("d"))
+            .agg(coalesce(max(col("d")), lit(0.0))).head.getDouble(0)
+          if (delta < tol) done = true
+        }
+        if (ck2 != null) Checkpoints.release(ck2)
+        ck2 = prev.orNull
+        prev = Some(cur)
+        auths = cur
+      }
+      // Materialize the lazy hub plan before the edge caches drop; the
+      // it-1 auth checkpoint it hung off becomes unreachable then.
+      val h = Checkpoints.materialize(hubs)
+      if (ck2 != null) Checkpoints.release(ck2)
+      (Result(h, auths), it)
+    } finally {
+      eIn.unpersist(false)
+      eOut.unpersist(false)
+      eBase.unpersist(false)
+    }
+  }
+
   // -----------------------------------------------------------------
 
   private def initUniform(nodes: DataFrame): DataFrame = {

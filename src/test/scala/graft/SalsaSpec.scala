@@ -62,4 +62,24 @@ class SalsaSpec extends SparkSuite {
     val s = r.hubs.agg(sum(col("score"))).head.getDouble(0)
     assert(math.abs(s - 1.0) < 1e-12)
   }
+
+  test("runConverged stops early and matches the fixed-iteration kernel " +
+      "at the same depth") {
+    val (r, iters) = Salsa.runConverged(g2, tol = 1e-9, maxIter = 40)
+    assert(iters < 40)
+    val fixed = Salsa.run(g2, numIter = iters)
+    assertApprox(scoresMap(r.auths), scoresMap(fixed.auths), 1e-12)
+    assertApprox(scoresMap(r.hubs), scoresMap(fixed.hubs), 1e-12)
+    // converged vectors are L1-normalized
+    Seq(r.hubs, r.auths).foreach { v =>
+      val s = v.agg(sum(col("score"))).head.getDouble(0)
+      assert(math.abs(s - 1.0) < 1e-12)
+    }
+  }
+
+  test("runConverged on an empty graph converges immediately, no crash") {
+    val (r, iters) = Salsa.runConverged(graph(Seq.empty), maxIter = 5)
+    assert(r.hubs.count() == 0L && r.auths.count() == 0L)
+    assert(iters <= 2)
+  }
 }
