@@ -799,8 +799,16 @@ object Oracles {
   /** Shared IVF CTE chain ending in `a1(vec_id, embedding, nrm, cid)` —
     * seed centroids, one Lloyd step with 6-decimal rounding, nearest-
     * cell index (mirror of the `ivfCentroids` + assignment stages of
-    * [[graft.pipelines.Similarity]]). */
-  private def ivfCtes(nlist: Int, dim: Int): String =
+    * [[graft.pipelines.Similarity]]). `trainPermille` < 1000 replays
+    * the hash-gated training sample (`graft_hash(vec_id || '|ivftrain')
+    * ‰`, seeds force-included) — the Lloyd step then averages only the
+    * sampled rows, while indexing/probing still cover the full corpus. */
+  private def ivfCtes(nlist: Int, dim: Int,
+      trainPermille: Int = 1000): String = {
+    val trainSrc = if (trainPermille >= 1000) "base"
+    else s"""(SELECT * FROM base WHERE vec_id < $nlist OR
+       |    ${GraftHash.duckdbSql("CAST(vec_id AS VARCHAR) || '|ivftrain'")}
+       |      % 1000 < $trainPermille)""".stripMargin
     s"""base AS MATERIALIZED (
        |  SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM embeddings),
        |seeds AS MATERIALIZED (
@@ -810,7 +818,7 @@ object Oracles {
        |    SELECT b.vec_id, b.embedding, s.cid,
        |           ROW_NUMBER() OVER (PARTITION BY b.vec_id
        |             ORDER BY ${sqDistSql("b.embedding", "s.cvec")}, s.cid) AS rn
-       |    FROM base b CROSS JOIN seeds s) WHERE rn = 1),
+       |    FROM $trainSrc b CROSS JOIN seeds s) WHERE rn = 1),
        |cent AS MATERIALIZED (
        |  SELECT cid, list(round(m, 6) ORDER BY pos) AS cvec FROM (
        |    SELECT cid, i AS pos, avg(CAST(embedding[i] AS DOUBLE)) AS m
@@ -822,6 +830,7 @@ object Oracles {
        |           ROW_NUMBER() OVER (PARTITION BY b.vec_id
        |             ORDER BY ${sqDistSql("b.embedding", "c.cvec")}, c.cid) AS rn
        |    FROM base b CROSS JOIN cent c) WHERE rn = 1)""".stripMargin
+  }
 
   /** IVF ANN top-k (mirror of
     * [[graft.pipelines.Similarity.annTopKIvf]]): [[ivfCtes]] +
@@ -1039,12 +1048,16 @@ object Oracles {
 
   /** Mirror of [[graft.pipelines.Similarity.annTopKQ8Ivf]]: IVF
     * cell-probe candidate generation ([[ivfCtes]]) composed with the
-    * int8-quantized prefilter and the exact cosine rerank. */
+    * int8-quantized prefilter and the exact cosine rerank.
+    * `trainPermille` < 1000 replays the hash-gated centroid-training
+    * sample — the full 100 TB configuration (cell probe + int8 +
+    * sampled training) in one oracle. */
   def annTopKQ8Ivf(nq: Int = 10, k: Int = 5, nlist: Int = 8,
-      nprobe: Int = 2, cand: Int = 20, dim: Int = 64): String = {
+      nprobe: Int = 2, cand: Int = 20, dim: Int = 64,
+      trainPermille: Int = 1000): String = {
     val intdot = "list_reduce(list_prepend(0::BIGINT, " +
       "list_transform(list_zip(c.q, qq.q), z -> z[1] * z[2])), (a, x) -> a + x)"
-    s"""WITH ${ivfCtes(nlist, dim)},
+    s"""WITH ${ivfCtes(nlist, dim, trainPermille)},
        |m0 AS MATERIALIZED (
        |  SELECT vec_id, ${maxAbsSql("embedding")} AS ma FROM base),
        |qz AS MATERIALIZED (

@@ -100,7 +100,9 @@ object SparkEntry {
     // Convergence extension, determinized like hits_converged: the
     // sf0.01 gate corpus stops at iteration 13 (tol 1e-9; delta(12)
     // ≈1.6e-9, delta(13)≈6e-10, so the count has ≥1.4× margin both
-    // ways), and the oracle unrolls exactly 13 iterations.
+    // ways), and the oracle unrolls exactly 13 iterations. Valid for
+    // the sf0.01 gate corpus ONLY — sf0.001 converges at 15, so a
+    // local check at that scale fails this one row set by design.
     "salsa_converged" -> ((s, dir) => {
       import s.implicits._
       val (r, iters) =
@@ -318,6 +320,13 @@ object SparkEntry {
     "ann_topk_q8_ivf" -> ((s, dir) =>
       Similarity.ann(GraphIO.embeddings(s, dir), Similarity.AnnStrategy.Q8Ivf)
         .withColumn("rn", col("rn").cast("long"))),
+    // The full 100 TB ANN configuration — cell probe + int8 prefilter +
+    // centroid training on the hash-gated half sample — certified
+    // end-to-end: the oracle replays the identical training gate.
+    "ann_topk_q8_ivf_sampled" -> ((s, dir) =>
+      Similarity.ann(GraphIO.embeddings(s, dir), Similarity.AnnStrategy.Q8Ivf,
+          trainFraction = 0.5)
+        .withColumn("rn", col("rn").cast("long"))),
     // ---- multimodal plumbing ----
     "multimodal_meta" -> ((s, dir) =>
       Multimodal.metaQuery(s, GraphIO.documents(s, dir))),
@@ -403,6 +412,7 @@ object SparkEntry {
     "embed_quantize" -> Oracles.embedQuantize,
     "ann_topk_q8" -> Oracles.annTopKQ8(),
     "ann_topk_q8_ivf" -> Oracles.annTopKQ8Ivf(),
+    "ann_topk_q8_ivf_sampled" -> Oracles.annTopKQ8Ivf(trainPermille = 500),
     "events_percentiles" -> Oracles.eventsPercentiles,
     "text_fingerprint" -> Oracles.textFingerprint,
     "text_normalize" -> Oracles.textNormalize,

@@ -466,6 +466,29 @@ class PipelinesSpec extends SparkSuite {
       assert(m(pack) == (rows.length.toLong, rows.map(_._3).sum)) }
   }
 
+  test("repeatedPassages finds cross-document boilerplate windows only") {
+    val boiler = "all rights reserved worldwide" // exactly one 4-token window
+    // Windows are non-overlapping from token 0, so the shared passage
+    // is detected when it sits on the same window grid in both docs…
+    val aligned = docs(
+      (1L, s"$boiler promo tail one"),
+      (2L, s"$boiler promo tail two"),
+      (3L, "totally unrelated text body here maybe"),
+      (4L, "short")) // below window size, dropped by the size gate
+    val got = Dedup.repeatedPassages(spark, aligned, window = 4, minDocs = 2)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    // (n_docs, n_occurrences, first_doc) for the one shared window
+    assert(got.toSeq == Seq((2L, 2L, 1L)), got.mkString(","))
+    // …and NOT when the grids misalign (boilerplate at offset 3 of a
+    // 7-token doc never forms a full aligned window) — the documented
+    // trade of the non-overlapping grid vs a rolling window.
+    val misaligned = docs(
+      (1L, s"unique alpha beta $boiler"),
+      (2L, s"other gamma delta $boiler"))
+    assert(Dedup.repeatedPassages(spark, misaligned, window = 4, minDocs = 2)
+      .collect().isEmpty)
+  }
+
   test("scrub handles patterns containing quotes and backslashes; oracle escapes them") {
     val d = docs((1L, "it's o'clock at 12 o'clock"), (2L, "no match here"))
     val got = TextMetrics.scrub(d, """o'\w+""", "[T]").collect()
