@@ -254,7 +254,7 @@ object Oracles {
     * DuckDB would otherwise evaluate `1 - 0.85` in exact DECIMAL and
     * produce a different double than Scala's `1.0 - 0.85`. */
   def pageRank(damping: Double = 0.85, numIter: Int = 8,
-      digits: Int = 9): String = {
+      digits: Int = 9, extraSelects: Seq[String] = Nil): String = {
     val sb = new StringBuilder
     sb ++= s"WITH $graphCtes"
     sb ++= ",\nnv AS MATERIALIZED (SELECT COUNT(*) AS n FROM nodes)"
@@ -269,9 +269,20 @@ object Oracles {
         s"$damping::DOUBLE * COALESCE(c.mass, 0::DOUBLE) AS score " +
         s"FROM nodes n LEFT JOIN c$i c ON c.id = n.id)"
     }
-    sb ++= s"\nSELECT id, round(score, $digits) AS score FROM p$numIter ORDER BY id"
+    sb ++= s"\nSELECT id, round(score, $digits) AS score FROM p$numIter"
+    extraSelects.foreach(sel => sb ++= s"\nUNION ALL $sel")
+    sb ++= "\nORDER BY id"
     sb.toString
   }
+
+  /** Convergence-run oracle for
+    * [[graft.operators.PageRank.runConverged]], determinized exactly
+    * like [[hitsConverged]]/[[salsaConverged]]: unrolled to the
+    * iteration count the gate corpus converges at, plus an
+    * ('n_iter', N) assertion row. */
+  def pageRankConverged(numIter: Int): String =
+    pageRank(numIter = numIter, extraSelects = Seq(
+      s"SELECT 'n_iter' AS id, $numIter::DOUBLE AS score"))
 
   /** Simplified SALSA (K7/K9/K12): degree mass, L1. */
   def salsaSimplified(weighted: Boolean = false, extraCtes: Seq[String] = Nil,

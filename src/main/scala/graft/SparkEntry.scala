@@ -150,6 +150,19 @@ object SparkEntry {
       PageRank.run(GraphIO.orderGraph(s, dir))
         .select(col("id"), round(col("score"), 9).as("score"))
         .orderBy(col("id"))),
+    // Convergence run, determinized like hits/salsa_converged: the
+    // sf0.01 gate corpus stops at iteration 25 at tol 5.8e-8 (measured
+    // delta(24)∈[1.0e-7,1.05e-7), delta(25)∈[3.2e-8,3.5e-8) — ~1.7×
+    // margin both ways), and the oracle unrolls exactly 25 iterations.
+    // Valid for the sf0.01 gate corpus ONLY.
+    "pagerank_converged" -> ((s, dir) => {
+      import s.implicits._
+      val (p, iters) =
+        PageRank.runConverged(GraphIO.orderGraph(s, dir), 0.85, 5.8e-8, 60)
+      p.select(col("id"), round(col("score"), 9).as("score"))
+        .unionAll(Seq(("n_iter", iters.toDouble)).toDF("id", "score"))
+        .orderBy(col("id"))
+    }),
     // ---- event-graph kernels (skewed in-degree coverage) ----
     "evt_hits_base" -> ((s, dir) =>
       hitsOut(Hits.run(GraphIO.eventGraph(s, dir)))),
@@ -386,6 +399,7 @@ object SparkEntry {
     "render_model" -> Oracles.renderModel(),
     "evt_hits_base" -> Oracles.hitsEventBase,
     "pagerank" -> Oracles.pageRank(),
+    "pagerank_converged" -> Oracles.pageRankConverged(numIter = 25),
     "evt_salsa_weighted" -> Oracles.salsaEventWeighted,
     "hits_converged" -> Oracles.hitsConverged(numIter = 12),
     "salsa_converged" -> Oracles.salsaConverged(numIter = 13),

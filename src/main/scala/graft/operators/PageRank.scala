@@ -64,4 +64,61 @@ object PageRank {
       nodeIds.unpersist(false)
     }
   }
+
+  /** Fixed-point extension completing the convergence family
+    * ([[Hits.runConverged]], [[Salsa.runConverged]]): iterate the
+    * recurrence until the max absolute score change drops below `tol`.
+    * PageRank's geometric contraction is governed by the damping
+    * factor (‖Δ_k‖ ≲ d^k), so expect ~`ln(tol/Δ₀)/ln(d)` iterations —
+    * markedly more than HITS/SALSA's spectral-gap-driven loops; pick
+    * `tol` with that cost in mind. Every node always carries a score
+    * (the left-join floor), so the delta join is a co-partitioned
+    * inner join on the node universe. Returns the vector and the
+    * number of iterations executed. */
+  def runConverged(g: Graph, damping: Double = 0.85, tol: Double = 1e-7,
+      maxIter: Int = 80): (DataFrame, Int) = {
+    val spark = g.edges.sparkSession
+    val np = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val proj = g.edges.select(col("src"), col("dst"))
+    val dOut = Degrees.out(proj).hint("SHUFFLE_HASH")
+    val eOut = proj.repartition(np, col("src"))
+      .join(dOut, col("src") === dOut("id"))
+      .select(col("src"), col("dst"), col("out_degree")).persist()
+    val nodeIds = g.nodes.select(col("id"))
+      .repartition(np, col("id")).persist()
+    val n = g.nodes.count()
+    try {
+      var p = Checkpoints.materialize(
+        g.nodes.select(col("id"), lit(1.0 / n).as("score")))
+      var ck2: DataFrame = null // checkpoint superseded two iterations back
+      var it = 0
+      var done = false
+      while (it < maxIter && !done) {
+        it += 1
+        val p0 = p.hint("SHUFFLE_HASH")
+        val contrib = eOut.join(p0, eOut("src") === p0("id"))
+          .groupBy(eOut("dst").as("id"))
+          .agg(sum(col("score") / col("out_degree")).as("mass"))
+        val cur = Checkpoints.materialize(
+          nodeIds.join(contrib.hint("SHUFFLE_HASH"), Seq("id"), "left")
+            .select(col("id"), (lit((1.0 - damping) / n) +
+              lit(damping) * coalesce(col("mass"), lit(0.0))).as("score")))
+        // Both sides cover the full node universe and are hash-
+        // partitioned on id — inner co-partitioned delta join.
+        val delta = cur.as("c")
+          .join(p.as("p").hint("SHUFFLE_HASH"), Seq("id"))
+          .select(abs(col("c.score") - col("p.score")).as("d"))
+          .agg(coalesce(max(col("d")), lit(0.0))).head.getDouble(0)
+        if (delta < tol) done = true
+        if (ck2 != null) Checkpoints.release(ck2)
+        ck2 = p
+        p = cur
+      }
+      if (ck2 != null) Checkpoints.release(ck2)
+      (p, it)
+    } finally {
+      eOut.unpersist(false)
+      nodeIds.unpersist(false)
+    }
+  }
 }

@@ -33,4 +33,30 @@ class PageRankSpec extends SparkSuite {
     assert(p.values.forall(_ >= floor - 1e-12))
     assert(p("c") > p("a") && p("d") > p("a")) // in-linked beat sources
   }
+
+  test("runConverged stops early and matches the fixed-iteration kernel " +
+      "at the same depth") {
+    // 2-cycle: uniform init IS the fixed point — converges on the
+    // second iteration (the first delta compares against init).
+    val g = graph(Seq(("a", "b", 1.0), ("b", "a", 1.0)))
+    val (p, iters) = PageRank.runConverged(g, tol = 1e-9, maxIter = 40)
+    assert(iters <= 2, s"2-cycle took $iters iterations")
+    assertApprox(scoresMap(p), Map("a" -> 0.5, "b" -> 0.5))
+    // a structured graph: converged result == fixed run at that depth.
+    // Micro-graphs contract at the damping rate (~d^k — no dangling
+    // leak to speed it up), so use d=0.5 to keep the loop short.
+    val g2 = graph(Seq(("a", "c", 1.0), ("b", "c", 1.0), ("c", "d", 1.0),
+      ("d", "a", 1.0)))
+    val (p2, it2) = PageRank.runConverged(g2, damping = 0.5,
+      tol = 1e-9, maxIter = 60)
+    assert(it2 < 60)
+    assertApprox(scoresMap(p2),
+      scoresMap(PageRank.run(g2, damping = 0.5, numIter = it2)), 1e-12)
+  }
+
+  test("runConverged on an empty graph converges immediately, no crash") {
+    val (p, iters) = PageRank.runConverged(graph(Seq.empty), maxIter = 5)
+    assert(p.count() == 0L)
+    assert(iters <= 2)
+  }
 }
