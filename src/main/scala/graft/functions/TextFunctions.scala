@@ -106,12 +106,21 @@ object TextFunctions {
 
   /** Word n-gram shingles as an array of strings; docs shorter than n
     * tokens produce an empty array. */
+  /** Word n-gram shingles as chained `zip_with`s over shifted slices of
+    * the token array. The obvious `transform(sequence(...), i =>
+    * slice(toks, i+1, n))` form is quadratic in document length: Spark's
+    * subexpression elimination does not reach inside higher-order-
+    * function lambdas, so a lambda body referencing the outer `toks`
+    * tree re-tokenizes per ELEMENT. Here every lambda touches only its
+    * bound arguments; `toks` appears only at top level, where codegen
+    * CSE evaluates it once per row — O(n·T) per document. */
   def shingles(text: Column, n: Int): Column = {
     val toks = tokens(text)
-    when(size(toks) >= n,
-      transform(sequence(lit(0), size(toks) - n),
-        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
-      .otherwise(array().cast("array<string>"))
+    val m = greatest(size(toks) - (n - 1), lit(0)) // shingle count
+    val parts = (0 until n).map(k => slice(toks, lit(k + 1), m))
+    val zipped = parts.reduce((a, b) =>
+      zip_with(a, b, (x, y) => concat_ws(" ", x, y)))
+    when(size(toks) >= n, zipped).otherwise(array().cast("array<string>"))
   }
 
   // ----------------------- DuckDB twins -----------------------

@@ -1,6 +1,6 @@
 package graft.pipelines
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{TextFunctions => TF}
@@ -25,33 +25,46 @@ import graft.functions.{TextFunctions => TF}
   */
 object TextMetrics {
 
+  /** Per-document max token multiplicity as a pure expression: the max
+    * run length of the SORTED token array (a sorted array groups equal
+    * tokens into runs, so max run = top token count). Folds a
+    * (prev, run, best) struct over the array — one codegen'd pass, no
+    * explode, no shuffle. Empty arrays yield 0. */
+  private def topTokenCount(toks: Column): Column =
+    aggregate(array_sort(toks),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, tok) => {
+        val run = when(tok === acc.getField("prev"),
+          acc.getField("run") + 1L).otherwise(lit(1L))
+        struct(tok.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+
   /** `(doc_id, n_tokens, type_token_ratio, top_token_frac,
     * dup_bigram_frac)` for every document. Empty/blank docs score 0 on
-    * all three ratios (guarded denominators). */
+    * all three ratios (guarded denominators).
+    *
+    * Scale shape: a single per-row codegen'd projection — the top-token
+    * multiplicity is the [[topTokenCount]] sorted-run fold, NOT an
+    * explode → groupBy → join branch (which would shuffle one row per
+    * token and scan the corpus twice); the whole operator rides the
+    * scan. */
   def repetitionSignals(docs: DataFrame): DataFrame = {
     val toks = docs.select(col("doc_id"),
       TF.tokens(col("text")).as("toks"),
       TF.shingles(col("text"), 2).as("bigrams"))
-    val base = toks.select(col("doc_id"),
-      size(col("toks")).as("n_tokens"),
-      size(array_distinct(col("toks"))).as("n_types"),
-      size(col("bigrams")).as("n_bigrams"),
-      size(array_distinct(col("bigrams"))).as("n_bitypes"))
-    val top = toks
-      .select(col("doc_id"), explode(col("toks")).as("tok"))
-      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id")).agg(max(col("c")).as("top_count"))
     def ratio(num: org.apache.spark.sql.Column,
         den: org.apache.spark.sql.Column) =
       round(num.cast("double") / greatest(den, lit(1)).cast("double"), 6)
-    base.join(top, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        col("n_tokens").cast("long").as("n_tokens"),
-        ratio(col("n_types"), col("n_tokens")).as("type_token_ratio"),
-        ratio(coalesce(col("top_count"), lit(0L)), col("n_tokens"))
+    toks.select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        ratio(size(array_distinct(col("toks"))), size(col("toks")))
+          .as("type_token_ratio"),
+        ratio(topTokenCount(col("toks")), size(col("toks")))
           .as("top_token_frac"),
-        ratio(col("n_bigrams") - col("n_bitypes"), col("n_bigrams"))
-          .as("dup_bigram_frac"))
+        ratio(size(col("bigrams")) - size(array_distinct(col("bigrams"))),
+          size(col("bigrams"))).as("dup_bigram_frac"))
       .orderBy(col("doc_id"))
   }
 
