@@ -7,12 +7,13 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: opaque `binary` payloads with typed
   * metadata, decoded / featurized in distributed batches.
   *
-  * The decode step is a clearly-marked STUB (this container has no
-  * image/audio codecs): [[FakeCodec.decode]] produces a deterministic
-  * fake "decoded frame" from the payload bytes. Everything around it —
-  * schema, partition-parallel batch processing via `mapPartitions`,
-  * feature-vector output shape — is real and tested, so swapping the
-  * stub for an actual codec changes one function.
+  * The decode step sits behind the pluggable [[MediaCodec]] trait; the
+  * shipped [[FakeCodec]] is a clearly-marked STUB (this container has
+  * no image/audio codecs) producing a deterministic fake "decoded
+  * frame" from the payload bytes. Everything around it — schema,
+  * partition-parallel batch processing via `mapPartitions`,
+  * feature-vector output shape — is real and tested, so a real codec
+  * plugs in as a `MediaCodec` instance without touching any operator.
   */
 object Multimodal {
 
@@ -30,11 +31,12 @@ object Multimodal {
 
   /** Distributed feature extraction: one `mapPartitions` pass, batch
     * shape = one partition, constant memory per row. */
-  def extractFeatures(spark: SparkSession, payloads: DataFrame): Dataset[Features] = {
+  def extractFeatures(spark: SparkSession, payloads: DataFrame,
+      codec: MediaCodec = FakeCodec): Dataset[Features] = {
     import spark.implicits._
     payloads.select(col("doc_id"), col("mime"), col("payload")).as[Payload]
       .mapPartitions(_.map { p =>
-        val decoded = FakeCodec.decode(p.payload) // STUB boundary
+        val decoded = codec.decode(p.payload) // pluggable codec boundary
         val hist = new Array[Double](8)
         var sum = 0L
         decoded.foreach { b =>
@@ -61,12 +63,12 @@ object Multimodal {
     * The decode→resize composition is where a real media pipeline would
     * do its work; here both steps are the documented stubs. */
   def resizeAll(spark: SparkSession, payloads: DataFrame,
-      factor: Int): Dataset[Payload] = {
+      factor: Int, codec: MediaCodec = FakeCodec): Dataset[Payload] = {
     import spark.implicits._
     payloads.select(col("doc_id"), col("mime"), col("payload")).as[Payload]
       .mapPartitions(_.map { p =>
         Payload(p.doc_id, p.mime,
-          FakeCodec.resize(FakeCodec.decode(p.payload), factor))
+          codec.resize(codec.decode(p.payload), factor))
       })
   }
 
@@ -89,17 +91,28 @@ object Multimodal {
   }
 }
 
-/** STUB codec — deterministic stand-ins for media operations. A real
-  * deployment replaces these with image/audio library calls; the Spark
-  * plumbing above is agnostic to what the bytes mean. */
-object FakeCodec {
+/** Pluggable media-decode boundary: implementations run inside
+  * executor tasks (`mapPartitions`), so they must be serializable and
+  * thread-safe per task. A real deployment implements this with
+  * image/audio library calls; the Spark plumbing above is agnostic to
+  * what the bytes mean. */
+trait MediaCodec extends Serializable {
+  /** Decode an opaque payload into frame/sample bytes. */
+  def decode(payload: Array[Byte]): Array[Byte]
+  /** Rescale decoded data to `factor`⁻¹ of its size. */
+  def resize(payload: Array[Byte], factor: Int): Array[Byte]
+}
+
+/** STUB codec — deterministic stand-ins for media operations
+  * (this container has no image/audio libraries). */
+object FakeCodec extends MediaCodec {
   /** Identity "decode" (a real codec would produce pixel/sample data). */
-  def decode(payload: Array[Byte]): Array[Byte] = payload
+  override def decode(payload: Array[Byte]): Array[Byte] = payload
 
   /** "Resize" stub: deterministic byte-space downsample to `factor`⁻¹ of
     * the input (a real implementation would rescale decoded frames).
     * Keeps every factor-th byte — shape-preserving and reproducible. */
-  def resize(payload: Array[Byte], factor: Int): Array[Byte] = {
+  override def resize(payload: Array[Byte], factor: Int): Array[Byte] = {
     val out = new Array[Byte]((payload.length + factor - 1) / factor)
     var i = 0
     while (i < out.length) { out(i) = payload(i * factor); i += 1 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.{GraftHash, TextFunctions}
+import graft.functions.{GraftHash, SubtokenTokenizer, Tokenizer}
 
 /** Deterministic sequence packing — the batch-assembly step of an LLM
   * training pipeline: group documents into "packs" whose token totals
@@ -28,7 +28,9 @@ import graft.functions.{GraftHash, TextFunctions}
   * span buckets, so buckets pack in parallel and a bucket only needs
   * its own docs' (id, count) pairs in one task; size `buckets` so a
   * bucket's rows fit a task (corpus_docs / buckets ≲ 10⁷). Token
-  * counting is the codegen'd BPE-ish subtoken expression — no UDFs.
+  * counting goes through the pluggable [[graft.functions.Tokenizer]]
+  * boundary (default: the codegen'd BPE-ish subtoken expression — no
+  * UDFs; a real BPE plugs in without touching the packer).
   */
 object Packing {
 
@@ -41,12 +43,13 @@ object Packing {
   /** Assign every document a deterministic pack id.
     * Returns `(id, pack, n_tokens)` with `id` named after `idCol`. */
   def packDocs(spark: SparkSession, docs: DataFrame, idCol: String,
-      textCol: String, capacity: Long, buckets: Int): DataFrame = {
+      textCol: String, capacity: Long, buckets: Int,
+      tokenizer: Tokenizer = SubtokenTokenizer): DataFrame = {
     require(capacity > 0, s"capacity must be positive, got $capacity")
     require(buckets > 0, s"buckets must be positive, got $buckets")
     val h: Column = GraftHash.graftHash(spark, col(idCol).cast("string"))
     val base = docs.select(col(idCol),
-      TextFunctions.subtokenCount(col(textCol)).cast("long").as("n_tokens"),
+      tokenizer.countTokens(col(textCol)).cast("long").as("n_tokens"),
       (h % buckets).as("bucket"), h.as("h"))
     val w = Window.partitionBy(col("bucket")).orderBy(col("h"), col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -208,6 +208,19 @@ class CatalystSpec extends SparkSuite {
     assert(!shufPlan.contains("Window"), s"no window expected:\n$shufPlan")
   }
 
+  test("repetitionSignals computes in a single scan — the only exchange " +
+      "is the presentation sort's range partitioning") {
+    import spark.implicits._
+    val docs = (1L to 50L).map(i => (i, s"tok$i tok tok")).toDF("doc_id", "text")
+    val plan = graft.pipelines.TextMetrics.repetitionSignals(docs)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("hashpartitioning"),
+      s"no aggregation/join shuffle expected:\n$plan")
+    assert(!plan.contains("Window"), s"no window expected:\n$plan")
+    assert(plan.split("\n").count(_.contains("Exchange")) == 1,
+      s"only the output-sort exchange expected:\n$plan")
+  }
+
   test("MinHashAgg merge combines partial buffers slot-wise") {
     val b1 = MinHashAgg.reduce(MinHashAgg.zero, 42L)
     val b2 = MinHashAgg.reduce(MinHashAgg.zero, 7L)

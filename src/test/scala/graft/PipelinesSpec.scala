@@ -502,6 +502,43 @@ class PipelinesSpec extends SparkSuite {
     assert(!sql.contains("'o'\\w+'"), "unescaped quote leaked into SQL")
   }
 
+  test("tokenizer boundary is pluggable: packDocs respects the injected counter") {
+    import graft.functions.{Tokenizer, WhitespaceTokenizer}
+    import graft.pipelines.Packing
+    val d = docs((1L, "alpha beta gamma"), (2L, "one two"), (3L, "x"))
+    // whitespace counts: 3, 2, 1
+    val ws = Packing.packDocs(spark, d, "doc_id", "text", 100L, 1,
+      WhitespaceTokenizer).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(ws == Map(1L -> 3L, 2L -> 2L, 3L -> 1L))
+    // a custom tokenizer (chars-as-tokens) flows through untouched
+    object CharTokenizer extends Tokenizer {
+      override def countTokens(text: org.apache.spark.sql.Column) =
+        length(coalesce(text, lit("")))
+    }
+    val ch = Packing.packDocs(spark, d, "doc_id", "text", 100L, 1,
+      CharTokenizer).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(ch == Map(1L -> 16L, 2L -> 7L, 3L -> 1L))
+  }
+
+  test("codec boundary is pluggable: extractFeatures uses the injected codec") {
+    import graft.pipelines.MediaCodec
+    object ZeroCodec extends MediaCodec {
+      override def decode(payload: Array[Byte]): Array[Byte] =
+        new Array[Byte](payload.length) // all zeros, same length
+      override def resize(payload: Array[Byte], factor: Int): Array[Byte] =
+        payload.take(payload.length / factor)
+    }
+    val d = docs((1L, "abc"))
+    val f = Multimodal.extractFeatures(spark, Multimodal.withPayload(d),
+      ZeroCodec).collect().head
+    assert(f.n_bytes == 3 && f.byte_mean == 0.0) // zeros, not "abc" bytes
+    val r = Multimodal.resizeAll(spark, Multimodal.withPayload(d), 3,
+      ZeroCodec).collect().head
+    assert(r.payload.length == 1 && r.payload.head == 0)
+  }
+
   test("multimodal feature extraction: histogram + byte stats via mapPartitions") {
     val d = docs((1L, "abc"), (2L, ""))
     val feats = Multimodal.extractFeatures(spark, Multimodal.withPayload(d))
