@@ -66,6 +66,51 @@ class PropertiesSpec extends SparkSuite {
     }
   }
 
+  test("shingles match a plain-Scala sliding-window model on random docs") {
+    import spark.implicits._
+    val genDoc: Gen[String] = for {
+      n <- Gen.choose(0, 25)
+      toks <- Gen.listOfN(n, Gen.oneOf("a", "bb", "ccc", "a", "dd"))
+    } yield toks.mkString(" ")
+    val docs = (1 to 8).flatMap(i =>
+      genDoc.apply(Gen.Parameters.default, Seed(200L + i)))
+    for (n <- Seq(2, 3); text <- docs) {
+      val got = Seq(text).toDF("t")
+        .select(graft.functions.TextFunctions.shingles(col("t"), n))
+        .collect().head.getSeq[String](0)
+      val toks = text.trim.split("\\s+").filter(_.nonEmpty).toSeq
+      val want = if (toks.size >= n) toks.sliding(n).map(_.mkString(" ")).toSeq
+        else Seq.empty
+      assert(got == want, s"n=$n text='$text'")
+    }
+  }
+
+  test("topTokenCount (via repetitionSignals) matches max multiplicity " +
+      "on random docs") {
+    import spark.implicits._
+    val genDoc: Gen[List[String]] = for {
+      n <- Gen.choose(0, 30)
+      toks <- Gen.listOfN(n, Gen.oneOf("x", "y", "z", "x", "x", "w"))
+    } yield toks
+    val docs = (1 to 10).flatMap(i =>
+      genDoc.apply(Gen.Parameters.default, Seed(300L + i)))
+    docs.zipWithIndex.foreach { case (toks, i) =>
+      val text = toks.mkString(" ")
+      val row = graft.pipelines.TextMetrics
+        .repetitionSignals(Seq((i.toLong, text)).toDF("doc_id", "text"))
+        .collect().head
+      val nTokens = row.getLong(1)
+      val topFrac = row.getDouble(3)
+      assert(nTokens == toks.size)
+      val wantTop = if (toks.isEmpty) 0L
+        else toks.groupBy(identity).values.map(_.size).max.toLong
+      val wantFrac = BigDecimal(wantTop.toDouble / math.max(toks.size, 1))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(topFrac - wantFrac) < 1e-9,
+        s"doc='$text' got=$topFrac want=$wantFrac")
+    }
+  }
+
   test("normalize: rescaling input leaves normalized output unchanged") {
     import spark.implicits._
     samples(4).foreach { edges =>
