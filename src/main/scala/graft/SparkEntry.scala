@@ -85,6 +85,17 @@ object SparkEntry {
       hitsOut(Hits.runBucketed(s, prefix))
     }),
     // ---- SALSA family (K7-K12) ----
+    // K8 over the bucketed handoff layout — zero edge-side shuffles,
+    // including the degree aggregations; scores identical to
+    // salsa_iterative. Reuses (or writes) the same layout as
+    // hits_bucketed.
+    "salsa_bucketed" -> ((s, dir) => {
+      val prefix = bucketedPrefix(s, dir)
+      if (!s.catalog.tableExists(s"${prefix}_nodes"))
+        GraphIO.writeBucketedGraph(GraphIO.orderGraph(s, dir), prefix,
+          s.conf.get("spark.sql.shuffle.partitions").toInt)
+      salsaOut(Salsa.runBucketed(s, prefix))
+    }),
     "salsa_simplified" -> ((s, dir) =>
       salsaOut(Salsa.runSimplified(GraphIO.orderGraph(s, dir).edges))),
     "salsa_iterative" -> ((s, dir) =>
@@ -388,6 +399,7 @@ object SparkEntry {
     "graph_bucketed_write" -> Oracles.bucketedWrite,
     "salsa_simplified" -> Oracles.salsaSimplifiedBase,
     "salsa_iterative" -> Oracles.salsaIterativeBase,
+    "salsa_bucketed" -> Oracles.salsaIterativeBase,
     "salsa_weighted" -> Oracles.salsaWeighted,
     "salsa_teleport" -> Oracles.salsaTeleport(),
     "salsa_topic" -> Oracles.salsaTopic(Topic),

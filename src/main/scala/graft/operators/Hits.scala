@@ -219,13 +219,14 @@ object Hits {
     * graph is reused across many runs; bucket count must equal the
     * consumer's `spark.sql.shuffle.partitions` so the per-iteration
     * score-aggregation output aligns with the bucket partitioning. */
-  def runBucketed(spark: org.apache.spark.sql.SparkSession, prefix: String,
-      numIter: Int = 8): Result = {
-    // The zero-edge-Exchange property holds only when the layout's bucket
-    // count equals this session's shuffle partition count — a layout
-    // written under a different setting would silently reintroduce
-    // per-iteration edge shuffles (exactly what this entry point exists
-    // to eliminate), so fail fast with the fix in the message.
+  /** Fail fast when a bucketed layout's bucket count differs from this
+    * session's shuffle partition count — the zero-edge-Exchange property
+    * of the bucketed kernels holds only when they match; a mismatched
+    * layout would silently reintroduce per-iteration edge shuffles
+    * (exactly what those entry points exist to eliminate). Shared by
+    * [[Hits.runBucketed]] and [[Salsa.runBucketed]]. */
+  private[operators] def requireBucketAligned(
+      spark: org.apache.spark.sql.SparkSession, prefix: String): Unit = {
     val buckets = spark.sessionState.catalog
       .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(
         s"${prefix}_edges_by_dst"))
@@ -236,6 +237,11 @@ object Hits {
         _.toString + " buckets")} but spark.sql.shuffle.partitions is " +
         s"$shufflePartitions; set them equal (or rewrite the layout) to " +
         "keep the kernel's zero-edge-Exchange plan")
+  }
+
+  def runBucketed(spark: org.apache.spark.sql.SparkSession, prefix: String,
+      numIter: Int = 8): Result = {
+    requireBucketAligned(spark, prefix)
     def edges(table: String): DataFrame =
       spark.table(table).select(col("src"), col("dst"),
         col("weight").cast("double").as("w"))

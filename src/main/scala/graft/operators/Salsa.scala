@@ -174,6 +174,29 @@ object Salsa {
     nodes.select(col("id"), lit(1.0 / math.sqrt(n)).as("score"))
   }
 
+  /** K8 over a [[graft.GraphIO.writeBucketedGraph]] layout — the SALSA
+    * twin of [[Hits.runBucketed]]: both edge tables come back from the
+    * catalog hash-clustered on their join key, so the degree
+    * aggregations, the degree-attach joins AND the per-iteration score
+    * joins all plan with ZERO edge-side Exchange. Scores are identical
+    * to [[run]] (same loop, same init). */
+  def runBucketed(spark: org.apache.spark.sql.SparkSession, prefix: String,
+      numIter: Int = 8): Result = {
+    Hits.requireBucketAligned(spark, prefix)
+    def edges(table: String): DataFrame =
+      spark.table(table).select(col("src"), col("dst"))
+    // Persisting keeps the parquet scan out of the loop; the
+    // InMemoryRelation reports the bucketed scan's partitioning.
+    val eDstB = edges(s"${prefix}_edges_by_dst").persist()
+    val eSrcB = edges(s"${prefix}_edges_by_src").persist()
+    try loopDeg(initUniform(spark.table(s"${prefix}_nodes")),
+      eDstB, eSrcB, numIter, Hits.Identity)
+    finally {
+      eDstB.unpersist(false)
+      eSrcB.unpersist(false)
+    }
+  }
+
   /** `post` reuses the HITS transforms; for SALSA the teleport `n` slot
     * carries 2N / 2·N_topic (the reference's denominators). */
   private def iterate(init: DataFrame, edges: DataFrame, numIter: Int,
@@ -186,18 +209,25 @@ object Salsa {
     // from the cache — the mirror of the Hits.iterate eSrc-from-eDst fix.
     val eBase = edges.select(col("src"), col("dst"))
       .repartition(np, col("dst")).persist()
-    // eBase is dst-hashed and Degrees.in's agg output is dst-hashed too,
-    // so this join (and the per-iteration score join on dst) add no edge
-    // shuffle; eIn inherits the dst partitioning. SHUFFLE_HASH hints on
-    // the (small) degree sides keep the joins hash-based without
-    // touching session-wide planner flags.
-    val dIn = Degrees.in(eBase).hint("SHUFFLE_HASH")
-    val eIn = eBase.join(dIn, eBase("dst") === dIn("id"))
+    try loopDeg(init, eBase, eBase.repartition(np, col("src")), numIter, post)
+    finally eBase.unpersist(false)
+  }
+
+  /** The shared degree-annotated kernel loop over pre-co-partitioned
+    * edge copies (`eDstBase` clustered on dst, `eSrcBase` on src, both
+    * `(src, dst)`). Each degree aggregation groups by its base's
+    * clustering key and each degree-attach join matches it, so neither
+    * adds an edge Exchange; per iteration only the fresh |V|-sized
+    * score vector shuffles. SHUFFLE_HASH hints on the (small) degree /
+    * score sides keep the joins hash-based without touching
+    * session-wide planner flags. */
+  private def loopDeg(init: DataFrame, eDstBase: DataFrame,
+      eSrcBase: DataFrame, numIter: Int, post: Hits.Post): Result = {
+    val dIn = Degrees.in(eDstBase).hint("SHUFFLE_HASH")
+    val eIn = eDstBase.join(dIn, eDstBase("dst") === dIn("id"))
       .select(col("src"), col("dst"), col("in_degree")).persist()
-    // The src-hashed copy re-reads the eBase cache, not the raw plan.
-    val dOut = Degrees.out(eBase).hint("SHUFFLE_HASH")
-    val eOut = eBase.repartition(np, col("src"))
-      .join(dOut, col("src") === dOut("id"))
+    val dOut = Degrees.out(eSrcBase).hint("SHUFFLE_HASH")
+    val eOut = eSrcBase.join(dOut, col("src") === dOut("id"))
       .select(col("src"), col("dst"), col("out_degree")).persist()
 
     try {
@@ -236,7 +266,6 @@ object Salsa {
       // throws — no leaked session state.
       eIn.unpersist(false)
       eOut.unpersist(false)
-      eBase.unpersist(false)
     }
   }
 

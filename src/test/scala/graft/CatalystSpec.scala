@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{GraftHash, MinHashAgg}
-import graft.operators.Hits
+import graft.operators.{Hits, Salsa}
 import graft.plans.DisjunctiveSemiJoinRewrite
 import org.apache.spark.sql.functions._
 
@@ -165,6 +165,21 @@ class CatalystSpec extends SparkSuite {
       Seq("_edges_by_dst", "_edges_by_src", "_nodes").foreach(sfx =>
         spark.sql(s"DROP TABLE IF EXISTS graft_spec_bucketed$sfx"))
     }
+  }
+
+  test("Salsa.runBucketed matches Salsa.run over the bucketed layout") {
+    val g = graph(Seq(("a", "c", 1.0), ("a", "d", 1.0), ("b", "c", 1.0),
+      ("c", "d", 1.0)))
+    Seq("_edges_by_dst", "_edges_by_src", "_nodes").foreach(sfx =>
+      spark.sql(s"DROP TABLE IF EXISTS graft_spec_sbucketed$sfx"))
+    GraphIO.writeBucketedGraph(g, "graft_spec_sbucketed", 4)
+    try {
+      val base = Salsa.run(g, numIter = 4)
+      val bucketed = Salsa.runBucketed(spark, "graft_spec_sbucketed", 4)
+      assertApprox(scoresMap(bucketed.hubs), scoresMap(base.hubs), 1e-12)
+      assertApprox(scoresMap(bucketed.auths), scoresMap(base.auths), 1e-12)
+    } finally Seq("_edges_by_dst", "_edges_by_src", "_nodes").foreach(sfx =>
+      spark.sql(s"DROP TABLE IF EXISTS graft_spec_sbucketed$sfx"))
   }
 
   test("runBucketed fails fast when the layout's bucket count differs " +
