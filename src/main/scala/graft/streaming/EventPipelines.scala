@@ -203,6 +203,34 @@ object EventPipelines {
       .orderBy(col("err_id"), col("click_id"))
   }
 
+  /** Stream-stream interval join — the streaming twin of
+    * [[rangeJoinClicksBeforeErrors]]: each error event joins the same
+    * user's click events in the preceding `window` (inclusive bounds,
+    * matching the batch twin). Both sides carry watermarks and the join
+    * condition bounds the event-time distance, so Spark derives a state
+    * retention horizon for BOTH buffers — rows are evicted as the
+    * watermark advances, the canonical bounded-state stream-stream
+    * join (state is O(events inside the watermark+window horizon),
+    * independent of stream length). `ts` must be the TimestampType
+    * event-time column of a `readStream` DataFrame. */
+  def rangeJoinStream(events: DataFrame, window: String = "1 hour",
+      watermarkDelay: String = "1 hour"): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", watermarkDelay)
+    val errs = events.filter(col("event_type") === "error")
+      .select(col("user_id").as("e_user"), col("ts").as("err_ts"),
+        col("event_id").as("err_id"))
+      .withWatermark("err_ts", watermarkDelay)
+    errs.join(clicks,
+        col("e_user") === col("c_user") &&
+          col("click_ts") <= col("err_ts") &&
+          col("click_ts") >= col("err_ts") - expr(s"INTERVAL $window"))
+      .select(col("err_id"), col("click_id"), col("e_user").as("user_id"),
+        col("click_ts"), col("err_ts"))
+  }
+
   /** JSON-metadata extraction over the `props` column (training
     * pipelines routinely carry JSON sidecar metadata): per event type,
     * count and sum of the extracted integer field. Exact-integer

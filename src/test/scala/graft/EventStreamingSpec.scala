@@ -148,6 +148,42 @@ class EventStreamingSpec extends SparkSuite {
     assert(got == Set((1L, "click"), (1L, "view"), (2L, "click")))
   }
 
+  test("stream-stream interval join pairs errors with in-window clicks " +
+      "and matches the batch range join") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-ssjoin").toFile
+    dir.deleteOnExit()
+    val base = 1700000000000L // ms
+    val min = 60000L
+    // user 1: clicks at 0, 30, 70 min; errors at 50, 130 min (1h window:
+    // error@50 pairs with clicks@0,30; error@130 pairs with click@70).
+    // user 2: click at 10 min, no error. user 3: error with no clicks.
+    val rows = Seq(
+      (10L, 1L, base + 0 * min, "click"), (11L, 1L, base + 30 * min, "click"),
+      (12L, 1L, base + 70 * min, "click"), (50L, 1L, base + 50 * min, "error"),
+      (51L, 1L, base + 130 * min, "error"), (20L, 2L, base + 10 * min, "click"),
+      (60L, 3L, base + 40 * min, "error"))
+      .map { case (id, u, ms, et) => (id, u, new java.sql.Timestamp(ms), et) }
+    val df = rows.toDF("event_id", "user_id", "ts", "event_type")
+    df.write.mode("overwrite").parquet(dir.getAbsolutePath)
+    val stream = spark.readStream.schema(df.schema).parquet(dir.getAbsolutePath)
+    val q = EventPipelines.rangeJoinStream(stream)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("graft_ssjoin_test")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val got = spark.sql("SELECT err_id, click_id FROM graft_ssjoin_test")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((50L, 10L), (50L, 11L), (51L, 12L)))
+    // agrees with the batch twin's pair set on the ns-integer input
+    val batchInput = rows.map { case (id, u, ts, et) =>
+      (id, u, ts.getTime * 1000000L, et, 0.0) }
+      .toDF("event_id", "user_id", "ts", "event_type", "value")
+    val batch = EventPipelines.rangeJoinClicksBeforeErrors(batchInput)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batch == got)
+  }
+
   test("streaming windowed stats equals the batch aggregation") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-stream").toFile
