@@ -31,6 +31,7 @@ import org.apache.spark.sql.functions._
   * runMain graft.Main random_teleport_salsa [num_iter] [beta] [nodes] [edges]
   * runMain graft.Main topic_specific_salsa <topic> [num_iter] [beta] [nodes] [edges]
   * runMain graft.Main query_dependent_salsa <topic> [nodes] [edges]
+  * runMain graft.Main pagerank [num_iter] [damping] [nodes] [edges]
   * runMain graft.Main list_topics [nodes]
   * }}}
   *
@@ -75,7 +76,8 @@ object Main {
       "base_hits weighted_hits random_teleport_hits topic_specific_hits " +
       "topic_exclusive_hits query_dependent_hits base_salsa base_salsa_2 " +
       "weighted_salsa random_teleport_salsa topic_specific_salsa " +
-      "query_dependent_salsa list_topics draw_graph; pipelines: " +
+      "query_dependent_salsa list_topics draw_graph " +
+      "pagerank [num_iter] [damping]; pipelines: " +
       "dedup <in> <out> [exact|near|clean], " +
       "ann <in> <out> [exact|lsh|ivf|q8|q8ivf] [nq] [k], " +
       "split <in> <out> [id_col] [train val test (per-mille)], " +
@@ -126,6 +128,17 @@ object Main {
         val g = load(arg(2, DefaultNodes), arg(3, DefaultEdges))
         emit(s"query_dependent_HITS/${a(0)}",
           Hits.runQueryDependent(g, a(0), intArg(1, "8", "num_iter")))
+      case "pagerank" =>
+        // Kernel-family extension (not a reference script): same CLI
+        // shape as random_teleport_hits, one score vector out.
+        val g = load(arg(2, DefaultNodes), arg(3, DefaultEdges))
+        val p = PageRank.run(g, doubleArg(1, "0.85", "damping"),
+          intArg(0, "8", "num_iter"))
+        RankOutput.writeScoresText(p, "outputs/PageRank/scores.txt")
+        println("Top 10 PageRank scores:")
+        RankOutput.topK(p, 10).collect()
+          .foreach(row => println(s"('${row.getString(0)}', ${row.getDouble(1)})"))
+        println("Scores written under outputs/PageRank/")
       case "base_salsa" =>
         val g = load(arg(0, DefaultNodes), arg(1, DefaultEdges))
         emitS("SALSA/base_SALSA", Salsa.runSimplified(g.edges))

@@ -65,6 +65,27 @@ class MainCliSpec extends SparkSuite {
     assert(got.columns.toSet == Set("doc_id", "text", "sort_key"))
   }
 
+  test("pagerank verb runs the kernel over reference-layout CSVs") {
+    val nodes = s"$tmp/nodes.csv"
+    val edges = s"$tmp/edges.csv"
+    java.nio.file.Files.write(java.nio.file.Paths.get(nodes),
+      ("id:ID,names,size:int,labels:LABEL,rho:double\n" +
+        "a,a,1,t,0.5\nb,b,1,t,0.5\nc,c,1,x,0.5\n").getBytes)
+    java.nio.file.Files.write(java.nio.file.Paths.get(edges),
+      ("src:START_ID,dst:END_ID,mrho:double\n" +
+        "a,c,1.0\nb,c,1.0\nc,a,1.0\n").getBytes)
+    Main.run(spark, "pagerank", Array("4", "0.85", nodes, edges))
+    // the text sink is a coalesce(1) directory — read its single part
+    val written = new java.io.File("outputs/PageRank/scores.txt")
+    assert(written.isDirectory, s"expected sink dir $written")
+    val part = written.listFiles.filter(_.getName.startsWith("part-")).head
+    val lines = scala.io.Source.fromFile(part).getLines().toSeq
+    assert(lines.size == 3) // one score line per node
+    intercept[Main.CliArgError] {
+      Main.run(spark, "pagerank", Array("4", "not_a_number", nodes, edges))
+    }
+  }
+
   test("malformed args fail fast as CliArgError, not raw stack traces") {
     // malformed numerics in pack / ann / split
     intercept[Main.CliArgError] {
