@@ -180,12 +180,17 @@ object SparkEntry {
     "evt_salsa_weighted" -> ((s, dir) =>
       salsaOut(Salsa.runWeightedSimplified(GraphIO.eventGraph(s, dir).edges))),
     // ---- convergence extension; oracle-gated by determinizing the
-    // fixed point: the sf0.01 gate corpus converges at iteration 12
-    // (tol 1e-6), so the oracle unrolls 12 iterations and the extra
-    // ('iter','n_iter',N) row asserts the kernel stopped exactly there ----
+    // fixed point: the sf0.01 gate corpus converges at iteration 12,
+    // so the oracle unrolls 12 iterations and the extra
+    // ('iter','n_iter',N) row asserts the kernel stopped exactly
+    // there. tol sits at the geometric mid of the measured brackets
+    // delta(11)∈[1.6e-6,1.75e-6) and delta(12)∈[8e-7,9e-7) — ≥1.33×
+    // margin both ways (the r1 value 1e-6 had as little as 1.0× above
+    // delta(12)). Valid for the sf0.01 gate corpus ONLY. ----
     "hits_converged" -> ((s, dir) => {
       import s.implicits._
-      val (r, iters) = Hits.runConverged(GraphIO.orderGraph(s, dir), 1e-6, 16)
+      val (r, iters) =
+        Hits.runConverged(GraphIO.orderGraph(s, dir), 1.2e-6, 16)
       scoresRows(r.hubs, r.auths, 6)
         .unionAll(Seq(("iter", "n_iter", iters.toDouble))
           .toDF("kind", "id", "score"))
