@@ -462,6 +462,39 @@ object Oracles {
       |       CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_total
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Mirror of [[graft.pipelines.Sketches.kmvDistinct]] over
+    * `CAST(user_id AS VARCHAR)` per event type, alongside the exact
+    * distinct count. The sketch (K smallest distinct wide-hash values)
+    * is integer-exact, and the closed-form estimator is written with
+    * the exact operation order of the Spark expression — so even the
+    * APPROXIMATE count hash-compares across engines. */
+  def eventsKmvUsers(k: Int = 256): String = {
+    val ext = "CAST(user_id AS VARCHAR) || '|' || CAST(user_id AS VARCHAR)" +
+      " || '#' || CAST(user_id AS VARCHAR)"
+    val h1 = GraftHash.duckdbSql(s"($ext)")
+    val h2 = GraftHash.duckdbSql2(s"($ext)")
+    s"""WITH h AS MATERIALIZED (
+       |  SELECT DISTINCT event_type, ($h1 * 1000000009 + $h2) AS c
+       |  FROM events WHERE user_id IS NOT NULL),
+       |r AS (
+       |  SELECT event_type, c,
+       |         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY c) AS rn
+       |  FROM h),
+       |sk AS (
+       |  SELECT event_type, COUNT(*) AS n_sk,
+       |         MAX(CASE WHEN rn = $k THEN c END) AS ck
+       |  FROM r WHERE rn <= $k GROUP BY 1),
+       |ex AS (
+       |  SELECT event_type, COUNT(DISTINCT user_id) AS n_exact FROM events
+       |  GROUP BY 1)
+       |SELECT s.event_type, ex.n_exact,
+       |       round(CASE WHEN s.n_sk < $k THEN CAST(s.n_sk AS DOUBLE)
+       |                  ELSE ${(k - 1).toDouble} * (1.000000007E9 * 1.000000009E9)
+       |                       / CAST(s.ck AS DOUBLE) END, 4) AS kmv_users
+       |FROM sk s JOIN ex ON ex.event_type = s.event_type
+       |ORDER BY s.event_type""".stripMargin
+  }
+
   /** Top-3 users per event type by total value. Ranked on exact integer
     * cents so cross-engine double-sum noise cannot reorder ties. */
   def eventsTopUsers: String =

@@ -3,7 +3,7 @@ package graft
 import graft.functions.{GraftHash, TextFunctions => TF}
 import graft.operators._
 import graft.pipelines.{Dedup, Multimodal, Packing, Sampling, Similarity,
-  TextMetrics}
+  Sketches, TextMetrics}
 import graft.streaming.EventPipelines
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -225,6 +225,19 @@ object SparkEntry {
     "events_top_users" -> ((s, dir) =>
       EventPipelines.topUsers(GraphIO.events(s, dir))
         .withColumn("rn", col("rn").cast("long"))),
+    // Deterministic KMV sketch: the approximate distinct-user count
+    // itself is oracle-gated (integer-exact k-smallest sketch +
+    // op-order-matched estimator), next to the exact count.
+    "events_kmv_users" -> ((s, dir) => {
+      val ev = GraphIO.events(s, dir)
+      val exact = ev.groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_exact"))
+      val kmv = Sketches
+        .kmvDistinct(s, ev, col("event_type"), col("user_id").cast("string"))
+        .select(col("grp").as("event_type"),
+          col("kmv_distinct").as("kmv_users"))
+      exact.join(kmv, Seq("event_type")).orderBy(col("event_type"))
+    }),
     // ---- sequence packing (LLM batch assembly) ----
     "pack_sequences" -> ((s, dir) =>
       Packing.packDocs(s, GraphIO.documents(s, dir), "doc_id", "text",
@@ -429,6 +442,7 @@ object SparkEntry {
     "events_asof" -> Oracles.eventsAsof,
     "events_range_join" -> Oracles.eventsRangeJoin(),
     "events_top_users" -> Oracles.eventsTopUsers,
+    "events_kmv_users" -> Oracles.eventsKmvUsers(),
     "text_stats" -> Oracles.textStats,
     "text_repetition" -> Oracles.textRepetition,
     "text_tfidf" -> Oracles.textTfidf,

@@ -38,8 +38,36 @@ case class GraftHash(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Second, independent polynomial fold (`acc*131 + cp mod 1e9+9`).
+  * [[GraftHash]] alone carries ~30 bits — plenty for fingerprint
+  * equality and sampling gates, but a wide-hash consumer (the HLL
+  * sketch's bucket+rank split) needs more: salting the input of the
+  * SAME fold only yields an affine image of the first hash, so true
+  * widening requires a different (multiplier, modulus) pair. The
+  * combined `graft_hash * (1e9+9) + graft_hash2` is a deterministic
+  * ~60-bit value, reproducible in the oracle's SQL. */
+case class GraftHash2(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_hash2 requires a string argument, got ${child.dataType}")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_hash2"
+
+  protected override def nullSafeEval(input: Any): Any =
+    GraftHash.hash2Utf8(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GraftHash.hash2Utf8($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): GraftHash2 =
+    copy(child = newChild)
+}
+
 object GraftHash {
   final val Mod = 1000000007L
+  final val Mod2 = 1000000009L
 
   /** Hot path shared by interpreted eval and generated code. */
   def hashUtf8(s: UTF8String): Long = {
@@ -54,15 +82,37 @@ object GraftHash {
     h
   }
 
-  /** Register `graft_hash` for SQL and `call_function` use. */
-  def register(spark: SparkSession): Unit =
+  /** Hot path of [[GraftHash2]]. */
+  def hash2Utf8(s: UTF8String): Long = {
+    val str = s.toString
+    var h = 0L
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      h = (h * 131 + cp) % Mod2
+      i += Character.charCount(cp)
+    }
+    h
+  }
+
+  /** Register `graft_hash`/`graft_hash2` for SQL and `call_function`. */
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_hash", exprs => GraftHash(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_hash2", exprs => GraftHash2(exprs.head), "built-in")
+  }
 
   /** Column-API entry point (registers lazily on the active session). */
   def graftHash(spark: SparkSession, c: Column): Column = {
     register(spark)
     call_function("graft_hash", c)
+  }
+
+  /** Column-API entry point for the second fold. */
+  def graftHash2(spark: SparkSession, c: Column): Column = {
+    register(spark)
+    call_function("graft_hash2", c)
   }
 
   /** The DuckDB-SQL equivalent of this expression, for oracle queries.
@@ -72,4 +122,11 @@ object GraftHash {
       s"list_reduce(list_prepend(0::BIGINT, " +
       s"list_transform(regexp_split_to_array($col, ''), c -> unicode(c)::BIGINT)), " +
       s"(a, x) -> (a*31 + x) % 1000000007) END)"
+
+  /** DuckDB twin of [[GraftHash2]]. */
+  def duckdbSql2(col: String): String =
+    s"(CASE WHEN $col IS NULL THEN NULL WHEN $col = '' THEN 0 ELSE " +
+      s"list_reduce(list_prepend(0::BIGINT, " +
+      s"list_transform(regexp_split_to_array($col, ''), c -> unicode(c)::BIGINT)), " +
+      s"(a, x) -> (a*131 + x) % 1000000009) END)"
 }

@@ -539,6 +539,32 @@ class PipelinesSpec extends SparkSuite {
     assert(r.payload.length == 1 && r.payload.head == 0)
   }
 
+  test("KMV sketch: exact below K, within 3 sigma above K, merges to " +
+      "the union's sketch") {
+    import spark.implicits._
+    import graft.pipelines.Sketches
+    val rows = (1L to 5000L).map(i => ("big", s"u$i")) ++
+      (1L to 40L).map(i => ("small", s"v$i")) ++
+      (1L to 5000L).map(i => ("big", s"u$i")) // duplicates change nothing
+    val df = rows.toDF("g", "v")
+    val est = Sketches.kmvDistinct(spark, df, col("g"), col("v"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // sigma = 1/sqrt(K-2) ~ 6.3%; allow 3 sigma
+    assert(math.abs(est("big") - 5000.0) / 5000.0 < 0.19, s"big=${est("big")}")
+    assert(est("small") == 40.0, s"small=${est("small")}") // < K -> exact
+    // mergeability: sketch(A ∪ B) == merge(sketch(A), sketch(B))
+    val (a, b) = ((1L to 3000L).map(i => ("g", s"u$i")).toDF("g", "v"),
+      (2000L to 5000L).map(i => ("g", s"u$i")).toDF("g", "v"))
+    val whole = Sketches.kmvSketch(spark, a.unionAll(b), col("g"), col("v"))
+      .collect().head.getSeq[Long](1)
+    val merged = Sketches.kmvMerge(spark,
+        Sketches.kmvSketch(spark, a, col("g"), col("v")),
+        Sketches.kmvSketch(spark, b, col("g"), col("v")))
+      .collect().head.getSeq[Long](1)
+    assert(whole == merged && whole.size == Sketches.K)
+    assert(whole == whole.sorted && whole.distinct == whole)
+  }
+
   test("multimodal feature extraction: histogram + byte stats via mapPartitions") {
     val d = docs((1L, "abc"), (2L, ""))
     val feats = Multimodal.extractFeatures(spark, Multimodal.withPayload(d))
