@@ -468,31 +468,59 @@ object Oracles {
     * is integer-exact, and the closed-form estimator is written with
     * the exact operation order of the Spark expression — so even the
     * APPROXIMATE count hash-compares across engines. */
-  def eventsKmvUsers(k: Int = 256): String = {
-    val ext = "CAST(user_id AS VARCHAR) || '|' || CAST(user_id AS VARCHAR)" +
-      " || '#' || CAST(user_id AS VARCHAR)"
+  /** Shared KMV sketch chain: CTEs `h → r → sk` computing per-`grpCol`
+    * sketch size and the Kth-smallest hash from `(grpCol, $valExpr)`
+    * rows of `srcSql`, plus the estimator CASE. `valExpr` must be a
+    * string SQL expression. */
+  private def kmvChain(srcSql: String, grpCol: String, valExpr: String,
+      k: Int): (String, String) = {
+    val ext = s"($valExpr) || '|' || ($valExpr) || '#' || ($valExpr)"
     val h1 = GraftHash.duckdbSql(s"($ext)")
     val h2 = GraftHash.duckdbSql2(s"($ext)")
-    s"""WITH h AS MATERIALIZED (
-       |  SELECT DISTINCT event_type, ($h1 * 1000000009 + $h2) AS c
-       |  FROM events WHERE user_id IS NOT NULL),
-       |r AS (
-       |  SELECT event_type, c,
-       |         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY c) AS rn
-       |  FROM h),
-       |sk AS (
-       |  SELECT event_type, COUNT(*) AS n_sk,
-       |         MAX(CASE WHEN rn = $k THEN c END) AS ck
-       |  FROM r WHERE rn <= $k GROUP BY 1),
+    val ctes =
+      s"""h AS MATERIALIZED (
+         |  SELECT DISTINCT $grpCol, ($h1 * 1000000009 + $h2) AS c
+         |  FROM ($srcSql) WHERE ($valExpr) IS NOT NULL),
+         |r AS (
+         |  SELECT $grpCol, c,
+         |         ROW_NUMBER() OVER (PARTITION BY $grpCol ORDER BY c) AS rn
+         |  FROM h),
+         |sk AS (
+         |  SELECT $grpCol, COUNT(*) AS n_sk,
+         |         MAX(CASE WHEN rn = $k THEN c END) AS ck
+         |  FROM r WHERE rn <= $k GROUP BY 1)""".stripMargin
+    val est = s"CASE WHEN s.n_sk < $k THEN CAST(s.n_sk AS DOUBLE) " +
+      s"ELSE ${(k - 1).toDouble} * (1.000000007E9 * 1.000000009E9) " +
+      s"/ CAST(s.ck AS DOUBLE) END"
+    (ctes, est)
+  }
+
+  def eventsKmvUsers(k: Int = 256): String = {
+    val (ctes, est) = kmvChain("SELECT * FROM events", "event_type",
+      "CAST(user_id AS VARCHAR)", k)
+    s"""WITH $ctes,
        |ex AS (
        |  SELECT event_type, COUNT(DISTINCT user_id) AS n_exact FROM events
        |  GROUP BY 1)
-       |SELECT s.event_type, ex.n_exact,
-       |       round(CASE WHEN s.n_sk < $k THEN CAST(s.n_sk AS DOUBLE)
-       |                  ELSE ${(k - 1).toDouble} * (1.000000007E9 * 1.000000009E9)
-       |                       / CAST(s.ck AS DOUBLE) END, 4) AS kmv_users
+       |SELECT s.event_type, ex.n_exact, round($est, 4) AS kmv_users
        |FROM sk s JOIN ex ON ex.event_type = s.event_type
        |ORDER BY s.event_type""".stripMargin
+  }
+
+  /** Mirror of the `corpus_shingle_kmv` gate: per-source distinct
+    * 3-gram shingle cardinality, exact and KMV-estimated — the sketch
+    * exercised at realistic token-level cardinality, where the exact
+    * `COUNT(DISTINCT)` is the 100 TB pain point. */
+  def corpusShingleKmv(k: Int = 256): String = {
+    val src = "SELECT source, unnest(" + TF.sqlShingles("text", 3) +
+      ") AS v FROM documents"
+    val (ctes, est) = kmvChain(src, "source", "v", k)
+    s"""WITH $ctes,
+       |ex AS (
+       |  SELECT source, COUNT(DISTINCT v) AS n_exact FROM ($src) GROUP BY 1)
+       |SELECT s.source, ex.n_exact, round($est, 4) AS kmv_shingles
+       |FROM sk s JOIN ex ON ex.source = s.source
+       |ORDER BY s.source""".stripMargin
   }
 
   /** Top-3 users per event type by total value. Ranked on exact integer

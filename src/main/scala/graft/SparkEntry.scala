@@ -238,6 +238,19 @@ object SparkEntry {
           col("kmv_distinct").as("kmv_users"))
       exact.join(kmv, Seq("event_type")).orderBy(col("event_type"))
     }),
+    // The sketch at realistic token-level cardinality: per-source
+    // distinct 3-gram shingles — where exact countDistinct shuffles
+    // every key and the KMV sketch ships 256 int64s per group.
+    "corpus_shingle_kmv" -> ((s, dir) => {
+      val sh = GraphIO.documents(s, dir)
+        .select(col("source"), explode(TF.shingles(col("text"), 3)).as("v"))
+      val exact = sh.groupBy(col("source"))
+        .agg(countDistinct(col("v")).as("n_exact"))
+      val kmv = Sketches.kmvDistinct(s, sh, col("source"), col("v"))
+        .select(col("grp").as("source"),
+          col("kmv_distinct").as("kmv_shingles"))
+      exact.join(kmv, Seq("source")).orderBy(col("source"))
+    }),
     // ---- sequence packing (LLM batch assembly) ----
     "pack_sequences" -> ((s, dir) =>
       Packing.packDocs(s, GraphIO.documents(s, dir), "doc_id", "text",
@@ -443,6 +456,7 @@ object SparkEntry {
     "events_range_join" -> Oracles.eventsRangeJoin(),
     "events_top_users" -> Oracles.eventsTopUsers,
     "events_kmv_users" -> Oracles.eventsKmvUsers(),
+    "corpus_shingle_kmv" -> Oracles.corpusShingleKmv(),
     "text_stats" -> Oracles.textStats,
     "text_repetition" -> Oracles.textRepetition,
     "text_tfidf" -> Oracles.textTfidf,
