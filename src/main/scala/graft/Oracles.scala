@@ -507,6 +507,29 @@ object Oracles {
        |ORDER BY s.event_type""".stripMargin
   }
 
+  /** Mirror of [[graft.pipelines.Sketches.kmvPairwiseJaccard]] over
+    * per-source shingle sets: Ĵ = |M ∩ S(A) ∩ S(B)| / |M| with M the K
+    * smallest of the union — pure integer set algebra on the sketch
+    * arrays, so the APPROXIMATE similarity hash-compares. */
+  def corpusSourceOverlapKmv(k: Int = 256): String = {
+    val src = "SELECT source, unnest(" + TF.sqlShingles("text", 3) +
+      ") AS v FROM documents"
+    val (ctes, _) = kmvChain(src, "source", "v", k)
+    s"""WITH $ctes,
+       |ska AS (
+       |  SELECT source, list(c ORDER BY c) AS sk FROM r WHERE rn <= $k
+       |  GROUP BY 1),
+       |p AS (
+       |  SELECT x.source AS a, y.source AS b, x.sk AS sa, y.sk AS sb,
+       |         list_sort(list_distinct(x.sk || y.sk))[1:$k] AS m
+       |  FROM ska x JOIN ska y ON x.source < y.source)
+       |SELECT a, b,
+       |       round(CAST(len(list_filter(m, v -> list_contains(sa, v)
+       |                    AND list_contains(sb, v))) AS DOUBLE)
+       |             / CAST(len(m) AS DOUBLE), 6) AS kmv_jaccard
+       |FROM p ORDER BY a, b""".stripMargin
+  }
+
   /** Mirror of the `corpus_shingle_kmv` gate: per-source distinct
     * 3-gram shingle cardinality, exact and KMV-estimated — the sketch
     * exercised at realistic token-level cardinality, where the exact

@@ -251,6 +251,14 @@ object SparkEntry {
           col("kmv_distinct").as("kmv_shingles"))
       exact.join(kmv, Seq("source")).orderBy(col("source"))
     }),
+    // Sketch-based source-overlap audit: pairwise Jaccard between the
+    // 20 sources' shingle sets from the same sketches — integer set
+    // algebra on <=K-element arrays, no raw-data join.
+    "corpus_source_overlap_kmv" -> ((s, dir) =>
+      Sketches.kmvPairwiseJaccard(s,
+        GraphIO.documents(s, dir)
+          .select(col("source"), explode(TF.shingles(col("text"), 3)).as("v")),
+        col("source"), col("v"))),
     // ---- sequence packing (LLM batch assembly) ----
     "pack_sequences" -> ((s, dir) =>
       Packing.packDocs(s, GraphIO.documents(s, dir), "doc_id", "text",
@@ -457,6 +465,7 @@ object SparkEntry {
     "events_top_users" -> Oracles.eventsTopUsers,
     "events_kmv_users" -> Oracles.eventsKmvUsers(),
     "corpus_shingle_kmv" -> Oracles.corpusShingleKmv(),
+    "corpus_source_overlap_kmv" -> Oracles.corpusSourceOverlapKmv(),
     "text_stats" -> Oracles.textStats,
     "text_repetition" -> Oracles.textRepetition,
     "text_tfidf" -> Oracles.textTfidf,

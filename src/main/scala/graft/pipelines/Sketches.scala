@@ -86,4 +86,31 @@ object Sketches {
   def kmvDistinct(spark: SparkSession, df: DataFrame, group: Column,
       value: Column): DataFrame =
     kmvEstimate(kmvSketch(spark, df, group, value)).orderBy(col("grp"))
+
+  /** Sketch-based Jaccard between every pair of groups — the
+    * source-overlap audit of a training-data pipeline (which corpora
+    * duplicate each other) without ever joining the underlying value
+    * sets: with `M` the K smallest of the two sketches' union,
+    *
+    *   Ĵ(A,B) = |M ∩ S(A) ∩ S(B)| / |M|
+    *
+    * (M is a uniform sample of A∪B, so the member fraction estimates
+    * |A∩B|/|A∪B|; exact when the union holds < K distinct values;
+    * σ ≈ √(J(1−J)/K)). Everything is integer set algebra on ≤K-element
+    * arrays — codegen'd array ops over the tiny sketch table, no
+    * shuffle of the raw data beyond the sketch aggregation itself. */
+  def kmvPairwiseJaccard(spark: SparkSession, df: DataFrame, group: Column,
+      value: Column): DataFrame = {
+    val sk = kmvSketch(spark, df, group, value)
+    val x = sk.select(col("grp").as("a"), col("sketch").as("sa"))
+    val y = sk.select(col("grp").as("b"), col("sketch").as("sb"))
+    x.join(y, col("a") < col("b"))
+      .select(col("a"), col("b"), col("sa"), col("sb"),
+        slice(array_sort(array_union(col("sa"), col("sb"))), 1, K).as("m"))
+      .select(col("a"), col("b"),
+        round(size(array_intersect(col("m"),
+            array_intersect(col("sa"), col("sb")))).cast("double") /
+          size(col("m")).cast("double"), 6).as("kmv_jaccard"))
+      .orderBy(col("a"), col("b"))
+  }
 }

@@ -565,6 +565,27 @@ class PipelinesSpec extends SparkSuite {
     assert(whole == whole.sorted && whole.distinct == whole)
   }
 
+  test("KMV pairwise Jaccard estimates set overlap; exact on small sets") {
+    import spark.implicits._
+    import graft.pipelines.Sketches
+    // |A|=3000 (u1..3000), |B|=3001 (u2000..5000): |A∩B|=1001,
+    // |A∪B|=5000 → J = 0.2002; σ ≈ √(J(1−J)/256) ≈ 0.025, allow 3σ
+    val rows = (1L to 3000L).map(i => ("A", s"u$i")) ++
+      (2000L to 5000L).map(i => ("B", s"u$i")) ++
+      (1L to 30L).map(i => ("C", s"u$i")) // ⊂ A, small
+    val j = Sketches.kmvPairwiseJaccard(spark, rows.toDF("g", "v"),
+        col("g"), col("v"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2))
+      .toMap
+    assert(math.abs(j(("A", "B")) - 0.2002) < 0.08, s"AB=${j(("A", "B"))}")
+    // C ⊂ A with |A∪C| under... union is 3000 > K, but every sketch
+    // member of C is in A, so the estimate is the member fraction of C
+    // in the union sample — small and positive; B∩C is empty → the
+    // union sample contains (almost surely) no common member.
+    assert(j(("B", "C")) < 0.05, s"BC=${j(("B", "C"))}")
+    assert(j(("A", "C")) > 0.0, s"AC=${j(("A", "C"))}")
+  }
+
   test("multimodal feature extraction: histogram + byte stats via mapPartitions") {
     val d = docs((1L, "abc"), (2L, ""))
     val feats = Multimodal.extractFeatures(spark, Multimodal.withPayload(d))
