@@ -103,6 +103,14 @@ object ScaleBench {
     "text_scrub" -> ((s, dir) =>
       pipelines.TextMetrics.scrub(GraphIO.documents(s, dir),
         "(customer|supplier)", "[X]")),
+    // bounded algebraic sketch: map-side partials ship <= K int64s per
+    // group however large the corpus — ratio should be the scan floor
+    "corpus_shingle_kmv" -> ((s, dir) => {
+      val sh = GraphIO.documents(s, dir).select(col("source"),
+        explode(graft.functions.TextFunctions.shingles(col("text"), 3))
+          .as("v"))
+      pipelines.Sketches.kmvDistinct(s, sh, col("source"), col("v"))
+    }),
     "decontaminate" -> ((s, dir) => {
       val d = GraphIO.documents(s, dir)
       pipelines.Dedup.benchmarkContamination(s,
