@@ -1014,6 +1014,53 @@ object Oracles {
        |FROM m ORDER BY doc_id""".stripMargin
   }
 
+  /** Mirror of [[graft.pipelines.Dedup.benchmarkContaminationBloom]]:
+    * the deterministic Bloom bitmap (bit_or-aggregated words, double-
+    * hashed probe positions) replayed bit-for-bit, then the exact
+    * confirm on the bloom-positive subset — `n_bloom` exposes the
+    * false-positive tail, `n_hits` must equal the unfiltered
+    * operator's. Shingle identity is the (h, h2) pair. */
+  def decontaminateBloom(n: Int = 3, threshold: Double = 0.2,
+      mBits: Int = 65536, probes: Int = 4): String = {
+    def pairSet(pred: String) =
+      s"SELECT DISTINCT doc_id, ${GraftHash.duckdbSql("s")} AS h, " +
+        s"${GraftHash.duckdbSql2("s")} AS h2 FROM (" +
+        s"SELECT doc_id, unnest(${TF.sqlShingles("text", n)}) AS s " +
+        s"FROM documents WHERE $pred) t"
+    s"""WITH cs AS MATERIALIZED (${pairSet("doc_id % 10 <> 7")}),
+       |bs AS MATERIALIZED (
+       |  SELECT DISTINCT h, h2 FROM (${pairSet("doc_id % 10 = 7")}) bb),
+       |bloom AS MATERIALIZED (
+       |  SELECT pos // 32 AS word,
+       |         bit_or(1::BIGINT << CAST(pos % 32 AS INT)) AS mask
+       |  FROM (SELECT (h + j * h2) % $mBits AS pos
+       |        FROM bs CROSS JOIN (SELECT unnest(range($probes)) AS j) jj)
+       |  GROUP BY 1),
+       |pr AS (
+       |  SELECT cs.doc_id, cs.h, cs.h2, (cs.h + jj.j * cs.h2) % $mBits AS pos
+       |  FROM cs CROSS JOIN (SELECT unnest(range($probes)) AS j) jj),
+       |surv AS (
+       |  SELECT doc_id, h, h2 FROM (
+       |    SELECT p.doc_id, p.h, p.h2, COUNT(*) AS nset
+       |    FROM pr p JOIN bloom b ON b.word = p.pos // 32
+       |    WHERE (b.mask & (1::BIGINT << CAST(p.pos % 32 AS INT))) != 0
+       |    GROUP BY 1, 2, 3) g WHERE nset = $probes),
+       |conf AS (
+       |  SELECT s.doc_id, COUNT(*) AS n_bloom, COUNT(bs.h) AS n_hits
+       |  FROM surv s LEFT JOIN bs ON bs.h = s.h AND bs.h2 = s.h2
+       |  GROUP BY 1),
+       |m AS (SELECT doc_id, COUNT(*) AS n_grams FROM cs GROUP BY 1)
+       |SELECT m.doc_id, m.n_grams,
+       |       coalesce(c.n_bloom, 0) AS n_bloom,
+       |       coalesce(c.n_hits, 0) AS n_hits,
+       |       round(CAST(coalesce(c.n_hits, 0) AS DOUBLE)
+       |             / CAST(m.n_grams AS DOUBLE), 6) AS overlap_frac,
+       |       (CAST(coalesce(c.n_hits, 0) AS DOUBLE)
+       |             / CAST(m.n_grams AS DOUBLE)) >= $threshold::DOUBLE AS contaminated
+       |FROM m LEFT JOIN conf c ON c.doc_id = m.doc_id
+       |ORDER BY m.doc_id""".stripMargin
+  }
+
   /** Shared CTE chain for the sequence-packing twins (mirror of
     * [[graft.pipelines.Packing.packDocs]]): hash-bucketed docs, within-
     * bucket running subtoken totals in (hash, id) order, pack id =

@@ -308,6 +308,15 @@ object SparkEntry {
       Dedup.benchmarkContamination(s,
         d.filter(col("doc_id") % 10 =!= 7), d.filter(col("doc_id") % 10 === 7))
     }),
+    // Bloom-prefiltered variant — broadcastable-bitmap prefilter before
+    // the exact confirm; n_hits must match `decontaminate` (no false
+    // negatives), n_bloom exposes the FP tail. The oracle replays the
+    // bitmap bit-for-bit.
+    "decontaminate_bloom" -> ((s, dir) => {
+      val d = GraphIO.documents(s, dir)
+      Dedup.benchmarkContaminationBloom(s,
+        d.filter(col("doc_id") % 10 =!= 7), d.filter(col("doc_id") % 10 === 7))
+    }),
     "events_percentiles" -> ((s, dir) =>
       EventPipelines.typePercentiles(GraphIO.events(s, dir))),
     "pipeline_clean_corpus" -> ((s, dir) =>
@@ -477,6 +486,7 @@ object SparkEntry {
     "pack_sequences" -> Oracles.packSequences(),
     "pack_manifest" -> Oracles.packManifest(),
     "decontaminate" -> Oracles.decontaminate(),
+    "decontaminate_bloom" -> Oracles.decontaminateBloom(),
     "embed_quantize" -> Oracles.embedQuantize,
     "ann_topk_q8" -> Oracles.annTopKQ8(),
     "ann_topk_q8_ivf" -> Oracles.annTopKQ8Ivf(),

@@ -195,6 +195,76 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Bloom-prefiltered decontamination — the 100 TB shape of
+    * [[benchmarkContamination]]: the benchmark shingle set is folded
+    * into a deterministic Bloom bitmap (`mBits` bits as `mBits/32`
+    * bit_or-aggregated 32-bit words — bit 63 of a 64-bit word is not
+    * cross-engine portable: DuckDB raises on `1::BIGINT << 63` where
+    * the JVM wraps; per shingle, `probes` double-hashed
+    * positions `(h1 + j·h2) mod mBits`), which is broadcast and
+    * prefilters the corpus shingles BEFORE the exact semi-join — at
+    * scale the bitmap is KBs where the distinct-hash set is GBs, and
+    * only bloom-positive shingles (true hits + the small
+    * false-positive tail) reach the exact join. Zero false negatives
+    * by construction: `n_hits`/`overlap_frac`/`contaminated` equal the
+    * unfiltered operator's output, and `n_bloom` exposes the
+    * false-positive tail for bitmap sizing. Shingle identity here is
+    * the (graft_hash, graft_hash2) PAIR (finer than
+    * [[benchmarkContamination]]'s single 30-bit hash — pair collisions
+    * are ~2^-60). Everything is integer-exact, so the oracle replays
+    * the bitmap bit-for-bit. */
+  def benchmarkContaminationBloom(spark: SparkSession, corpus: DataFrame,
+      bench: DataFrame, n: Int = 3, threshold: Double = 0.2,
+      mBits: Int = 65536, probes: Int = 4): DataFrame = {
+    require(mBits % 32 == 0 && mBits > 0, s"mBits must be a positive " +
+      s"multiple of 32, got $mBits")
+    require(probes >= 1, s"probes must be >= 1, got $probes")
+    def shingleHashes(docs: DataFrame) = docs
+      .select(col("doc_id"), explode(TF.shingles(col("text"), n)).as("s"))
+      .select(col("doc_id"), GraftHash.graftHash(spark, col("s")).as("h"),
+        GraftHash.graftHash2(spark, col("s")).as("h2"))
+      .distinct()
+    def positions = explode(array((0 until probes).map(j =>
+      pmod(col("h") + lit(j.toLong) * col("h2"), lit(mBits.toLong))): _*))
+    val benchHashes = shingleHashes(bench)
+      .select(col("h"), col("h2")).distinct()
+    val bloom = benchHashes.select(positions.as("pos"))
+      .select(expr("pos div 32").as("word"), expr("pos % 32").as("bit"))
+      .groupBy(col("word"))
+      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT)))")
+        .as("mask"))
+    val cs = shingleHashes(corpus)
+    // A corpus shingle survives iff ALL `probes` bits are set; a word
+    // absent from the bitmap contributes no row, so its probes cannot
+    // reach the count.
+    val surviving = cs.select(col("doc_id"), col("h"), col("h2"),
+        positions.as("pos"))
+      .select(col("doc_id"), col("h"), col("h2"),
+        expr("pos div 32").as("word"), expr("pos % 32").as("bit"))
+      .join(broadcast(bloom), Seq("word"))
+      .filter(expr(
+        "(mask & shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))) != 0"))
+      .groupBy(col("doc_id"), col("h"), col("h2"))
+      .agg(count(lit(1)).as("nset"))
+      .filter(col("nset") === probes)
+      .select(col("doc_id"), col("h"), col("h2"))
+    // exact confirm on the (small) bloom-positive subset only
+    val confirmed = surviving
+      .join(benchHashes.withColumn("hit", lit(1)), Seq("h", "h2"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bloom"), count(col("hit")).as("n_hits"))
+    val counts = cs.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+      .join(confirmed, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_bloom"), lit(0L)).as("n_bloom"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+    val frac = col("n_hits").cast("double") / col("n_grams").cast("double")
+    counts.select(col("doc_id"), col("n_grams"), col("n_bloom"),
+        col("n_hits"), round(frac, 6).as("overlap_frac"),
+        (frac >= lit(threshold)).as("contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
   /** N-gram Jaccard similarity via shared-shingle candidate generation:
     * only pairs with >= 1 common shingle are scored (the join prunes the
     * quadratic pair space). Integer set sizes -> exact double division.

@@ -407,6 +407,34 @@ class PipelinesSpec extends SparkSuite {
     assert(got(2L) == ((3L, 0L, false)))
   }
 
+  test("bloom-prefiltered decontamination agrees with the exact operator " +
+      "and has no false negatives") {
+    val corpus = docs((1L, "alpha beta gamma delta epsilon"),
+      (2L, "totally unrelated fresh words here"),
+      (3L, "alpha beta gamma but then different tail words"))
+    val bench = docs((100L, "alpha beta gamma delta epsilon zeta"))
+    val exact = Dedup.benchmarkContamination(spark, corpus, bench, n = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(4))).toMap
+    val bloom = Dedup.benchmarkContaminationBloom(spark, corpus, bench, n = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(5))).toMap
+    exact.foreach { case (id, (nGrams, nHits, contaminated)) =>
+      val (bGrams, bBloom, bHits, bCont) = bloom(id)
+      assert(bGrams == nGrams && bHits == nHits && bCont == contaminated,
+        s"doc $id: exact=$nHits bloom=$bHits")
+      assert(bBloom >= bHits, s"doc $id: bloom candidates < exact hits")
+    }
+    // tiny bitmap forces false positives; n_hits must still be exact
+    val tiny = Dedup.benchmarkContaminationBloom(spark, corpus, bench,
+      n = 3, mBits = 64, probes = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    exact.foreach { case (id, (_, nHits, _)) =>
+      assert(tiny(id)._2 == nHits, s"doc $id under tiny bloom")
+      assert(tiny(id)._1 >= nHits)
+    }
+  }
+
   test("quantizeQ8: max-abs scaling, half-up rounding, zero-vector guard") {
     import spark.implicits._
     val emb = Seq((0L, Array(1.0f, -0.5f, 0.25f)),
