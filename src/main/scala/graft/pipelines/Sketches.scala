@@ -101,7 +101,10 @@ object Sketches {
     * shuffle of the raw data beyond the sketch aggregation itself. */
   def kmvPairwiseJaccard(spark: SparkSession, df: DataFrame, group: Column,
       value: Column): DataFrame = {
-    val sk = kmvSketch(spark, df, group, value)
+    // Materialize the (tiny — one row per group) sketch table before the
+    // self-join: both join sides would otherwise re-run the corpus-wide
+    // sketch aggregation, doubling the only expensive stage.
+    val sk = graft.Checkpoints.materialize(kmvSketch(spark, df, group, value))
     val x = sk.select(col("grp").as("a"), col("sketch").as("sa"))
     val y = sk.select(col("grp").as("b"), col("sketch").as("sb"))
     x.join(y, col("a") < col("b"))
