@@ -1,7 +1,7 @@
 package graft
 
 import graft.operators._
-import graft.pipelines.{Dedup, Packing, Sampling, Similarity}
+import graft.pipelines.{Dedup, Packing, Sampling, Similarity, Sketches}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -16,6 +16,7 @@ import org.apache.spark.sql.functions._
   * runMain graft.Main split <in.parquet> <out_dir> [id_col] [train‰ val‰ test‰]
   * runMain graft.Main shuffle <in.parquet> <out_dir> [id_col]
   * runMain graft.Main pack <docs.parquet> <out_dir> [capacity] [buckets] [id_col] [text_col]
+  * runMain graft.Main kmv <in.parquet> <out_dir> [group_col] [value_col] [pairs]
   * }}}
   *
   * {{{
@@ -82,7 +83,8 @@ object Main {
       "ann <in> <out> [exact|lsh|ivf|q8|q8ivf] [nq] [k], " +
       "split <in> <out> [id_col] [train val test (per-mille)], " +
       "shuffle <in> <out> [id_col], " +
-      "pack <in> <out> [capacity] [buckets] [id_col] [text_col]")
+      "pack <in> <out> [capacity] [buckets] [id_col] [text_col], " +
+      "kmv <in> <out> [group_col] [value_col] [pairs]")
 
   private[graft] def run(spark: SparkSession, cmd: String, a: Array[String]): Unit = {
     def arg(i: Int, dflt: String): String = if (a.length > i) a(i) else dflt
@@ -223,6 +225,20 @@ object Main {
         Sampling.shuffleByHash(spark, spark.read.parquet(in), arg(2, "doc_id"))
           .write.mode("overwrite").parquet(out)
         println(s"Deterministic shuffle written to $out")
+      case "kmv" =>
+        // Sketch-based distinct counting + pairwise overlap audit over
+        // any parquet table: one estimate row per group, plus the
+        // pairwise Jaccard matrix when [pairs] is passed.
+        val (in, out) = pipelineIo(cmd, a)
+        val df = spark.read.parquet(in)
+        val (g, v) = (arg(2, "source"), arg(3, "text"))
+        Sketches.kmvDistinct(spark, df, col(g), col(v).cast("string"))
+          .write.mode("overwrite").parquet(s"$out/distinct")
+        if (arg(4, "") == "pairs")
+          Sketches.kmvPairwiseJaccard(spark, df, col(g),
+              col(v).cast("string"))
+            .write.mode("overwrite").parquet(s"$out/overlap")
+        println(s"KMV distinct estimates written under $out/")
       case "pack" =>
         val (in, out) = pipelineIo(cmd, a)
         val assignments = Packing.packDocs(spark, spark.read.parquet(in),

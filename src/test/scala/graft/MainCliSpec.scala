@@ -119,6 +119,21 @@ class MainCliSpec extends SparkSuite {
     assert(assign.select(col("id")).distinct().count() == 2)
   }
 
+  test("kmv verb: distinct estimates per group; pairs writes the overlap") {
+    import spark.implicits._
+    val p = s"$tmp/kmv_docs"
+    ((1L to 50L).map(i => ("g1", s"v$i")) ++
+      (1L to 30L).map(i => ("g2", s"v$i")))
+      .toDF("source", "text").write.mode("overwrite").parquet(p)
+    val out = s"$tmp/kmv_out"
+    Main.run(spark, "kmv", Array(p, out, "source", "text", "pairs"))
+    val d = spark.read.parquet(s"$out/distinct").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(d == Map("g1" -> 50.0, "g2" -> 30.0)) // < K → exact
+    val o = spark.read.parquet(s"$out/overlap").collect()
+    assert(o.length == 1 && o.head.getDouble(2) == 0.6) // 30/50 exact
+  }
+
   test("pack verb: assignments cover every doc; manifest totals match") {
     val out = s"$tmp/pack_out"
     Main.run(spark, "pack", Array(docsPath, out, "16", "2"))
