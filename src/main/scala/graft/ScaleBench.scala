@@ -116,6 +116,16 @@ object ScaleBench {
       pipelines.Dedup.benchmarkContamination(s,
         d.filter(col("doc_id") % 10 =!= 7), d.filter(col("doc_id") % 10 === 7))
     }),
+    // bloom variant with the bitmap sized for the 10x bench set
+    // (mBits must scale with the benchmark's distinct shingles — an
+    // undersized bitmap saturates and the filter passes everything:
+    // measured 2.8x at 10x with the sf0.01-sized 65536-bit default)
+    "decontaminate_bloom" -> ((s, dir) => {
+      val d = GraphIO.documents(s, dir)
+      pipelines.Dedup.benchmarkContaminationBloom(s,
+        d.filter(col("doc_id") % 10 =!= 7), d.filter(col("doc_id") % 10 === 7),
+        mBits = 1 << 22)
+    }),
     "ann_topk_lsh" -> ((s, dir) =>
       pipelines.Similarity.annTopKLsh(GraphIO.embeddings(s, dir))),
     "ann_topk_q8" -> ((s, dir) =>
