@@ -655,21 +655,24 @@ object Oracles {
   }
 
   /** Shared CTE chain ending in `pairs(a, b)` — the MinHash/LSH
-    * candidate pairs: 16 hash slots, 4 bands of 4 rows, same (a_j, b_j)
-    * constants as the Spark side ([[MinHashParams]]). */
+    * candidate pairs: 16 hash slots over the 60-bit (h, h2) shingle
+    * pair, 4 bands of 4 rows with the WIDE two-fold band signature,
+    * same (a_j, b_j) constants as the Spark side ([[MinHashParams]]). */
   private def minhashPairCtes: String = {
     val mins = MinHashParams.params.zipWithIndex.map { case ((a, b), j) =>
-      s"MIN(($a * h + $b) % ${MinHashParams.P}) AS m$j"
+      s"MIN(($a * h + $b * h2) % ${MinHashParams.P}) AS m$j"
     }.mkString(", ")
     val bandRows = (0 until MinHashParams.Bands).map { bd =>
       val Seq(x0, x1, x2, x3) = (0 until MinHashParams.Rows)
         .map(r => s"m${bd * MinHashParams.Rows + r}")
-      s"SELECT doc_id, $bd AS band, (((((($x0 * 31 + $x1) % ${MinHashParams.P}) * 31 + $x2) % ${MinHashParams.P}) * 31 + $x3) % ${MinHashParams.P}) AS sig FROM mh"
+      val sigA = s"(((((($x0 * 31 + $x1) % ${MinHashParams.P}) * 31 + $x2) % ${MinHashParams.P}) * 31 + $x3) % ${MinHashParams.P})"
+      val sigB = s"(((((($x0 * 131 + $x1) % ${MinHashParams.P2}) * 131 + $x2) % ${MinHashParams.P2}) * 131 + $x3) % ${MinHashParams.P2})"
+      s"SELECT doc_id, $bd AS band, ($sigA * ${MinHashParams.P2} + $sigB) AS sig FROM mh"
     }.mkString("\nUNION ALL ")
     s"""sh AS MATERIALIZED (
        |  SELECT DISTINCT doc_id, sh FROM (
        |    SELECT doc_id, unnest(${TF.sqlShingles("text", 3)}) AS sh FROM documents) t),
-       |hh AS MATERIALIZED (SELECT doc_id, ${GraftHash.duckdbSql("sh")} AS h FROM sh),
+       |hh AS MATERIALIZED (SELECT doc_id, ${GraftHash.duckdbSql("sh")} AS h, ${GraftHash.duckdbSql2("sh")} AS h2 FROM sh),
        |mh AS MATERIALIZED (SELECT doc_id, $mins FROM hh GROUP BY doc_id),
        |bands AS MATERIALIZED ($bandRows),
        |pairs AS MATERIALIZED (
@@ -724,26 +727,27 @@ object Oracles {
     * over the 16 per-slot minima. */
   def dedupMinHashSignature: String = {
     val mins = MinHashParams.params.zipWithIndex.map { case ((a, b), j) =>
-      s"MIN(($a * h + $b) % ${MinHashParams.P}) AS m$j"
+      s"MIN(($a * h + $b * h2) % ${MinHashParams.P}) AS m$j"
     }.mkString(", ")
     val sig = (0 until MinHashParams.NumHashes)
       .foldLeft("0::BIGINT")((acc, j) => s"(($acc * 31 + m$j) % ${MinHashParams.P})")
     s"""WITH sh AS MATERIALIZED (
        |  SELECT DISTINCT doc_id, sh FROM (
        |    SELECT doc_id, unnest(${TF.sqlShingles("text", 3)}) AS sh FROM documents) t),
-       |hh AS MATERIALIZED (SELECT doc_id, ${GraftHash.duckdbSql("sh")} AS h FROM sh),
+       |hh AS MATERIALIZED (SELECT doc_id, ${GraftHash.duckdbSql("sh")} AS h, ${GraftHash.duckdbSql2("sh")} AS h2 FROM sh),
        |mh AS MATERIALIZED (SELECT doc_id, $mins FROM hh GROUP BY doc_id)
        |SELECT doc_id, $sig AS sig FROM mh ORDER BY doc_id""".stripMargin
   }
 
   /** Word-3-gram Jaccard similarity >= threshold, via shared-shingle
     * candidate join; integer set sizes -> exact double division.
-    * Shingles are hashed to int64 before set semantics apply — the
-    * mirror of [[graft.pipelines.Dedup.ngramJaccard]]'s shuffle-key
-    * optimization: both engines agree on hash merges by construction. */
+    * Shingles are hashed to the 60-bit wide int64 before set semantics
+    * apply — the mirror of [[graft.pipelines.Dedup.ngramJaccard]]'s
+    * shuffle-key optimization: both engines agree on (vanishingly
+    * rare) hash merges by construction. */
   def dedupNgramJaccard(threshold: Double = 0.5): String =
     s"""WITH sh AS MATERIALIZED (
-       |  SELECT DISTINCT doc_id, ${GraftHash.duckdbSql("sh")} AS sh FROM (
+       |  SELECT DISTINCT doc_id, ${GraftHash.duckdbSqlWide("sh")} AS sh FROM (
        |    SELECT doc_id, unnest(${TF.sqlShingles("text", 3)}) AS sh FROM documents) t),
        |sz AS MATERIALIZED (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
        |common AS (
@@ -998,7 +1002,7 @@ object Oracles {
     * the benchmark shingle set. */
   def decontaminate(n: Int = 3, threshold: Double = 0.2): String = {
     def shingleSet(pred: String) =
-      s"SELECT DISTINCT doc_id, ${GraftHash.duckdbSql("s")} AS h FROM (" +
+      s"SELECT DISTINCT doc_id, ${GraftHash.duckdbSqlWide("s")} AS h FROM (" +
         s"SELECT doc_id, unnest(${TF.sqlShingles("text", n)}) AS s " +
         s"FROM documents WHERE $pred) t"
     s"""WITH cs AS MATERIALIZED (${shingleSet("doc_id % 10 <> 7")}),
@@ -1328,11 +1332,16 @@ object Oracles {
 /** MinHash constants shared between the Spark pipeline and the oracle. */
 object MinHashParams {
   val P = 1000000007L
+  val P2 = 1000000009L
   val NumHashes = 16
   val Bands = 4
   val Rows = 4
-  /** (a_j, b_j) for h_j(x) = (a_j*x + b_j) mod P — small fixed odd
-    * multipliers keep a_j*x < 2^63 for x < P. */
+  /** (a_j, b_j) for the slot hash over the WIDE shingle pair
+    * `h_j(h1, h2) = (a_j·h1 + b_j·h2) mod P` — linear in both 30-bit
+    * components, so two shingles colliding in one fold still separate
+    * in the slot, and `a_j·h1 + b_j·h2 < 2.7e11 << 2^63` (no overflow).
+    * Small fixed odd multipliers with distinct ratios a_j/b_j keep the
+    * 16 permutations pairwise independent enough for banding. */
   val params: Seq[(Long, Long)] = Seq(
     (3L, 17L), (5L, 29L), (7L, 41L), (11L, 53L),
     (13L, 67L), (19L, 79L), (23L, 97L), (29L, 103L),

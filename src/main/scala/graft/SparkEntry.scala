@@ -111,9 +111,10 @@ object SparkEntry {
     // Convergence extension, determinized like hits_converged: the
     // sf0.01 gate corpus stops at iteration 13 (tol 1e-9; delta(12)
     // ≈1.6e-9, delta(13)≈6e-10, so the count has ≥1.4× margin both
-    // ways), and the oracle unrolls exactly 13 iterations. Valid for
-    // the sf0.01 gate corpus ONLY — sf0.001 converges at 15, so a
-    // local check at that scale fails this one row set by design.
+    // ways), and the oracle unrolls exactly 13 iterations. The pinned
+    // N below is the sf0.01 default only: Verify re-derives the oracle
+    // from the kernel's reported iter row at whatever scale it runs
+    // (sf0.001 converges at 15), so the gate is scale-correct.
     "salsa_converged" -> ((s, dir) => {
       import s.implicits._
       val (r, iters) =
@@ -165,7 +166,8 @@ object SparkEntry {
     // sf0.01 gate corpus stops at iteration 25 at tol 5.8e-8 (measured
     // delta(24)∈[1.0e-7,1.05e-7), delta(25)∈[3.2e-8,3.5e-8) — ~1.7×
     // margin both ways), and the oracle unrolls exactly 25 iterations.
-    // Valid for the sf0.01 gate corpus ONLY.
+    // Pinned N = sf0.01 default only; Verify re-derives from the
+    // kernel's reported n_iter row at the scale it runs.
     "pagerank_converged" -> ((s, dir) => {
       import s.implicits._
       val (p, iters) =
@@ -186,7 +188,8 @@ object SparkEntry {
     // there. tol sits at the geometric mid of the measured brackets
     // delta(11)∈[1.6e-6,1.75e-6) and delta(12)∈[8e-7,9e-7) — ≥1.33×
     // margin both ways (the r1 value 1e-6 had as little as 1.0× above
-    // delta(12)). Valid for the sf0.01 gate corpus ONLY. ----
+    // delta(12)). Pinned N = sf0.01 default; Verify re-derives from
+    // the reported iter row at the scale it runs. ----
     "hits_converged" -> ((s, dir) => {
       import s.implicits._
       val (r, iters) =

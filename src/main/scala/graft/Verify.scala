@@ -1,11 +1,18 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * Usage: `Verify <sfDir> <outDir> [query ...]` — extra args restrict the
+  * parquet dumps to the named queries (local iteration); the full
+  * oracle_sql.json is written either way. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    require(args.length >= 2, "usage: Verify <sfDir> <outDir> [query ...]")
+    val (sfDir, outDir) = (args(0), args(1))
+    val only = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -24,7 +31,9 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     // Family-ordered like Bench: each graph family's persisted blocks are
     // dropped as soon as its last query is dumped.
-    val byFam = SparkEntry.queries.toSeq.groupBy { case (n, _) => Bench.family(n) }
+    val byFam = SparkEntry.queries.toSeq
+      .filter { case (n, _) => only.isEmpty || only(n) }
+      .groupBy { case (n, _) => Bench.family(n) }
     Bench.familyOrder.foreach { fam =>
       byFam.getOrElse(fam, Nil).sortBy(_._1).foreach { case (name, fn) =>
         var df: org.apache.spark.sql.DataFrame = null
@@ -54,17 +63,33 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    // hits_converged's oracle unrolls the fixed point to its iteration
-    // count, which is a property of the corpus (12 at sf0.01, 14 at
-    // sf0.001). Read the count the kernel just reported for THIS sfDir
-    // so the dumped oracle matches at any scale.
-    val convergedIters =
-      try Some(spark.read.parquet(s"$outDir/hits_converged")
-        .where(org.apache.spark.sql.functions.col("kind") === "iter")
-        .head.getDouble(2).toInt)
-      catch { case _: Throwable => None }
-    val oracles = convergedIters.fold(SparkEntry.oracleSql)(n =>
-      SparkEntry.oracleSql.updated("hits_converged", Oracles.hitsConverged(n)))
+    // The converged kernels' oracles unroll the fixed point to its
+    // iteration count, which is a property of the corpus (e.g. HITS: 12
+    // at sf0.01, 14 at sf0.001). Each kernel appends its actual count as
+    // a marker row, so read the count it just reported for THIS sfDir
+    // and re-derive the oracle — Verify is then scale-correct with no
+    // per-sf constant edits. The marker's score column is selected BY
+    // NAME (a schema reorder must fail loudly, not misread a value), and
+    // a fallback to the pinned sf0.01 oracle is logged.
+    def reportedIters(name: String, markerCol: String,
+        markerVal: String): Option[Int] =
+      try Some(spark.read.parquet(s"$outDir/$name")
+        .where(col(markerCol) === markerVal)
+        .select(col("score")).head.getDouble(0).toInt)
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] $name: could not read reported " +
+          s"iteration count (${e.getMessage}); keeping the pinned sf0.01 oracle")
+        None
+      }
+    val adaptive: Seq[(String, String, String, Int => String)] = Seq(
+      ("hits_converged", "kind", "iter", Oracles.hitsConverged _),
+      ("salsa_converged", "kind", "iter", Oracles.salsaConverged _),
+      ("pagerank_converged", "id", "n_iter", Oracles.pageRankConverged _))
+    val oracles = adaptive.foldLeft(SparkEntry.oracleSql) {
+      case (acc, (name, mc, mv, gen)) =>
+        if (only.nonEmpty && !only(name)) acc
+        else reportedIters(name, mc, mv).fold(acc)(n => acc.updated(name, gen(n)))
+    }
     val json = oracles
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

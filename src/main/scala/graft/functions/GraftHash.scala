@@ -115,6 +115,25 @@ object GraftHash {
     call_function("graft_hash2", c)
   }
 
+  /** The ~60-bit combined hash `graft_hash(c)·(1e9+9) + graft_hash2(c)`
+    * as ONE int64 — the pairing is a bijection (the low component is
+    * `mod` 1e9+9, the high one `div`), so equality of the wide value is
+    * equality of the PAIR, with collision probability ~2⁻⁶⁰ instead of
+    * the single fold's ~2⁻³⁰. This is the shingle-identity key of the
+    * dedup/decontamination family: at ≥10⁹ documents a 30-bit shingle
+    * space silently merges distinct shingles, which is exactly the
+    * failure LSH banding exists to avoid.
+    *
+    * Unlike [[graft.pipelines.Sketches.wideHash]] there is no
+    * salted-repeat extension: KMV needs estimator-grade UNIFORMITY on
+    * the full product range even for 1-2-character values, whereas
+    * shingle keys (≥ n words) are long enough that both folds wrap
+    * their moduli many times, and only collision resistance is needed. */
+  def widePair(spark: SparkSession, c: Column): Column = {
+    import org.apache.spark.sql.functions.lit
+    graftHash(spark, c) * lit(Mod2) + graftHash2(spark, c)
+  }
+
   /** The DuckDB-SQL equivalent of this expression, for oracle queries.
     * `list_prepend(0, ...)` seeds the fold's accumulator. */
   def duckdbSql(col: String): String =
@@ -122,6 +141,12 @@ object GraftHash {
       s"list_reduce(list_prepend(0::BIGINT, " +
       s"list_transform(regexp_split_to_array($col, ''), c -> unicode(c)::BIGINT)), " +
       s"(a, x) -> (a*31 + x) % 1000000007) END)"
+
+  /** DuckDB twin of [[widePair]] — `h1·(1e9+9) + h2` as one BIGINT.
+    * Both folds stay < 2³⁰·2³⁰ ≈ 10¹⁸ < 2⁶³, so BIGINT arithmetic is
+    * exact on both engines. */
+  def duckdbSqlWide(col: String): String =
+    s"(${duckdbSql(col)} * ${Mod2} + ${duckdbSql2(col)})"
 
   /** DuckDB twin of [[GraftHash2]]. */
   def duckdbSql2(col: String): String =

@@ -109,25 +109,43 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Wide band signature: TWO independent folds of the band's 4 slot
+    * minima — `(·31 mod P)` and `(·131 mod P2)` — paired into one
+    * ~60-bit int64 `sigA·P2 + sigB`. A single mod-P fold lives in a
+    * ~10⁹ signature space, which starts minting false candidate pairs
+    * (random band collisions) at ≥10⁹ documents; the pair space is
+    * ~10¹⁸, pushing that horizon past any realistic corpus. Max value
+    * (P−1)·P2 + P2−1 ≈ 10¹⁸ < 2⁶³, exact on both engines. */
   private def bandSig(ms: Seq[Column]): Column = {
     val p = lit(MinHashParams.P)
-    (((ms(0) * 31 + ms(1)) % p * 31 + ms(2)) % p * 31 + ms(3)) % p
+    val p2 = lit(MinHashParams.P2)
+    val sigA = (((ms(0) * 31 + ms(1)) % p * 31 + ms(2)) % p * 31 + ms(3)) % p
+    val sigB = (((ms(0) * 131 + ms(1)) % p2 * 131 + ms(2)) % p2 * 131 + ms(3)) % p2
+    sigA * p2 + sigB
   }
 
   /** MinHash + LSH near-duplicate candidates: word-3-gram shingles →
     * 16 min-hash slots → 4 bands of 4 rows → equi-join on (band, sig).
-    * Returns distinct (a, b) candidate pairs, a < b. */
+    * Returns distinct (a, b) candidate pairs, a < b.
+    *
+    * Shingle identity is the 60-bit (graft_hash, graft_hash2) PAIR and
+    * the slot hash `(a_j·h1 + b_j·h2) mod P` is linear in both
+    * components — a 30-bit single-fold key would silently merge
+    * distinct shingles at ≥10⁹-document scale, biasing every min slot
+    * downward on exactly the corpora this operator exists for. */
   def minhashLsh(spark: SparkSession, docs: DataFrame): DataFrame = {
-    // Hash before distinct: the dedup shuffle then moves (doc_id, int64)
+    // Hash before distinct: the dedup shuffle then moves (doc_id, 2×int64)
     // instead of raw shingle strings. Equivalent regardless of hash
     // collisions — min() is multiplicity-insensitive, so collapsing two
-    // colliding shingles to one h row cannot change any min slot.
+    // colliding shingles to one (h, h2) row cannot change any min slot.
     val hh = docs
       .select(col("doc_id"), explode(TF.shingles(col("text"), 3)).as("sh"))
-      .select(col("doc_id"), GraftHash.graftHash(spark, col("sh")).as("h"))
+      .select(col("doc_id"), GraftHash.graftHash(spark, col("sh")).as("h"),
+        GraftHash.graftHash2(spark, col("sh")).as("h2"))
       .distinct()
     val minAggs = MinHashParams.params.zipWithIndex.map { case ((a, b), j) =>
-      min((lit(a) * col("h") + lit(b)) % lit(MinHashParams.P)).as(s"m$j")
+      min((lit(a) * col("h") + lit(b) * col("h2")) % lit(MinHashParams.P))
+        .as(s"m$j")
     }
     val mh = hh.groupBy(col("doc_id")).agg(minAggs.head, minAggs.tail: _*)
     val bands = (0 until MinHashParams.Bands).map { bd =>
@@ -152,10 +170,11 @@ object Dedup {
     import spark.implicits._
     docs
       .select(col("doc_id"), explode(TF.shingles(col("text"), 3)).as("sh"))
-      .select(col("doc_id"), GraftHash.graftHash(spark, col("sh")).as("h"))
-      .distinct() // int64 keys; equivalent (min is multiplicity-insensitive)
-      .as[(Long, Long)]
-      .groupByKey(_._1).mapValues(_._2)
+      .select(col("doc_id"), GraftHash.graftHash(spark, col("sh")).as("h"),
+        GraftHash.graftHash2(spark, col("sh")).as("h2"))
+      .distinct() // 60-bit pair keys; equivalent (min is multiplicity-insensitive)
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1).mapValues(t => (t._2, t._3))
       .agg(graft.functions.MinHashAgg.toColumn.name("sig"))
       .toDF("doc_id", "sig")
       .orderBy(col("doc_id"))
@@ -169,18 +188,21 @@ object Dedup {
     * docs with fewer than `n` tokens have no shingles and are not
     * scored (no row), mirroring the oracle.
     *
-    * Scale shape: both shingle sets are hashed to int64 before any
-    * shuffle; the benchmark side collapses to a distinct hash set
-    * (typically tiny next to the corpus — broadcastable, and the
-    * left-semi join lets the planner pick broadcast when it fits);
-    * the corpus side is touched once: one left join marks each corpus
-    * shingle as hit/missed, one hash aggregation counts both per doc.
-    * Nothing is ever pairwise in documents. */
+    * Scale shape: both shingle sets are hashed to ONE int64 — the
+    * 60-bit [[GraftHash.widePair]] (a 30-bit key would mint false
+    * "hits" by collision at corpus scale, i.e. false contamination
+    * flags) — before any shuffle; the benchmark side collapses to a
+    * distinct hash set (typically tiny next to the corpus —
+    * broadcastable, and the left-semi join lets the planner pick
+    * broadcast when it fits); the corpus side is touched once: one
+    * left join marks each corpus shingle as hit/missed, one hash
+    * aggregation counts both per doc. Nothing is ever pairwise in
+    * documents. */
   def benchmarkContamination(spark: SparkSession, corpus: DataFrame,
       bench: DataFrame, n: Int = 3, threshold: Double = 0.2): DataFrame = {
     def hashedShingles(docs: DataFrame) = docs
       .select(col("doc_id"), explode(TF.shingles(col("text"), n)).as("s"))
-      .select(col("doc_id"), GraftHash.graftHash(spark, col("s")).as("h"))
+      .select(col("doc_id"), GraftHash.widePair(spark, col("s")).as("h"))
       .distinct()
     val cs = hashedShingles(corpus)
     val bs = hashedShingles(bench).select(col("h")).distinct()
@@ -283,18 +305,19 @@ object Dedup {
   def ngramJaccard(docs: DataFrame, threshold: Double = 0.5,
       maxShingleDf: Int = 64): DataFrame = {
     val spark = docs.sparkSession
-    // Shingles are hashed to int64 (graftHash — the same fold the
-    // MinHash path and the DuckDB twin use) BEFORE any shuffle: the
+    // Shingles are hashed to ONE int64 — the 60-bit widePair; a 30-bit
+    // fold would merge distinct shingles at corpus scale, inflating
+    // every pair's intersection count — BEFORE any shuffle: the
     // distinct, both aggregations and the pair join then move 8-byte
     // keys instead of 20+-byte strings. Set semantics are over hashed
-    // shingles on both engines, so a (rare) hash merge is consistent
+    // shingles on both engines, so a (~2^-60) hash merge is consistent
     // cross-engine rather than a divergence. The hashed shingle set
     // feeds three aggregations and both pair-join sides, so it is
     // computed once and cached; the (tiny) result is eagerly
     // checkpointed so the cache can be dropped before returning.
     val sh = docs
       .select(col("doc_id"), explode(TF.shingles(col("text"), 3)).as("s"))
-      .select(col("doc_id"), GraftHash.graftHash(spark, col("s")).as("sh"))
+      .select(col("doc_id"), GraftHash.widePair(spark, col("s")).as("sh"))
       .distinct().persist()
     try {
       val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))

@@ -49,13 +49,16 @@ class CatalystSpec extends SparkSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     // identical docs -> identical signatures; different docs differ
     assert(got(1L) == got(3L) && got(1L) != got(2L))
-    // cross-check slot computation against a direct Scala fold
+    // cross-check slot computation against a direct Scala fold over the
+    // wide (h1, h2) shingle pair
     val hashes = Seq("one two three", "two three four", "three four five",
       "four five six").map { s =>
-      s.codePoints().toArray.foldLeft(0L)((a, c) => (a * 31 + c) % 1000000007L)
+      val cps = s.codePoints().toArray
+      (cps.foldLeft(0L)((a, c) => (a * 31 + c) % 1000000007L),
+        cps.foldLeft(0L)((a, c) => (a * 131 + c) % 1000000009L))
     }
     val mins = MinHashParams.params.map { case (a, b) =>
-      hashes.map(h => (a * h + b) % MinHashParams.P).min
+      hashes.map { case (h1, h2) => (a * h1 + b * h2) % MinHashParams.P }.min
     }
     val sig = mins.foldLeft(0L)((s, m) => (s * 31 + m) % MinHashParams.P)
     assert(got(1L) == sig)
@@ -237,12 +240,12 @@ class CatalystSpec extends SparkSuite {
   }
 
   test("MinHashAgg merge combines partial buffers slot-wise") {
-    val b1 = MinHashAgg.reduce(MinHashAgg.zero, 42L)
-    val b2 = MinHashAgg.reduce(MinHashAgg.zero, 7L)
+    val b1 = MinHashAgg.reduce(MinHashAgg.zero, (42L, 19L))
+    val b2 = MinHashAgg.reduce(MinHashAgg.zero, (7L, 3L))
     val merged = MinHashAgg.merge(b1.clone(), b2)
     MinHashParams.params.zipWithIndex.foreach { case ((a, b), j) =>
-      val expect = math.min((a * 42L + b) % MinHashParams.P,
-        (a * 7L + b) % MinHashParams.P)
+      val expect = math.min((a * 42L + b * 19L) % MinHashParams.P,
+        (a * 7L + b * 3L) % MinHashParams.P)
       assert(merged(j) == expect)
     }
   }
