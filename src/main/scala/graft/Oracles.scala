@@ -862,17 +862,32 @@ object Oracles {
        |WHERE rn <= $k ORDER BY query_id, rn""".stripMargin
 
   /** LSH-bucketed ANN top-k (mirror of
-    * [[graft.pipelines.Similarity.annTopKLsh]]). */
-  def annTopKLsh(nq: Int = 10, k: Int = 5): String = {
+    * [[graft.pipelines.Similarity.annTopKLsh]], including the
+    * margin-ordered single-bit multi-probe expansion of the query's
+    * probe list). */
+  def annTopKLsh(nq: Int = 10, k: Int = 5, nprobe: Int = 5): String = {
     import graft.pipelines.HyperplaneLsh
     val tableRows = (0 until HyperplaneLsh.Tables).map { t =>
       s"SELECT vec_id, $t AS tbl, ${HyperplaneLsh.bucketSql(t, "embedding")} AS bkt FROM base"
     }.mkString("\nUNION ALL ")
+    // Per table: sort the 6 planes by (|margin|, j), flip the first
+    // nprobe-1 bits of the query's own bucket — identical IEEE folds on
+    // both engines make the sort order deterministic.
+    val probeRows = (0 until HyperplaneLsh.Tables).map { t =>
+      val margins = (0 until HyperplaneLsh.Bits).map(j =>
+        s"{'m': abs(${HyperplaneLsh.planeDotSql(t, j, "embedding")}), 'j': $j}")
+        .mkString("[", ", ", "]")
+      s"SELECT vec_id AS query_id, $t AS qt, " +
+        s"unnest(list_prepend(bkt0, list_transform(flips, " +
+        s"j -> xor(bkt0, 1 << j)))) AS qk " +
+        s"FROM (SELECT vec_id, ${HyperplaneLsh.bucketSql(t, "embedding")} AS bkt0, " +
+        s"list_transform(list_sort($margins)[1:${nprobe - 1}], s -> s.j) AS flips " +
+        s"FROM base WHERE vec_id < $nq) qq"
+    }.mkString("\nUNION ALL ")
     s"""WITH base AS MATERIALIZED (
        |  SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM embeddings),
        |buckets AS MATERIALIZED ($tableRows),
-       |qb AS MATERIALIZED (
-       |  SELECT vec_id AS query_id, tbl AS qt, bkt AS qk FROM buckets WHERE vec_id < $nq),
+       |qb AS MATERIALIZED ($probeRows),
        |cand AS MATERIALIZED (
        |  SELECT DISTINCT qb.query_id, b.vec_id
        |  FROM buckets b JOIN qb ON b.tbl = qb.qt AND b.bkt = qb.qk

@@ -44,12 +44,16 @@ object Similarity {
     * call-site drift). Parameters not used by a strategy are ignored:
     * `nlist`/`nprobe`/`trainFraction` drive the IVF variants, `cand` the
     * quantized rerank width. Output shape is identical across
-    * strategies: `(query_id, rn, neighbor_id, cosine)`. */
+    * strategies: `(query_id, rn, neighbor_id, cosine)`. `lshProbes` is
+    * the multi-probe width of the LSH rung (buckets probed per table:
+    * own + margin-ordered single-bit flips); it is separate from the
+    * IVF `nprobe` because the two knobs live on different scales
+    * (buckets-of-2^Bits vs cells-of-nlist). */
   def ann(emb: DataFrame, strategy: AnnStrategy, nq: Int = 10, k: Int = 5,
       nlist: Int = 8, nprobe: Int = 2, cand: Int = 20,
-      trainFraction: Double = 1.0): DataFrame = strategy match {
+      trainFraction: Double = 1.0, lshProbes: Int = 5): DataFrame = strategy match {
     case AnnStrategy.Exact => annTopK(emb, nq, k)
-    case AnnStrategy.Lsh => annTopKLsh(emb, nq, k)
+    case AnnStrategy.Lsh => annTopKLsh(emb, nq, k, lshProbes)
     case AnnStrategy.Ivf => annTopKIvf(emb, nq, k, nlist, nprobe, trainFraction)
     case AnnStrategy.Q8 => annTopKQ8(emb, nq, k, cand)
     case AnnStrategy.Q8Ivf =>
@@ -110,20 +114,45 @@ object Similarity {
   /** LSH-bucketed ANN top-k — the scale path: instead of scoring every
     * corpus vector per query, only vectors sharing a hyperplane
     * sign-bucket with the query (in any of the [[HyperplaneLsh.Tables]]
-    * tables) are scored. Candidate count is ~corpus/2^Bits per table, so
-    * the scored set stays near-constant per query as the corpus grows;
-    * recall is the standard LSH trade (high for near-neighbors, which
-    * is what top-k cares about). */
-  def annTopKLsh(emb: DataFrame, nq: Int = 10, k: Int = 5): DataFrame = {
+    * tables) are scored. Candidate count is ~corpus/2^Bits per probed
+    * bucket, so the scored set stays near-constant per query as the
+    * corpus grows; recall is the standard LSH trade.
+    *
+    * MULTI-PROBE: per table each query probes its own bucket plus the
+    * `nprobe − 1` single-bit-flip neighbor buckets of the hyperplanes
+    * with the smallest |margin| (signed distance) — a true neighbor
+    * that lands on the wrong side of a near-grazing plane is in
+    * exactly such a bucket, so margin-ordered flips buy most of the
+    * recall of extra tables at zero index cost (Lv et al.'s
+    * multi-probe LSH). The probe expansion is query-side only: the
+    * corpus is still bucketed once, and the candidate join stays an
+    * equi-join on (table, bucket) against a broadcast probe list of
+    * `nq·Tables·nprobe` rows. `nprobe = 1` is the classic single-probe
+    * scheme. */
+  def annTopKLsh(emb: DataFrame, nq: Int = 10, k: Int = 5,
+      nprobe: Int = 5): DataFrame = {
+    require(nprobe >= 1 && nprobe <= HyperplaneLsh.Bits + 1,
+      s"nprobe must be in [1, ${HyperplaneLsh.Bits + 1}], got $nprobe")
     val base = emb.select(col("vec_id"), col("embedding"),
       norm(col("embedding")).as("nrm"))
     val buckets = (0 until HyperplaneLsh.Tables).map { t =>
       base.select(col("vec_id"), lit(t).as("tbl"),
         HyperplaneLsh.bucket(t, col("embedding")).as("bkt"))
     }.reduce(_ unionAll _)
-    val qb = buckets.filter(col("vec_id") < nq)
-      .select(col("vec_id").as("query_id"), col("tbl").as("qt"),
-        col("bkt").as("qk"))
+    // Probe list: margin-ordered single-bit flips, deterministic on both
+    // engines (identical IEEE folds -> identical sort; ties break on the
+    // plane index).
+    val qb = (0 until HyperplaneLsh.Tables).map { t =>
+      val qk = HyperplaneLsh.bucket(t, col("embedding"))
+      val margins = array_sort(array((0 until HyperplaneLsh.Bits).map(j =>
+        struct(abs(HyperplaneLsh.planeDot(t, j, col("embedding"))).as("m"),
+          lit(j).as("j"))): _*))
+      val flips = transform(slice(margins, 1, nprobe - 1), s =>
+        qk.bitwiseXOR(pow(lit(2.0), s.getField("j").cast("double")).cast("long")))
+      base.filter(col("vec_id") < nq)
+        .select(col("vec_id").as("query_id"), lit(t).as("qt"),
+          explode(concat(array(qk), flips)).as("qk"))
+    }.reduce(_ unionAll _)
     val cand = buckets.join(broadcast(qb),
         col("tbl") === col("qt") && col("bkt") === col("qk") &&
           col("vec_id") =!= col("query_id"))
@@ -452,7 +481,10 @@ object HyperplaneLsh {
   def weight(t: Int, j: Int, k: Int): Long =
     ((((t.toLong * Bits + j) * Dim + k) * 2654435761L) % 1000003L) - 501001L
 
-  private def planeDot(t: Int, j: Int, emb: Column): Column = {
+  /** Signed distance-to-hyperplane (unnormalized margin) of `emb`
+    * against plane (t, j) — the bucket bit is its sign; multi-probe
+    * flips the planes with the smallest |margin| first. */
+  def planeDot(t: Int, j: Int, emb: Column): Column = {
     val w = array((0 until Dim).map(k => lit(weight(t, j, k).toDouble)): _*)
     aggregate(zip_with(emb, w, (x, c) => x.cast("double") * c),
       lit(0.0), (acc, v) => acc + v)
@@ -464,14 +496,18 @@ object HyperplaneLsh {
       when(planeDot(t, j, emb) > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** DuckDB twin of [[planeDot]]. */
+  def planeDotSql(t: Int, j: Int, embCol: String): String = {
+    val w = (0 until Dim).map(k => s"${weight(t, j, k)}.0::DOUBLE")
+      .mkString("[", ", ", "]")
+    s"list_reduce(list_prepend(0.0::DOUBLE, " +
+      s"list_transform(list_zip($embCol, $w), " +
+      s"z -> CAST(z[1] AS DOUBLE) * z[2])), (acc, v) -> acc + v)"
+  }
+
   /** DuckDB twin of [[bucket]]. */
   def bucketSql(t: Int, embCol: String): String =
     (0 until Bits).map { j =>
-      val w = (0 until Dim).map(k => s"${weight(t, j, k)}.0::DOUBLE")
-        .mkString("[", ", ", "]")
-      val d = s"list_reduce(list_prepend(0.0::DOUBLE, " +
-        s"list_transform(list_zip($embCol, $w), " +
-        s"z -> CAST(z[1] AS DOUBLE) * z[2])), (acc, v) -> acc + v)"
-      s"(CASE WHEN $d > 0 THEN ${1L << j} ELSE 0 END)"
+      s"(CASE WHEN ${planeDotSql(t, j, embCol)} > 0 THEN ${1L << j} ELSE 0 END)"
     }.mkString("(", " + ", ")")
 }

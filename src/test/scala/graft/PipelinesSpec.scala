@@ -92,6 +92,25 @@ class PipelinesSpec extends SparkSuite {
     assert(got.toSeq == Seq((1, 100L), (2, 101L)))
   }
 
+  test("annTopKLsh multi-probe: recall vs exact is monotone in nprobe") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val emb = (0L until 150L).map(i =>
+      (i, Array.fill(64)(rnd.nextFloat() - 0.5f))).toDF("vec_id", "embedding")
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val exact = pairs(Similarity.annTopK(emb, nq = 5, k = 3))
+    val single = pairs(Similarity.annTopKLsh(emb, nq = 5, k = 3, nprobe = 1))
+    val multi = pairs(Similarity.annTopKLsh(emb, nq = 5, k = 3, nprobe = 7))
+    val rs = (single & exact).size
+    val rm = (multi & exact).size
+    // flipping every plane probes strictly more buckets: recall can only grow
+    assert(rm >= rs, s"multi-probe recall $rm < single-probe $rs")
+    assert(rm > 0)
+    // all-bit probing at tiny scale must find most of the truth
+    assert(rm >= exact.size / 2, s"nprobe=7 recall $rm/${exact.size}")
+  }
+
   test("annTopKIvf with nprobe == nlist degenerates to exact brute force") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
