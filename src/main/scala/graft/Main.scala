@@ -33,6 +33,9 @@ import org.apache.spark.sql.functions._
   * runMain graft.Main topic_specific_salsa <topic> [num_iter] [beta] [nodes] [edges]
   * runMain graft.Main query_dependent_salsa <topic> [nodes] [edges]
   * runMain graft.Main pagerank [num_iter] [damping] [nodes] [edges]
+  * runMain graft.Main hits_converged [tol] [max_iter] [nodes] [edges]
+  * runMain graft.Main salsa_converged [tol] [max_iter] [nodes] [edges]
+  * runMain graft.Main pagerank_converged [damping] [tol] [max_iter] [nodes] [edges]
   * runMain graft.Main list_topics [nodes]
   * }}}
   *
@@ -58,12 +61,18 @@ object Main {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Record the exit code and exit AFTER the finally: System.exit
+    // inside the catch would skip spark.stop() (JVM shutdown hooks are
+    // the only cleanup that still runs), leaking the session on bad
+    // CLI input.
+    var exitCode = 0
     try run(spark, args(0), args.drop(1))
     catch {
       case CliArgError(msg) =>
-        System.err.println(msg); usage(); sys.exit(2)
+        System.err.println(msg); usage(); exitCode = 2
     }
     finally spark.stop()
+    if (exitCode != 0) sys.exit(exitCode)
   }
 
   /** Bad CLI input — caught in [[main]] (usage + exit 2); surfaced as a
@@ -78,7 +87,9 @@ object Main {
       "topic_exclusive_hits query_dependent_hits base_salsa base_salsa_2 " +
       "weighted_salsa random_teleport_salsa topic_specific_salsa " +
       "query_dependent_salsa list_topics draw_graph " +
-      "pagerank [num_iter] [damping]; pipelines: " +
+      "pagerank [num_iter] [damping], " +
+      "hits_converged [tol] [max_iter], salsa_converged [tol] [max_iter], " +
+      "pagerank_converged [damping] [tol] [max_iter]; pipelines: " +
       "dedup <in> <out> [exact|near|clean], " +
       "ann <in> <out> [exact|lsh|ivf|q8|q8ivf] [nq] [k], " +
       "split <in> <out> [id_col] [train val test (per-mille)], " +
@@ -141,6 +152,32 @@ object Main {
         RankOutput.topK(p, 10).collect()
           .foreach(row => println(s"('${row.getString(0)}', ${row.getDouble(1)})"))
         println("Scores written under outputs/PageRank/")
+      // ---- convergence kernels: run to the fixed point (max-delta
+      // below --tol) instead of a fixed iteration count; the reached
+      // iteration is printed so a caller can pin it downstream ----
+      case "hits_converged" =>
+        val g = load(arg(2, DefaultNodes), arg(3, DefaultEdges))
+        val (r, n) = Hits.runConverged(g, doubleArg(0, "1e-9", "tol"),
+          intArg(1, "50", "max_iter"))
+        println(s"converged after $n iterations")
+        emit("converged_HITS", r)
+      case "salsa_converged" =>
+        val g = load(arg(2, DefaultNodes), arg(3, DefaultEdges))
+        val (r, n) = Salsa.runConverged(g, doubleArg(0, "1e-9", "tol"),
+          intArg(1, "50", "max_iter"))
+        println(s"converged after $n iterations")
+        emitS("SALSA/converged_SALSA", r)
+      case "pagerank_converged" =>
+        val g = load(arg(3, DefaultNodes), arg(4, DefaultEdges))
+        val (p, n) = PageRank.runConverged(g,
+          doubleArg(0, "0.85", "damping"), doubleArg(1, "1e-7", "tol"),
+          intArg(2, "80", "max_iter"))
+        println(s"converged after $n iterations")
+        RankOutput.writeScoresText(p, "outputs/PageRank_converged/scores.txt")
+        println("Top 10 PageRank scores:")
+        RankOutput.topK(p, 10).collect()
+          .foreach(row => println(s"('${row.getString(0)}', ${row.getDouble(1)})"))
+        println("Scores written under outputs/PageRank_converged/")
       case "base_salsa" =>
         val g = load(arg(0, DefaultNodes), arg(1, DefaultEdges))
         emitS("SALSA/base_SALSA", Salsa.runSimplified(g.edges))

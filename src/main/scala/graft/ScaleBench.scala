@@ -128,6 +128,14 @@ object ScaleBench {
     }),
     "ann_topk_lsh" -> ((s, dir) =>
       pipelines.Similarity.annTopKLsh(GraphIO.embeddings(s, dir))),
+    // Σ|cell|² is bounded only if nlist grows with the corpus: this row
+    // runs the DERIVED default (nlist=0 → autoNlist = max(8, ⌈√N⌉)),
+    // the measured optimum of the assignment/pair bathtub — fixed
+    // nlist=8 measures 38.8× at 10× data; derived measures ~7× against
+    // a pair OUTPUT that itself grows 137× (see SCALING.md round 8).
+    "dedup_semantic" -> ((s, dir) =>
+      pipelines.Similarity.semanticDuplicates(GraphIO.embeddings(s, dir),
+        0.3)),
     "ann_topk_q8" -> ((s, dir) =>
       pipelines.Similarity.annTopKQ8(GraphIO.embeddings(s, dir))),
     // the composed 100 TB ladder: IVF cell probe -> quantized scan ->
@@ -203,7 +211,9 @@ object ScaleBench {
     else queries
     if (mode.startsWith("one:")) {
       val name = mode.stripPrefix("one:")
-      val fn = queries.toMap.apply(name)
+      val fn = queries.toMap.getOrElse(name, sys.error(
+        s"unknown query '$name' for one: mode; valid names: " +
+          queries.map(_._1).sorted.mkString(", ")))
       def timed(dir: String): (Double, Double) = {
         GraphIO.orderGraph(spark, dir).edges.count()
         GraphIO.eventGraph(spark, dir).edges.count()

@@ -364,8 +364,12 @@ object SparkEntry {
     "dedup_embedding" -> ((s, dir) =>
       Similarity.nearDuplicates(GraphIO.embeddings(s, dir), 0.3)),
     // ---- similarity search ----
+    // nlist pinned: the DuckDB twin is static SQL, so the gate fixes
+    // the cell count; library callers omitting nlist get the
+    // √N-derived default ([[graft.pipelines.Similarity.autoNlist]]).
     "dedup_semantic" -> ((s, dir) =>
-      Similarity.semanticDuplicates(GraphIO.embeddings(s, dir), 0.3)),
+      Similarity.semanticDuplicates(GraphIO.embeddings(s, dir), 0.3,
+        nlist = 8)),
     // The five ANN gates all route through the unified
     // [[graft.pipelines.Similarity.ann]] entry point, so what the
     // oracles certify is the one surface users call.
@@ -376,7 +380,8 @@ object SparkEntry {
       Similarity.ann(GraphIO.embeddings(s, dir), Similarity.AnnStrategy.Lsh)
         .withColumn("rn", col("rn").cast("long"))),
     "ann_topk_ivf" -> ((s, dir) =>
-      Similarity.ann(GraphIO.embeddings(s, dir), Similarity.AnnStrategy.Ivf)
+      Similarity.ann(GraphIO.embeddings(s, dir), Similarity.AnnStrategy.Ivf,
+          nlist = 8)
         .withColumn("rn", col("rn").cast("long"))),
     // Exploded to (vec_id, ma, pos, qv) scalar rows: the driver's
     // comparator sorts result columns with pandas, which cannot order an
@@ -393,14 +398,15 @@ object SparkEntry {
       Similarity.ann(GraphIO.embeddings(s, dir), Similarity.AnnStrategy.Q8)
         .withColumn("rn", col("rn").cast("long"))),
     "ann_topk_q8_ivf" -> ((s, dir) =>
-      Similarity.ann(GraphIO.embeddings(s, dir), Similarity.AnnStrategy.Q8Ivf)
+      Similarity.ann(GraphIO.embeddings(s, dir), Similarity.AnnStrategy.Q8Ivf,
+          nlist = 8)
         .withColumn("rn", col("rn").cast("long"))),
     // The full 100 TB ANN configuration — cell probe + int8 prefilter +
     // centroid training on the hash-gated half sample — certified
     // end-to-end: the oracle replays the identical training gate.
     "ann_topk_q8_ivf_sampled" -> ((s, dir) =>
       Similarity.ann(GraphIO.embeddings(s, dir), Similarity.AnnStrategy.Q8Ivf,
-          trainFraction = 0.5)
+          nlist = 8, trainFraction = 0.5)
         .withColumn("rn", col("rn").cast("long"))),
     // ---- multimodal plumbing ----
     "multimodal_meta" -> ((s, dir) =>

@@ -50,7 +50,7 @@ object Similarity {
     * IVF `nprobe` because the two knobs live on different scales
     * (buckets-of-2^Bits vs cells-of-nlist). */
   def ann(emb: DataFrame, strategy: AnnStrategy, nq: Int = 10, k: Int = 5,
-      nlist: Int = 8, nprobe: Int = 2, cand: Int = 20,
+      nlist: Int = 0, nprobe: Int = 2, cand: Int = 20,
       trainFraction: Double = 1.0, lshProbes: Int = 5): DataFrame = strategy match {
     case AnnStrategy.Exact => annTopK(emb, nq, k)
     case AnnStrategy.Lsh => annTopKLsh(emb, nq, k, lshProbes)
@@ -59,6 +59,25 @@ object Similarity {
     case AnnStrategy.Q8Ivf =>
       annTopKQ8Ivf(emb, nq, k, nlist, nprobe, cand, trainFraction)
   }
+
+  /** Default IVF cell count: `max(8, ⌈√N⌉)` from the corpus size — the
+    * standard √N-scaled inverted-file sizing, and the measured optimum
+    * of the assignment/pair cost bathtub (SCALING.md round 8): total
+    * cost ≈ a·N·nlist (flat centroid assignment) + b·N²/nlist
+    * (within-cell pair work), minimized at nlist ∝ √N where both terms
+    * are Θ(N^1.5). A FIXED nlist lets cells grow linearly and quietly
+    * turns the cell-probe paths quadratic — measured 38.8× wall-clock
+    * at 10× data with nlist=8 vs 7.3× under the derived setting.
+    * Every IVF entry point treats `nlist <= 0` as "derive from a
+    * corpus count" (one cheap count() action), so callers get
+    * scale-correct sizing without knowing the knob; oracle-gated
+    * queries pin nlist explicitly instead, keeping their DuckDB twins
+    * static. */
+  def autoNlist(corpusSize: Long): Int =
+    math.max(8, math.ceil(math.sqrt(corpusSize.toDouble)).toInt)
+
+  private def resolveNlist(nlist: Int, emb: DataFrame): Int =
+    if (nlist > 0) nlist else autoNlist(emb.count())
 
   /** Squared L2 distance as a sequential fold — the coarse-quantizer
     * metric of the IVF index, bit-reproducible against the oracle's
@@ -206,14 +225,17 @@ object Similarity {
       trainFraction: Double = 1.0): DataFrame = {
     require(trainFraction > 0.0 && trainFraction <= 1.0,
       s"trainFraction must be in (0, 1], got $trainFraction")
-    val seeds = corpus.filter(col("vec_id") < nlist)
+    // nlist <= 0 → derive from the corpus count ([[autoNlist]]) so cell
+    // population stays ~2√N under corpus growth.
+    val nl = resolveNlist(nlist, corpus)
+    val seeds = corpus.filter(col("vec_id") < nl)
       .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
     val train =
       if (trainFraction >= 1.0) corpus
       else {
         val gate = GraftHash.graftHash(corpus.sparkSession,
           concat(col("vec_id").cast("string"), lit("|ivftrain"))) % 1000
-        corpus.filter(col("vec_id") < nlist ||
+        corpus.filter(col("vec_id") < nl ||
           gate < math.round(trainFraction * 1000).toInt)
       }
     val assign0 = nearestCells(train, seeds, 1)
@@ -246,7 +268,7 @@ object Similarity {
     * hash-gated sample instead of the full corpus — the index/search
     * stages are unchanged (see [[ivfCentroids]]). */
   def annTopKIvf(emb: DataFrame, nq: Int = 10, k: Int = 5,
-      nlist: Int = 8, nprobe: Int = 2,
+      nlist: Int = 0, nprobe: Int = 2,
       trainFraction: Double = 1.0): DataFrame = {
     val corpus = emb.select(col("vec_id"), col("embedding"),
       norm(col("embedding")).as("nrm"))
@@ -284,7 +306,7 @@ object Similarity {
     * pass `trainFraction` < 1 so centroid training runs on a
     * deterministic hash-gated sample (see [[ivfCentroids]]). */
   def semanticDuplicates(emb: DataFrame, threshold: Double,
-      nlist: Int = 8, trainFraction: Double = 1.0): DataFrame = {
+      nlist: Int = 0, trainFraction: Double = 1.0): DataFrame = {
     val corpus = emb.select(col("vec_id"), col("embedding"),
       norm(col("embedding")).as("nrm"))
     val indexed =
@@ -397,7 +419,7 @@ object Similarity {
     * `trainFraction` < 1 so centroid training runs on a deterministic
     * hash-gated sample (see [[ivfCentroids]]). */
   def annTopKQ8Ivf(emb: DataFrame, nq: Int = 10, k: Int = 5,
-      nlist: Int = 8, nprobe: Int = 2, cand: Int = 20,
+      nlist: Int = 0, nprobe: Int = 2, cand: Int = 20,
       trainFraction: Double = 1.0): DataFrame = {
     val corpus = emb.select(col("vec_id"), col("embedding"),
       norm(col("embedding")).as("nrm"))

@@ -51,8 +51,11 @@ object Sketches {
   def kmvSketch(spark: SparkSession, df: DataFrame, group: Column,
       value: Column): DataFrame = {
     import spark.implicits._
+    // The group column is cast to string here (matching how callers cast
+    // the value column): a numeric group would otherwise fail the typed
+    // .as[(String, Long)] with an opaque up-cast AnalysisException.
     df.filter(value.isNotNull)
-      .select(group.as("grp"), wideHash(spark, value).as("h"))
+      .select(group.cast("string").as("grp"), wideHash(spark, value).as("h"))
       .as[(String, Long)]
       .groupByKey(_._1).mapValues(_._2)
       .agg(new KmvAgg(K).toColumn.name("sketch"))

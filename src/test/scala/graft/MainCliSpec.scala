@@ -86,6 +86,50 @@ class MainCliSpec extends SparkSuite {
     }
   }
 
+  test("converged kernel verbs run end-to-end with --tol/--max-iter") {
+    val nodes = s"$tmp/cnodes.csv"
+    val edges = s"$tmp/cedges.csv"
+    java.nio.file.Files.write(java.nio.file.Paths.get(nodes),
+      ("id:ID,names,size:int,labels:LABEL,rho:double\n" +
+        "a,a,1,t,0.5\nb,b,1,t,0.5\nc,c,1,x,0.5\n").getBytes)
+    java.nio.file.Files.write(java.nio.file.Paths.get(edges),
+      ("src:START_ID,dst:END_ID,mrho:double\n" +
+        "a,c,1.0\nb,c,1.0\nc,a,1.0\n").getBytes)
+    def sinkLines(path: String): Int = {
+      val d = new java.io.File(path)
+      assert(d.isDirectory, s"expected sink dir $d")
+      val part = d.listFiles.filter(_.getName.startsWith("part-")).head
+      scala.io.Source.fromFile(part).getLines().size
+    }
+    // all 3 nodes have out-edges → 3 hub rows; only a and c have
+    // in-edges, so the authority file carries 2 (reference dropout)
+    Main.run(spark, "hits_converged", Array("1e-6", "30", nodes, edges))
+    assert(sinkLines("outputs/converged_HITS/hub_scores.txt") == 3)
+    assert(sinkLines("outputs/converged_HITS/authority_scores.txt") == 2)
+    // SALSA scores only nodes surviving the bipartite-graph dropout
+    // (notes B/C), so the count is >= 2 rather than all 3
+    Main.run(spark, "salsa_converged", Array("1e-6", "30", nodes, edges))
+    assert(sinkLines("outputs/SALSA/converged_SALSA/hub_scores.txt") >= 2)
+    Main.run(spark, "pagerank_converged",
+      Array("0.85", "1e-6", "40", nodes, edges))
+    assert(sinkLines("outputs/PageRank_converged/scores.txt") == 3)
+    // malformed tol fails fast like every other numeric arg
+    intercept[Main.CliArgError] {
+      Main.run(spark, "hits_converged", Array("tight", "30", nodes, edges))
+    }
+  }
+
+  test("kmv verb accepts a numeric group column") {
+    import spark.implicits._
+    val p = s"$tmp/kmv_numgrp"
+    (1L to 20L).map(i => (i % 3, s"v$i"))
+      .toDF("source", "text").write.mode("overwrite").parquet(p)
+    val out = s"$tmp/kmv_numgrp_out"
+    Main.run(spark, "kmv", Array(p, out, "source", "text"))
+    val d = spark.read.parquet(s"$out/distinct").collect()
+    assert(d.map(_.getString(0)).toSet == Set("0", "1", "2"))
+  }
+
   test("malformed args fail fast as CliArgError, not raw stack traces") {
     // malformed numerics in pack / ann / split
     intercept[Main.CliArgError] {

@@ -92,6 +92,23 @@ class PipelinesSpec extends SparkSuite {
     assert(got.toSeq == Seq((1, 100L), (2, 101L)))
   }
 
+  test("autoNlist: √N-scaled with a floor of 8; nlist=0 derives it") {
+    import spark.implicits._
+    assert(Similarity.autoNlist(36) == 8)    // floor
+    assert(Similarity.autoNlist(500) == 23)  // ceil(√500)
+    assert(Similarity.autoNlist(20000) == 142)
+    assert(Similarity.autoNlist(1000000000L) == 31623)
+    // at N=64 the derived value hits the floor exactly, so nlist=0 must
+    // equal an explicit nlist=8 run byte-for-byte
+    val rnd = new scala.util.Random(5)
+    val emb = (0L until 64L).map(i =>
+      (i, Array.fill(8)(rnd.nextFloat() - 0.5f))).toDF("vec_id", "embedding")
+    val auto = Similarity.semanticDuplicates(emb, 0.0).collect().toSeq
+    val pinned = Similarity.semanticDuplicates(emb, 0.0, nlist = 8)
+      .collect().toSeq
+    assert(auto == pinned)
+  }
+
   test("annTopKLsh multi-probe: recall vs exact is monotone in nprobe") {
     import spark.implicits._
     val rnd = new scala.util.Random(13)
