@@ -629,6 +629,43 @@ object Oracles {
     s"SELECT doc_id, ${TF.sqlLangIdNgram("text")} AS lang_tri " +
       "FROM documents ORDER BY doc_id"
 
+  /** Mirror of the real-BPE token count ([[graft.functions.BpeVocab]]
+    * via the `text_bpe_tokens` gate): canonical BPE application equals
+    * one in-rank-order sweep for well-formed vocabs (see BpeVocab
+    * scaladoc), so the oracle is a fixed CTE chain — one stage per
+    * merge, each a leftmost fold over the word's chr(31)-delimited
+    * symbol string via `list_reduce`. Integer-exact end to end. */
+  def textBpeTokens: String = {
+    val merges = graft.functions.BpeVocab.Demo.merges
+    def esc(s: String) = s.replace("'", "''")
+    val d = "chr(31)"
+    val mergeStages = merges.zipWithIndex.map { case ((a, b), i) =>
+      val prev = if (i == 0) "w0" else s"w$i"
+      val fold = s"list_reduce(list_prepend('', string_split(s, $d)), " +
+        s"(acc, x) -> CASE WHEN acc = '' THEN x " +
+        s"WHEN (acc = '${esc(a)}' OR ends_with(acc, $d || '${esc(a)}')) " +
+        s"AND x = '${esc(b)}' " +
+        s"THEN substr(acc, 1, length(acc) - ${a.length}) || '${esc(a + b)}' " +
+        s"ELSE acc || $d || x END)"
+      s"w${i + 1} AS (SELECT doc_id, $fold AS s FROM $prev)"
+    }.mkString(",\n")
+    s"""WITH words AS MATERIALIZED (
+       |  SELECT doc_id, unnest(regexp_extract_all(lower(text),
+       |    '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS w FROM documents),
+       |w0 AS (SELECT doc_id,
+       |  array_to_string(regexp_split_to_array(w, ''), $d) AS s FROM words),
+       |$mergeStages,
+       |wc AS (SELECT doc_id,
+       |  array_length(string_split(s, $d)) AS n FROM w${merges.length}),
+       |agg AS (SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_bpe
+       |        FROM wc GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |       CAST(${TF.sqlSubtokenCount("d.text")} AS BIGINT) AS n_subtokens,
+       |       CAST(coalesce(a.n_bpe, 0) AS BIGINT) AS n_bpe
+       |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   /** Same result as [[dedupExact]] — the hash-group formulation only
     * changes the shuffle key, so the plain text-group query is the
     * oracle. */

@@ -340,6 +340,16 @@ object SparkEntry {
       GraphIO.documents(s, dir).select(col("doc_id"),
         TF.langIdNgram(col("text")).as("lang_tri"))
         .orderBy(col("doc_id"))),
+    // Real-BPE token counts (canonical merge application, Demo vocab)
+    // next to the subtoken proxy they refine — a per-row codegen'd
+    // scalar, no shuffle; the vocab rides the plan as a reference obj.
+    "text_bpe_tokens" -> ((s, dir) => {
+      val bpe = new graft.functions.BpeTokenizer(graft.functions.BpeVocab.Demo)
+      GraphIO.documents(s, dir).select(col("doc_id"),
+        TF.subtokenCount(col("text")).cast("long").as("n_subtokens"),
+        bpe.countTokens(col("text")).as("n_bpe"))
+        .orderBy(col("doc_id"))
+    }),
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhash(s, GraphIO.documents(s, dir))),
     "dedup_clusters" -> ((s, dir) =>
@@ -507,6 +517,7 @@ object SparkEntry {
     "dedup_exact" -> Oracles.dedupExact,
     "dedup_exact_hash" -> Oracles.dedupExactHash,
     "text_langid_ngram" -> Oracles.textLangIdNgram,
+    "text_bpe_tokens" -> Oracles.textBpeTokens,
     "dedup_simhash" -> Oracles.dedupSimhash,
     "dedup_clusters" -> Oracles.dedupClusters,
     "dedup_clusters_star" -> Oracles.dedupClusters,

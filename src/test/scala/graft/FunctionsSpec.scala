@@ -170,4 +170,72 @@ class FunctionsSpec extends SparkSuite {
     val sub = Subgraph.queryDependent(Graph(nodes, edges), "t")
     assert(sub.edges.count() == 2) // leftsemi keeps both copies
   }
+
+  test("BpeVocab: canonical merge application, hand-checked") {
+    import graft.functions.BpeVocab
+    val v = BpeVocab.Demo
+    assert(v.tokenize("the") == Seq("the"))
+    // chained: (i,n) rank 3 fires before (a,n) rank 4; then an→and, in→ing
+    assert(v.tokenize("anding") == Seq("and", "ing"))
+    assert(v.tokenize("thermal") == Seq("the", "r", "m", "al"))
+    assert(v.tokenize("x") == Seq("x"))
+    // countTokens lowercases and pre-tokenizes like subtokenCount
+    assert(v.countTokens("The thermal") == 5L)
+    assert(v.countTokens("") == 0L)
+    assert(v.countTokens(null) == 0L)
+    // digits and marks fall through as single symbols (no digit merges)
+    assert(v.countTokens("2026!") == 5L)
+  }
+
+  test("BpeVocab: leftmost-first fold on identical-symbol runs") {
+    import graft.functions.BpeVocab
+    val v = BpeVocab.fromMerges(Seq("a" -> "a"))
+    assert(v.tokenize("aaaa") == Seq("aa", "aa"))
+    assert(v.tokenize("aaaaa") == Seq("aa", "aa", "a"))
+  }
+
+  test("BpeVocab rejects ill-formed merge lists") {
+    import graft.functions.BpeVocab
+    // 'ab' is never produced by an earlier merge -> single-sweep
+    // equivalence (and so the oracle) would not hold
+    intercept[IllegalArgumentException] {
+      BpeVocab.fromMerges(Seq("ab" -> "c"))
+    }
+  }
+
+  test("BpeVocab.fromMergesFile parses the standard merges.txt layout") {
+    import graft.functions.BpeVocab
+    val f = java.nio.file.Files.createTempFile("merges", ".txt")
+    java.nio.file.Files.writeString(f,
+      "#version: demo\nt h\nth e\n\ni n\n")
+    val v = BpeVocab.fromMergesFile(f.toString)
+    assert(v.merges == IndexedSeq("t" -> "h", "th" -> "e", "i" -> "n"))
+    assert(v.tokenize("thein") == Seq("the", "in"))
+  }
+
+  test("BpeCount expression matches driver-side counts through codegen") {
+    import spark.implicits._
+    import graft.functions.{BpeTokenizer, BpeVocab}
+    val texts = Seq("The thermal anding", "2026!", "", "mixed CASE the")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val bpe = new BpeTokenizer(BpeVocab.Demo)
+    val got = df.select(col("doc_id"), bpe.countTokens(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(got(i.toLong) == BpeVocab.Demo.countTokens(t),
+        s"mismatch on '$t'")
+    }
+  }
+
+  test("packDocs accepts the BPE tokenizer through the Tokenizer seam") {
+    import spark.implicits._
+    import graft.functions.{BpeTokenizer, BpeVocab}
+    val docs = Seq((1L, "the thermal and the"), (2L, "anding another"),
+      (3L, "short")).toDF("doc_id", "text")
+    val got = graft.pipelines.Packing.packDocs(spark, docs, "doc_id", "text",
+      capacity = 8L, buckets = 2,
+      tokenizer = new BpeTokenizer(BpeVocab.Demo)).collect()
+    assert(got.length == 3) // every doc assigned under BPE counts
+  }
 }
