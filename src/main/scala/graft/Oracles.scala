@@ -1361,6 +1361,25 @@ object Oracles {
        |  FROM f)
        |ORDER BY doc_id, pos""".stripMargin
 
+  /** Mirror of [[graft.pipelines.Images.imageRoundTrip]]: the Spark
+    * side encodes document bytes as a REAL gray-8 PNG and decodes it
+    * back through javax.imageio; because that round trip is lossless,
+    * the decoded geometry and luminance stats equal what this SQL
+    * computes from the raw bytes — certifying the real codec without
+    * DuckDB needing one. */
+  def multimodalImageRoundtrip: String = {
+    val w = graft.pipelines.Images.RowWidth
+    s"""WITH $byteListCtes,
+       |g AS (SELECT doc_id,
+       |  greatest(1, (n + ${w - 1}) // $w) AS h,
+       |  list_reduce(list_prepend(0::BIGINT, bs), (a, v) -> a + v) AS s
+       |  FROM bl)
+       |SELECT doc_id, $w AS width, CAST(h AS INT) AS height,
+       |       CAST($w * h AS BIGINT) AS n_pixels,
+       |       round(CAST(s AS DOUBLE) / ($w * h), 6) AS mean_luma
+       |FROM g ORDER BY doc_id""".stripMargin
+  }
+
   /** Mirror of [[graft.pipelines.Multimodal.resizeAll]] (+ feature
     * extraction on the resized payload): the stub "resize" keeps every
     * `factor`-th byte, so the resized byte list is a strided 1-based

@@ -423,6 +423,11 @@ object SparkEntry {
       Multimodal.metaQuery(s, GraphIO.documents(s, dir))),
     "multimodal_chunks" -> ((s, dir) =>
       Multimodal.chunkFingerprints(s, GraphIO.documents(s, dir))),
+    // REAL codec proof: encode each doc's bytes as a genuine gray-8
+    // PNG and decode it back via javax.imageio (pure JDK) — lossless,
+    // so the oracle replays the decoded stats from the raw bytes.
+    "multimodal_image_roundtrip" -> ((s, dir) =>
+      graft.pipelines.Images.imageRoundTrip(s, GraphIO.documents(s, dir))),
     "multimodal_features" -> ((s, dir) =>
       featureRows(Multimodal.extractFeatures(s,
         Multimodal.withPayload(GraphIO.documents(s, dir))).toDF())),
@@ -534,5 +539,6 @@ object SparkEntry {
     "multimodal_chunks" -> Oracles.multimodalChunks(),
     "multimodal_meta" -> Oracles.multimodalMeta,
     "multimodal_features" -> Oracles.multimodalFeatures,
+    "multimodal_image_roundtrip" -> Oracles.multimodalImageRoundtrip,
     "multimodal_resize" -> Oracles.multimodalResize())
 }

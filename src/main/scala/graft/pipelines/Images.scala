@@ -1,0 +1,142 @@
+package graft.pipelines
+
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** REAL image codec path for the multimodal pipeline — `javax.imageio`
+  * is part of the JDK, so PNG/BMP/GIF/JPEG decode needs no external
+  * library. This replaces the "decode is a stub" caveat for images:
+  * [[ImageIoCodec]] plugs into the existing [[MediaCodec]] boundary
+  * (so [[Multimodal.extractFeatures]] / [[Multimodal.resizeAll]] run
+  * real decodes unchanged), and [[Images.imageRoundTrip]] is an
+  * oracle-gated end-to-end proof: encode each document's bytes as a
+  * genuine 8-bit grayscale PNG, decode it back through ImageIO, and
+  * report the decoded geometry + luminance statistics. Gray-8 PNG is
+  * lossless, so the decoded pixels equal the (zero-padded) input bytes
+  * — which is exactly what lets DuckDB replay the metadata from the
+  * raw bytes without any image library: the gate certifies a REAL
+  * encode→decode round trip, not a fake.
+  *
+  * Scale shape: codecs run inside `mapPartitions` tasks (one decoded
+  * image in memory per row, never per partition); everything before
+  * and after the codec boundary is columnar. Decode failures return
+  * empty pixels rather than poisoning the task — the standard posture
+  * for web-scraped media at 100 TB, where a tail of corrupt payloads
+  * is a certainty. */
+object Images {
+
+  /** Fixed row width of the synthetic gray PNG built from a byte
+    * payload (content-independent so the oracle can replay geometry). */
+  val RowWidth = 16
+
+  final case class ImageMeta(doc_id: Long, width: Int, height: Int,
+      n_pixels: Long, mean_luma: Double)
+
+  /** Pack bytes row-major into a `RowWidth`-wide 8-bit grayscale image
+    * (zero-padded tail) and encode as a real PNG. */
+  def encodeGrayPng(bytes: Array[Byte], width: Int = RowWidth): Array[Byte] = {
+    val h = math.max(1, (bytes.length + width - 1) / width)
+    val img = new BufferedImage(width, h, BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var i = 0
+    while (i < width * h) {
+      raster.setSample(i % width, i / width, 0,
+        if (i < bytes.length) bytes(i) & 0xff else 0)
+      i += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Decode any ImageIO-supported payload to (width, height, luminance
+    * bytes, row-major). Non-gray inputs are converted through a
+    * TYPE_BYTE_GRAY raster (ITU-R 601 weights via Java2D — exact and
+    * deterministic). Returns None for undecodable bytes. */
+  def decodeGray(payload: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    val img =
+      try Option(ImageIO.read(new ByteArrayInputStream(payload)))
+      catch { case _: java.io.IOException => None }
+    img.map { im =>
+      val gray =
+        if (im.getType == BufferedImage.TYPE_BYTE_GRAY) im
+        else {
+          val g = new BufferedImage(im.getWidth, im.getHeight,
+            BufferedImage.TYPE_BYTE_GRAY)
+          val gg = g.createGraphics()
+          try gg.drawImage(im, 0, 0, null) finally gg.dispose()
+          g
+        }
+      val (w, h) = (gray.getWidth, gray.getHeight)
+      val out = new Array[Byte](w * h)
+      val raster = gray.getRaster
+      var i = 0
+      while (i < out.length) {
+        out(i) = raster.getSample(i % w, i / w, 0).toByte
+        i += 1
+      }
+      (w, h, out)
+    }
+  }
+
+  /** REAL 2-D resize: decode, nearest-neighbor downsample both axes by
+    * `factor` (deterministic — no interpolation), re-encode as gray
+    * PNG. Undecodable payloads pass through unchanged. */
+  def resizePng(payload: Array[Byte], factor: Int): Array[Byte] = {
+    require(factor >= 1, s"factor must be >= 1, got $factor")
+    decodeGray(payload) match {
+      case None => payload
+      case Some((w, h, px)) =>
+        val (nw, nh) = (math.max(1, w / factor), math.max(1, h / factor))
+        val out = new Array[Byte](nw * nh)
+        var i = 0
+        while (i < out.length) {
+          out(i) = px((i / nw) * factor * w + (i % nw) * factor)
+          i += 1
+        }
+        encodeGrayPng(out, nw)
+    }
+  }
+
+  /** Oracle-gated end-to-end round trip: UTF-8 document bytes → REAL
+    * gray-8 PNG encode → REAL ImageIO decode → decoded geometry +
+    * mean luminance. Because gray-8 PNG is lossless, the DuckDB twin
+    * ([[graft.Oracles.multimodalImageRoundtrip]]) reproduces the
+    * decoded statistics from the raw bytes — any codec defect (wrong
+    * geometry, lossy path, channel mixup) breaks the hash match. */
+  def imageRoundTrip(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val png = encodeGrayPng(bytes)
+        val (w, h, px) = decodeGray(png).getOrElse(
+          throw new IllegalStateException(s"self-encoded PNG undecodable " +
+            s"for doc $id")) // cannot happen; loud beats silent
+        var sum = 0L
+        px.foreach(b => sum += (b & 0xff))
+        ImageMeta(id, w, h, px.length.toLong, sum.toDouble / px.length)
+      })
+      .toDF()
+      // same rounding builtin as every other float gate (oracle: round)
+      .select(col("doc_id"), col("width"), col("height"), col("n_pixels"),
+        round(col("mean_luma"), 6).as("mean_luma"))
+      .orderBy(col("doc_id"))
+  }
+}
+
+/** REAL [[MediaCodec]]: ImageIO-backed decode (PNG/BMP/GIF/JPEG — the
+  * JDK's built-in readers), luminance-byte output; byte-level `resize`
+  * keeps the trait's 1-D contract (callers with image semantics use
+  * [[Images.resizePng]] for true 2-D resampling). Drop-in for
+  * [[Multimodal.extractFeatures]]/[[Multimodal.resizeAll]]. */
+object ImageIoCodec extends MediaCodec {
+  override def decode(payload: Array[Byte]): Array[Byte] =
+    Images.decodeGray(payload).map(_._3).getOrElse(Array.emptyByteArray)
+
+  override def resize(payload: Array[Byte], factor: Int): Array[Byte] =
+    FakeCodec.resize(payload, factor)
+}
