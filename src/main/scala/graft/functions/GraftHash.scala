@@ -65,6 +65,31 @@ case class GraftHash2(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Fused wide hash: BOTH polynomial folds in ONE pass over the string,
+  * combined as `h1·(1e9+9) + h2` (see [[GraftHash.widePair]] scaladoc).
+  * Halves the string traffic of the dedup/decontamination family vs
+  * evaluating [[GraftHash]] and [[GraftHash2]] separately, and the
+  * components are recoverable exactly (`wide div 1e9+9`, `wide mod
+  * 1e9+9`) because the pairing is a bijection. */
+case class GraftWideHash(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_wide_hash requires a string argument, got ${child.dataType}")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_wide_hash"
+
+  protected override def nullSafeEval(input: Any): Any =
+    GraftHash.wideUtf8(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GraftHash.wideUtf8($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): GraftWideHash =
+    copy(child = newChild)
+}
+
 object GraftHash {
   final val Mod = 1000000007L
   final val Mod2 = 1000000009L
@@ -82,6 +107,21 @@ object GraftHash {
     h
   }
 
+  /** Hot path of [[GraftWideHash]]: both folds in one code-point pass. */
+  def wideUtf8(s: UTF8String): Long = {
+    val str = s.toString
+    var h1 = 0L
+    var h2 = 0L
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      h1 = (h1 * 31 + cp) % Mod
+      h2 = (h2 * 131 + cp) % Mod2
+      i += Character.charCount(cp)
+    }
+    h1 * Mod2 + h2
+  }
+
   /** Hot path of [[GraftHash2]]. */
   def hash2Utf8(s: UTF8String): Long = {
     val str = s.toString
@@ -95,12 +135,15 @@ object GraftHash {
     h
   }
 
-  /** Register `graft_hash`/`graft_hash2` for SQL and `call_function`. */
+  /** Register `graft_hash`/`graft_hash2`/`graft_wide_hash` for SQL and
+    * `call_function`. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_hash", exprs => GraftHash(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_hash2", exprs => GraftHash2(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_wide_hash", exprs => GraftWideHash(exprs.head), "built-in")
   }
 
   /** Column-API entry point (registers lazily on the active session). */
@@ -130,8 +173,8 @@ object GraftHash {
     * shingle keys (≥ n words) are long enough that both folds wrap
     * their moduli many times, and only collision resistance is needed. */
   def widePair(spark: SparkSession, c: Column): Column = {
-    import org.apache.spark.sql.functions.lit
-    graftHash(spark, c) * lit(Mod2) + graftHash2(spark, c)
+    register(spark)
+    call_function("graft_wide_hash", c) // fused: one pass, both folds
   }
 
   /** The DuckDB-SQL equivalent of this expression, for oracle queries.

@@ -134,15 +134,19 @@ object Dedup {
     * distinct shingles at ≥10⁹-document scale, biasing every min slot
     * downward on exactly the corpora this operator exists for. */
   def minhashLsh(spark: SparkSession, docs: DataFrame): DataFrame = {
-    // Hash before distinct: the dedup shuffle then moves (doc_id, 2×int64)
-    // instead of raw shingle strings. Equivalent regardless of hash
-    // collisions — min() is multiplicity-insensitive, so collapsing two
-    // colliding shingles to one (h, h2) row cannot change any min slot.
+    // Hash before distinct: the dedup shuffle then moves (doc_id, int64)
+    // instead of raw shingle strings — the FUSED wide hash computes both
+    // folds in one string pass, and the (h, h2) components are recovered
+    // by div/mod after the distinct (bijective pairing). Equivalent
+    // regardless of hash collisions — min() is multiplicity-insensitive,
+    // so collapsing two colliding shingles to one row cannot change any
+    // min slot.
     val hh = docs
       .select(col("doc_id"), explode(TF.shingles(col("text"), 3)).as("sh"))
-      .select(col("doc_id"), GraftHash.graftHash(spark, col("sh")).as("h"),
-        GraftHash.graftHash2(spark, col("sh")).as("h2"))
+      .select(col("doc_id"), GraftHash.widePair(spark, col("sh")).as("wh"))
       .distinct()
+      .select(col("doc_id"), expr(s"wh div ${GraftHash.Mod2}L").as("h"),
+        (col("wh") % GraftHash.Mod2).as("h2"))
     val minAggs = MinHashParams.params.zipWithIndex.map { case ((a, b), j) =>
       min((lit(a) * col("h") + lit(b) * col("h2")) % lit(MinHashParams.P))
         .as(s"m$j")
@@ -170,9 +174,10 @@ object Dedup {
     import spark.implicits._
     docs
       .select(col("doc_id"), explode(TF.shingles(col("text"), 3)).as("sh"))
-      .select(col("doc_id"), GraftHash.graftHash(spark, col("sh")).as("h"),
-        GraftHash.graftHash2(spark, col("sh")).as("h2"))
+      .select(col("doc_id"), GraftHash.widePair(spark, col("sh")).as("wh"))
       .distinct() // 60-bit pair keys; equivalent (min is multiplicity-insensitive)
+      .select(col("doc_id"), expr(s"wh div ${GraftHash.Mod2}L").as("h"),
+        (col("wh") % GraftHash.Mod2).as("h2"))
       .as[(Long, Long, Long)]
       .groupByKey(_._1).mapValues(t => (t._2, t._3))
       .agg(graft.functions.MinHashAgg.toColumn.name("sig"))
@@ -243,9 +248,10 @@ object Dedup {
     require(probes >= 1, s"probes must be >= 1, got $probes")
     def shingleHashes(docs: DataFrame) = docs
       .select(col("doc_id"), explode(TF.shingles(col("text"), n)).as("s"))
-      .select(col("doc_id"), GraftHash.graftHash(spark, col("s")).as("h"),
-        GraftHash.graftHash2(spark, col("s")).as("h2"))
-      .distinct()
+      .select(col("doc_id"), GraftHash.widePair(spark, col("s")).as("wh"))
+      .distinct() // one fused-hash pass; pair recovered below (bijection)
+      .select(col("doc_id"), expr(s"wh div ${GraftHash.Mod2}L").as("h"),
+        (col("wh") % GraftHash.Mod2).as("h2"))
     def positions = explode(array((0 until probes).map(j =>
       pmod(col("h") + lit(j.toLong) * col("h2"), lit(mBits.toLong))): _*))
     val benchHashes = shingleHashes(bench)

@@ -37,12 +37,11 @@ object Sketches {
   val K = 256
 
   /** The ~60-bit deterministic hash of a string column (salted-repeat
-    * extension + paired polynomial folds — see object doc). */
-  def wideHash(spark: SparkSession, c: Column): Column = {
-    val ext = concat(c, lit("|"), c, lit("#"), c)
-    GraftHash.graftHash(spark, ext) * lit(GraftHash.Mod2) +
-      GraftHash.graftHash2(spark, ext)
-  }
+    * extension + paired polynomial folds — see object doc). Uses the
+    * fused [[GraftHash.widePair]] expression: both folds in one pass
+    * over the (tripled) extension. */
+  def wideHash(spark: SparkSession, c: Column): Column =
+    GraftHash.widePair(spark, concat(c, lit("|"), c, lit("#"), c))
 
   /** Per-group KMV sketch: `(grp, sketch)` with `sketch` the sorted
     * array of the group's ≤ K smallest distinct hash values. `value`

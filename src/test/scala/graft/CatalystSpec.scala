@@ -39,6 +39,25 @@ class CatalystSpec extends SparkSuite {
     }
   }
 
+  test("fused graft_wide_hash equals the two-fold composition, and " +
+      "div/mod recovers the pair") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val inputs = Seq("", "a", "hello world", "ünïcödé 𝄞", "x" * 500)
+    val df = inputs.toDF("s")
+    val got = df.select(
+      GraftHash.widePair(spark, col("s")).as("w"),
+      GraftHash.graftHash(spark, col("s")).as("h1"),
+      GraftHash.graftHash2(spark, col("s")).as("h2"),
+      expr(s"graft_wide_hash(s) div ${GraftHash.Mod2}L").as("d"),
+      (call_function("graft_wide_hash", col("s")) % GraftHash.Mod2).as("m"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getLong(0) == r.getLong(1) * GraftHash.Mod2 + r.getLong(2))
+      assert(r.getLong(3) == r.getLong(1) && r.getLong(4) == r.getLong(2))
+    }
+  }
+
   test("MinHashAgg matches the 16-min-column formulation") {
     import spark.implicits._
     val docs = Seq(
