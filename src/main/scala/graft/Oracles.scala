@@ -1398,6 +1398,103 @@ object Oracles {
        |         unnest(range(8)) AS pos, unnest(hist) AS hist_v
        |  FROM f)
        |ORDER BY doc_id, pos""".stripMargin
+
+  // ----------------------- retrieval -----------------------
+
+  /** BM25 scoring CTE chain shared by [[bm25Search]] and [[hybridRrf]]:
+    * `t` (per-doc dl + per-term tf), `s` (single-row corpus stats),
+    * `sc` (per-doc score). Must mirror
+    * [[graft.pipelines.Retrieval.bm25]] operator-for-operator — every
+    * double op appears in the same left-assoc order so the IEEE folds
+    * are bit-identical. */
+  private def bm25Ctes(terms: Seq[String], k1: Double, b: Double,
+      excludeDocId: Long): String = {
+    val toks = TF.sqlTokens("text")
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      s"CAST(coalesce(array_length(list_filter(toks, x -> x = '${sq(t)}')), 0) AS BIGINT) AS tf$i"
+    }.mkString(",\n         ")
+    val dfCols = terms.indices.map(i =>
+      s"CAST(sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df$i")
+      .mkString(", ")
+    val excl = if (excludeDocId >= 0L) s" WHERE doc_id <> $excludeDocId" else ""
+    val nD = "CAST(n_docs AS DOUBLE)"
+    val k1s = s"$k1::DOUBLE"
+    val bs = s"$b::DOUBLE"
+    val score = terms.indices.map { i =>
+      val tf = s"CAST(tf$i AS DOUBLE)"
+      val df = s"CAST(df$i AS DOUBLE)"
+      val idf = s"ln(($nD - $df + 0.5::DOUBLE) / ($df + 0.5::DOUBLE) + 1.0::DOUBLE)"
+      s"($idf * $tf * ($k1s + 1.0::DOUBLE) / ($tf + $k1s * (1.0::DOUBLE - $bs + " +
+        s"$bs * CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / $nD))))"
+    }.mkString(" + ")
+    s"""t AS MATERIALIZED (
+       |  SELECT doc_id, CAST(coalesce(array_length(toks), 0) AS BIGINT) AS dl,
+       |         $tfCols
+       |  FROM (SELECT doc_id, $toks AS toks FROM documents$excl) u),
+       |s AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |             CAST(sum(dl) AS BIGINT) AS sum_dl, $dfCols FROM t),
+       |sc AS (SELECT doc_id, ($score) AS score FROM t CROSS JOIN s)""".stripMargin
+  }
+
+  /** Mirror of [[graft.pipelines.Retrieval.bm25]]: Okapi BM25 (Lucene
+    * idf), depth-bounded candidates, doc_id tiebreaks. */
+  def bm25Search(terms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+      depth: Int = 100): String =
+    s"""WITH ${bm25Ctes(terms, k1, b, excludeDocId = -1L)},
+       |cand AS (SELECT doc_id, score FROM sc WHERE score > 0.0::DOUBLE
+       |         ORDER BY score DESC, doc_id LIMIT $depth)
+       |SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rank,
+       |       doc_id, round(score, 6) AS bm25
+       |FROM cand ORDER BY rank""".stripMargin
+
+  /** Cosine-ranking CTE chain shared by [[hybridRrf]]: `cb` (corpus +
+    * norms), `cq` (the probe vector), `cr` (depth-bounded ranking).
+    * Mirrors [[graft.pipelines.Retrieval.cosineRank]]. */
+  private def cosineCtes(queryVecId: Long, depth: Int): String =
+    s"""cb AS MATERIALIZED (
+       |  SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM embeddings),
+       |cq AS (SELECT embedding AS qv, nrm AS qn FROM cb WHERE vec_id = $queryVecId),
+       |cc AS (SELECT b.vec_id AS doc_id,
+       |              ${dotSql("qv", "b.embedding")} / (qn * b.nrm) AS cos
+       |       FROM cb b CROSS JOIN cq WHERE b.vec_id <> $queryVecId),
+       |cr AS (SELECT doc_id, cos FROM cc ORDER BY cos DESC, doc_id LIMIT $depth)""".stripMargin
+
+  /** Mirror of [[graft.pipelines.Retrieval.hybridRrf]]: reciprocal-rank
+    * fusion of the BM25 and cosine rankings (probe document excluded
+    * from both), NULL ranks preserved for single-list documents. */
+  def hybridRrf(terms: Seq[String], queryVecId: Long,
+      k1: Double = 1.2, b: Double = 0.75, kRrf: Int = 60,
+      depth: Int = 100, topK: Int = 20): String =
+    s"""WITH ${bm25Ctes(terms, k1, b, excludeDocId = queryVecId)},
+       |bmc AS (SELECT doc_id, score FROM sc WHERE score > 0.0::DOUBLE
+       |        ORDER BY score DESC, doc_id LIMIT $depth),
+       |bm AS (SELECT doc_id,
+       |              row_number() OVER (ORDER BY score DESC, doc_id) AS bm25_rank
+       |       FROM bmc),
+       |${cosineCtes(queryVecId, depth)},
+       |co AS (SELECT doc_id,
+       |              row_number() OVER (ORDER BY cos DESC, doc_id) AS cos_rank
+       |       FROM cr),
+       |f AS (SELECT doc_id, bm25_rank, cos_rank,
+       |             (coalesce(1.0::DOUBLE / (CAST($kRrf AS DOUBLE) + CAST(bm25_rank AS DOUBLE)), 0.0::DOUBLE) +
+       |              coalesce(1.0::DOUBLE / (CAST($kRrf AS DOUBLE) + CAST(cos_rank AS DOUBLE)), 0.0::DOUBLE)) AS rrf
+       |      FROM bm FULL JOIN co USING (doc_id)),
+       |top AS (SELECT doc_id, bm25_rank, cos_rank, rrf FROM f
+       |        ORDER BY rrf DESC, doc_id LIMIT $topK)
+       |SELECT row_number() OVER (ORDER BY rrf DESC, doc_id) AS rank,
+       |       doc_id, round(rrf, 9) AS rrf, bm25_rank, cos_rank
+       |FROM top ORDER BY rank""".stripMargin
+
+  /** Mirror of [[graft.pipelines.Retrieval.invertedIndex]]: term →
+    * (df, sorted comma-joined posting list) inside the df band. */
+  def invertedIndex(minDf: Int, maxDf: Int): String =
+    s"""SELECT term, CAST(count(*) AS BIGINT) AS df,
+       |       array_to_string(list_sort(list(doc_id)), ',') AS postings
+       |FROM (SELECT DISTINCT doc_id, unnest(${TF.sqlTokens("text")}) AS term
+       |      FROM documents) u
+       |GROUP BY term
+       |HAVING count(*) >= $minDf AND count(*) <= $maxDf
+       |ORDER BY term""".stripMargin
 }
 
 /** MinHash constants shared between the Spark pipeline and the oracle. */

@@ -2,8 +2,8 @@ package graft
 
 import graft.functions.{GraftHash, TextFunctions => TF}
 import graft.operators._
-import graft.pipelines.{Dedup, Multimodal, Packing, Sampling, Similarity,
-  Sketches, TextMetrics}
+import graft.pipelines.{Dedup, Multimodal, Packing, Retrieval, Sampling,
+  Similarity, Sketches, TextMetrics}
 import graft.streaming.EventPipelines
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -21,6 +21,10 @@ object SparkEntry {
   /** Topic label used by the topic/query-dependent kernels: 'part' is the
     * only label with intra-topic edges in the derived order graph. */
   private val Topic = "part"
+
+  /** Fixed probe query for the retrieval gates — mid-frequency corpus
+    * terms so the BM25 idf spread is non-degenerate. */
+  private val SearchTerms = Seq("spark", "query", "vector")
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -435,7 +439,16 @@ object SparkEntry {
       featureRows(Multimodal.extractFeatures(s,
         Multimodal.resizeAll(s,
           Multimodal.withPayload(GraphIO.documents(s, dir)), 4).toDF())
-        .toDF())))
+        .toDF())),
+    // ---- retrieval: keyword, hybrid sparse+dense, inverted index ----
+    "search_bm25" -> ((s, dir) =>
+      Retrieval.bm25(GraphIO.documents(s, dir), SearchTerms)),
+    "search_hybrid_rrf" -> ((s, dir) =>
+      Retrieval.hybridRrf(GraphIO.documents(s, dir),
+        GraphIO.embeddings(s, dir), SearchTerms, queryVecId = 0L)),
+    "text_inverted_index" -> ((s, dir) =>
+      Retrieval.invertedIndex(GraphIO.documents(s, dir),
+        minDf = 2, maxDf = 400)))
 
   /** sfDir-scoped table prefix for the bucketed layout, so one JVM
     * touching several scale factors can never read a stale layout. */
@@ -540,5 +553,8 @@ object SparkEntry {
     "multimodal_meta" -> Oracles.multimodalMeta,
     "multimodal_features" -> Oracles.multimodalFeatures,
     "multimodal_image_roundtrip" -> Oracles.multimodalImageRoundtrip,
-    "multimodal_resize" -> Oracles.multimodalResize())
+    "multimodal_resize" -> Oracles.multimodalResize(),
+    "search_bm25" -> Oracles.bm25Search(SearchTerms),
+    "search_hybrid_rrf" -> Oracles.hybridRrf(SearchTerms, queryVecId = 0L),
+    "text_inverted_index" -> Oracles.invertedIndex(2, 400))
 }
