@@ -1485,6 +1485,48 @@ object Oracles {
        |       doc_id, round(rrf, 9) AS rrf, bm25_rank, cos_rank
        |FROM top ORDER BY rank""".stripMargin
 
+  /** Mirror of [[graft.pipelines.Sketches.cmsCounts]] over corpus
+    * tokens: the Count-Min cell grid (bucket_r = ((a_r·h1 + b_r·h2)
+    * mod P) mod w over the salted-repeat wide-hash components), point
+    * estimates as the min over rows, exact occurrence counts alongside.
+    * The Spark side computes the fused wide hash and recovers (h1, h2)
+    * by div/mod of the bijective pairing; here the two folds are
+    * computed directly — identical values by construction. */
+  def corpusTokenCms(probes: Seq[String]): String = {
+    import graft.pipelines.Sketches.{CmsDepth, CmsWidth}
+    val params = MinHashParams.params.take(CmsDepth)
+    def ext(v: String) = s"(($v) || '|' || ($v) || '#' || ($v))"
+    def armsFrom(src: String, extraCols: String) =
+      params.zipWithIndex.map { case ((a, b), r) =>
+        s"SELECT $extraCols$r AS r, " +
+          s"(($a*h1 + $b*h2) % 1000000007) % $CmsWidth AS bucket FROM $src"
+      }.mkString("\n    UNION ALL ")
+    val probeVals = probes.map(p => s"('${sq(p)}')").mkString(", ")
+    s"""WITH tok AS MATERIALIZED (
+       |  SELECT unnest(${TF.sqlTokens("text")}) AS v FROM documents),
+       |h12 AS MATERIALIZED (
+       |  SELECT ${GraftHash.duckdbSql(ext("v"))} AS h1,
+       |         ${GraftHash.duckdbSql2(ext("v"))} AS h2
+       |  FROM tok WHERE v IS NOT NULL),
+       |cells AS MATERIALIZED (
+       |  SELECT r, bucket, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM (${armsFrom("h12", "")}) u GROUP BY r, bucket),
+       |probes(probe) AS (VALUES $probeVals),
+       |ph AS (
+       |  SELECT probe, ${GraftHash.duckdbSql(ext("probe"))} AS h1,
+       |         ${GraftHash.duckdbSql2(ext("probe"))} AS h2
+       |  FROM probes),
+       |pb AS (${armsFrom("ph", "probe, ")}),
+       |est AS (
+       |  SELECT probe, min(coalesce(cnt, 0)) AS cms_count
+       |  FROM pb LEFT JOIN cells USING (r, bucket) GROUP BY probe),
+       |ex AS (
+       |  SELECT p.probe, CAST(count(t.v) AS BIGINT) AS n_exact
+       |  FROM probes p LEFT JOIN tok t ON t.v = p.probe GROUP BY p.probe)
+       |SELECT e.probe, ex.n_exact, e.cms_count
+       |FROM est e JOIN ex USING (probe) ORDER BY probe""".stripMargin
+  }
+
   /** Mirror of [[graft.pipelines.Retrieval.invertedIndex]]: term →
     * (df, sorted comma-joined posting list) inside the df band. */
   def invertedIndex(minDf: Int, maxDf: Int): String =

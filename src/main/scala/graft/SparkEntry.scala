@@ -26,6 +26,10 @@ object SparkEntry {
     * terms so the BM25 idf spread is non-degenerate. */
   private val SearchTerms = Seq("spark", "query", "vector")
 
+  /** Probe values for the Count-Min gate: the search terms plus one
+    * token absent from the corpus. */
+  private val CmsProbes = Seq("spark", "query", "vector", "zz_absent_probe")
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("hits_base")(spark, "/root/testdata/sf0.001")
@@ -440,6 +444,13 @@ object SparkEntry {
         Multimodal.resizeAll(s,
           Multimodal.withPayload(GraphIO.documents(s, dir)), 4).toDF())
         .toDF())),
+    // Count-Min point estimates over corpus tokens: probe terms plus
+    // one absent probe (exercises the empty-cell → 0 path).
+    "corpus_token_cms" -> ((s, dir) =>
+      Sketches.cmsCounts(s,
+        GraphIO.documents(s, dir)
+          .select(explode(TF.tokens(col("text"))).as("tok")),
+        col("tok"), CmsProbes)),
     // ---- retrieval: keyword, hybrid sparse+dense, inverted index ----
     "search_bm25" -> ((s, dir) =>
       Retrieval.bm25(GraphIO.documents(s, dir), SearchTerms)),
@@ -554,6 +565,7 @@ object SparkEntry {
     "multimodal_features" -> Oracles.multimodalFeatures,
     "multimodal_image_roundtrip" -> Oracles.multimodalImageRoundtrip,
     "multimodal_resize" -> Oracles.multimodalResize(),
+    "corpus_token_cms" -> Oracles.corpusTokenCms(CmsProbes),
     "search_bm25" -> Oracles.bm25Search(SearchTerms),
     "search_hybrid_rrf" -> Oracles.hybridRrf(SearchTerms, queryVecId = 0L),
     "text_inverted_index" -> Oracles.invertedIndex(2, 400))

@@ -101,6 +101,89 @@ object Sketches {
     * σ ≈ √(J(1−J)/K)). Everything is integer set algebra on ≤K-element
     * arrays — codegen'd array ops over the tiny sketch table, no
     * shuffle of the raw data beyond the sketch aggregation itself. */
+  // ----------------------- Count-Min sketch -----------------------
+
+  /** CMS geometry: `CmsDepth` pairwise-decorrelated row hashes over
+    * `CmsWidth` buckets — d·w = 2048 int64 cells total, the fixed-size
+    * frequency summary a pipeline keeps per corpus/day/shard. Error is
+    * the standard CMS bound: overestimate only, ≤ 2N/w with prob.
+    * 1 − (1/2)^d over the row hashes. */
+  val CmsDepth = 4
+  val CmsWidth = 512
+
+  private val P = 1000000007L
+  private val L2 = 1000000009L
+
+  /** Row-hash multipliers — the first `CmsDepth` of the MinHash slot
+    * params: `bucket_r = ((a_r·h1 + b_r·h2) mod P) mod w`, linear in
+    * both ~30-bit components of the wide hash (`a·h1 + b·h2 < 2.7e11 ≪
+    * 2⁶³`, no overflow — see [[graft.MinHashParams]]). */
+  private def cmsRowParams: Seq[(Long, Long)] =
+    graft.MinHashParams.params.take(CmsDepth)
+
+  /** Count-Min sketch of `value` occurrences (WITH multiplicity —
+    * unlike [[kmvSketch]], which counts distincts): `(r, bucket, cnt)`
+    * with exactly ≤ `CmsDepth`·`CmsWidth` rows regardless of input
+    * size. Algebraic and order-independent (bucket counts are sums), so
+    * partial sketches of shards merge by adding cell counts — and the
+    * whole sketch is oracle-gateable bit-exact, like the KMV family.
+    *
+    * Scale shape: one codegen'd projection (hash + explode to d rows)
+    * into one hash aggregation whose key space is the FIXED d·w cell
+    * grid — map-side combine reduces every partition to ≤ 2048 rows
+    * before the (trivial) shuffle. Nothing scales with corpus size. */
+  def cmsSketch(spark: SparkSession, df: DataFrame,
+      value: Column): DataFrame =
+    cmsCells(spark, df.select(value.cast("string").as("v")))
+
+  private def cmsCells(spark: SparkSession, vals: DataFrame): DataFrame =
+    withCoords(spark, vals)
+      .groupBy(col("r"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Adds exploded `(r, bucket)` coords to `vals` (string column `v`,
+    * other columns preserved). */
+  private def withCoords(spark: SparkSession, vals: DataFrame): DataFrame = {
+    val keep = vals.columns.filter(_ != "v").map(col).toSeq
+    val hh = vals.filter(col("v").isNotNull)
+      .select(keep :+ wideHash(spark, col("v")).as("wh"): _*)
+      .select(keep :+ expr(s"wh div $L2").as("h1") :+
+        (col("wh") % lit(L2)).as("h2"): _*)
+    val cells = cmsRowParams.zipWithIndex.map { case ((a, b), r) =>
+      struct(lit(r.toLong).as("r"),
+        (((lit(a) * col("h1") + lit(b) * col("h2")) % lit(P)) %
+          lit(CmsWidth.toLong)).as("bucket"))
+    }
+    hh.select(keep :+ explode(array(cells: _*)).as("rb"): _*)
+      .select(keep :+ col("rb.r").as("r") :+ col("rb.bucket").as("bucket"): _*)
+  }
+
+  /** CMS point estimates for a literal probe set, next to the exact
+    * occurrence counts: `(probe, n_exact, cms_count)` with `cms_count =
+    * min_r cnt[r][bucket_r(probe)]` (0 when a cell is empty; CMS never
+    * underestimates, so `cms_count >= n_exact` always). The probe side
+    * is a broadcast literal; the exact side filters the scan to the
+    * probe values (scan-local predicate) before its tiny aggregation —
+    * the corpus is read once per side and never shuffled wide. */
+  def cmsCounts(spark: SparkSession, df: DataFrame, value: Column,
+      probes: Seq[String]): DataFrame = {
+    import spark.implicits._
+    require(probes.nonEmpty, "cmsCounts needs at least one probe value")
+    val vals = df.select(value.cast("string").as("v"))
+    val cells = cmsCells(spark, vals)
+    val pr = probes.toDF("probe")
+    val pb = withCoords(spark, pr.select(col("probe"), col("probe").as("v")))
+    val est = pb.join(cells, Seq("r", "bucket"), "left")
+      .groupBy(col("probe"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_count"))
+    val exact = vals.filter(col("v").isin(probes: _*))
+      .groupBy(col("v")).agg(count(lit(1)).as("cnt_exact"))
+    broadcast(pr).join(exact, col("v") === col("probe"), "left")
+      .select(col("probe"), coalesce(col("cnt_exact"), lit(0L)).as("n_exact"))
+      .join(est, Seq("probe"))
+      .orderBy(col("probe"))
+  }
+
   def kmvPairwiseJaccard(spark: SparkSession, df: DataFrame, group: Column,
       value: Column): DataFrame = {
     // Materialize the (tiny — one row per group) sketch table before the
