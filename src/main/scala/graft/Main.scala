@@ -1,7 +1,8 @@
 package graft
 
 import graft.operators._
-import graft.pipelines.{Dedup, Packing, Sampling, Similarity, Sketches}
+import graft.pipelines.{Dedup, Packing, Retrieval, Sampling, Similarity,
+  Sketches}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -95,7 +96,9 @@ object Main {
       "split <in> <out> [id_col] [train val test (per-mille)], " +
       "shuffle <in> <out> [id_col], " +
       "pack <in> <out> [capacity] [buckets] [id_col] [text_col], " +
-      "kmv <in> <out> [group_col] [value_col] [pairs]")
+      "kmv <in> <out> [group_col] [value_col] [pairs], " +
+      "search <in> <out> <terms,csv> [k] [emb.parquet probe_vec_id], " +
+      "cms <in> <out> [value_col] <probes,csv>")
 
   private[graft] def run(spark: SparkSession, cmd: String, a: Array[String]): Unit = {
     def arg(i: Int, dflt: String): String = if (a.length > i) a(i) else dflt
@@ -276,6 +279,40 @@ object Main {
               col(v).cast("string"))
             .write.mode("overwrite").parquet(s"$out/overlap")
         println(s"KMV distinct estimates written under $out/")
+      case "search" =>
+        // BM25 keyword search (and, with a numeric probe id, hybrid
+        // sparse+dense RRF against an embeddings table) from the shell:
+        //   search <docs.parquet> <out_dir> <terms,csv> [k]
+        //   search <docs.parquet> <out_dir> <terms,csv> <k> <emb.parquet> <probe_vec_id>
+        val (in, out) = pipelineIo(cmd, a)
+        val terms = arg(2, "").split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        if (terms.isEmpty)
+          throw CliArgError(s"$cmd requires a comma-separated term list " +
+            "as its third argument")
+        val k = intArg(3, "20", "k")
+        if (a.length > 4) {
+          val emb = spark.read.parquet(arg(4, ""))
+          Retrieval.hybridRrf(spark.read.parquet(in), emb, terms,
+              queryVecId = longArg(5, "0", "probe_vec_id"), topK = k)
+            .write.mode("overwrite").parquet(out)
+          println(s"Hybrid RRF top-$k written to $out")
+        } else {
+          Retrieval.bm25(spark.read.parquet(in), terms, depth = k)
+            .write.mode("overwrite").parquet(out)
+          println(s"BM25 top-$k written to $out")
+        }
+      case "cms" =>
+        // Count-Min point estimates over any parquet column:
+        //   cms <in.parquet> <out_dir> [value_col] <probes,csv>
+        val (in, out) = pipelineIo(cmd, a)
+        val probes = arg(3, "").split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        if (probes.isEmpty)
+          throw CliArgError(s"$cmd requires a comma-separated probe list " +
+            "as its fourth argument")
+        Sketches.cmsCounts(spark, spark.read.parquet(in),
+            col(arg(2, "text")), probes)
+          .write.mode("overwrite").parquet(out)
+        println(s"CMS estimates for ${probes.size} probes written to $out")
       case "pack" =>
         val (in, out) = pipelineIo(cmd, a)
         val assignments = Packing.packDocs(spark, spark.read.parquet(in),

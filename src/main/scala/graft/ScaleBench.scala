@@ -145,7 +145,30 @@ object ScaleBench {
     // one shuffle + per-bucket window; must stay ~linear in doc count
     "pack_sequences" -> ((s, dir) =>
       pipelines.Packing.packDocs(s, GraphIO.documents(s, dir), "doc_id",
-        "text", capacity = 2000L, buckets = 8)))
+        "text", capacity = 2000L, buckets = 8)),
+    // one scan + 1-row broadcast stats + depth-bounded top-k: the
+    // ratio must be the scan floor (no wide shuffle anywhere)
+    "search_bm25" -> ((s, dir) =>
+      pipelines.Retrieval.bm25(GraphIO.documents(s, dir),
+        Seq("spark", "query", "vector"))),
+    // adds the exact-cosine linear scan of the dense rung; the fusion
+    // join itself is bounded (2·depth rows) at any corpus size
+    "search_hybrid_rrf" -> ((s, dir) =>
+      pipelines.Retrieval.hybridRrf(GraphIO.documents(s, dir),
+        GraphIO.embeddings(s, dir), Seq("spark", "query", "vector"), 0L)),
+    // explode → hash agg keyed by term; the df band keeps posting
+    // lists bounded but the agg itself must stay ~linear in tokens
+    "text_inverted_index" -> ((s, dir) =>
+      pipelines.Retrieval.invertedIndex(GraphIO.documents(s, dir),
+        minDf = 2, maxDf = Int.MaxValue)),
+    // fixed d×w cell grid: map-side combine collapses every partition
+    // to ≤2048 cells — the ratio should be the token-scan floor
+    "corpus_token_cms" -> ((s, dir) =>
+      pipelines.Sketches.cmsCounts(s,
+        GraphIO.documents(s, dir)
+          .select(explode(graft.functions.TextFunctions.tokens(col("text")))
+            .as("tok")),
+        col("tok"), Seq("spark", "query", "vector", "zz_absent_probe"))))
 
   def main(args: Array[String]): Unit = {
     val baseDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

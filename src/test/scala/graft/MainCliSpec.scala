@@ -130,6 +130,37 @@ class MainCliSpec extends SparkSuite {
     assert(d.map(_.getString(0)).toSet == Set("0", "1", "2"))
   }
 
+  test("search verb: bm25 ranking; hybrid mode fuses with an embeddings table") {
+    val out = s"$tmp/search_out"
+    Main.run(spark, "search", Array(docsPath, out, "alpha,unrelated", "3"))
+    val got = spark.read.parquet(out)
+    assert(got.count() == 3 && got.columns.toSeq == Seq("rank", "doc_id", "bm25"))
+    // hybrid: docs 1-5 vs embeddings 0-29 (ids just need to overlap)
+    val out2 = s"$tmp/search_hybrid_out"
+    Main.run(spark, "search",
+      Array(docsPath, out2, "alpha", "4", embPath, "2"))
+    val h = spark.read.parquet(out2)
+    assert(h.count() == 4)
+    assert(h.columns.toSeq ==
+      Seq("rank", "doc_id", "rrf", "bm25_rank", "cos_rank"))
+    // missing term list fails fast
+    intercept[Main.CliArgError] {
+      Main.run(spark, "search", Array(docsPath, s"$tmp/x"))
+    }
+  }
+
+  test("cms verb: point estimates for a probe csv; missing probes fail fast") {
+    val out = s"$tmp/cms_out"
+    Main.run(spark, "cms", Array(docsPath, out, "text", "x,y"))
+    val got = spark.read.parquet(out).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // whole-text values: no doc text equals "x" or "y"
+    assert(got == Map("x" -> (0L, 0L), "y" -> (0L, 0L)))
+    intercept[Main.CliArgError] {
+      Main.run(spark, "cms", Array(docsPath, s"$tmp/x", "text"))
+    }
+  }
+
   test("malformed args fail fast as CliArgError, not raw stack traces") {
     // malformed numerics in pack / ann / split
     intercept[Main.CliArgError] {
