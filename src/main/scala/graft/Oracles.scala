@@ -1527,6 +1527,52 @@ object Oracles {
        |FROM est e JOIN ex USING (probe) ORDER BY probe""".stripMargin
   }
 
+  /** Mirror of [[graft.pipelines.TextMetrics.unigramNll]]: per-token
+    * `−ln(ctf/N)` in integer micro-nats (exact cross-row sum), then one
+    * division to the per-document mean. */
+  def textUnigramNll: String = {
+    val toks = TF.sqlTokens("text")
+    s"""WITH tf AS MATERIALIZED (
+       |  SELECT doc_id, unnest($toks) AS term FROM documents),
+       |tc AS MATERIALIZED (
+       |  SELECT term, CAST(count(*) AS BIGINT) AS ctf FROM tf GROUP BY term),
+       |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_tok FROM tf),
+       |x AS (
+       |  SELECT doc_id,
+       |         CAST(round(-ln(CAST(ctf AS DOUBLE) / CAST(n_tok AS DOUBLE))
+       |                    * 1000000.0) AS BIGINT) AS nll_micro
+       |  FROM tf JOIN tc USING (term) CROSS JOIN nt)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |       round(CAST(sum(nll_micro) AS DOUBLE) / 1000000.0
+       |             / CAST(count(*) AS DOUBLE), 6) AS mean_nll
+       |FROM x GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  /** Mirror of [[graft.pipelines.Sampling.temperatureSample]]:
+    * micro-unit-rounded `N^α` weights, exact long normalization sum,
+    * floor-rounded quotas, then the hash-ordered per-source draw. */
+  def sampleTemperature(total: Int, alpha: Double): String = {
+    val h = GraftHash.duckdbSql("CAST(doc_id AS VARCHAR)")
+    s"""WITH pw AS MATERIALIZED (
+       |  SELECT source, CAST(round(pow(CAST(count(*) AS DOUBLE),
+       |           $alpha::DOUBLE) * 1000000.0) AS BIGINT) AS pw
+       |  FROM documents GROUP BY source),
+       |tot AS (SELECT CAST(sum(pw) AS BIGINT) AS pw_sum FROM pw),
+       |q AS (
+       |  SELECT source,
+       |         CAST(floor(CAST(pw AS DOUBLE) * ${total.toDouble}::DOUBLE
+       |           / CAST(pw_sum AS DOUBLE) + 0.5::DOUBLE) AS BIGINT) AS quota
+       |  FROM pw CROSS JOIN tot),
+       |r AS (
+       |  SELECT source, doc_id,
+       |         ROW_NUMBER() OVER (PARTITION BY source
+       |           ORDER BY $h, doc_id) AS rn
+       |  FROM documents)
+       |SELECT r.source, r.doc_id, r.rn, q.quota
+       |FROM r JOIN q USING (source) WHERE r.rn <= q.quota
+       |ORDER BY r.source, r.rn""".stripMargin
+  }
+
   /** Mirror of [[graft.pipelines.Retrieval.invertedIndex]]: term →
     * (df, sorted comma-joined posting list) inside the df band. */
   def invertedIndex(minDf: Int, maxDf: Int): String =

@@ -444,6 +444,14 @@ object SparkEntry {
         Multimodal.resizeAll(s,
           Multimodal.withPayload(GraphIO.documents(s, dir)), 4).toDF())
         .toDF())),
+    // CCNet-style unigram NLL quality signal over the corpus's own
+    // unigram distribution (micro-nat-exact cross-engine).
+    "text_unigram_nll" -> ((s, dir) =>
+      TextMetrics.unigramNll(GraphIO.documents(s, dir))),
+    // Temperature-scaled (alpha=0.5) mixture draw over sources.
+    "sample_temperature" -> ((s, dir) =>
+      Sampling.temperatureSample(s, GraphIO.documents(s, dir),
+        "source", "doc_id", total = 200, alpha = 0.5)),
     // Count-Min point estimates over corpus tokens: probe terms plus
     // one absent probe (exercises the empty-cell → 0 path).
     "corpus_token_cms" -> ((s, dir) =>
@@ -565,6 +573,8 @@ object SparkEntry {
     "multimodal_features" -> Oracles.multimodalFeatures,
     "multimodal_image_roundtrip" -> Oracles.multimodalImageRoundtrip,
     "multimodal_resize" -> Oracles.multimodalResize(),
+    "text_unigram_nll" -> Oracles.textUnigramNll,
+    "sample_temperature" -> Oracles.sampleTemperature(total = 200, alpha = 0.5),
     "corpus_token_cms" -> Oracles.corpusTokenCms(CmsProbes),
     "search_bm25" -> Oracles.bm25Search(SearchTerms),
     "search_hybrid_rrf" -> Oracles.hybridRrf(SearchTerms, queryVecId = 0L),

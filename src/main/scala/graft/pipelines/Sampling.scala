@@ -35,6 +35,51 @@ object Sampling {
       .orderBy(col(group), col("rn"))
   }
 
+  /** Temperature-scaled mixture sample — the multilingual/multi-source
+    * rebalancing draw (mT5-style): source `s` holding `N_s` documents
+    * gets quota `⌊total · N_s^α / Σ_t N_t^α + 0.5⌋` (α < 1 upweights
+    * tail sources, α = 1 is proportional), then exactly that many
+    * documents are drawn per source in the same deterministic
+    * hash-order as [[quotaPerGroup]]. Returns
+    * `(group, id, rn, quota)` for the sampled rows.
+    *
+    * Determinism: `N^α` is the one transcendental — it is immediately
+    * rounded to integer micro-units so the cross-source normalization
+    * sum is an exact long sum (a raw double sum would depend on
+    * partition order and could not hash-match any oracle), and the
+    * final quota is an explicit `floor` (Spark's long cast truncates
+    * but DuckDB's rounds — floor is the portable spelling).
+    *
+    * Scale shape: the quota table is one row per source (a mixture
+    * dimension — small) built from one count aggregate and broadcast
+    * back; the draw itself is [[quotaPerGroup]]'s shape, one shuffle
+    * keyed by the group column. */
+  def temperatureSample(spark: SparkSession, df: DataFrame, group: String,
+      id: String, total: Int, alpha: Double): DataFrame = {
+    require(total > 0, s"total must be positive, got $total")
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1], got $alpha")
+    require(!Seq("rn", "quota", "n_docs", "pw").contains(group) &&
+      !Seq("rn", "quota", "n_docs", "pw").contains(id),
+      s"group/id columns may not be named rn/quota/n_docs/pw")
+    val pw = df.groupBy(col(group)).agg(count(lit(1)).as("n_docs"))
+      .select(col(group), col("n_docs"),
+        round(pow(col("n_docs").cast("double"), lit(alpha)) * lit(1e6))
+          .cast("long").as("pw"))
+    val tot = pw.agg(sum(col("pw")).as("pw_sum"))
+    val quotas = pw.crossJoin(broadcast(tot))
+      .select(col(group),
+        floor(col("pw").cast("double") * lit(total.toDouble) /
+          col("pw_sum").cast("double") + lit(0.5)).cast("long").as("quota"))
+    val w = Window.partitionBy(col(group))
+      .orderBy(GraftHash.graftHash(spark, col(id).cast("string")), col(id))
+    df.select(col(group), col(id))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .join(broadcast(quotas), Seq(group))
+      .filter(col("rn") <= col("quota"))
+      .select(col(group), col(id), col("rn"), col("quota"))
+      .orderBy(col(group), col("rn"))
+  }
+
   /** Deterministic corpus shuffle — reproducible training order: the
     * full input row plus a `sort_key` column, sorted by
     * `graft_hash(id || '|shuffle')` with an id tiebreak. The salt

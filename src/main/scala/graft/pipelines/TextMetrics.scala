@@ -96,6 +96,41 @@ object TextMetrics {
       .orderBy(col("doc_id"), col("term"))
   }
 
+  /** Per-document mean unigram negative log-likelihood under the
+    * corpus's OWN unigram distribution — the cheap in-engine stand-in
+    * for a CCNet-style LM quality filter: documents of rare/garbled
+    * tokens score high (surprising), boilerplate scores low. Returns
+    * `(doc_id, n_tokens, mean_nll)`; empty documents produce no row
+    * (no tokens → no likelihood).
+    *
+    * Determinism: each token's `−ln(ctf/N)` is rounded to integer
+    * micro-nats BEFORE the per-document sum, so the cross-row
+    * aggregation is an exact long sum (order-independent on both
+    * engines); only then one division back to a mean.
+    *
+    * Scale shape: one explode feeding two hash aggregations (corpus
+    * term frequencies keyed by term, then the per-document sum) and
+    * one equi-join of the token stream against the frequency table —
+    * one row per VOCABULARY term, the classic broadcast-or-shuffle
+    * dimension join. Stopword-hot terms skew the join key like tfidf's
+    * df side; AQE splits the hot partitions. */
+  def unigramNll(docs: DataFrame): DataFrame = {
+    val tf = docs.select(col("doc_id"),
+      explode(TF.tokens(col("text"))).as("term"))
+    val tc = tf.groupBy(col("term")).agg(count(lit(1)).as("ctf"))
+    val nt = tf.agg(count(lit(1)).as("n_tok"))
+    tf.join(tc, Seq("term"))
+      .crossJoin(broadcast(nt))
+      .select(col("doc_id"),
+        round(-log(col("ctf").cast("double") / col("n_tok").cast("double")) *
+          lit(1e6)).cast("long").as("nll_micro"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(sum(col("nll_micro")).cast("double") / lit(1e6) /
+          count(lit(1)).cast("double"), 6).as("mean_nll"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Corpus mixture report: per (source, lang) document counts, token
     * totals and mean quality — the summary a training-data pipeline
     * uses to rebalance its source mixture before sampling

@@ -377,6 +377,40 @@ class PipelinesSpec extends SparkSuite {
     assert(s1.toSeq == s2.toSeq)
   }
 
+  test("temperatureSample: sqrt-temperature quotas, alpha=1 proportional") {
+    import spark.implicits._
+    // 16 "big" docs vs 4 "small": alpha=0.5 weights 4:2, so total=6
+    // splits 4/2 — sqrt temperature halves the big source's dominance
+    // (proportional would be 4.8/1.2).
+    val d = ((1L to 16L).map(i => (i, "big")) ++
+      (101L to 104L).map(i => (i, "small"))).toDF("doc_id", "source")
+    val t = graft.pipelines.Sampling
+      .temperatureSample(spark, d, "source", "doc_id", total = 6, alpha = 0.5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
+    assert(t.count(_._1 == "big") == 4 && t.count(_._1 == "small") == 2)
+    assert(t.forall(r => if (r._1 == "big") r._3 == 4L else r._3 == 2L))
+    // alpha=1: quotas proportional -> floor(4.8+.5)=5 / floor(1.2+.5)=1
+    val p = graft.pipelines.Sampling
+      .temperatureSample(spark, d, "source", "doc_id", total = 6, alpha = 1.0)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(p.count(_._1 == "big") == 5 && p.count(_._1 == "small") == 1)
+  }
+
+  test("unigramNll: closed-form mean surprise; empty docs drop") {
+    import spark.implicits._
+    // corpus tokens: a a a b -> p(a)=3/4, p(b)=1/4
+    val d = Seq((1L, "a a a"), (2L, "b"), (3L, ""))
+      .toDF("doc_id", "text")
+    val got = TextMetrics.unigramNll(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.map(_._1).toSeq == Seq(1L, 2L)) // doc 3 has no tokens
+    val nllA = math.rint(-math.log(3.0 / 4.0) * 1e6) / 1e6
+    val nllB = math.rint(-math.log(1.0 / 4.0) * 1e6) / 1e6
+    assert(got(0) == ((1L, 3L, nllA)))
+    assert(got(1) == ((2L, 1L, nllB)))
+    assert(nllB > nllA) // rare tokens are more surprising
+  }
+
   test("splitByHash is total, disjoint, stable under corpus growth") {
     import spark.implicits._
     val splits = Seq("train" -> 900, "val" -> 50, "test" -> 50)
