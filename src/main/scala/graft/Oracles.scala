@@ -1573,6 +1573,20 @@ object Oracles {
        |ORDER BY r.source, r.rn""".stripMargin
   }
 
+  /** Mirror of [[graft.pipelines.Sampling.topKPerGroup]] ranked by the
+    * composite quality score: per-source top-k, unrounded-double order
+    * with doc_id tiebreak, 6-decimal output rounding. */
+  def sampleTopkQuality(k: Int): String = {
+    val q = TF.sqlQualityScore("text")
+    s"""WITH r AS (
+       |  SELECT source, doc_id, $q AS metric,
+       |         ROW_NUMBER() OVER (PARTITION BY source
+       |           ORDER BY $q DESC, doc_id) AS rn
+       |  FROM documents)
+       |SELECT source, doc_id, round(metric, 6) AS metric, rn
+       |FROM r WHERE rn <= $k ORDER BY source, rn""".stripMargin
+  }
+
   /** Mirror of [[graft.pipelines.Retrieval.invertedIndex]]: term →
     * (df, sorted comma-joined posting list) inside the df band. */
   def invertedIndex(minDf: Int, maxDf: Int): String =

@@ -448,6 +448,10 @@ object SparkEntry {
     // unigram distribution (micro-nat-exact cross-engine).
     "text_unigram_nll" -> ((s, dir) =>
       TextMetrics.unigramNll(GraphIO.documents(s, dir))),
+    // Per-source best-k curation by the composite quality score.
+    "sample_topk_quality" -> ((s, dir) =>
+      Sampling.topKPerGroup(GraphIO.documents(s, dir), "source", "doc_id",
+        TF.qualityScore(col("text")), k = 10)),
     // Temperature-scaled (alpha=0.5) mixture draw over sources.
     "sample_temperature" -> ((s, dir) =>
       Sampling.temperatureSample(s, GraphIO.documents(s, dir),
@@ -573,6 +577,7 @@ object SparkEntry {
     "multimodal_features" -> Oracles.multimodalFeatures,
     "multimodal_image_roundtrip" -> Oracles.multimodalImageRoundtrip,
     "multimodal_resize" -> Oracles.multimodalResize(),
+    "sample_topk_quality" -> Oracles.sampleTopkQuality(k = 10),
     "text_unigram_nll" -> Oracles.textUnigramNll,
     "sample_temperature" -> Oracles.sampleTemperature(total = 200, alpha = 0.5),
     "corpus_token_cms" -> Oracles.corpusTokenCms(CmsProbes),

@@ -35,6 +35,30 @@ object Sampling {
       .orderBy(col(group), col("rn"))
   }
 
+  /** Quality-ranked curation: keep the `k` best rows per group by a
+    * caller-supplied metric column (descending, id tiebreak) — "best n
+    * documents per domain" selection. Returns `(group, id, metric,
+    * rn)` with the metric rounded to 6 decimals for output; RANKING
+    * uses the unrounded value (both engines compute the identical
+    * per-row double, so the order is reproducible; the id tiebreak
+    * covers exact score ties).
+    *
+    * Scale shape: identical to [[quotaPerGroup]] — one shuffle keyed by
+    * the group column, per-group sort, nothing beyond rank `k`
+    * materializes downstream. */
+  def topKPerGroup(df: DataFrame, group: String, id: String,
+      metric: org.apache.spark.sql.Column, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val w = Window.partitionBy(col(group))
+      .orderBy(col("metric").desc, col(id))
+    df.select(col(group), col(id), metric.as("metric"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col(group), col(id), round(col("metric"), 6).as("metric"),
+        col("rn"))
+      .orderBy(col(group), col("rn"))
+  }
+
   /** Temperature-scaled mixture sample — the multilingual/multi-source
     * rebalancing draw (mT5-style): source `s` holding `N_s` documents
     * gets quota `⌊total · N_s^α / Σ_t N_t^α + 0.5⌋` (α < 1 upweights

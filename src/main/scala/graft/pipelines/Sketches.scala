@@ -131,7 +131,13 @@ object Sketches {
     * Scale shape: one codegen'd projection (hash + explode to d rows)
     * into one hash aggregation whose key space is the FIXED d·w cell
     * grid — map-side combine reduces every partition to ≤ 2048 rows
-    * before the (trivial) shuffle. Nothing scales with corpus size. */
+    * before the (trivial) shuffle. Nothing scales with corpus size.
+    *
+    * Streaming: pass a `readStream` DataFrame and write with
+    * `outputMode("complete")` — the aggregation state IS the d·w cell
+    * grid, bounded by construction, so this is the rare unbounded-key-
+    * free streaming aggregate that needs no watermark (spec-gated
+    * against the batch twin in `EventStreamingSpec`). */
   def cmsSketch(spark: SparkSession, df: DataFrame,
       value: Column): DataFrame =
     cmsCells(spark, df.select(value.cast("string").as("v")))

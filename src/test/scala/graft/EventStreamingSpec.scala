@@ -148,6 +148,27 @@ class EventStreamingSpec extends SparkSuite {
     assert(got == Set((1L, "click"), (1L, "view"), (2L, "click")))
   }
 
+  test("streaming CMS sketch (complete mode) equals the batch cell grid") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-cms-stream").toFile
+    dir.deleteOnExit()
+    val rows = Seq.fill(5)("alpha") ++ Seq.fill(3)("beta") ++ Seq("gamma")
+    val df = rows.toDF("v")
+    df.write.mode("overwrite").parquet(dir.getAbsolutePath)
+    val stream = spark.readStream.schema(df.schema)
+      .parquet(dir.getAbsolutePath)
+    val q = graft.pipelines.Sketches.cmsSketch(spark, stream, col("v"))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("graft_cms_stream")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val got = spark.sql("SELECT r, bucket, cnt FROM graft_cms_stream")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = graft.pipelines.Sketches.cmsSketch(spark, df, col("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want && want.nonEmpty)
+  }
+
   test("stream-stream interval join pairs errors with in-window clicks " +
       "and matches the batch range join") {
     import spark.implicits._

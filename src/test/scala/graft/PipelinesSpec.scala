@@ -396,6 +396,19 @@ class PipelinesSpec extends SparkSuite {
     assert(p.count(_._1 == "big") == 5 && p.count(_._1 == "small") == 1)
   }
 
+  test("topKPerGroup keeps the k best rows per group, id tiebreak") {
+    import spark.implicits._
+    val d = Seq((1L, "a", 0.9), (2L, "a", 0.5), (3L, "a", 0.7),
+      (4L, "b", 0.5), (5L, "b", 0.5), (6L, "b", 0.4))
+      .toDF("doc_id", "source", "q")
+    val got = graft.pipelines.Sampling
+      .topKPerGroup(d, "source", "doc_id", col("q"), 2).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
+    // a: 1 (.9) then 3 (.7); b: tie at .5 → doc 4 before doc 5
+    assert(got.toSeq == Seq(("a", 1L, 1L), ("a", 3L, 2L),
+      ("b", 4L, 1L), ("b", 5L, 2L)))
+  }
+
   test("unigramNll: closed-form mean surprise; empty docs drop") {
     import spark.implicits._
     // corpus tokens: a a a b -> p(a)=3/4, p(b)=1/4
