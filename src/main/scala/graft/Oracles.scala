@@ -1587,6 +1587,18 @@ object Oracles {
        |FROM r WHERE rn <= $k ORDER BY source, rn""".stripMargin
   }
 
+  /** Mirror of [[graft.pipelines.Layout.zValue]] over
+    * `(doc_id, n_chars)` bucketed to `bits`: identical integer
+    * shift/mask interleave, bit-for-bit. */
+  def layoutZorder(bits: Int): String = {
+    val mask = 1L << bits
+    def z(a: String, b: String) = (0 until bits).map(i =>
+      s"(((($a >> $i) & 1) << ${2 * i}) | ((($b >> $i) & 1) << ${2 * i + 1}))")
+      .mkString("(", " | ", ")")
+    s"""SELECT doc_id, ${z(s"(doc_id % $mask)", s"(n_chars % $mask)")} AS z
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
   /** Mirror of [[graft.pipelines.Retrieval.invertedIndex]]: term →
     * (df, sorted comma-joined posting list) inside the df band. */
   def invertedIndex(minDf: Int, maxDf: Int): String =

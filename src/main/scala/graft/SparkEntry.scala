@@ -448,6 +448,12 @@ object SparkEntry {
     // unigram distribution (micro-nat-exact cross-engine).
     "text_unigram_nll" -> ((s, dir) =>
       TextMetrics.unigramNll(GraphIO.documents(s, dir))),
+    // Z-order (Morton) value for the two-dimensional write layout.
+    "layout_zorder" -> ((s, dir) =>
+      GraphIO.documents(s, dir).select(col("doc_id"),
+        graft.pipelines.Layout.zValue(col("doc_id"), col("n_chars"), 8)
+          .as("z"))
+        .orderBy(col("doc_id"))),
     // Per-source best-k curation by the composite quality score.
     "sample_topk_quality" -> ((s, dir) =>
       Sampling.topKPerGroup(GraphIO.documents(s, dir), "source", "doc_id",
@@ -577,6 +583,7 @@ object SparkEntry {
     "multimodal_features" -> Oracles.multimodalFeatures,
     "multimodal_image_roundtrip" -> Oracles.multimodalImageRoundtrip,
     "multimodal_resize" -> Oracles.multimodalResize(),
+    "layout_zorder" -> Oracles.layoutZorder(bits = 8),
     "sample_topk_quality" -> Oracles.sampleTopkQuality(k = 10),
     "text_unigram_nll" -> Oracles.textUnigramNll,
     "sample_temperature" -> Oracles.sampleTemperature(total = 200, alpha = 0.5),
