@@ -1599,6 +1599,55 @@ object Oracles {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  /** Mirror of [[graft.pipelines.Packing.chunkTokens]]: membership
+    * fan-out (token → containing chunks), then per-chunk order
+    * reconstruction with `string_agg(... ORDER BY pos)`. */
+  def textChunks(size: Int, stride: Int): String = {
+    val toks = TF.sqlTokens("text")
+    s"""WITH pt AS MATERIALIZED (
+       |  SELECT doc_id,
+       |         unnest(generate_series(0, coalesce(array_length(toks), 0) - 1)) AS pos,
+       |         unnest(toks) AS tok
+       |  FROM (SELECT doc_id, $toks AS toks FROM documents) d),
+       |m AS (
+       |  SELECT doc_id, pos, tok,
+       |         unnest(generate_series(
+       |           greatest(CAST(ceil(CAST(pos - $size + 1 AS DOUBLE)
+       |             / ${stride.toDouble}::DOUBLE) AS BIGINT), 0),
+       |           CAST(floor(CAST(pos AS DOUBLE)
+       |             / ${stride.toDouble}::DOUBLE) AS BIGINT))) AS chunk
+       |  FROM pt)
+       |SELECT doc_id, chunk, CAST(count(*) AS BIGINT) AS n_tokens,
+       |       string_agg(tok, ' ' ORDER BY pos) AS chunk_text
+       |FROM m GROUP BY doc_id, chunk ORDER BY doc_id, chunk""".stripMargin
+  }
+
+  /** Mirror of [[graft.pipelines.Dedup.winnow]]: packed
+    * `hash·2²⁰ + pos` k-gram keys, per-window minima over
+    * `ROWS BETWEEN CURRENT ROW AND w-1 FOLLOWING`, full windows only
+    * (short documents keep their first partial window), distinct. */
+  def dedupWinnow(k: Int, w: Int): String = {
+    val sh = TF.sqlShingles("text", k)
+    val h = GraftHash.duckdbSql("s")
+    s"""WITH sh AS MATERIALIZED (
+       |  SELECT doc_id,
+       |         unnest(generate_series(0, coalesce(array_length(sh), 0) - 1)) AS pos,
+       |         unnest(sh) AS s
+       |  FROM (SELECT doc_id, $sh AS sh FROM documents) d),
+       |p AS (SELECT doc_id, pos, ($h * 1048576 + pos) AS pk FROM sh),
+       |wm AS (
+       |  SELECT doc_id, pos,
+       |         min(pk) OVER (PARTITION BY doc_id ORDER BY pos
+       |           ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS sel,
+       |         count(*) OVER (PARTITION BY doc_id ORDER BY pos
+       |           ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS wn,
+       |         count(*) OVER (PARTITION BY doc_id) AS total
+       |  FROM p)
+       |SELECT DISTINCT doc_id, sel % 1048576 AS pos, sel >> 20 AS fp_hash
+       |FROM wm WHERE wn = $w OR (total < $w AND pos = 0)
+       |ORDER BY doc_id, pos""".stripMargin
+  }
+
   /** Mirror of [[graft.pipelines.Retrieval.invertedIndex]]: term →
     * (df, sorted comma-joined posting list) inside the df band. */
   def invertedIndex(minDf: Int, maxDf: Int): String =

@@ -448,6 +448,12 @@ object SparkEntry {
     // unigram distribution (micro-nat-exact cross-engine).
     "text_unigram_nll" -> ((s, dir) =>
       TextMetrics.unigramNll(GraphIO.documents(s, dir))),
+    // Context-window chunking with stride (doc → embedding inputs).
+    "text_chunks" -> ((s, dir) =>
+      Packing.chunkTokens(GraphIO.documents(s, dir), size = 32, stride = 16)),
+    // Winnowing (MOSS) fingerprint selection over word 3-grams.
+    "dedup_winnow" -> ((s, dir) =>
+      Dedup.winnow(s, GraphIO.documents(s, dir), k = 3, w = 4)),
     // Z-order (Morton) value for the two-dimensional write layout.
     "layout_zorder" -> ((s, dir) =>
       GraphIO.documents(s, dir).select(col("doc_id"),
@@ -583,6 +589,8 @@ object SparkEntry {
     "multimodal_features" -> Oracles.multimodalFeatures,
     "multimodal_image_roundtrip" -> Oracles.multimodalImageRoundtrip,
     "multimodal_resize" -> Oracles.multimodalResize(),
+    "text_chunks" -> Oracles.textChunks(size = 32, stride = 16),
+    "dedup_winnow" -> Oracles.dedupWinnow(k = 3, w = 4),
     "layout_zorder" -> Oracles.layoutZorder(bits = 8),
     "sample_topk_quality" -> Oracles.sampleTopkQuality(k = 10),
     "text_unigram_nll" -> Oracles.textUnigramNll,

@@ -392,4 +392,50 @@ object Dedup {
       .filter(col("n_docs") >= minDocs)
       .orderBy(col("p_hash"))
   }
+
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken's MOSS scheme):
+    * hash every word `k`-gram, slide a window of `w` consecutive
+    * hashes, select each window's minimum — with the (hash, pos) pair
+    * packed into one int64 (`hash·2²⁰ + pos`, positions < 2²⁰) so the
+    * min is a total order whose tiebreak is the EARLIEST position, the
+    * scheme's deterministic variant. Distinct selections are the
+    * document's fingerprint set: `(doc_id, pos, fp_hash)`.
+    *
+    * The winnowing guarantee: any shared substring of ≥ `w + k − 1`
+    * tokens yields at least one shared fingerprint HASH in both
+    * documents, and selection density is ~2/(w+1) — robust substring
+    * dedup at a tunable fraction of the shingle volume. Documents with
+    * fewer than `w` k-grams contribute their single overall minimum
+    * (the whole document is one short window).
+    *
+    * Scale shape: explode to one row per k-gram, ONE bounded sliding
+    * window per document partition (`rowsBetween(0, w-1)` — state is w
+    * int64s), then distinct. The window is keyed by doc_id, so a
+    * skewed giant document is one sort partition — same profile as
+    * every per-document window here; nothing is pairwise. */
+  def winnow(spark: SparkSession, docs: DataFrame, k: Int = 3,
+      w: Int = 4): DataFrame = {
+    require(k > 0 && w > 0, s"need positive k and w, got k=$k w=$w")
+    import org.apache.spark.sql.expressions.Window
+    val sh = docs.select(col("doc_id"),
+      posexplode(TF.shingles(col("text"), k)).as(Seq("pos", "s")))
+    val packed = sh.select(col("doc_id"), col("pos").cast("long").as("pos"),
+      (GraftHash.graftHash(spark, col("s")) * lit(1L << 20) +
+        col("pos").cast("long")).as("p"))
+    val frame = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, w - 1)
+    val all = Window.partitionBy(col("doc_id"))
+    packed
+      .select(col("doc_id"), col("pos"),
+        min(col("p")).over(frame).as("sel"),
+        count(lit(1)).over(frame).as("wn"),
+        count(lit(1)).over(all).as("total"))
+      // full windows only — except short documents, whose first (only)
+      // partial window stands in for the whole-document minimum
+      .filter(col("wn") === w || (col("total") < w && col("pos") === 0))
+      .select(col("doc_id"), (col("sel") % lit(1L << 20)).as("pos"),
+        shiftright(col("sel"), 20).as("fp_hash"))
+      .distinct()
+      .orderBy(col("doc_id"), col("pos"))
+  }
 }

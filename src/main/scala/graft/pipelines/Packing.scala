@@ -73,6 +73,46 @@ object Packing {
     * the packer works (mean fill → capacity as docs shrink relative to
     * it). Derived from [[packDocs]] output by one aggregation on the
     * pack key. */
+  /** Overlapping token chunks — the doc → embedding-input shaping step
+    * (context-window chunking with stride): chunk `c` of a document
+    * covers token positions `[c·stride, c·stride + size)`, the last
+    * chunk may be shorter, and `stride < size` gives the usual overlap.
+    * Returns `(doc_id, chunk, n_tokens, chunk_text)`; empty documents
+    * produce no rows.
+    *
+    * Built membership-first to dodge the quadratic trap of slicing
+    * inside a higher-order-function lambda (see
+    * [[graft.functions.TextFunctions.shingles]]'s scaladoc): each
+    * token row fans out only to the ≤ `⌈size/stride⌉` chunks that
+    * contain it — total row volume is exactly the OUTPUT volume
+    * (tokens × overlap factor), never tokens × document length. One
+    * explode + one hash aggregation keyed by (doc_id, chunk); the
+    * within-chunk order is reconstructed by an `array_sort` on
+    * (pos, token) structs, deterministic on both engines.
+    *
+    * Scale: per-chunk state is bounded by `size`; the aggregation is
+    * the standard map-side-combine hash agg, and a skewed (huge)
+    * document spreads across its many chunk keys rather than one. */
+  def chunkTokens(docs: DataFrame, size: Int, stride: Int): DataFrame = {
+    require(size > 0 && stride > 0 && stride <= size,
+      s"need 0 < stride <= size, got size=$size stride=$stride")
+    val toks = graft.functions.TextFunctions.tokens(col("text"))
+    val pt = docs.select(col("doc_id"), posexplode(toks).as(Seq("pos", "tok")))
+    // token at pos t belongs to chunks c with c·stride <= t < c·stride+size
+    val cmin = greatest(ceil((col("pos") - lit(size) + lit(1)).cast("double") /
+      lit(stride.toDouble)).cast("long"), lit(0L))
+    val cmax = floor(col("pos").cast("double") / lit(stride.toDouble))
+      .cast("long")
+    pt.select(col("doc_id"), col("pos"), col("tok"),
+        explode(sequence(cmin, cmax)).as("chunk"))
+      .groupBy(col("doc_id"), col("chunk"))
+      .agg(count(lit(1)).as("n_tokens"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          s => s.getField("tok"))).as("chunk_text"))
+      .orderBy(col("doc_id"), col("chunk"))
+  }
+
   def packManifest(assignments: DataFrame, idCol: String): DataFrame =
     assignments.groupBy(col("pack"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tokens"),

@@ -409,6 +409,41 @@ class PipelinesSpec extends SparkSuite {
       ("b", 4L, 1L), ("b", 5L, 2L)))
   }
 
+  test("chunkTokens: strided overlap, short tail, empty docs drop") {
+    import spark.implicits._
+    val d = Seq((1L, "t0 t1 t2 t3 t4 t5"), (2L, "")).toDF("doc_id", "text")
+    val got = graft.pipelines.Packing.chunkTokens(d, size = 4, stride = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3)))
+    assert(got.toSeq == Seq(
+      (1L, 0L, 4L, "t0 t1 t2 t3"),
+      (1L, 1L, 4L, "t2 t3 t4 t5"),
+      (1L, 2L, 2L, "t4 t5")))
+  }
+
+  test("winnow: shared long substrings share a fingerprint hash; short docs") {
+    import spark.implicits._
+    val shared = "alpha beta gamma delta epsilon zeta eta theta"
+    val d = Seq(
+      (1L, s"one two $shared three"),
+      (2L, s"$shared completely different ending here"),
+      (3L, "tiny doc"), // 2 tokens -> 0 shingles at k=3 -> no rows
+      (4L, "just four tokens here")) // 2 shingles < w -> 1 fingerprint
+      .toDF("doc_id", "text")
+    val got = Dedup.winnow(spark, d, k = 3, w = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byDoc = got.groupBy(_._1)
+    // winnowing guarantee: the 8-token shared run (>= w + k - 1 = 6)
+    // forces at least one common selected hash
+    val h1 = byDoc(1L).map(_._3).toSet
+    val h2 = byDoc(2L).map(_._3).toSet
+    assert((h1 & h2).nonEmpty)
+    assert(!byDoc.contains(3L))
+    assert(byDoc(4L).length == 1) // whole-doc window for short docs
+    // density: selections are a strict subset of the shingle stream
+    assert(byDoc(1L).length < 9) // doc 1 has 9 shingles
+  }
+
   test("unigramNll: closed-form mean surprise; empty docs drop") {
     import spark.implicits._
     // corpus tokens: a a a b -> p(a)=3/4, p(b)=1/4
