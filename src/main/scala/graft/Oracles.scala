@@ -1648,6 +1648,22 @@ object Oracles {
        |ORDER BY doc_id, pos""".stripMargin
   }
 
+  /** Mirror of [[graft.pipelines.Dedup.dedupIncremental]] with the gate
+    * split (even doc_ids = existing corpus, odd = incoming batch):
+    * wide-hash the normalized text, min-id within the batch, anti-join
+    * the existing fingerprint set. */
+  def dedupIncremental: String = {
+    val h = GraftHash.duckdbSqlWide(s"(${TF.sqlNormalizeText("text")})")
+    s"""WITH inc AS MATERIALIZED (
+       |  SELECT min(doc_id) AS doc_id, h FROM (
+       |    SELECT doc_id, $h AS h FROM documents WHERE doc_id % 2 = 1) t
+       |  GROUP BY h),
+       |ex AS MATERIALIZED (
+       |  SELECT DISTINCT $h AS h FROM documents WHERE doc_id % 2 = 0)
+       |SELECT doc_id, h FROM inc ANTI JOIN ex USING (h)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** Mirror of [[graft.pipelines.Retrieval.invertedIndex]]: term →
     * (df, sorted comma-joined posting list) inside the df band. */
   def invertedIndex(minDf: Int, maxDf: Int): String =

@@ -168,7 +168,18 @@ object ScaleBench {
         GraphIO.documents(s, dir)
           .select(explode(graft.functions.TextFunctions.tokens(col("text")))
             .as("tok")),
-        col("tok"), Seq("spark", "query", "vector", "zz_absent_probe"))))
+        col("tok"), Seq("spark", "query", "vector", "zz_absent_probe"))),
+    // membership fan-out: row volume = output volume (tokens × overlap),
+    // must stay ~linear in token count
+    "text_chunks" -> ((s, dir) =>
+      pipelines.Packing.chunkTokens(GraphIO.documents(s, dir), 32, 16)),
+    // per-document bounded sliding window (w int64s of state) + distinct
+    "dedup_winnow" -> ((s, dir) =>
+      pipelines.Dedup.winnow(s, GraphIO.documents(s, dir))),
+    // explode → vocabulary join → two hash aggs; the unigram twin of
+    // tfidf's scale shape
+    "text_unigram_nll" -> ((s, dir) =>
+      pipelines.TextMetrics.unigramNll(GraphIO.documents(s, dir))))
 
   def main(args: Array[String]): Unit = {
     val baseDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

@@ -448,6 +448,13 @@ object SparkEntry {
     // unigram distribution (micro-nat-exact cross-engine).
     "text_unigram_nll" -> ((s, dir) =>
       TextMetrics.unigramNll(GraphIO.documents(s, dir))),
+    // Incremental (delta) dedup: odd doc_ids arrive against the even
+    // half's fingerprint store.
+    "dedup_incremental" -> ((s, dir) => {
+      val d = GraphIO.documents(s, dir)
+      Dedup.dedupIncremental(s,
+        d.filter(col("doc_id") % 2 === 0), d.filter(col("doc_id") % 2 === 1))
+    }),
     // Context-window chunking with stride (doc → embedding inputs).
     "text_chunks" -> ((s, dir) =>
       Packing.chunkTokens(GraphIO.documents(s, dir), size = 32, stride = 16)),
@@ -589,6 +596,7 @@ object SparkEntry {
     "multimodal_features" -> Oracles.multimodalFeatures,
     "multimodal_image_roundtrip" -> Oracles.multimodalImageRoundtrip,
     "multimodal_resize" -> Oracles.multimodalResize(),
+    "dedup_incremental" -> Oracles.dedupIncremental,
     "text_chunks" -> Oracles.textChunks(size = 32, stride = 16),
     "dedup_winnow" -> Oracles.dedupWinnow(k = 3, w = 4),
     "layout_zorder" -> Oracles.layoutZorder(bits = 8),

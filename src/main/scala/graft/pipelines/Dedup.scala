@@ -65,6 +65,36 @@ object Dedup {
       .orderBy(col("keep_id"))
   }
 
+  /** Incremental (delta) exact dedup — the daily-ingest shape: keep
+    * the rows of `incoming` whose normalized text appears neither in
+    * the `existing` corpus nor earlier (by id) within the batch
+    * itself. Returns `(doc_id, h)` for the accepted rows (the hash
+    * rides along so the caller can append it to the existing
+    * fingerprint store without re-hashing).
+    *
+    * Identity is the wide ~60-bit hash pair of the NORMALIZED text
+    * ([[graft.functions.GraftHash.widePair]] over
+    * [[TF.normalizeText]]) — the same collision-resistance standard as
+    * the rest of the dedup family at ≥10⁹-document scale.
+    *
+    * Scale shape: the cross-corpus check is ONE left-anti equi-join on
+    * a fixed-width int64 key — the incoming batch (small) shuffles
+    * against the existing fingerprint set, and at 100 TB the
+    * fingerprint store is just this hash column (8 bytes/doc), not the
+    * corpus; the in-batch survivor pick is one hash aggregation over
+    * the (small) batch. No text ever crosses the wire. */
+  def dedupIncremental(spark: SparkSession, existing: DataFrame,
+      incoming: DataFrame): DataFrame = {
+    def hashed(df: DataFrame) = df.select(col("doc_id"),
+      GraftHash.widePair(spark, TF.normalizeText(spark, col("text"))).as("h"))
+    val existingH = hashed(existing).select(col("h"))
+    hashed(incoming)
+      .groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
+      .join(existingH, Seq("h"), "left_anti")
+      .select(col("doc_id"), col("h"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Near-duplicate corpus dedup end to end: MinHash-LSH candidate
     * pairs ([[minhashLsh]]) → duplicate clusters
     * ([[graft.operators.ConnectedComponents]]) → keep one canonical

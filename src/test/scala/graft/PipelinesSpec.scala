@@ -409,6 +409,21 @@ class PipelinesSpec extends SparkSuite {
       ("b", 4L, 1L), ("b", 5L, 2L)))
   }
 
+  test("dedupIncremental drops cross-corpus and in-batch duplicates") {
+    import spark.implicits._
+    val existing = Seq((1L, "known document text"), (2L, "another old one"))
+      .toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, "Known  Document text"), // normalizes to an existing doc → drop
+      (11L, "fresh content here"),
+      (12L, "fresh content here"),   // in-batch dup → min id 11 survives
+      (13L, "entirely new again"))
+      .toDF("doc_id", "text")
+    val got = Dedup.dedupIncremental(spark, existing, incoming)
+      .collect().map(_.getLong(0))
+    assert(got.toSeq == Seq(11L, 13L))
+  }
+
   test("chunkTokens: strided overlap, short tail, empty docs drop") {
     import spark.implicits._
     val d = Seq((1L, "t0 t1 t2 t3 t4 t5"), (2L, "")).toDF("doc_id", "text")
