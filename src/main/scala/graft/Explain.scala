@@ -14,7 +14,8 @@ object Explain {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
     val names = if (args.length > 1) args.drop(1).toSeq
       else Seq("hits_base", "salsa_simplified", "dedup_minhash_lsh",
-        "ann_topk", "events_window")
+        "ann_topk", "events_window", "search_bm25", "corpus_token_cms",
+        "dedup_incremental", "layout_zorder")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

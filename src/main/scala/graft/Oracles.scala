@@ -1548,6 +1548,25 @@ object Oracles {
        |FROM x GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  /** Mirror of [[graft.pipelines.TextMetrics.charEntropy]]: per-class
+    * `−(c/n)·ln(c/n)` in micro-nats (exact long sum per document). */
+  def textCharEntropy: String =
+    s"""WITH cc AS MATERIALIZED (
+       |  SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS c FROM (
+       |    SELECT doc_id, unnest(regexp_split_to_array(text, '')) AS ch
+       |    FROM documents WHERE text IS NOT NULL AND text <> '') t
+       |  GROUP BY doc_id, ch),
+       |nn AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n FROM cc GROUP BY doc_id),
+       |x AS (
+       |  SELECT cc.doc_id, n,
+       |         CAST(round(-(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+       |           * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+       |           * 1000000.0) AS BIGINT) AS term
+       |  FROM cc JOIN nn USING (doc_id))
+       |SELECT doc_id, max(n) AS n_chars,
+       |       round(CAST(sum(term) AS DOUBLE) / 1000000.0, 6) AS char_entropy
+       |FROM x GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** Mirror of [[graft.pipelines.Sampling.temperatureSample]]:
     * micro-unit-rounded `N^α` weights, exact long normalization sum,
     * floor-rounded quotas, then the hash-ordered per-source draw. */

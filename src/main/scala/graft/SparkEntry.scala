@@ -444,6 +444,9 @@ object SparkEntry {
         Multimodal.resizeAll(s,
           Multimodal.withPayload(GraphIO.documents(s, dir)), 4).toDF())
         .toDF())),
+    // Character-entropy garbled/binary-content detector.
+    "text_char_entropy" -> ((s, dir) =>
+      TextMetrics.charEntropy(GraphIO.documents(s, dir))),
     // CCNet-style unigram NLL quality signal over the corpus's own
     // unigram distribution (micro-nat-exact cross-engine).
     "text_unigram_nll" -> ((s, dir) =>
@@ -601,6 +604,7 @@ object SparkEntry {
     "dedup_winnow" -> Oracles.dedupWinnow(k = 3, w = 4),
     "layout_zorder" -> Oracles.layoutZorder(bits = 8),
     "sample_topk_quality" -> Oracles.sampleTopkQuality(k = 10),
+    "text_char_entropy" -> Oracles.textCharEntropy,
     "text_unigram_nll" -> Oracles.textUnigramNll,
     "sample_temperature" -> Oracles.sampleTemperature(total = 200, alpha = 0.5),
     "corpus_token_cms" -> Oracles.corpusTokenCms(CmsProbes),

@@ -131,6 +131,39 @@ object TextMetrics {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-document Shannon entropy of the character distribution (nats)
+    * — the garbled/binary-content detector: natural text sits in a
+    * narrow entropy band, base64/binary spills high, repeated-char
+    * padding collapses low. Returns `(doc_id, n_chars, char_entropy)`;
+    * null/empty text produces no row.
+    *
+    * Determinism: each character class's `−(c/n)·ln(c/n)` term is
+    * rounded to micro-nats before the per-document sum — the same
+    * exact-long-sum discipline as [[unigramNll]].
+    *
+    * Scale shape: explode to one row per character (the scan-linear
+    * floor for any character statistic), two hash aggregations keyed by
+    * (doc_id, char) then doc_id, one co-keyed join for the per-doc
+    * total. Per-document state is the alphabet size, never corpus
+    * size. */
+  def charEntropy(docs: DataFrame): DataFrame = {
+    val cc = docs
+      .filter(col("text").isNotNull && col("text") =!= "")
+      .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+      .groupBy(col("doc_id"), col("ch")).agg(count(lit(1)).as("c"))
+    val nn = cc.groupBy(col("doc_id")).agg(sum(col("c")).as("n"))
+    cc.join(nn, Seq("doc_id"))
+      .select(col("doc_id"), col("n"),
+        round(-(col("c").cast("double") / col("n").cast("double")) *
+          log(col("c").cast("double") / col("n").cast("double")) * lit(1e6))
+          .cast("long").as("term"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("n")).as("n_chars"),
+        round(sum(col("term")).cast("double") / lit(1e6), 6)
+          .as("char_entropy"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Corpus mixture report: per (source, lang) document counts, token
     * totals and mean quality — the summary a training-data pipeline
     * uses to rebalance its source mixture before sampling

@@ -245,6 +245,32 @@ class CatalystSpec extends SparkSuite {
     assert(!shufPlan.contains("Window"), s"no window expected:\n$shufPlan")
   }
 
+  test("documents scans push filters and prune columns at the source") {
+    // The corpus read path must not break parquet pushdown: a literal
+    // filter and a narrow projection have to reach the scan node, or
+    // every 100 TB query pays a full-corpus decode it didn't ask for.
+    import java.nio.file.Files
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-pushdown").toString
+    Seq((1L, "alpha", "en", "src0", 5L), (2L, "beta", "es", "src1", 4L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val q = GraphIO.documents(spark, dir)
+      .filter(col("source") === "src0")
+      .select(col("doc_id"), col("source"))
+    val formatted = q.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(formatted.contains("PushedFilters") &&
+      formatted.contains("EqualTo(source,src0)"),
+      s"filter did not reach the parquet scan:\n$formatted")
+    val readSchema = formatted.linesIterator
+      .find(_.trim.startsWith("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("doc_id") && readSchema.contains("source") &&
+      !readSchema.contains("text"),
+      s"projection not pruned at the scan: $readSchema")
+    assert(q.collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
   test("repetitionSignals computes in a single scan — the only exchange " +
       "is the presentation sort's range partitioning") {
     import spark.implicits._

@@ -459,6 +459,21 @@ class PipelinesSpec extends SparkSuite {
     assert(byDoc(1L).length < 9) // doc 1 has 9 shingles
   }
 
+  test("charEntropy: closed forms; uniform > skewed > constant") {
+    import spark.implicits._
+    val d = Seq((1L, "aaaa"), (2L, "abab"), (3L, "aab"), (4L, ""))
+      .toDF("doc_id", "text")
+    val got = TextMetrics.charEntropy(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got(1L) == ((4L, 0.0))) // constant string: zero entropy
+    // two equal classes: exactly ln 2 (each term pre-rounded to µnats)
+    val ln2 = math.rint(0.5 * math.log(2.0) * 1e6) * 2 / 1e6
+    assert(got(2L) == ((4L, ln2)))
+    // skewed 2:1 entropy < ln 2 < uniform over 3 would be ln 3
+    assert(got(3L)._2 > 0.0 && got(3L)._2 < math.log(2.0) + 1e-9)
+    assert(!got.contains(4L))
+  }
+
   test("unigramNll: closed-form mean surprise; empty docs drop") {
     import spark.implicits._
     // corpus tokens: a a a b -> p(a)=3/4, p(b)=1/4
