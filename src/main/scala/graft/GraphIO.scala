@@ -220,6 +220,42 @@ object GraphIO {
   def documents(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"$sfDir/documents.parquet")
 
+  /** Documents schema for the raw-dump ingestion path ([[documentsJsonl]])
+    * — the parquet layout plus the corrupt-record audit column. */
+  val documentsJsonlSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType),
+    StructField("lang", StringType), StructField("source", StringType),
+    StructField("n_chars", LongType),
+    StructField("_corrupt_record", StringType)))
+
+  /** JSONL ingestion — the raw-crawl entry of a training-data pipeline:
+    * PERMISSIVE parse against the explicit schema, malformed lines
+    * preserved verbatim in `_corrupt_record` instead of killing the job
+    * (one bad line per million at 100 TB is a certainty, not a corner
+    * case). The result is CACHED before being consumed: Spark refuses
+    * queries that select only the corrupt column from a lazy JSON scan
+    * (internal-column restriction), and the cache also keeps the
+    * clean/audit split to one parse of the input. Use
+    * [[jsonlClean]]/[[jsonlCorrupt]] to split; pair with an
+    * `unpersist()` when done. */
+  def documentsJsonl(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(documentsJsonlSchema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+      .cache()
+
+  /** Parsed rows of a [[documentsJsonl]] read, audit column dropped. */
+  def jsonlClean(parsed: DataFrame): DataFrame =
+    parsed.filter(col("_corrupt_record").isNull)
+      .drop("_corrupt_record")
+
+  /** The rejected lines: `(line, n)` — what a pipeline logs/quarantines
+    * (verbatim input lines, so the upstream producer can be debugged). */
+  def jsonlCorrupt(parsed: DataFrame): DataFrame =
+    parsed.filter(col("_corrupt_record").isNotNull)
+      .select(col("_corrupt_record").as("line"))
+
   def embeddings(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"$sfDir/embeddings.parquet")
 

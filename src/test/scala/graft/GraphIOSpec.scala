@@ -111,6 +111,26 @@ class GraphIOSpec extends SparkSuite {
       == before)
   }
 
+  test("documentsJsonl: permissive parse, corrupt lines audited verbatim") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-jsonl")
+    val f = dir.resolve("docs.jsonl")
+    java.nio.file.Files.writeString(f,
+      """{"doc_id": 1, "text": "hello world", "lang": "en", "source": "s0", "n_chars": 11}
+        |{"doc_id": 2, "text": "more text", "lang": "es", "source": "s1", "n_chars": 9}
+        |{this line is not json at all
+        |{"doc_id": 3, "text": "after the bad line", "lang": "en", "source": "s0", "n_chars": 18}
+        |""".stripMargin)
+    val parsed = GraphIO.documentsJsonl(spark, f.toString)
+    try {
+      val clean = GraphIO.jsonlClean(parsed)
+      assert(clean.columns.toSeq ==
+        Seq("doc_id", "text", "lang", "source", "n_chars"))
+      assert(clean.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
+      val bad = GraphIO.jsonlCorrupt(parsed).collect().map(_.getString(0))
+      assert(bad.toSeq == Seq("{this line is not json at all"))
+    } finally parsed.unpersist()
+  }
+
   test("SparkEntry.entry returns rows (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
