@@ -1567,17 +1567,19 @@ object Oracles {
        |       round(CAST(sum(term) AS DOUBLE) / 1000000.0, 6) AS char_entropy
        |FROM x GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
-  /** Mirror of [[graft.pipelines.Sampling.temperatureSample]]:
+  /** Temperature-draw tail shared by [[sampleTemperature]] and
+    * [[pipelineCurate]] over any `(source, doc_id)` relation `from`:
     * micro-unit-rounded `N^α` weights, exact long normalization sum,
-    * floor-rounded quotas, then the hash-ordered per-source draw. */
-  def sampleTemperature(total: Int, alpha: Double): String = {
+    * floor-rounded quotas, hash-ordered per-source draw. */
+  private def temperatureTail(from: String, total: Int,
+      alpha: Double): String = {
     val h = GraftHash.duckdbSql("CAST(doc_id AS VARCHAR)")
-    s"""WITH pw AS MATERIALIZED (
+    s"""pw AS MATERIALIZED (
        |  SELECT source, CAST(round(pow(CAST(count(*) AS DOUBLE),
        |           $alpha::DOUBLE) * 1000000.0) AS BIGINT) AS pw
-       |  FROM documents GROUP BY source),
+       |  FROM $from GROUP BY source),
        |tot AS (SELECT CAST(sum(pw) AS BIGINT) AS pw_sum FROM pw),
-       |q AS (
+       |qq AS (
        |  SELECT source,
        |         CAST(floor(CAST(pw AS DOUBLE) * ${total.toDouble}::DOUBLE
        |           / CAST(pw_sum AS DOUBLE) + 0.5::DOUBLE) AS BIGINT) AS quota
@@ -1586,10 +1588,35 @@ object Oracles {
        |  SELECT source, doc_id,
        |         ROW_NUMBER() OVER (PARTITION BY source
        |           ORDER BY $h, doc_id) AS rn
-       |  FROM documents)
-       |SELECT r.source, r.doc_id, r.rn, q.quota
-       |FROM r JOIN q USING (source) WHERE r.rn <= q.quota
+       |  FROM $from)
+       |SELECT r.source, r.doc_id, r.rn, qq.quota
+       |FROM r JOIN qq USING (source) WHERE r.rn <= qq.quota
        |ORDER BY r.source, r.rn""".stripMargin
+  }
+
+  /** Mirror of [[graft.pipelines.Sampling.temperatureSample]]. */
+  def sampleTemperature(total: Int, alpha: Double): String =
+    "WITH " + temperatureTail("documents", total, alpha)
+
+  /** Mirror of [[graft.pipelines.Dedup.curate]]: normalize → lang +
+    * quality gate → wide-hash exact dedup (min-id survivor, source via
+    * `arg_min`) → the temperature draw over survivors. */
+  def pipelineCurate(minQuality: Double, lang: String, total: Int,
+      alpha: Double): String = {
+    val norm = TF.sqlNormalizeText("text")
+    val q = TF.sqlQualityScore("norm_text")
+    s"""WITH f AS MATERIALIZED (
+       |  SELECT doc_id, source, $norm AS norm_text FROM documents),
+       |g AS MATERIALIZED (
+       |  SELECT doc_id, source, norm_text FROM f
+       |  WHERE ${TF.sqlLangId("norm_text")} = '${sq(lang)}'
+       |    AND $q >= $minQuality::DOUBLE),
+       |sv AS MATERIALIZED (
+       |  SELECT min(doc_id) AS doc_id, arg_min(source, doc_id) AS source
+       |  FROM (SELECT doc_id, source,
+       |          ${GraftHash.duckdbSqlWide("norm_text")} AS h FROM g) t
+       |  GROUP BY h),
+       |${temperatureTail("sv", total, alpha)}""".stripMargin
   }
 
   /** Mirror of [[graft.pipelines.Sampling.topKPerGroup]] ranked by the

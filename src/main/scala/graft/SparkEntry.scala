@@ -451,6 +451,9 @@ object SparkEntry {
     // unigram distribution (micro-nat-exact cross-engine).
     "text_unigram_nll" -> ((s, dir) =>
       TextMetrics.unigramNll(GraphIO.documents(s, dir))),
+    // Full curation chain: normalize → gate → dedup → temperature draw.
+    "pipeline_curate" -> ((s, dir) =>
+      Dedup.curate(s, GraphIO.documents(s, dir))),
     // Incremental (delta) dedup: odd doc_ids arrive against the even
     // half's fingerprint store.
     "dedup_incremental" -> ((s, dir) => {
@@ -599,6 +602,8 @@ object SparkEntry {
     "multimodal_features" -> Oracles.multimodalFeatures,
     "multimodal_image_roundtrip" -> Oracles.multimodalImageRoundtrip,
     "multimodal_resize" -> Oracles.multimodalResize(),
+    "pipeline_curate" -> Oracles.pipelineCurate(
+      minQuality = 0.5, lang = "en", total = 100, alpha = 0.5),
     "dedup_incremental" -> Oracles.dedupIncremental,
     "text_chunks" -> Oracles.textChunks(size = 32, stride = 16),
     "dedup_winnow" -> Oracles.dedupWinnow(k = 3, w = 4),

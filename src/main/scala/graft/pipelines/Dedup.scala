@@ -65,6 +65,39 @@ object Dedup {
       .orderBy(col("keep_id"))
   }
 
+  /** The full curation chain as ONE operator — what a training-data
+    * pipeline actually runs, composed end to end: normalize (NFC +
+    * case + whitespace), language + quality gate, exact dedup on the
+    * normalized text (wide-hash groupBy, min-id survivor with its
+    * source carried via `min_by`), then a temperature-scaled mixture
+    * draw over the surviving sources
+    * ([[Sampling.temperatureSample]]). Output is that draw:
+    * `(source, doc_id, rn, quota)`.
+    *
+    * Scale shape: scan-local projections → one fixed-width-key hash
+    * aggregation (the dedup) → a one-row-per-source broadcast quota
+    * table → one group-keyed draw shuffle. Three shuffles end to end
+    * for normalize+filter+dedup+rebalance+sample of an arbitrary-size
+    * corpus. */
+  def curate(spark: SparkSession, docs: DataFrame,
+      minQuality: Double = 0.5, lang: String = "en",
+      total: Int = 100, alpha: Double = 0.5): DataFrame = {
+    val base = docs
+      .select(col("doc_id"), col("source"),
+        TF.normalizeText(spark, col("text")).as("norm_text"))
+      .withColumn("quality", TF.qualityScore(col("norm_text")))
+      .filter(TF.langId(col("norm_text")) === lang &&
+        col("quality") >= lit(minQuality))
+    val survivors = base
+      .select(GraftHash.widePair(spark, col("norm_text")).as("h"),
+        col("doc_id"), col("source"))
+      .groupBy(col("h"))
+      .agg(min(col("doc_id")).as("doc_id"),
+        min_by(col("source"), col("doc_id")).as("source"))
+    Sampling.temperatureSample(spark, survivors, "source", "doc_id",
+      total, alpha)
+  }
+
   /** Incremental (delta) exact dedup — the daily-ingest shape: keep
     * the rows of `incoming` whose normalized text appears neither in
     * the `existing` corpus nor earlier (by id) within the batch

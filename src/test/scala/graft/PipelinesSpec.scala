@@ -409,6 +409,24 @@ class PipelinesSpec extends SparkSuite {
       ("b", 4L, 1L), ("b", 5L, 2L)))
   }
 
+  test("curate composes normalize → lang gate → dedup → temperature draw") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "the of and alpha", "a"),
+      (2L, "The  OF and alpha", "a"), // normalizes to doc 1 → dedup'd
+      (3L, "the of and beta", "a"),
+      (4L, "el la de y que", "b"),    // es → dropped by the lang gate
+      (5L, "the of and gamma", "b"))
+      .toDF("doc_id", "text", "source")
+    val got = Dedup.curate(spark, d, minQuality = 0.0, lang = "en",
+      total = 3, alpha = 0.5).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
+    // survivors: a = {1, 3}, b = {5}; sqrt-weights 1.414:1 → quotas 2/1
+    assert(got.map(_._2).toSet == Set(1L, 3L, 5L))
+    assert(got.filter(_._1 == "a").map(_._3).forall(_ == 2L))
+    assert(got.filter(_._1 == "b").map(_._3).forall(_ == 1L))
+  }
+
   test("dedupIncremental drops cross-corpus and in-batch duplicates") {
     import spark.implicits._
     val existing = Seq((1L, "known document text"), (2L, "another old one"))
