@@ -797,6 +797,28 @@ object Oracles {
        |SELECT a, b, round(jac, 6) AS jaccard FROM j
        |WHERE jac >= $threshold::DOUBLE ORDER BY a, b""".stripMargin
 
+  /** Mirror of [[graft.pipelines.Dedup.containment]]: per unordered
+    * candidate pair, both directed `c/|S(side)|` ratios, thresholded. */
+  def dedupContainment(threshold: Double = 0.8): String =
+    s"""WITH sh AS MATERIALIZED (
+       |  SELECT DISTINCT doc_id, ${GraftHash.duckdbSqlWide("sh")} AS sh FROM (
+       |    SELECT doc_id, unnest(${TF.sqlShingles("text", 3)}) AS sh FROM documents) t),
+       |sz AS MATERIALIZED (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+       |common AS MATERIALIZED (
+       |  SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS c
+       |  FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+       |  GROUP BY x.doc_id, y.doc_id),
+       |cc AS (
+       |  SELECT a, b, c, sa.n AS na, sb.n AS nb
+       |  FROM common JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b),
+       |d AS (
+       |  SELECT a AS quoted, b AS container,
+       |         CAST(c AS DOUBLE) / CAST(na AS DOUBLE) AS cont FROM cc
+       |  UNION ALL
+       |  SELECT b, a, CAST(c AS DOUBLE) / CAST(nb AS DOUBLE) FROM cc)
+       |SELECT quoted, container, round(cont, 6) AS containment FROM d
+       |WHERE cont >= $threshold::DOUBLE ORDER BY quoted, container""".stripMargin
+
   /** Mirror of [[graft.pipelines.Dedup.repeatedPassages]]: consecutive
     * non-overlapping `window`-word passages (full windows only),
     * fingerprinted with the shared graft hash, kept when appearing in

@@ -451,6 +451,9 @@ object SparkEntry {
     // unigram distribution (micro-nat-exact cross-engine).
     "text_unigram_nll" -> ((s, dir) =>
       TextMetrics.unigramNll(GraphIO.documents(s, dir))),
+    // Asymmetric containment (quote/inclusion detection).
+    "dedup_containment" -> ((s, dir) =>
+      Dedup.containment(GraphIO.documents(s, dir), threshold = 0.5)),
     // Full curation chain: normalize → gate → dedup → temperature draw.
     "pipeline_curate" -> ((s, dir) =>
       Dedup.curate(s, GraphIO.documents(s, dir))),
@@ -602,6 +605,7 @@ object SparkEntry {
     "multimodal_features" -> Oracles.multimodalFeatures,
     "multimodal_image_roundtrip" -> Oracles.multimodalImageRoundtrip,
     "multimodal_resize" -> Oracles.multimodalResize(),
+    "dedup_containment" -> Oracles.dedupContainment(threshold = 0.5),
     "pipeline_curate" -> Oracles.pipelineCurate(
       minQuality = 0.5, lang = "en", total = 100, alpha = 0.5),
     "dedup_incremental" -> Oracles.dedupIncremental,

@@ -371,6 +371,46 @@ object Dedup {
     * join; above it, scores of pairs sharing a dropped shingle are
     * undercounted — the standard near-dup trade (a shingle present in
     * >maxShingleDf docs carries no dedup signal). */
+  /** Asymmetric n-gram containment — the quote/inclusion detector
+    * Jaccard cannot see: `C(a→b) = |S(a) ∩ S(b)| / |S(a)|` is ~1 when
+    * document `a` is quoted inside a much larger `b`, while their
+    * Jaccard stays near 0 (the union is dominated by `b`). Emits both
+    * directions of every candidate pair as `(quoted, container,
+    * containment)`, thresholded. Same candidate machinery, hot-shingle
+    * guard, and hashed-set semantics as [[ngramJaccard]]; the
+    * intersection count is computed once per unordered pair and reused
+    * for both directions. */
+  def containment(docs: DataFrame, threshold: Double = 0.8,
+      maxShingleDf: Int = 64): DataFrame = {
+    val spark = docs.sparkSession
+    val sh = docs
+      .select(col("doc_id"), explode(TF.shingles(col("text"), 3)).as("s"))
+      .select(col("doc_id"), GraftHash.widePair(spark, col("s")).as("sh"))
+      .distinct().persist()
+    try {
+      val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val dfs = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      val kept = sh.join(dfs.filter(col("df") <= maxShingleDf),
+        Seq("sh"), "left_semi")
+      val x = kept.select(col("doc_id").as("a"), col("sh"))
+      val y = kept.select(col("doc_id").as("b"), col("sh").as("sh2"))
+      val common = x.join(y, col("sh") === col("sh2") && col("a") < col("b"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c"))
+        .join(sz.select(col("doc_id").as("a"), col("n").as("na")), Seq("a"))
+        .join(sz.select(col("doc_id").as("b"), col("n").as("nb")), Seq("b"))
+      val fwd = common.select(col("a").as("quoted"), col("b").as("container"),
+        (col("c").cast("double") / col("na").cast("double")).as("cont"))
+      val rev = common.select(col("b").as("quoted"), col("a").as("container"),
+        (col("c").cast("double") / col("nb").cast("double")).as("cont"))
+      fwd.unionAll(rev)
+        .filter(col("cont") >= lit(threshold))
+        .select(col("quoted"), col("container"),
+          round(col("cont"), 6).as("containment"))
+        .orderBy(col("quoted"), col("container"))
+        .localCheckpoint(true)
+    } finally sh.unpersist(false)
+  }
+
   def ngramJaccard(docs: DataFrame, threshold: Double = 0.5,
       maxShingleDf: Int = 64): DataFrame = {
     val spark = docs.sparkSession

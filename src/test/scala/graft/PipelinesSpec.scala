@@ -409,6 +409,26 @@ class PipelinesSpec extends SparkSuite {
       ("b", 4L, 1L), ("b", 5L, 2L)))
   }
 
+  test("containment flags a quoted doc that jaccard misses") {
+    import spark.implicits._
+    val quoted = "one two three four five six"
+    val d = Seq(
+      (1L, quoted), // 4 shingles, all inside doc 2
+      (2L, s"$quoted and then a long tail of completely different words " +
+        "keeps going on and on with more and more material"),
+      (3L, "unrelated other text entirely here"))
+      .toDF("doc_id", "text")
+    val cont = Dedup.containment(d, threshold = 0.9).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(cont.keySet == Set((1L, 2L))) // only the quoted→container way
+    assert(cont((1L, 2L)) == 1.0)
+    // jaccard at the same corpus stays far below 0.9 for the pair
+    val jac = Dedup.ngramJaccard(d, threshold = 0.0)
+      .select("a", "b", "jaccard").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(jac((1L, 2L)) < 0.5)
+  }
+
   test("curate composes normalize → lang gate → dedup → temperature draw") {
     import spark.implicits._
     val d = Seq(
