@@ -124,6 +124,38 @@ object EventPipelines {
         GroupStateTimeout.EventTimeTimeout)(update)
   }
 
+  /** Native `session_window` sessionization — the built-in merging-
+    * window twin of [[sessionizeStream]]/[[sessionizeBatch]]: one
+    * expression, identical code over batch and `readStream` input
+    * (watermark + append mode in streaming; spec-gated both ways).
+    * Returns `(user_id, start, end, n_events)` per session with the µs
+    * floor of the batch twin.
+    *
+    * Boundary note: an event arriving EXACTLY `gap` after its
+    * predecessor merges in [[sessionizeBatch]] (`> gap` splits) but
+    * splits here (native sessions merge only on strict overlap, and
+    * `end = ts + gap` meets, not overlaps, the next window) — the two
+    * agree everywhere off that measure-zero boundary.
+    *
+    * Scale shape: Spark plans this as one shuffle on the grouping key
+    * plus a per-partition merge of sorted session ranges — the same
+    * profile as the explicit-state twin, with the state machinery
+    * inside the engine. */
+  def sessionizeNative(events: DataFrame, gap: String = "30 minutes",
+      watermarkDelay: Option[String] = None): DataFrame = {
+    val base = events.select(col("user_id"),
+      timestamp_micros(expr("ts div 1000")).as("event_time"))
+    // Streaming callers pass the watermark delay (append mode requires
+    // one); it must be declared on THIS projection — a watermark set
+    // upstream dies when the column is re-derived.
+    val src = watermarkDelay.fold(base)(base.withWatermark("event_time", _))
+    src.groupBy(col("user_id"),
+        session_window(col("event_time"), gap).as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("sw.start").as("start"),
+        col("sw.end").as("end"), col("n_events"))
+  }
+
   /** As-of join, composed from existing operators (Spark has no native
     * one; DuckDB's `ASOF LEFT JOIN` is the oracle twin): each purchase
     * event gets the user's most recent view at or before it.

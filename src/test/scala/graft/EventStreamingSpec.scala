@@ -148,6 +148,43 @@ class EventStreamingSpec extends SparkSuite {
     assert(got == Set((1L, "click"), (1L, "view"), (2L, "click")))
   }
 
+  test("sessionizeNative matches the batch twin's sessions, batch + stream") {
+    import spark.implicits._
+    val m = 60L * 1000000000L // one minute in ns
+    // user 1: events at 0, 10 (one session), 50 and 100 min each past
+    // the 30-min gap (two singleton sessions); user 2: single event
+    val rows = Seq(
+      (1L, 1L, 0 * m), (2L, 1L, 10 * m), (3L, 1L, 50 * m),
+      (4L, 1L, 100 * m), (5L, 2L, 5 * m))
+      .toDF("event_id", "user_id", "ts")
+    val native = EventPipelines.sessionizeNative(rows).collect()
+      .map(r => (r.getLong(0), r.getLong(3)))
+    val batch = EventPipelines.sessionizeBatch(rows).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    // same multiset of (user, session size) on both implementations
+    assert(native.sorted.toSeq == batch.sorted.toSeq)
+    assert(native.sorted.toSeq ==
+      Seq((1L, 1L), (1L, 1L), (1L, 2L), (2L, 1L)))
+    // identical code over a stream: watermark + append emits the closed
+    // sessions once the watermark passes them
+    val dir = Files.createTempDirectory("graft-sessnative").toFile
+    dir.deleteOnExit()
+    rows.write.mode("overwrite").parquet(dir.getAbsolutePath)
+    val stream = spark.readStream.schema(rows.schema)
+      .parquet(dir.getAbsolutePath)
+    val q = EventPipelines.sessionizeNative(stream,
+        watermarkDelay = Some("0 seconds"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("graft_sess_native")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val emitted = spark.sql(
+      "SELECT user_id, n_events FROM graft_sess_native")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    // every session except the one still open at max watermark flushes
+    assert(emitted.nonEmpty && emitted.toSet.subsetOf(native.toSet))
+  }
+
   test("streaming CMS sketch (complete mode) equals the batch cell grid") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-cms-stream").toFile
