@@ -1402,6 +1402,20 @@ object Oracles {
        |FROM g ORDER BY doc_id""".stripMargin
   }
 
+  /** Mirror of [[graft.pipelines.Audio.audioRoundTrip]]: 8-bit PCM is
+    * lossless, so decoded sample statistics equal raw-byte statistics;
+    * rate/channels are the encoder's literals. */
+  def multimodalAudioRoundtrip: String =
+    s"""WITH $byteListCtes,
+       |g AS (SELECT doc_id, n,
+       |  list_reduce(list_prepend(0::BIGINT, bs), (a, v) -> a + v) AS s
+       |  FROM bl)
+       |SELECT doc_id, CAST(n AS BIGINT) AS n_samples,
+       |       ${graft.pipelines.Audio.SampleRate} AS sample_rate,
+       |       1 AS channels,
+       |       round(CAST(s AS DOUBLE) / greatest(n, 1), 6) AS mean_amp
+       |FROM g ORDER BY doc_id""".stripMargin
+
   /** Mirror of [[graft.pipelines.Multimodal.resizeAll]] (+ feature
     * extraction on the resized payload): the stub "resize" keeps every
     * `factor`-th byte, so the resized byte list is a strided 1-based

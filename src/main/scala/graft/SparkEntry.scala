@@ -436,6 +436,10 @@ object SparkEntry {
     // so the oracle replays the decoded stats from the raw bytes.
     "multimodal_image_roundtrip" -> ((s, dir) =>
       graft.pipelines.Images.imageRoundTrip(s, GraphIO.documents(s, dir))),
+    // REAL audio codec proof: bytes → 8-bit PCM WAV → AudioSystem
+    // decode; lossless, so the oracle replays from raw bytes.
+    "multimodal_audio_roundtrip" -> ((s, dir) =>
+      graft.pipelines.Audio.audioRoundTrip(s, GraphIO.documents(s, dir))),
     "multimodal_features" -> ((s, dir) =>
       featureRows(Multimodal.extractFeatures(s,
         Multimodal.withPayload(GraphIO.documents(s, dir))).toDF())),
@@ -604,6 +608,7 @@ object SparkEntry {
     "multimodal_meta" -> Oracles.multimodalMeta,
     "multimodal_features" -> Oracles.multimodalFeatures,
     "multimodal_image_roundtrip" -> Oracles.multimodalImageRoundtrip,
+    "multimodal_audio_roundtrip" -> Oracles.multimodalAudioRoundtrip,
     "multimodal_resize" -> Oracles.multimodalResize(),
     "dedup_containment" -> Oracles.dedupContainment(threshold = 0.5),
     "pipeline_curate" -> Oracles.pipelineCurate(
