@@ -1746,6 +1746,44 @@ object Oracles {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Mirror of [[graft.pipelines.Dedup.sourceQuoteMatrix]]: winnow
+    * chain → distinct (source, hash) → df-guarded hash self-join →
+    * per-pair shared-fingerprint counts. */
+  def corpusQuoteMatrix(k: Int = 3, w: Int = 4,
+      maxSources: Int = 16): String = {
+    val sh = TF.sqlShingles("text", k)
+    val h = GraftHash.duckdbSql("s")
+    s"""WITH shg AS MATERIALIZED (
+       |  SELECT doc_id,
+       |         unnest(generate_series(0, coalesce(array_length(sh), 0) - 1)) AS pos,
+       |         unnest(sh) AS s
+       |  FROM (SELECT doc_id, $sh AS sh FROM documents) d),
+       |p AS (SELECT doc_id, pos, ($h * 1048576 + pos) AS pk FROM shg),
+       |wm AS (
+       |  SELECT doc_id, pos,
+       |         min(pk) OVER (PARTITION BY doc_id ORDER BY pos
+       |           ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS sel,
+       |         count(*) OVER (PARTITION BY doc_id ORDER BY pos
+       |           ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS wn,
+       |         count(*) OVER (PARTITION BY doc_id) AS total
+       |  FROM p),
+       |fpd AS (
+       |  SELECT DISTINCT doc_id, sel >> 20 AS fp_hash
+       |  FROM wm WHERE wn = $w OR (total < $w AND pos = 0)),
+       |fps AS MATERIALIZED (
+       |  SELECT DISTINCT source, fp_hash
+       |  FROM fpd JOIN documents USING (doc_id)),
+       |kept AS MATERIALIZED (
+       |  SELECT source, fp_hash FROM fps
+       |  WHERE fp_hash IN (SELECT fp_hash FROM fps GROUP BY fp_hash
+       |                    HAVING count(*) <= $maxSources))
+       |SELECT x.source AS a, y.source AS b,
+       |       CAST(count(*) AS BIGINT) AS n_shared
+       |FROM kept x JOIN kept y
+       |  ON x.fp_hash = y.fp_hash AND x.source < y.source
+       |GROUP BY x.source, y.source ORDER BY a, b""".stripMargin
+  }
+
   /** Mirror of [[graft.pipelines.Retrieval.invertedIndex]]: term →
     * (df, sorted comma-joined posting list) inside the df band. */
   def invertedIndex(minDf: Int, maxDf: Int): String =

@@ -455,6 +455,9 @@ object SparkEntry {
     // unigram distribution (micro-nat-exact cross-engine).
     "text_unigram_nll" -> ((s, dir) =>
       TextMetrics.unigramNll(GraphIO.documents(s, dir))),
+    // Cross-source quotation matrix over winnow fingerprints.
+    "corpus_quote_matrix" -> ((s, dir) =>
+      Dedup.sourceQuoteMatrix(s, GraphIO.documents(s, dir))),
     // Asymmetric containment (quote/inclusion detection).
     "dedup_containment" -> ((s, dir) =>
       Dedup.containment(GraphIO.documents(s, dir), threshold = 0.5)),
@@ -610,6 +613,7 @@ object SparkEntry {
     "multimodal_image_roundtrip" -> Oracles.multimodalImageRoundtrip,
     "multimodal_audio_roundtrip" -> Oracles.multimodalAudioRoundtrip,
     "multimodal_resize" -> Oracles.multimodalResize(),
+    "corpus_quote_matrix" -> Oracles.corpusQuoteMatrix(),
     "dedup_containment" -> Oracles.dedupContainment(threshold = 0.5),
     "pipeline_curate" -> Oracles.pipelineCurate(
       minQuality = 0.5, lang = "en", total = 100, alpha = 0.5),

@@ -65,6 +65,35 @@ object Dedup {
       .orderBy(col("keep_id"))
   }
 
+  /** Corpus-level quotation audit: for every source pair, how many
+    * distinct winnowing fingerprint hashes ([[winnow]]) they share —
+    * the "which corpora quote each other" matrix that the KMV
+    * source-overlap audit ([[Sketches.kmvPairwiseJaccard]]) answers at
+    * whole-shingle-set granularity and this answers at robust-
+    * fingerprint granularity (winnow's guarantee: any shared run of ≥
+    * w+k−1 tokens leaves a shared hash, at ~2/(w+1) of the shingle
+    * volume).
+    *
+    * Scale shape: winnow output → distinct (source, hash) pairs → a
+    * self-join keyed by hash with the same hot-key df-guard as the
+    * n-gram family (a fingerprint present in many sources carries no
+    * pairing signal and would alone mint |sources|² rows), then one
+    * pair-keyed count. Everything joins on an int64. */
+  def sourceQuoteMatrix(spark: SparkSession, docs: DataFrame, k: Int = 3,
+      w: Int = 4, maxSources: Int = 16): DataFrame = {
+    val fp = winnow(spark, docs.select(col("doc_id"), col("text")), k, w)
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .select(col("source"), col("fp_hash")).distinct()
+    val dfs = fp.groupBy(col("fp_hash")).agg(count(lit(1)).as("nsrc"))
+    val kept = fp.join(dfs.filter(col("nsrc") <= maxSources),
+      Seq("fp_hash"), "left_semi")
+    val x = kept.select(col("source").as("a"), col("fp_hash"))
+    val y = kept.select(col("source").as("b"), col("fp_hash").as("f2"))
+    x.join(y, col("fp_hash") === col("f2") && col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_shared"))
+      .orderBy(col("a"), col("b"))
+  }
+
   /** The full curation chain as ONE operator — what a training-data
     * pipeline actually runs, composed end to end: normalize (NFC +
     * case + whitespace), language + quality gate, exact dedup on the

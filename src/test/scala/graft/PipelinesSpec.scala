@@ -429,6 +429,22 @@ class PipelinesSpec extends SparkSuite {
     assert(jac((1L, 2L)) < 0.5)
   }
 
+  test("sourceQuoteMatrix counts shared winnow fingerprints per pair") {
+    import spark.implicits._
+    val shared = "alpha beta gamma delta epsilon zeta eta theta"
+    val d = Seq(
+      (1L, s"$shared own tail one here", "s1"),
+      (2L, s"$shared some other ending text", "s2"),
+      (3L, "completely unrelated content in this one", "s3"))
+      .toDF("doc_id", "text", "source")
+    val got = Dedup.sourceQuoteMatrix(spark, d).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    // the 8-token shared run leaves >= 1 shared fingerprint for (s1,s2)
+    assert(got.keySet.contains(("s1", "s2")) && got(("s1", "s2")) >= 1L)
+    // s3 shares nothing with either
+    assert(!got.keySet.exists(p => p._1 == "s3" || p._2 == "s3"))
+  }
+
   test("curate composes normalize → lang gate → dedup → temperature draw") {
     import spark.implicits._
     val d = Seq(
