@@ -101,6 +101,7 @@ object Bench {
       // round-4 failure mode.
       .config("spark.executor.heartbeatInterval", "60s")
       .config("spark.network.timeout", "600s")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val byFam = SparkEntry.queries.toSeq.groupBy { case (n, _) => family(n) }

@@ -14,7 +14,9 @@ object BenchOne {
       // Deterministic events.ts NTZ→instant conversion (GraphIO.events)
       // regardless of host zone.
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false").getOrCreate()
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     args.foreach { name =>
       // Same action and lifecycle as Bench: a noop write evaluates

@@ -60,6 +60,7 @@ object Main {
       // regardless of host zone.
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Record the exit code and exit AFTER the finally: System.exit

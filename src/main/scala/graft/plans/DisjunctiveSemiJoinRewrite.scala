@@ -57,6 +57,8 @@ object DisjunctiveSemiJoinRewrite extends Rule[LogicalPlan] {
 
 /** Session extension installing the graft Catalyst rules. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => DisjunctiveSemiJoinRewrite)
+    e.injectOptimizerRule(_ => TokenContainsPushdown)
+  }
 }

@@ -19,24 +19,22 @@ class CatalystSpec extends SparkSuite {
     def literal() = edges.join(topic,
       edges("src") === topic("id") || edges("dst") === topic("id"), "left_semi")
 
-    val before = literal().queryExecution.executedPlan.toString
-    assert(before.contains("BroadcastNestedLoopJoin")) // the problem
-
-    spark.experimental.extraOptimizations =
-      spark.experimental.extraOptimizations :+ DisjunctiveSemiJoinRewrite
+    // The rule is installed session-wide via GraftExtensions (see
+    // SparkSuite); carve out the "before" state by excluding it.
+    val excl = "spark.sql.optimizer.excludedRules"
+    spark.conf.set(excl, DisjunctiveSemiJoinRewrite.ruleName)
     try {
-      val after = literal()
-      val plan = after.queryExecution.executedPlan.toString
-      assert(!plan.contains("BroadcastNestedLoopJoin"))
-      // Same rows, same multiplicity (the duplicate a->b edge survives twice)
-      val got = after.collect().map(r => (r.getString(0), r.getString(1)))
-        .toSeq.sorted
-      assert(got == Seq(("a", "b"), ("a", "b"), ("b", "c"), ("c", "d")))
-    } finally {
-      spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations
-          .filterNot(_ == DisjunctiveSemiJoinRewrite)
-    }
+      val before = literal().queryExecution.executedPlan.toString
+      assert(before.contains("BroadcastNestedLoopJoin")) // the problem
+    } finally spark.conf.unset(excl)
+
+    val after = literal()
+    val plan = after.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    // Same rows, same multiplicity (the duplicate a->b edge survives twice)
+    val got = after.collect().map(r => (r.getString(0), r.getString(1)))
+      .toSeq.sorted
+    assert(got == Seq(("a", "b"), ("a", "b"), ("b", "c"), ("c", "d")))
   }
 
   test("fused graft_wide_hash equals the two-fold composition, and " +
@@ -243,6 +241,38 @@ class CatalystSpec extends SparkSuite {
     assert(shufPlan.contains("rangepartitioning"),
       s"global sort must range-partition:\n$shufPlan")
     assert(!shufPlan.contains("Window"), s"no window expected:\n$shufPlan")
+  }
+
+  test("TokenContainsPushdown derives a scan-pushable contains prefilter") {
+    import graft.plans.TokenContainsPushdown
+    import java.nio.file.Files
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-tokpush").toString
+    Seq((1L, "spark joins data"), (2L, "no match here"),
+      (3L, " spark at the edge "), (4L, "sparkle is a substring"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def q() = GraphIO.documents(spark, dir)
+      .filter(array_contains(
+        graft.functions.TextFunctions.tokens(col("text")), "spark"))
+      .select(col("doc_id"))
+    // Rule installed session-wide via GraftExtensions; exclude it to
+    // show the predicate is scan-opaque without the rewrite.
+    val excl = "spark.sql.optimizer.excludedRules"
+    spark.conf.set(excl, TokenContainsPushdown.ruleName)
+    try {
+      val before = q().queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      assert(!before.contains("StringContains")) // opaque without the rule
+    } finally spark.conf.unset(excl)
+    val after = q()
+    val plan = after.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    // derived contains reaches the parquet scan as a pushed filter
+    assert(plan.contains("StringContains(text,spark)"),
+      s"derived predicate did not reach the scan:\n$plan")
+    // semantics unchanged: token match yes (1, 3), substring-only no (4)
+    assert(after.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
   }
 
   test("documents scans push filters and prune columns at the source") {
