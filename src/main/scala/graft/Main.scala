@@ -99,7 +99,8 @@ object Main {
       "pack <in> <out> [capacity] [buckets] [id_col] [text_col], " +
       "kmv <in> <out> [group_col] [value_col] [pairs], " +
       "search <in> <out> <terms,csv> [k] [emb.parquet probe_vec_id], " +
-      "cms <in> <out> [value_col] <probes,csv>")
+      "cms <in> <out> [value_col] <probes,csv>, " +
+      "curate <in> <out> [min_quality] [lang] [total] [alpha]")
 
   private[graft] def run(spark: SparkSession, cmd: String, a: Array[String]): Unit = {
     def arg(i: Int, dflt: String): String = if (a.length > i) a(i) else dflt
@@ -302,6 +303,17 @@ object Main {
             .write.mode("overwrite").parquet(out)
           println(s"BM25 top-$k written to $out")
         }
+      case "curate" =>
+        // Full curation chain from the shell:
+        //   curate <docs.parquet> <out_dir> [min_quality] [lang] [total] [alpha]
+        val (in, out) = pipelineIo(cmd, a)
+        Dedup.curate(spark, spark.read.parquet(in),
+            minQuality = doubleArg(2, "0.5", "min_quality"),
+            lang = arg(3, "en"),
+            total = intArg(4, "100", "total"),
+            alpha = doubleArg(5, "0.5", "alpha"))
+          .write.mode("overwrite").parquet(out)
+        println(s"Curated temperature draw written to $out")
       case "cms" =>
         // Count-Min point estimates over any parquet column:
         //   cms <in.parquet> <out_dir> [value_col] <probes,csv>

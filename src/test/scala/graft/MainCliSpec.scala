@@ -149,6 +149,19 @@ class MainCliSpec extends SparkSuite {
     }
   }
 
+  test("curate verb: end-to-end chain writes the temperature draw") {
+    import spark.implicits._
+    val p = s"$tmp/curate_docs"
+    ((1L to 12L).map(i => (i, s"the of and unique$i words here", "web")) ++
+      (100L to 102L).map(i => (i, s"the of and other$i text", "books")))
+      .toDF("doc_id", "text", "source").write.mode("overwrite").parquet(p)
+    val out = s"$tmp/curate_out"
+    Main.run(spark, "curate", Array(p, out, "0.0", "en", "6", "0.5"))
+    val got = spark.read.parquet(out)
+    assert(got.columns.toSeq == Seq("source", "doc_id", "rn", "quota"))
+    assert(got.count() > 0 && got.count() <= 7) // total=6 ± rounding
+  }
+
   test("cms verb: point estimates for a probe csv; missing probes fail fast") {
     val out = s"$tmp/cms_out"
     Main.run(spark, "cms", Array(docsPath, out, "text", "x,y"))
