@@ -179,7 +179,14 @@ object ScaleBench {
     // explode → vocabulary join → two hash aggs; the unigram twin of
     // tfidf's scale shape
     "text_unigram_nll" -> ((s, dir) =>
-      pipelines.TextMetrics.unigramNll(GraphIO.documents(s, dir))))
+      pipelines.TextMetrics.unigramNll(GraphIO.documents(s, dir))),
+    // shared-shingle pair join — the df-guard must keep candidate pairs
+    // near-linear as replicated docs multiply shingle document frequency
+    "dedup_containment" -> ((s, dir) =>
+      pipelines.Dedup.containment(GraphIO.documents(s, dir), 0.5)),
+    // winnow fingerprints -> per-source distinct -> df-guarded pair join
+    "corpus_quote_matrix" -> ((s, dir) =>
+      pipelines.Dedup.sourceQuoteMatrix(s, GraphIO.documents(s, dir))))
 
   def main(args: Array[String]): Unit = {
     val baseDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
