@@ -487,6 +487,12 @@ object SparkEntry {
     "sample_topk_quality" -> ((s, dir) =>
       Sampling.topKPerGroup(GraphIO.documents(s, dir), "source", "doc_id",
         TF.qualityScore(col("text")), k = 10)),
+    // Same result via the k-bounded TopKAgg (no full-group sort) —
+    // shares the window formulation's oracle, proving partial-agg
+    // equivalence under the gate.
+    "sample_topk_quality_agg" -> ((s, dir) =>
+      Sampling.topKPerGroupAgg(s, GraphIO.documents(s, dir), "source",
+        "doc_id", TF.qualityScore(col("text")), k = 10)),
     // Temperature-scaled (alpha=0.5) mixture draw over sources.
     "sample_temperature" -> ((s, dir) =>
       Sampling.temperatureSample(s, GraphIO.documents(s, dir),
@@ -622,6 +628,7 @@ object SparkEntry {
     "dedup_winnow" -> Oracles.dedupWinnow(k = 3, w = 4),
     "layout_zorder" -> Oracles.layoutZorder(bits = 8),
     "sample_topk_quality" -> Oracles.sampleTopkQuality(k = 10),
+    "sample_topk_quality_agg" -> Oracles.sampleTopkQuality(k = 10),
     "text_char_entropy" -> Oracles.textCharEntropy,
     "text_unigram_nll" -> Oracles.textUnigramNll,
     "sample_temperature" -> Oracles.sampleTemperature(total = 200, alpha = 0.5),

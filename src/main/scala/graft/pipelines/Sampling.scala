@@ -59,6 +59,32 @@ object Sampling {
       .orderBy(col(group), col("rn"))
   }
 
+  /** [[topKPerGroup]]'s bounded-aggregator formulation — identical
+    * output, different physics: the window form sorts each whole group
+    * (a skewed group = one giant sort partition); this folds the
+    * stream through [[graft.functions.TopKAgg]]'s k-bounded buffer, so
+    * map-side combine ships ≤ k `(id, metric)` pairs per (partition,
+    * group) and no full-group sort ever exists. The k best of a set
+    * under the (metric desc, id asc) total order is
+    * partition-independent, so the two formulations are oracle-equal
+    * bit for bit — both gates share one DuckDB twin. */
+  def topKPerGroupAgg(spark: SparkSession, df: DataFrame, group: String,
+      id: String, metric: org.apache.spark.sql.Column, k: Int): DataFrame = {
+    import spark.implicits._
+    require(k > 0, s"k must be positive, got $k")
+    df.select(col(group).cast("string").as("g"),
+        col(id).cast("long").as("i"), metric.cast("double").as("m"))
+      .as[(String, Long, Double)]
+      .groupByKey(_._1).mapValues(t => (t._2, t._3))
+      .agg(new graft.functions.TopKAgg(k).toColumn.name("top"))
+      .toDF("g", "top")
+      .select(col("g"), posexplode(col("top")).as(Seq("p", "e")))
+      .select(col("g").as(group), col("e._1").as(id),
+        round(col("e._2"), 6).as("metric"),
+        (col("p") + 1).cast("long").as("rn"))
+      .orderBy(col(group), col("rn"))
+  }
+
   /** Temperature-scaled mixture sample — the multilingual/multi-source
     * rebalancing draw (mT5-style): source `s` holding `N_s` documents
     * gets quota `⌊total · N_s^α / Σ_t N_t^α + 0.5⌋` (α < 1 upweights

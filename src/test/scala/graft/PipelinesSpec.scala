@@ -396,6 +396,22 @@ class PipelinesSpec extends SparkSuite {
     assert(p.count(_._1 == "big") == 5 && p.count(_._1 == "small") == 1)
   }
 
+  test("topKPerGroupAgg equals the window formulation on adversarial data") {
+    import spark.implicits._
+    // many ties, metric collisions, and a group saturating the buffer
+    val d = ((1L to 200L).map(i => (i, "big", (i % 7).toDouble)) ++
+      (500L to 503L).map(i => (i, "small", 1.0)))
+      .toDF("doc_id", "source", "q").repartition(7)
+    val win = graft.pipelines.Sampling
+      .topKPerGroup(d, "source", "doc_id", col("q"), 5).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val agg = graft.pipelines.Sampling
+      .topKPerGroupAgg(spark, d, "source", "doc_id", col("q"), 5).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(win.toSeq == agg.toSeq)
+    assert(win.count(_._1 == "big") == 5 && win.count(_._1 == "small") == 4)
+  }
+
   test("topKPerGroup keeps the k best rows per group, id tiebreak") {
     import spark.implicits._
     val d = Seq((1L, "a", 0.9), (2L, "a", 0.5), (3L, "a", 0.7),
