@@ -406,6 +406,37 @@ object Oracles {
        |FROM events WHERE user_id < $maxUser
        |ORDER BY user_id, event_id""".stripMargin
 
+  /** Mirror of [[graft.streaming.EventPipelines.activeTime]]: the
+    * interval-union sweep as a lead window over epoch-ns integers. */
+  def eventsActiveTime(windowNs: Long = 30L * 60 * 1000000000L): String =
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT user_id, event_id, epoch_ns(ts) AS ts FROM events),
+       |c AS (
+       |  SELECT user_id,
+       |         least($windowNs, coalesce(
+       |           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) - ts,
+       |           $windowNs)) AS contrib
+       |  FROM e)
+       |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       |       CAST(sum(contrib) AS BIGINT) AS active_ns
+       |FROM c GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** Mirror of [[graft.streaming.EventPipelines.decayedCounts]]:
+    * per-row decay micro-rounded before the exact long sum. */
+  def eventsDecayedCounts(lambdaPerSec: Double = 1.0 / 3600): String =
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT event_type, epoch_ns(ts) AS ts FROM events),
+       |m AS (SELECT max(ts) AS t_max FROM e),
+       |x AS (
+       |  SELECT event_type,
+       |         CAST(round(exp(-$lambdaPerSec::DOUBLE *
+       |           (CAST(t_max - ts AS DOUBLE) / 1000000000.0))
+       |           * 1000000.0) AS BIGINT) AS d
+       |  FROM e CROSS JOIN m)
+       |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+       |       round(CAST(sum(d) AS DOUBLE) / 1000000.0, 6) AS decayed_count
+       |FROM x GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** As-of join oracle: DuckDB's native ASOF LEFT JOIN against the
     * same tie-collapsed view side (mirror of
     * [[graft.streaming.EventPipelines.asofPurchaseView]]). Timestamps

@@ -214,6 +214,12 @@ object SparkEntry {
       EventPipelines.windowedStatsBatch(GraphIO.events(s, dir))),
     "events_rollup" -> ((s, dir) =>
       EventPipelines.typeRollup(GraphIO.events(s, dir))),
+    // Interval-union engagement time per user (exact integer nanos).
+    "events_active_time" -> ((s, dir) =>
+      EventPipelines.activeTime(GraphIO.events(s, dir))),
+    // Exponentially decayed per-type counts anchored at max ts.
+    "events_decayed" -> ((s, dir) =>
+      EventPipelines.decayedCounts(GraphIO.events(s, dir))),
     "events_running_totals" -> ((s, dir) =>
       EventPipelines.runningTotals(GraphIO.events(s, dir))),
     "skew_salted_join" -> ((s, dir) => {
@@ -567,6 +573,8 @@ object SparkEntry {
     "events_sessionize" -> Oracles.sessionize(),
     "events_window" -> Oracles.eventsWindow,
     "events_rollup" -> Oracles.eventsRollup,
+    "events_active_time" -> Oracles.eventsActiveTime(),
+    "events_decayed" -> Oracles.eventsDecayedCounts(),
     "events_running_totals" -> Oracles.eventsRunningTotals(),
     "skew_salted_join" -> Oracles.skewSaltedJoin,
     "events_props_json" -> Oracles.eventsPropsJson,

@@ -277,6 +277,60 @@ object EventPipelines {
   /** Hierarchical totals via ROLLUP (event_type -> grand total): the
     * grouping-sets surface the reference lacks entirely. Exact-integer
     * cents. */
+  /** Per-user ACTIVE time: the length of the union of `[t, t+window)`
+    * intervals over the user's events — "how long was this user
+    * actually doing something", the engagement metric sessionization's
+    * per-session durations don't directly give (overlapping activity
+    * windows must not double-count). Classic sweep without an interval
+    * tree: sorted by time, each event contributes
+    * `min(gap_to_next, window)`, the last contributes `window` — pure
+    * integer nanos end to end, so the result is exact on any engine.
+    *
+    * Scale shape: one user-keyed shuffle + per-user time sort (the
+    * lead window), one hash aggregation. Same profile as every
+    * per-user window here. */
+  def activeTime(events: DataFrame,
+      windowNs: Long = 30L * 60 * 1000000000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    events.select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("contrib",
+        least(lit(windowNs), coalesce(lead(col("ts"), 1).over(w) - col("ts"),
+          lit(windowNs))))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("contrib")).as("active_ns"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Per-type exponentially time-decayed event count
+    * `Σ exp(−λ·age_seconds)` with age measured from the corpus's max
+    * timestamp (a deterministic "now" — the operator form a monitoring
+    * pipeline evaluates at watermark time). Each row's decay factor is
+    * rounded to integer micro-units BEFORE the sum, so the cross-row
+    * aggregation is an exact long sum (order-independent) and the
+    * APPROXIMATE decayed count is oracle-gateable like the sketch
+    * family. λ defaults to 1/hour.
+    *
+    * Scale shape: one 1-row max-ts aggregate broadcast back to the
+    * scan, then one hash aggregation keyed by event_type. */
+  def decayedCounts(events: DataFrame,
+      lambdaPerSec: Double = 1.0 / 3600): DataFrame = {
+    val mx = events.agg(max(col("ts")).as("t_max"))
+    events.select(col("event_type"), col("ts"))
+      .crossJoin(broadcast(mx))
+      .select(col("event_type"),
+        round(exp(lit(-lambdaPerSec) *
+            ((col("t_max") - col("ts")).cast("double") / lit(1e9))) *
+          lit(1e6)).cast("long").as("d_micro"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("d_micro")).cast("double") / lit(1e6), 6)
+          .as("decayed_count"))
+      .orderBy(col("event_type"))
+  }
+
   def typeRollup(events: DataFrame): DataFrame =
     events.rollup(col("event_type"))
       .agg(count(lit(1)).as("n"),

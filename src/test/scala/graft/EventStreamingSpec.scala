@@ -148,6 +148,35 @@ class EventStreamingSpec extends SparkSuite {
     assert(got == Set((1L, "click"), (1L, "view"), (2L, "click")))
   }
 
+  test("activeTime: overlapping windows never double-count") {
+    import spark.implicits._
+    val m = 60L * 1000000000L
+    val W = 30 * m
+    // user 1: events at 0, 10, 100 min → union = [0,40) ∪ [100,130)
+    //   = 10 min (capped gap) + 30 + 30 = 70 min
+    // user 2: one event → exactly W
+    val rows = Seq((1L, 1L, 0 * m), (2L, 1L, 10 * m), (3L, 1L, 100 * m),
+      (4L, 2L, 5 * m)).toDF("event_id", "user_id", "ts")
+    val byUser = EventPipelines.activeTime(rows, W).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(byUser(1L) == ((3L, 70 * m)))
+    assert(byUser(2L) == ((1L, W)))
+  }
+
+  test("decayedCounts: newest events weigh ~1, old decay toward 0") {
+    import spark.implicits._
+    val h = 3600L * 1000000000L
+    val rows = Seq((1L, 1L, 0 * h, "a", 0.0), (2L, 1L, 1 * h, "a", 0.0),
+      (3L, 2L, 1 * h, "b", 0.0)).toDF("event_id", "user_id", "ts",
+      "event_type", "value")
+    val got = EventPipelines.decayedCounts(rows).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // anchor = 1h; type a: exp(0) + exp(-1); type b: exp(0)
+    val expA = (math.rint(1e6) + math.rint(math.exp(-1.0) * 1e6)) / 1e6
+    assert(got("a") == ((2L, expA)))
+    assert(got("b") == ((1L, 1.0)))
+  }
+
   test("sessionizeNative matches the batch twin's sessions, batch + stream") {
     import spark.implicits._
     val m = 60L * 1000000000L // one minute in ns
