@@ -214,6 +214,29 @@ class EventStreamingSpec extends SparkSuite {
     assert(emitted.nonEmpty && emitted.toSet.subsetOf(native.toSet))
   }
 
+  test("streaming KMV sketch (complete mode) equals the batch sketch") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-kmv-stream").toFile
+    dir.deleteOnExit()
+    val rows = (1 to 40).map(i => ("g" + (i % 2), s"value$i"))
+    val df = rows.toDF("grp", "v")
+    df.write.mode("overwrite").parquet(dir.getAbsolutePath)
+    val stream = spark.readStream.schema(df.schema)
+      .parquet(dir.getAbsolutePath)
+    val q = graft.pipelines.Sketches
+      .kmvSketch(spark, stream, col("grp"), col("v"))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("graft_kmv_stream")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val got = spark.sql("SELECT grp, sketch FROM graft_kmv_stream")
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toSeq).toMap
+    val want = graft.pipelines.Sketches
+      .kmvSketch(spark, df, col("grp"), col("v"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toSeq).toMap
+    assert(got == want && want.keySet == Set("g0", "g1"))
+  }
+
   test("streaming CMS sketch (complete mode) equals the batch cell grid") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-cms-stream").toFile

@@ -121,4 +121,30 @@ class PropertiesSpec extends SparkSuite {
       a.foreach { case (k, v) => assert(math.abs(v - b(k)) < 1e-9) }
     }
   }
+
+  test("TopKAgg matches a plain-Scala top-k model on random streams " +
+      "and is partitioning-invariant") {
+    val gen: Gen[List[(Long, Double)]] = for {
+      n <- Gen.choose(0, 60)
+      rows <- Gen.listOfN(n, for {
+        id <- Gen.choose(0L, 30L) // collisions + duplicate ids likely
+        m <- Gen.choose(0, 5) // few distinct metrics → heavy ties
+      } yield (id, m.toDouble))
+    } yield rows
+    val samples = (1 to 8).flatMap(i =>
+      gen.apply(Gen.Parameters.default, Seed(100L + i)))
+    samples.foreach { rows =>
+      val k = 5
+      val model = rows.sortBy { case (id, m) => (-m, id) }.take(k)
+      // fold in stream order, then via a split-merge — both must equal
+      // the model (partition-independence is the map-side-combine claim)
+      val agg = new graft.functions.TopKAgg(k)
+      val direct = rows.foldLeft(agg.zero)(agg.reduce)
+      val (l, r) = rows.splitAt(rows.length / 2)
+      val merged = agg.merge(l.foldLeft(agg.zero)(agg.reduce),
+        r.foldLeft(agg.zero)(agg.reduce))
+      assert(agg.finish(direct).toSeq == model, s"rows=$rows")
+      assert(agg.finish(merged).toSeq == model, s"rows=$rows")
+    }
+  }
 }
