@@ -1634,6 +1634,25 @@ object Oracles {
        |       round(CAST(sum(term) AS DOUBLE) / 1000000.0, 6) AS char_entropy
        |FROM x GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Mirror of [[graft.pipelines.Sampling.weightedSample]] over
+    * documents weighted by quality+0.1: hash-uniform `u`, key
+    * `u^(1/w)` rounded to 9 decimals, id tiebreak, top-n. */
+  def sampleWeighted(n: Int, salt: String = "|wsample"): String = {
+    val h = GraftHash.duckdbSql(
+      s"(CAST(doc_id AS VARCHAR) || '${sq(salt)}')")
+    val wExpr = s"(${TF.sqlQualityScore("text")} + 0.1::DOUBLE)"
+    s"""WITH kk AS (
+       |  SELECT doc_id, $wExpr AS weight,
+       |         round(pow(CAST($h + 1 AS DOUBLE) / 1000000008.0,
+       |           1.0::DOUBLE / $wExpr), 9) AS k
+       |  FROM documents),
+       |cand AS (SELECT doc_id, weight, k FROM kk
+       |         ORDER BY k DESC, doc_id LIMIT $n)
+       |SELECT doc_id, round(weight, 6) AS weight,
+       |       row_number() OVER (ORDER BY k DESC, doc_id) AS rn
+       |FROM cand ORDER BY rn""".stripMargin
+  }
+
   /** Temperature-draw tail shared by [[sampleTemperature]] and
     * [[pipelineCurate]] over any `(source, doc_id)` relation `from`:
     * micro-unit-rounded `N^α` weights, exact long normalization sum,

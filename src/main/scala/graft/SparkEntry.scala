@@ -499,6 +499,10 @@ object SparkEntry {
     "sample_topk_quality_agg" -> ((s, dir) =>
       Sampling.topKPerGroupAgg(s, GraphIO.documents(s, dir), "source",
         "doc_id", TF.qualityScore(col("text")), k = 10)),
+    // Efraimidis–Spirakis weighted draw, quality-weighted.
+    "sample_weighted" -> ((s, dir) =>
+      Sampling.weightedSample(s, GraphIO.documents(s, dir), "doc_id",
+        TF.qualityScore(col("text")) + lit(0.1), n = 50)),
     // Temperature-scaled (alpha=0.5) mixture draw over sources.
     "sample_temperature" -> ((s, dir) =>
       Sampling.temperatureSample(s, GraphIO.documents(s, dir),
@@ -640,6 +644,7 @@ object SparkEntry {
     "text_char_entropy" -> Oracles.textCharEntropy,
     "text_unigram_nll" -> Oracles.textUnigramNll,
     "sample_temperature" -> Oracles.sampleTemperature(total = 200, alpha = 0.5),
+    "sample_weighted" -> Oracles.sampleWeighted(n = 50),
     "corpus_token_cms" -> Oracles.corpusTokenCms(CmsProbes),
     "search_bm25" -> Oracles.bm25Search(SearchTerms),
     "search_hybrid_rrf" -> Oracles.hybridRrf(SearchTerms, queryVecId = 0L),

@@ -59,6 +59,41 @@ object Sampling {
       .orderBy(col(group), col("rn"))
   }
 
+  /** Weighted sampling without replacement (Efraimidis–Spirakis):
+    * draw `n` rows where selection probability tracks a weight column
+    * — quality-weighted corpus subsetting. Each row gets the key
+    * `u^(1/w)` with `u` a deterministic hash-uniform in (0, 1]
+    * (`graft_hash(id‖salt)` scaled), and the n largest keys win — the
+    * classic one-pass weighted reservoir, made reproducible by
+    * replacing the RNG with the hash. Returns
+    * `(id, weight, rn)`.
+    *
+    * Determinism note: keys are transcendental (`pow`), so they are
+    * rounded to 9 decimals and ordered with an id tiebreak — the same
+    * ulp posture as every scored ranking here (a flip requires two
+    * keys within 1e-9 AND a cross-engine ulp straddle). Weights must
+    * be strictly positive.
+    *
+    * Scale shape: a per-row codegen'd key + one TakeOrderedAndProject
+    * — no shuffle beyond the top-n. */
+  def weightedSample(spark: SparkSession, df: DataFrame, id: String,
+      weight: org.apache.spark.sql.Column, n: Int,
+      salt: String = "|wsample"): DataFrame = {
+    require(n > 0, s"n must be positive, got $n")
+    val P = 1000000007L
+    val u = (GraftHash.graftHash(spark,
+      concat(col(id).cast("string"), lit(salt))) + lit(1L)).cast("double") /
+      lit((P + 1).toDouble)
+    val key = round(pow(u, lit(1.0) / weight.cast("double")), 9)
+    val cand = df.select(col(id), weight.cast("double").as("weight"),
+        key.as("k"))
+      .orderBy(col("k").desc, col(id)).limit(n)
+    val w = Window.orderBy(col("k").desc, col(id))
+    cand.withColumn("rn", row_number().over(w).cast("long"))
+      .select(col(id), round(col("weight"), 6).as("weight"), col("rn"))
+      .orderBy(col("rn"))
+  }
+
   /** [[topKPerGroup]]'s bounded-aggregator formulation — identical
     * output, different physics: the window form sorts each whole group
     * (a skewed group = one giant sort partition); this folds the

@@ -396,6 +396,25 @@ class PipelinesSpec extends SparkSuite {
     assert(p.count(_._1 == "big") == 5 && p.count(_._1 == "small") == 1)
   }
 
+  test("weightedSample: heavier rows win more often; draw is reproducible") {
+    import spark.implicits._
+    // 50 heavy rows (w=10) vs 50 light (w=0.1): a 20-draw should be
+    // dominated by heavy ids — P(light beating heavy) is tiny at this
+    // weight ratio, deterministic given the fixed hash.
+    val d = ((1L to 50L).map(i => (i, 10.0)) ++
+      (101L to 150L).map(i => (i, 0.1))).toDF("doc_id", "w")
+    val s1 = graft.pipelines.Sampling
+      .weightedSample(spark, d, "doc_id", col("w"), 20).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    val heavy = s1.count(_._1 <= 50L)
+    assert(heavy >= 18, s"expected heavy dominance, got $heavy/20 heavy")
+    assert(s1.map(_._2).toSeq == (1L to 20L)) // dense ranks
+    val s2 = graft.pipelines.Sampling
+      .weightedSample(spark, d, "doc_id", col("w"), 20).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(s1.toSeq == s2.toSeq) // reproducible
+  }
+
   test("topKPerGroupAgg equals the window formulation on adversarial data") {
     import spark.implicits._
     // many ties, metric collisions, and a group saturating the buffer
