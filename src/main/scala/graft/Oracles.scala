@@ -1615,6 +1615,21 @@ object Oracles {
        |FROM x GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  /** Mirror of [[graft.pipelines.TextMetrics.qualityCutoff]]:
+    * percentile over integer micro-unit qualities, survivors above. */
+  def sampleQualityCutoff(q: Double = 0.75): String = {
+    val qs = TF.sqlQualityScore("text")
+    s"""WITH b AS MATERIALIZED (
+       |  SELECT doc_id, CAST(round($qs * 1000000.0) AS BIGINT) AS q_micro
+       |  FROM documents),
+       |c AS (SELECT quantile_cont(q_micro, $q) AS cutoff FROM b)
+       |SELECT doc_id,
+       |       round(CAST(q_micro AS DOUBLE) / 1000000.0, 6) AS quality,
+       |       round(cutoff / 1000000.0, 6) AS cutoff
+       |FROM b CROSS JOIN c WHERE CAST(q_micro AS DOUBLE) >= cutoff
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** Mirror of [[graft.pipelines.TextMetrics.charEntropy]]: per-class
     * `−(c/n)·ln(c/n)` in micro-nats (exact long sum per document). */
   def textCharEntropy: String =

@@ -499,6 +499,9 @@ object SparkEntry {
     "sample_topk_quality_agg" -> ((s, dir) =>
       Sampling.topKPerGroupAgg(s, GraphIO.documents(s, dir), "source",
         "doc_id", TF.qualityScore(col("text")), k = 10)),
+    // Dynamic-threshold curation: keep the best quality quartile.
+    "sample_quality_cutoff" -> ((s, dir) =>
+      TextMetrics.qualityCutoff(GraphIO.documents(s, dir))),
     // Efraimidis–Spirakis weighted draw, quality-weighted.
     "sample_weighted" -> ((s, dir) =>
       Sampling.weightedSample(s, GraphIO.documents(s, dir), "doc_id",
@@ -645,6 +648,7 @@ object SparkEntry {
     "text_unigram_nll" -> Oracles.textUnigramNll,
     "sample_temperature" -> Oracles.sampleTemperature(total = 200, alpha = 0.5),
     "sample_weighted" -> Oracles.sampleWeighted(n = 50),
+    "sample_quality_cutoff" -> Oracles.sampleQualityCutoff(),
     "corpus_token_cms" -> Oracles.corpusTokenCms(CmsProbes),
     "search_bm25" -> Oracles.bm25Search(SearchTerms),
     "search_hybrid_rrf" -> Oracles.hybridRrf(SearchTerms, queryVecId = 0L),

@@ -131,6 +131,34 @@ object TextMetrics {
       .orderBy(col("doc_id"))
   }
 
+  /** Dynamic-threshold quality filter: keep documents whose quality
+    * clears the corpus's own `q`-th percentile — "keep the best
+    * quartile" curation, where the cutoff adapts to the corpus instead
+    * of being a hand-tuned constant that rots as the data shifts.
+    * Returns `(doc_id, quality, cutoff)` for survivors.
+    *
+    * Determinism: the percentile interpolates over INTEGER micro-unit
+    * qualities (the events-percentile pattern — interpolation over
+    * exact longs is engine-reproducible where raw-double interpolation
+    * is ulp-hostage).
+    *
+    * Scale shape: one scan-local projection, one single-row percentile
+    * aggregate broadcast back, one filter — the cutoff never touches
+    * the driver. */
+  def qualityCutoff(docs: DataFrame, q: Double = 0.75): DataFrame = {
+    require(q > 0.0 && q < 1.0, s"q must be in (0, 1), got $q")
+    val base = docs.select(col("doc_id"),
+      round(TF.qualityScore(col("text")) * lit(1e6)).cast("long")
+        .as("q_micro"))
+    val cut = base.agg(percentile(col("q_micro"), lit(q)).as("cutoff"))
+    base.crossJoin(broadcast(cut))
+      .filter(col("q_micro").cast("double") >= col("cutoff"))
+      .select(col("doc_id"),
+        round(col("q_micro").cast("double") / lit(1e6), 6).as("quality"),
+        round(col("cutoff") / lit(1e6), 6).as("cutoff"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-document Shannon entropy of the character distribution (nats)
     * — the garbled/binary-content detector: natural text sits in a
     * narrow entropy band, base64/binary spills high, repeated-char

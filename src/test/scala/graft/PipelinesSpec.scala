@@ -396,6 +396,24 @@ class PipelinesSpec extends SparkSuite {
     assert(p.count(_._1 == "big") == 5 && p.count(_._1 == "small") == 1)
   }
 
+  test("qualityCutoff keeps exactly the rows clearing the percentile") {
+    import spark.implicits._
+    // qualities are driven by token count (length saturation): doc 4
+    // has the most tokens → highest quality; cutoff at 0.75 over 4
+    // docs = interpolated between ranks 3 and 4
+    val d = Seq((1L, "a"), (2L, "a b c"), (3L, "a b c d e f"),
+      (4L, "a b c d e f g h i j k l m n o p q r s t u v"))
+      .toDF("doc_id", "text")
+    val got = TextMetrics.qualityCutoff(d, 0.75).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    // only the top doc clears an interpolated 75th percentile here
+    assert(got.map(_._1).toSeq == Seq(4L))
+    assert(got.head._2 >= got.head._3) // survivor clears the cutoff
+    // halving q admits more docs — the threshold is truly dynamic
+    val loose = TextMetrics.qualityCutoff(d, 0.25).collect().length
+    assert(loose >= 3)
+  }
+
   test("weightedSample: heavier rows win more often; draw is reproducible") {
     import spark.implicits._
     // 50 heavy rows (w=10) vs 50 light (w=0.1): a 20-draw should be
