@@ -122,6 +122,53 @@ class PropertiesSpec extends SparkSuite {
     }
   }
 
+  test("winnow guarantee on random docs: a shared >= w+k-1 token run " +
+      "always yields a shared fingerprint hash") {
+    import spark.implicits._
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
+    val gen = for {
+      shared <- Gen.listOfN(6, Gen.oneOf(vocab)) // w + k - 1 = 6 tokens
+      pre <- Gen.listOfN(4, Gen.oneOf(vocab))
+      post <- Gen.listOfN(4, Gen.oneOf(vocab))
+    } yield (shared, pre, post)
+    val samples = (1 to 4).flatMap(i =>
+      gen.apply(Gen.Parameters.default, Seed(500L + i)))
+    samples.foreach { case (shared, pre, post) =>
+      val d = Seq(
+        (1L, (pre ++ shared).mkString(" ")),
+        (2L, (shared ++ post).mkString(" ")))
+        .toDF("doc_id", "text")
+      val fp = graft.pipelines.Dedup.winnow(spark, d, k = 3, w = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(2)))
+      val h1 = fp.filter(_._1 == 1L).map(_._2).toSet
+      val h2 = fp.filter(_._1 == 2L).map(_._2).toSet
+      assert((h1 & h2).nonEmpty,
+        s"no shared fingerprint for shared=$shared pre=$pre post=$post")
+    }
+  }
+
+  test("chunkTokens with stride == size is an exact non-overlapping cover") {
+    import spark.implicits._
+    val gen = for {
+      n <- Gen.choose(0, 40)
+      toks <- Gen.listOfN(n, Gen.oneOf("x1", "x2", "x3", "x4"))
+      size <- Gen.choose(1, 9)
+    } yield (toks, size)
+    val samples = (1 to 5).flatMap(i =>
+      gen.apply(Gen.Parameters.default, Seed(900L + i)))
+    samples.foreach { case (toks, size) =>
+      val d = Seq((1L, toks.mkString(" "))).toDF("doc_id", "text")
+      val chunks = graft.pipelines.Packing.chunkTokens(d, size, size)
+        .collect().map(r => (r.getLong(1), r.getString(3)))
+      val rebuilt = chunks.sortBy(_._1).map(_._2).filter(_.nonEmpty)
+        .flatMap(_.split(" ")).toList
+      assert(rebuilt == toks, s"toks=$toks size=$size got=$rebuilt")
+      // every chunk except possibly the last is exactly `size` tokens
+      val sizes = chunks.sortBy(_._1).map(_._2.split(" ").count(_.nonEmpty))
+      assert(sizes.dropRight(1).forall(_ == size), s"sizes=${sizes.toList}")
+    }
+  }
+
   test("TopKAgg matches a plain-Scala top-k model on random streams " +
       "and is partitioning-invariant") {
     val gen: Gen[List[(Long, Double)]] = for {
