@@ -813,14 +813,18 @@ object Oracles {
     * apply — the mirror of [[graft.pipelines.Dedup.ngramJaccard]]'s
     * shuffle-key optimization: both engines agree on (vanishingly
     * rare) hash merges by construction. */
-  def dedupNgramJaccard(threshold: Double = 0.5): String =
+  def dedupNgramJaccard(threshold: Double = 0.5,
+      maxShingleDf: Int = 64): String =
     s"""WITH sh AS MATERIALIZED (
        |  SELECT DISTINCT doc_id, ${GraftHash.duckdbSqlWide("sh")} AS sh FROM (
        |    SELECT doc_id, unnest(${TF.sqlShingles("text", 3)}) AS sh FROM documents) t),
        |sz AS MATERIALIZED (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+       |kept AS MATERIALIZED (
+       |  SELECT doc_id, sh FROM sh WHERE sh IN (
+       |    SELECT sh FROM sh GROUP BY sh HAVING COUNT(*) <= $maxShingleDf)),
        |common AS (
        |  SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS c
-       |  FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+       |  FROM kept x JOIN kept y ON x.sh = y.sh AND x.doc_id < y.doc_id
        |  GROUP BY x.doc_id, y.doc_id),
        |j AS (
        |  SELECT a, b, CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) AS jac
@@ -829,15 +833,24 @@ object Oracles {
        |WHERE jac >= $threshold::DOUBLE ORDER BY a, b""".stripMargin
 
   /** Mirror of [[graft.pipelines.Dedup.containment]]: per unordered
-    * candidate pair, both directed `c/|S(side)|` ratios, thresholded. */
-  def dedupContainment(threshold: Double = 0.8): String =
+    * candidate pair, both directed `c/|S(side)|` ratios, thresholded.
+    * The intersection count runs over KEPT shingles only (df <=
+    * maxShingleDf, mirroring the Spark side's left_semi hot-shingle
+    * guard) while the denominators stay over ALL shingles — without
+    * this the gate silently depends on the corpus having no hot
+    * shingle. */
+  def dedupContainment(threshold: Double = 0.8,
+      maxShingleDf: Int = 64): String =
     s"""WITH sh AS MATERIALIZED (
        |  SELECT DISTINCT doc_id, ${GraftHash.duckdbSqlWide("sh")} AS sh FROM (
        |    SELECT doc_id, unnest(${TF.sqlShingles("text", 3)}) AS sh FROM documents) t),
        |sz AS MATERIALIZED (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+       |kept AS MATERIALIZED (
+       |  SELECT doc_id, sh FROM sh WHERE sh IN (
+       |    SELECT sh FROM sh GROUP BY sh HAVING COUNT(*) <= $maxShingleDf)),
        |common AS MATERIALIZED (
        |  SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS c
-       |  FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+       |  FROM kept x JOIN kept y ON x.sh = y.sh AND x.doc_id < y.doc_id
        |  GROUP BY x.doc_id, y.doc_id),
        |cc AS (
        |  SELECT a, b, c, sa.n AS na, sb.n AS nb

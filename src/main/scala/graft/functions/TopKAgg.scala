@@ -27,9 +27,20 @@ class TopKAgg(k: Int)
 
   override def zero: Buf = (Array.emptyLongArray, Array.emptyDoubleArray)
 
-  /** true iff (id1, m1) ranks strictly better than (id2, m2). */
-  private def better(m1: Double, id1: Long, m2: Double, id2: Long): Boolean =
-    m1 > m2 || (m1 == m2 && id1 < id2)
+  /** true iff (id1, m1) ranks strictly better than (id2, m2).
+    * Total order via `java.lang.Double.compare` so NaN ranks above
+    * every finite metric — matching Spark's `desc` sort order in the
+    * window formulation ([[graft.pipelines.Sampling.topKPerGroup]]);
+    * naive `>` would never admit a NaN row, breaking the claimed
+    * bit-exact equivalence of the two formulations. `-0.0` is
+    * normalized to `0.0` first (Double.compare splits them; Spark's
+    * ordering does not). */
+  private def better(m1: Double, id1: Long, m2: Double, id2: Long): Boolean = {
+    val a = if (m1 == 0.0) 0.0 else m1
+    val b = if (m2 == 0.0) 0.0 else m2
+    val c = java.lang.Double.compare(a, b)
+    c > 0 || (c == 0 && id1 < id2)
+  }
 
   override def reduce(buf: Buf, row: (Long, Double)): Buf = {
     val (ids, ms) = buf

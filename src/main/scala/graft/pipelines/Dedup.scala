@@ -546,14 +546,31 @@ object Dedup {
     * skewed giant document is one sort partition — same profile as
     * every per-document window here; nothing is pairwise. */
   def winnow(spark: SparkSession, docs: DataFrame, k: Int = 3,
-      w: Int = 4): DataFrame = {
+      w: Int = 4): DataFrame = winnowPacked(spark, docs, k, w, posBits = 20)
+
+  /** [[winnow]] with the position field width exposed so the overflow
+    * guard is testable without a million-token document. The packing
+    * `hash·2^posBits + pos` is only a total order while `pos <
+    * 2^posBits`; past that, position bits bleed into the hash field
+    * and corrupt fingerprints IDENTICALLY on both engines (the oracle
+    * mirrors the arithmetic), so the guard must fail loudly rather
+    * than let gates silently agree on garbage. A book-length document
+    * CAN exceed 2^20 k-grams at corpus scale. */
+  private[graft] def winnowPacked(spark: SparkSession, docs: DataFrame,
+      k: Int, w: Int, posBits: Int): DataFrame = {
     require(k > 0 && w > 0, s"need positive k and w, got k=$k w=$w")
     import org.apache.spark.sql.expressions.Window
+    val posLimit = 1L << posBits
     val sh = docs.select(col("doc_id"),
       posexplode(TF.shingles(col("text"), k)).as(Seq("pos", "s")))
     val packed = sh.select(col("doc_id"), col("pos").cast("long").as("pos"),
-      (GraftHash.graftHash(spark, col("s")) * lit(1L << 20) +
-        col("pos").cast("long")).as("p"))
+      when(col("pos") >= lit(posLimit),
+        raise_error(concat(lit("winnow: doc_id "), col("doc_id"),
+          lit(s" has >= $posLimit k-grams; (hash,pos) packing would" +
+            " overflow — raise posBits or split the document")))
+          .cast("long"))
+        .otherwise(GraftHash.graftHash(spark, col("s")) * lit(posLimit) +
+          col("pos").cast("long")).as("p"))
     val frame = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
       .rowsBetween(Window.currentRow, w - 1)
     val all = Window.partitionBy(col("doc_id"))
@@ -565,8 +582,8 @@ object Dedup {
       // full windows only — except short documents, whose first (only)
       // partial window stands in for the whole-document minimum
       .filter(col("wn") === w || (col("total") < w && col("pos") === 0))
-      .select(col("doc_id"), (col("sel") % lit(1L << 20)).as("pos"),
-        shiftright(col("sel"), 20).as("fp_hash"))
+      .select(col("doc_id"), (col("sel") % lit(posLimit)).as("pos"),
+        shiftright(col("sel"), posBits).as("fp_hash"))
       .distinct()
       .orderBy(col("doc_id"), col("pos"))
   }

@@ -21,14 +21,17 @@ object Layout {
 
   /** Morton interleave of the low `bits` bits of two non-negative
     * integer columns: `a`'s bit i lands at position 2i, `b`'s at 2i+1.
-    * Inputs are masked to `bits` via `%` (callers pre-bucket real-range
-    * dimensions into `[0, 2^bits)`). Pure codegen'd shifts/masks — one
-    * expression, no shuffle. */
+    * Inputs are masked to `bits` via `pmod` (callers pre-bucket
+    * real-range dimensions into `[0, 2^bits)`; pmod keeps a stray
+    * negative input's residue non-negative, where `%` would hand a
+    * negative long to the shift cascade and interleave garbage — and
+    * Spark/DuckDB `%` parity on negatives is not guaranteed). Pure
+    * codegen'd shifts/masks — one expression, no shuffle. */
   def zValue(a: Column, b: Column, bits: Int): Column = {
     require(bits >= 1 && bits <= 31, s"bits must be in [1, 31], got $bits")
     val mask = 1L << bits
-    val am = a.cast("long") % lit(mask)
-    val bm = b.cast("long") % lit(mask)
+    val am = pmod(a.cast("long"), lit(mask))
+    val bm = pmod(b.cast("long"), lit(mask))
     (0 until bits).map { i =>
       shiftleft(shiftright(am, i).bitwiseAND(lit(1L)), 2 * i)
         .bitwiseOR(

@@ -1,7 +1,10 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions.{And, ArrayContains,
-  Contains, Expression, Literal, PredicateHelper, StringSplit, StringTrim}
+  ArrayDistinct, ArrayFilter, CaseWhen, Contains, Expression, Literal,
+  PredicateHelper, StringSplit, StringTrim}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.ArrayType
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.StringType
@@ -35,17 +38,48 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object TokenContainsPushdown extends Rule[LogicalPlan] with PredicateHelper {
 
+  /** A foldable expression that can only ever yield an empty or null
+    * array — membership in it is vacuously false, so a CaseWhen branch
+    * producing it cannot weaken the derived contains. */
+  private def vacuousArray(e: Expression): Boolean =
+    e.foldable && e.dataType.isInstanceOf[ArrayType] && {
+      e.eval() match {
+        case null => true
+        case a: ArrayData => a.numElements() == 0
+        case _ => false
+      }
+    }
+
   /** The text expression whose tokens are probed, unwrapped to the
     * pushable base (trim peeled — `trim(text)` tokens are substrings
-    * of `text` too, and only a bare column reference can push). */
+    * of `text` too, and only a bare column reference can push).
+    *
+    * SOUNDNESS: this must be a strict structural peel, never a search
+    * through arbitrary sub-expressions. Element-TRANSFORMING or
+    * element-COMBINING wrappers (`transform`, `concat`, `zip_with`,
+    * ...) break the tokens-are-substrings invariant — e.g. membership
+    * in `transform(split(text,'\\s+'), x -> upper(x))` does NOT imply
+    * `contains(text, term)`. Only three shapes are admitted:
+    *   - the `\\s+` StringSplit itself;
+    *   - element-SUBSET-preserving wrappers (filter / array_distinct),
+    *     whose output elements are all split tokens;
+    *   - the [[graft.functions.TextFunctions.tokens]] null-guard
+    *     CaseWhen, where every branch value is a constant empty/null
+    *     array (vacuous membership) and the else-value peels. */
   private def splitBase(arr: Expression): Option[Expression] =
-    arr.collectFirst {
+    arr match {
       case StringSplit(text, Literal(p, StringType), _)
           if p != null && p.toString == "\\s+" =>
-        text match {
+        Some(text match {
           case StringTrim(x, None) => x
           case x => x
-        }
+        })
+      case ArrayFilter(child, _) => splitBase(child)
+      case ArrayDistinct(child) => splitBase(child)
+      case CaseWhen(branches, Some(elseValue))
+          if branches.forall(b => vacuousArray(b._2)) =>
+        splitBase(elseValue)
+      case _ => None
     }
 
   private def derive(conjunct: Expression): Seq[Expression] =

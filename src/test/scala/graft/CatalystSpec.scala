@@ -275,6 +275,52 @@ class CatalystSpec extends SparkSuite {
     assert(after.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
   }
 
+  test("TokenContainsPushdown is a strict structural peel, not a search") {
+    // Element-transforming / element-combining wrappers break the
+    // tokens-are-substrings invariant: membership in
+    // transform(split(text), upper) or concat(split(a), split(b)) does
+    // NOT imply contains(text, term). A collectFirst-style search
+    // through the array expression would conjoin an unsound prefilter
+    // and silently drop matching rows. Subset-preserving wrappers
+    // (filter / array_distinct) and the tokens() null-guard must still
+    // derive.
+    import java.nio.file.Files
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-tokpush2").toString
+    // Row 1: title token "spark" upper-cases to SPARK, and "spark"
+    // appears in body but not title — both traps for an unsound peel.
+    Seq((1L, "deep dive", "spark joins data"), (2L, "spark", "no match"))
+      .toDF("doc_id", "title", "body")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def docs() = spark.read.parquet(s"$dir/documents.parquet")
+    // transform: term matches an ELEMENT-TRANSFORMED token only
+    val xform = docs()
+      .filter(array_contains(
+        transform(split(col("body"), "\\s+"), x => upper(x)), "SPARK"))
+    assert(xform.collect().map(_.getLong(0)).toSeq == Seq(1L),
+      "transform-wrapped membership must keep its row")
+    assert(!xform.queryExecution.optimizedPlan.toString
+      .contains("Contains"), "must not derive through transform")
+    // concat: token comes from the OTHER column
+    val comb = docs()
+      .filter(array_contains(
+        concat(split(col("title"), "\\s+"), split(col("body"), "\\s+")),
+        "spark"))
+    assert(comb.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L),
+      "concat-wrapped membership must keep rows from either column")
+    assert(!comb.queryExecution.optimizedPlan.toString
+      .contains("Contains"), "must not derive through concat")
+    // subset-preserving wrappers still derive (and stay correct)
+    val sub = docs()
+      .filter(array_contains(
+        array_distinct(filter(
+          graft.functions.TextFunctions.tokens(col("body")),
+          x => length(x) > lit(2))), "spark"))
+    assert(sub.queryExecution.optimizedPlan.toString.contains("Contains"),
+      "filter/array_distinct over tokens() must still derive")
+    assert(sub.collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
   test("documents scans push filters and prune columns at the source") {
     // The corpus read path must not break parquet pushdown: a literal
     // filter and a narrow projection have to reach the scan node, or

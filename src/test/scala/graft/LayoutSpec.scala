@@ -31,6 +31,19 @@ class LayoutSpec extends SparkSuite {
     assert(got == 108L) // high bits beyond 8 are dropped by the mask
   }
 
+  test("zValue keeps negative inputs in-range via pmod") {
+    // `%` yields a NEGATIVE remainder for negative inputs; shifting a
+    // negative long through the interleave cascade produces garbage
+    // z-values (and Spark/DuckDB `%` parity on negatives is not
+    // guaranteed). pmod maps -246 ≡ 10 (mod 256), -250 ≡ 6, so the
+    // z-value must equal the closed-form (10, 6) example — in [0, 2^16).
+    import spark.implicits._
+    val d = Seq((-246L, -250L)).toDF("a", "b")
+    val got = d.select(Layout.zValue(col("a"), col("b"), 8).as("z"))
+      .head.getLong(0)
+    assert(got == 108L, s"expected the pmod residue interleave, got $got")
+  }
+
   test("zOrderLayout range-partitions by z and sorts within partitions") {
     import spark.implicits._
     val d = (0L until 256L).map(i => (i, i % 16, (i / 16) % 16))

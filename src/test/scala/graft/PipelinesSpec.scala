@@ -566,6 +566,27 @@ class PipelinesSpec extends SparkSuite {
     assert(byDoc(1L).length < 9) // doc 1 has 9 shingles
   }
 
+  test("winnow: (hash,pos) packing overflow fails loudly, not silently") {
+    // The packed min is only a total order while pos < 2^posBits; past
+    // that, position bits bleed into the hash field and BOTH engines
+    // agree on the corrupted fingerprints — so the guard must raise.
+    // Tested at posBits=4 (limit 16 k-grams) to avoid a 2^20-token doc.
+    import spark.implicits._
+    val words = (0 until 20).map(i => s"w$i").mkString(" ")
+    val d = Seq((1L, words)).toDF("doc_id", "text")
+    val err = intercept[Exception] {
+      Dedup.winnowPacked(spark, d, k = 3, w = 4, posBits = 4).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(err).exists(_.contains("packing would overflow")),
+      s"expected the winnow overflow guard, got: $err")
+    // within the limit the same doc fingerprints normally
+    val ok = Dedup.winnowPacked(spark, d, k = 3, w = 4, posBits = 20)
+    assert(ok.collect().nonEmpty)
+  }
+
   test("charEntropy: closed forms; uniform > skewed > constant") {
     import spark.implicits._
     val d = Seq((1L, "aaaa"), (2L, "abab"), (3L, "aab"), (4L, ""))

@@ -194,4 +194,26 @@ class PropertiesSpec extends SparkSuite {
       assert(agg.finish(merged).toSeq == model, s"rows=$rows")
     }
   }
+
+  test("TopKAgg ranks NaN metrics largest, matching desc sort order") {
+    // The window formulation sorts NaN as the largest double under
+    // desc; a naive `>` comparator would never admit a NaN row,
+    // breaking the claimed bit-exact equivalence of the two
+    // sample_topk_quality formulations. -0.0 must tie with 0.0.
+    val rows = List((1L, 2.0), (2L, Double.NaN), (3L, 5.0), (4L, Double.NaN),
+      (5L, -0.0), (6L, 0.0), (7L, Double.PositiveInfinity))
+    val k = 4
+    val agg = new graft.functions.TopKAgg(k)
+    val direct = agg.finish(rows.foldLeft(agg.zero)(agg.reduce)).toSeq
+    // NaN > +Inf in the total order (java.lang.Double.compare), as in
+    // Spark's double ordering; ties break on id asc
+    assert(direct.map(_._1) == Seq(2L, 4L, 7L, 3L))
+    assert(direct(0)._2.isNaN && direct(1)._2.isNaN)
+    assert(direct(2)._2.isPosInfinity && direct(3)._2 == 5.0)
+    // -0.0 ties with 0.0: id tiebreak decides, not the sign bit
+    val agg2 = new graft.functions.TopKAgg(1)
+    val z = agg2.finish(List((6L, 0.0), (5L, -0.0))
+      .foldLeft(agg2.zero)(agg2.reduce)).toSeq
+    assert(z.map(_._1) == Seq(5L))
+  }
 }
