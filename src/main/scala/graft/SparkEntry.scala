@@ -123,10 +123,14 @@ object SparkEntry {
     // N below is the sf0.01 default only: Verify re-derives the oracle
     // from the kernel's reported iter row at whatever scale it runs
     // (sf0.001 converges at 15), so the gate is scale-correct.
+    // Delta checks are batched (firstCheck=7, every 3 → 7,10,13,...):
+    // the sf0.01 stop stays at the measured 13, with 3 delta jobs
+    // instead of 13.
     "salsa_converged" -> ((s, dir) => {
       import s.implicits._
       val (r, iters) =
-        Salsa.runConverged(GraphIO.orderGraph(s, dir), 1e-9, 20)
+        Salsa.runConverged(GraphIO.orderGraph(s, dir), 1e-9, 20,
+          checkEvery = 3, firstCheck = 7)
       scoresRows(r.hubs, r.auths, 9)
         .unionAll(Seq(("iter", "n_iter", iters.toDouble))
           .toDF("kind", "id", "score"))
@@ -176,10 +180,14 @@ object SparkEntry {
     // margin both ways), and the oracle unrolls exactly 25 iterations.
     // Pinned N = sf0.01 default only; Verify re-derives from the
     // kernel's reported n_iter row at the scale it runs.
+    // Delta checks batched on 13,16,19,22,25: the sf0.01 stop stays at
+    // the measured 25 (delta(22) ≈ delta(24)/0.85² ≈ 1.4e-7 ≥ tol with
+    // ~2.4× margin), with 5 delta jobs instead of 25.
     "pagerank_converged" -> ((s, dir) => {
       import s.implicits._
       val (p, iters) =
-        PageRank.runConverged(GraphIO.orderGraph(s, dir), 0.85, 5.8e-8, 60)
+        PageRank.runConverged(GraphIO.orderGraph(s, dir), 0.85, 5.8e-8, 60,
+          checkEvery = 3, firstCheck = 13)
       p.select(col("id"), round(col("score"), 9).as("score"))
         .unionAll(Seq(("n_iter", iters.toDouble)).toDF("id", "score"))
         .orderBy(col("id"))
@@ -198,10 +206,14 @@ object SparkEntry {
     // margin both ways (the r1 value 1e-6 had as little as 1.0× above
     // delta(12)). Pinned N = sf0.01 default; Verify re-derives from
     // the reported iter row at the scale it runs. ----
+    // Delta checks batched on 6,9,12,15: the sf0.01 stop stays at the
+    // measured 12 (delta(9) > delta(11) ≥ 1.6e-6 ≥ tol), with 3 delta
+    // jobs instead of 12.
     "hits_converged" -> ((s, dir) => {
       import s.implicits._
       val (r, iters) =
-        Hits.runConverged(GraphIO.orderGraph(s, dir), 1.2e-6, 16)
+        Hits.runConverged(GraphIO.orderGraph(s, dir), 1.2e-6, 16,
+          checkEvery = 3, firstCheck = 6)
       scoresRows(r.hubs, r.auths, 6)
         .unionAll(Seq(("iter", "n_iter", iters.toDouble))
           .toDF("kind", "id", "score"))

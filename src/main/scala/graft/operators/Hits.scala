@@ -82,11 +82,17 @@ object Hits {
 
   /** Fixed-point extension (not in the reference, which always runs a
     * fixed 8 iterations): stop when the max absolute change of the
-    * normalized authority vector drops below `tol`. Costs one extra
-    * tiny |V|-sized join per iteration. Returns the result and the
-    * number of iterations executed. */
+    * normalized authority vector drops below `tol`. The delta is a
+    * second |V|-sized job per checked iteration, so checks run on a
+    * schedule (`firstCheck, firstCheck+checkEvery, ...`) — the kernel
+    * may overrun the true fixed point by < `checkEvery` no-op
+    * refinements and reports the iterations actually executed (see
+    * [[PageRank.runConverged]] for the full rationale). */
   def runConverged(g: Graph, tol: Double = 1e-9,
-      maxIter: Int = 50): (Result, Int) = {
+      maxIter: Int = 50, checkEvery: Int = 3, firstCheck: Int = 3)
+      : (Result, Int) = {
+    require(checkEvery >= 1 && firstCheck >= 1,
+      s"need positive check schedule, got every=$checkEvery first=$firstCheck")
     val spark = g.edges.sparkSession
     val np = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val proj = g.edges.select(col("src"), col("dst"),
@@ -124,7 +130,8 @@ object Hits {
           .groupBy(eSrc("dst").as("id")).agg(sum(col("score")).as("score"))
         hubs = Normalize.l2(hubsU)
         val cur = Checkpoints.materialize(Normalize.l2(authsU))
-        prev.foreach { p =>
+        if (it >= firstCheck && (it - firstCheck) % checkEvery == 0)
+            prev.foreach { p =>
           // Both sides are checkpointed aggregation outputs hash-
           // partitioned on id — the full-outer delta join is
           // co-partitioned, and the SHUFFLE_HASH hint skips re-sorting

@@ -99,10 +99,16 @@ object Salsa {
     * change of the L1-normalized authority vector drops below `tol`.
     * Same edge-cache discipline as [[iterate]] (edges shuffled once per
     * run, degree joins co-partitioned), plus one |V|-sized full-outer
-    * delta join per iteration. Returns the result and the number of
-    * iterations executed. */
+    * delta join per CHECKED iteration — checks run on the
+    * `firstCheck/checkEvery` schedule (see [[PageRank.runConverged]]
+    * for the rationale); the kernel may overrun the true fixed point
+    * by < `checkEvery` no-op refinements and reports the iterations
+    * actually executed. */
   def runConverged(g: Graph, tol: Double = 1e-9,
-      maxIter: Int = 50): (Result, Int) = {
+      maxIter: Int = 50, checkEvery: Int = 3, firstCheck: Int = 3)
+      : (Result, Int) = {
+    require(checkEvery >= 1 && firstCheck >= 1,
+      s"need positive check schedule, got every=$checkEvery first=$firstCheck")
     val spark = g.edges.sparkSession
     val np = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val eBase = g.edges.select(col("src"), col("dst"))
@@ -140,7 +146,8 @@ object Salsa {
           .agg(sum(col("score") / col("out_degree")).as("score"))
         hubs = Normalize.l1(hubsU)
         val cur = Checkpoints.materialize(Normalize.l1(authsU))
-        prev.foreach { p =>
+        if (it >= firstCheck && (it - firstCheck) % checkEvery == 0)
+            prev.foreach { p =>
           // Co-partitioned full-outer delta join — see Hits.runConverged.
           val delta = cur.as("c")
             .join(p.as("p").hint("SHUFFLE_HASH"),

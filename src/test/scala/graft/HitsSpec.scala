@@ -108,7 +108,8 @@ class HitsSpec extends SparkSuite {
   test("runConverged on an empty graph converges immediately, no crash") {
     val (r, iters) = Hits.runConverged(graph(Seq.empty), maxIter = 5)
     assert(r.hubs.count() == 0L && r.auths.count() == 0L)
-    assert(iters <= 2) // empty delta reads as 0 < tol on the first check
+    // empty delta reads as 0 < tol on the first SCHEDULED check
+    assert(iters <= 3)
   }
 
   test("edge input order does not change scores (permutation invariance)") {

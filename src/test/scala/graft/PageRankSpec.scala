@@ -39,7 +39,10 @@ class PageRankSpec extends SparkSuite {
     // 2-cycle: uniform init IS the fixed point — converges on the
     // second iteration (the first delta compares against init).
     val g = graph(Seq(("a", "b", 1.0), ("b", "a", 1.0)))
-    val (p, iters) = PageRank.runConverged(g, tol = 1e-9, maxIter = 40)
+    // checkEvery=1/firstCheck=1 reproduces the per-iteration check;
+    // the default batched schedule is covered separately below.
+    val (p, iters) = PageRank.runConverged(g, tol = 1e-9, maxIter = 40,
+      checkEvery = 1, firstCheck = 1)
     assert(iters <= 2, s"2-cycle took $iters iterations")
     assertApprox(scoresMap(p), Map("a" -> 0.5, "b" -> 0.5))
     // a structured graph: converged result == fixed run at that depth.
@@ -57,6 +60,23 @@ class PageRankSpec extends SparkSuite {
   test("runConverged on an empty graph converges immediately, no crash") {
     val (p, iters) = PageRank.runConverged(graph(Seq.empty), maxIter = 5)
     assert(p.count() == 0L)
-    assert(iters <= 2)
+    assert(iters <= 3) // first scheduled check (default firstCheck=3)
+  }
+
+  test("batched delta checks stop on the schedule and report actual N") {
+    // The 2-cycle's fixed point is reached at iteration 2, but with the
+    // default schedule the first check runs at iteration 3 — the kernel
+    // overruns by one no-op refinement, reports 3, and the vector still
+    // equals the fixed-iteration kernel at that depth.
+    val g = graph(Seq(("a", "b", 1.0), ("b", "a", 1.0)))
+    val (p, iters) = PageRank.runConverged(g, tol = 1e-9, maxIter = 40)
+    assert(iters == 3, s"expected the first scheduled check, got $iters")
+    assertApprox(scoresMap(p), Map("a" -> 0.5, "b" -> 0.5))
+    // a misaligned schedule overruns by < checkEvery, never more
+    val (p5, it5) = PageRank.runConverged(g, tol = 1e-9, maxIter = 40,
+      checkEvery = 5, firstCheck = 4)
+    assert(it5 == 4, s"expected the firstCheck iteration, got $it5")
+    assertApprox(scoresMap(p5),
+      scoresMap(PageRank.run(g, numIter = it5)), 1e-12)
   }
 }

@@ -80,6 +80,6 @@ class SalsaSpec extends SparkSuite {
   test("runConverged on an empty graph converges immediately, no crash") {
     val (r, iters) = Salsa.runConverged(graph(Seq.empty), maxIter = 5)
     assert(r.hubs.count() == 0L && r.auths.count() == 0L)
-    assert(iters <= 2)
+    assert(iters <= 3) // first scheduled check (default firstCheck=3)
   }
 }
