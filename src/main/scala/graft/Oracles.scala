@@ -968,24 +968,32 @@ object Oracles {
     * [[graft.pipelines.Similarity.annTopKLsh]], including the
     * margin-ordered single-bit multi-probe expansion of the query's
     * probe list). */
-  def annTopKLsh(nq: Int = 10, k: Int = 5, nprobe: Int = 5): String = {
+  def annTopKLsh(nq: Int = 10, k: Int = 5, nprobe: Int = 22): String = {
     import graft.pipelines.HyperplaneLsh
+    val bits = HyperplaneLsh.Bits
     val tableRows = (0 until HyperplaneLsh.Tables).map { t =>
       s"SELECT vec_id, $t AS tbl, ${HyperplaneLsh.bucketSql(t, "embedding")} AS bkt FROM base"
     }.mkString("\nUNION ALL ")
-    // Per table: sort the 6 planes by (|margin|, j), flip the first
-    // nprobe-1 bits of the query's own bucket — identical IEEE folds on
-    // both engines make the sort order deterministic.
+    // Per table: perturbation sets {}, {j}, {i,j} ranked by summed
+    // |margin| (ties on the xor mask), first nprobe taken — mirror of
+    // the Spark side's 2-flip multi-probe; identical IEEE folds on both
+    // engines make the sums and so the sort order deterministic. The
+    // per-plane margins are named columns of the inner query, so each
+    // fold appears once in the SQL text.
     val probeRows = (0 until HyperplaneLsh.Tables).map { t =>
-      val margins = (0 until HyperplaneLsh.Bits).map(j =>
-        s"{'m': abs(${HyperplaneLsh.planeDotSql(t, j, "embedding")}), 'j': $j}")
+      val marginCols = (0 until bits).map(j =>
+        s"abs(${HyperplaneLsh.planeDotSql(t, j, "embedding")}) AS m$j")
+        .mkString(", ")
+      val entries = (Seq(s"{'m': 0.0::DOUBLE, 'x': 0::BIGINT}") ++
+        (0 until bits).map(j => s"{'m': m$j, 'x': ${1L << j}::BIGINT}") ++
+        (for { i <- 0 until bits; j <- (i + 1) until bits } yield
+          s"{'m': m$i + m$j, 'x': ${(1L << i) | (1L << j)}::BIGINT}"))
         .mkString("[", ", ", "]")
       s"SELECT vec_id AS query_id, $t AS qt, " +
-        s"unnest(list_prepend(bkt0, list_transform(flips, " +
-        s"j -> xor(bkt0, 1 << j)))) AS qk " +
+        s"unnest(list_transform(list_sort($entries)[1:$nprobe], " +
+        s"s -> xor(bkt0, s.x))) AS qk " +
         s"FROM (SELECT vec_id, ${HyperplaneLsh.bucketSql(t, "embedding")} AS bkt0, " +
-        s"list_transform(list_sort($margins)[1:${nprobe - 1}], s -> s.j) AS flips " +
-        s"FROM base WHERE vec_id < $nq) qq"
+        s"$marginCols FROM base WHERE vec_id < $nq) qq"
     }.mkString("\nUNION ALL ")
     s"""WITH base AS MATERIALIZED (
        |  SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM embeddings),

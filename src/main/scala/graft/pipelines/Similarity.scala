@@ -46,12 +46,12 @@ object Similarity {
     * quantized rerank width. Output shape is identical across
     * strategies: `(query_id, rn, neighbor_id, cosine)`. `lshProbes` is
     * the multi-probe width of the LSH rung (buckets probed per table:
-    * own + margin-ordered single-bit flips); it is separate from the
+    * own + margin-ranked 1-/2-bit flips); it is separate from the
     * IVF `nprobe` because the two knobs live on different scales
     * (buckets-of-2^Bits vs cells-of-nlist). */
   def ann(emb: DataFrame, strategy: AnnStrategy, nq: Int = 10, k: Int = 5,
       nlist: Int = 0, nprobe: Int = 2, cand: Int = 20,
-      trainFraction: Double = 1.0, lshProbes: Int = 5): DataFrame = strategy match {
+      trainFraction: Double = 1.0, lshProbes: Int = 22): DataFrame = strategy match {
     case AnnStrategy.Exact => annTopK(emb, nq, k)
     case AnnStrategy.Lsh => annTopKLsh(emb, nq, k, lshProbes)
     case AnnStrategy.Ivf => annTopKIvf(emb, nq, k, nlist, nprobe, trainFraction)
@@ -137,40 +137,55 @@ object Similarity {
     * bucket, so the scored set stays near-constant per query as the
     * corpus grows; recall is the standard LSH trade.
     *
-    * MULTI-PROBE: per table each query probes its own bucket plus the
-    * `nprobe − 1` single-bit-flip neighbor buckets of the hyperplanes
-    * with the smallest |margin| (signed distance) — a true neighbor
-    * that lands on the wrong side of a near-grazing plane is in
-    * exactly such a bucket, so margin-ordered flips buy most of the
-    * recall of extra tables at zero index cost (Lv et al.'s
-    * multi-probe LSH). The probe expansion is query-side only: the
+    * MULTI-PROBE: per table each query probes its own bucket plus
+    * `nprobe − 1` neighbor buckets reached by flipping ONE or TWO of
+    * the hyperplanes, ranked by the summed |margin| (signed distance)
+    * of the flipped planes — a true neighbor that lands on the wrong
+    * side of one or two near-grazing planes is in exactly such a
+    * bucket, so margin-ranked perturbation sets buy most of the recall
+    * of extra tables at ZERO index cost (Lv et al.'s multi-probe LSH
+    * with the perturbation-set expansion capped at 2 flips; single-bit
+    * flips alone plateaued at recall@5 ≈ 0.6 on the gate corpus —
+    * SCALING.md ladder). The probe expansion is query-side only: the
     * corpus is still bucketed once, and the candidate join stays an
     * equi-join on (table, bucket) against a broadcast probe list of
     * `nq·Tables·nprobe` rows. `nprobe = 1` is the classic single-probe
-    * scheme. */
+    * scheme; the ceiling is `1 + Bits + C(Bits,2)` (own bucket + all
+    * 1-/2-bit flips). */
   def annTopKLsh(emb: DataFrame, nq: Int = 10, k: Int = 5,
-      nprobe: Int = 5): DataFrame = {
-    require(nprobe >= 1 && nprobe <= HyperplaneLsh.Bits + 1,
-      s"nprobe must be in [1, ${HyperplaneLsh.Bits + 1}], got $nprobe")
+      nprobe: Int = 22): DataFrame = {
+    val bits = HyperplaneLsh.Bits
+    val maxProbes = 1 + bits + bits * (bits - 1) / 2
+    require(nprobe >= 1 && nprobe <= maxProbes,
+      s"nprobe must be in [1, $maxProbes], got $nprobe")
     val base = emb.select(col("vec_id"), col("embedding"),
       norm(col("embedding")).as("nrm"))
     val buckets = (0 until HyperplaneLsh.Tables).map { t =>
       base.select(col("vec_id"), lit(t).as("tbl"),
         HyperplaneLsh.bucket(t, col("embedding")).as("bkt"))
     }.reduce(_ unionAll _)
-    // Probe list: margin-ordered single-bit flips, deterministic on both
-    // engines (identical IEEE folds -> identical sort; ties break on the
-    // plane index).
+    // Probe list: perturbation sets {}, {j}, {i,j} ranked by summed
+    // |margin| (ties on the xor mask), deterministic on both engines
+    // (identical IEEE folds -> identical sums -> identical sort). The
+    // per-plane margins are projected ONCE per query row; the 22-entry
+    // struct array references the named columns, not 36 re-folds.
     val qb = (0 until HyperplaneLsh.Tables).map { t =>
-      val qk = HyperplaneLsh.bucket(t, col("embedding"))
-      val margins = array_sort(array((0 until HyperplaneLsh.Bits).map(j =>
-        struct(abs(HyperplaneLsh.planeDot(t, j, col("embedding"))).as("m"),
-          lit(j).as("j"))): _*))
-      val flips = transform(slice(margins, 1, nprobe - 1), s =>
-        qk.bitwiseXOR(pow(lit(2.0), s.getField("j").cast("double")).cast("long")))
-      base.filter(col("vec_id") < nq)
-        .select(col("vec_id").as("query_id"), lit(t).as("qt"),
-          explode(concat(array(qk), flips)).as("qk"))
+      val qrows = base.filter(col("vec_id") < nq)
+        .select(Seq(col("vec_id"),
+          HyperplaneLsh.bucket(t, col("embedding")).as("bkt0")) ++
+          (0 until bits).map(j =>
+            abs(HyperplaneLsh.planeDot(t, j, col("embedding"))).as(s"m$j")): _*)
+      val entries: Seq[Column] =
+        struct(lit(0.0).as("m"), lit(0L).as("x")) +:
+        ((0 until bits).map(j =>
+          struct(col(s"m$j").as("m"), lit(1L << j).as("x"))) ++
+         (for { i <- 0 until bits; j <- (i + 1) until bits } yield
+          struct((col(s"m$i") + col(s"m$j")).as("m"),
+            lit((1L << i) | (1L << j)).as("x"))))
+      val probes = array_sort(array(entries: _*))
+      qrows.select(col("vec_id").as("query_id"), lit(t).as("qt"),
+        explode(transform(slice(probes, 1, nprobe), s =>
+          col("bkt0").bitwiseXOR(s.getField("x")))).as("qk"))
     }.reduce(_ unionAll _)
     val cand = buckets.join(broadcast(qb),
         col("tbl") === col("qt") && col("bkt") === col("qk") &&

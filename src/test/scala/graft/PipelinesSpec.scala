@@ -119,13 +119,16 @@ class PipelinesSpec extends SparkSuite {
     val exact = pairs(Similarity.annTopK(emb, nq = 5, k = 3))
     val single = pairs(Similarity.annTopKLsh(emb, nq = 5, k = 3, nprobe = 1))
     val multi = pairs(Similarity.annTopKLsh(emb, nq = 5, k = 3, nprobe = 7))
+    val full = pairs(Similarity.annTopKLsh(emb, nq = 5, k = 3, nprobe = 22))
     val rs = (single & exact).size
     val rm = (multi & exact).size
-    // flipping every plane probes strictly more buckets: recall can only grow
+    val rf = (full & exact).size
+    // a larger margin-ranked probe set can only add buckets: recall grows
     assert(rm >= rs, s"multi-probe recall $rm < single-probe $rs")
+    assert(rf >= rm, s"2-flip recall $rf < 1-flip-range recall $rm")
     assert(rm > 0)
-    // all-bit probing at tiny scale must find most of the truth
-    assert(rm >= exact.size / 2, s"nprobe=7 recall $rm/${exact.size}")
+    // every 1-/2-bit perturbation probed at tiny scale: most of the truth
+    assert(rf >= exact.size / 2, s"nprobe=22 recall $rf/${exact.size}")
   }
 
   test("annTopKIvf with nprobe == nlist degenerates to exact brute force") {
