@@ -1028,7 +1028,7 @@ object Oracles {
     * the hash-gated training sample (`graft_hash(vec_id || '|ivftrain')
     * ‰`, seeds force-included) — the Lloyd step then averages only the
     * sampled rows, while indexing/probing still cover the full corpus. */
-  private def ivfCtes(nlist: Int, dim: Int,
+  private def ivfTrainCtes(nlist: Int, dim: Int,
       trainPermille: Int = 1000): String = {
     val trainSrc = if (trainPermille >= 1000) "base"
     else s"""(SELECT * FROM base WHERE vec_id < $nlist OR
@@ -1048,13 +1048,49 @@ object Oracles {
        |  SELECT cid, list(round(m, 6) ORDER BY pos) AS cvec FROM (
        |    SELECT cid, i AS pos, avg(CAST(embedding[i] AS DOUBLE)) AS m
        |    FROM a0 CROSS JOIN (SELECT unnest(generate_series(1, $dim)) AS i) ix
-       |    GROUP BY cid, i) GROUP BY cid),
+       |    GROUP BY cid, i) GROUP BY cid)""".stripMargin
+  }
+
+  private def ivfCtes(nlist: Int, dim: Int,
+      trainPermille: Int = 1000): String =
+    s"""${ivfTrainCtes(nlist, dim, trainPermille)},
        |a1 AS MATERIALIZED (
        |  SELECT vec_id, embedding, nrm, cid FROM (
        |    SELECT b.vec_id, b.embedding, b.nrm, c.cid,
        |           ROW_NUMBER() OVER (PARTITION BY b.vec_id
        |             ORDER BY ${sqDistSql("b.embedding", "c.cvec")}, c.cid) AS rn
        |    FROM base b CROSS JOIN cent c) WHERE rn = 1)""".stripMargin
+
+  /** [[ivfTrainCtes]] + the TWO-LEVEL assignment mirror of
+    * [[graft.pipelines.Similarity]]'s `nearestCellsHier`: centroids
+    * grouped under the `⌈√nlist⌉` smallest-cid super-centroids, vectors
+    * assigned first to the nearest super, then to the nearest centroid
+    * within that super's group. Ends in the same `a1(vec_id,
+    * embedding, nrm, cid)` shape as [[ivfCtes]]. */
+  private def ivfHierCtes(nlist: Int, dim: Int,
+      trainPermille: Int = 1000): String = {
+    val superCount = math.ceil(math.sqrt(nlist.toDouble)).toInt
+    s"""${ivfTrainCtes(nlist, dim, trainPermille)},
+       |sup AS MATERIALIZED (
+       |  SELECT cid AS sid, cvec AS svec FROM cent WHERE cid < $superCount),
+       |cgrp AS MATERIALIZED (
+       |  SELECT sid, cid, cvec FROM (
+       |    SELECT s.sid, c.cid, c.cvec,
+       |           ROW_NUMBER() OVER (PARTITION BY c.cid
+       |             ORDER BY ${sqDistSql("c.cvec", "s.svec")}, s.sid) AS rn
+       |    FROM cent c CROSS JOIN sup s) WHERE rn = 1),
+       |vsup AS MATERIALIZED (
+       |  SELECT vec_id, embedding, nrm, sid FROM (
+       |    SELECT b.vec_id, b.embedding, b.nrm, s.sid,
+       |           ROW_NUMBER() OVER (PARTITION BY b.vec_id
+       |             ORDER BY ${sqDistSql("b.embedding", "s.svec")}, s.sid) AS rn
+       |    FROM base b CROSS JOIN sup s) WHERE rn = 1),
+       |a1 AS MATERIALIZED (
+       |  SELECT vec_id, embedding, nrm, cid FROM (
+       |    SELECT v.vec_id, v.embedding, v.nrm, g.cid,
+       |           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+       |             ORDER BY ${sqDistSql("v.embedding", "g.cvec")}, g.cid) AS rn
+       |    FROM vsup v JOIN cgrp g ON g.sid = v.sid) WHERE rn = 1)""".stripMargin
   }
 
   /** IVF ANN top-k (mirror of
@@ -1085,14 +1121,26 @@ object Oracles {
     * [[graft.pipelines.Similarity.semanticDuplicates]]): IVF cell
     * assignment ([[ivfCtes]]), exact cosine only inside a cell. */
   def dedupSemantic(threshold: Double, nlist: Int = 8,
-      dim: Int = 64): String =
-    s"""WITH ${ivfCtes(nlist, dim)},
+      dim: Int = 64, maxCellCompare: Int = 64): String =
+    s"""WITH ${ivfHierCtes(nlist, dim)},
+       |rk AS MATERIALIZED (
+       |  SELECT vec_id, embedding, nrm, cid,
+       |         ROW_NUMBER() OVER (PARTITION BY cid ORDER BY vec_id) AS rn
+       |  FROM a1),
        |p AS (
-       |  SELECT x.cid, x.vec_id AS a, y.vec_id AS b,
+       |  SELECT x.vec_id AS a, y.vec_id AS b,
        |         ${dotSql("x.embedding", "y.embedding")} / (x.nrm * y.nrm) AS cos
-       |  FROM a1 x JOIN a1 y ON x.cid = y.cid AND x.vec_id < y.vec_id)
-       |SELECT cid, a, b, round(cos, 6) AS cosine FROM p
-       |WHERE cos >= $threshold::DOUBLE ORDER BY a, b""".stripMargin
+       |  FROM rk x JOIN rk y ON x.cid = y.cid AND y.vec_id < x.vec_id
+       |   AND y.rn <= $maxCellCompare),
+       |agg AS (
+       |  SELECT a, max(cos) AS max_cos,
+       |         min(CASE WHEN cos >= $threshold::DOUBLE THEN b END) AS rep_id
+       |  FROM p GROUP BY a)
+       |SELECT v.vec_id, v.cid, agg.rep_id,
+       |       round(agg.max_cos, 6) AS max_cos,
+       |       (agg.rep_id IS NULL) AS keep
+       |FROM a1 v LEFT JOIN agg ON agg.a = v.vec_id
+       |ORDER BY v.vec_id""".stripMargin
 
   /** Mirror of [[graft.pipelines.TextMetrics.tfidf]]: term frequency,
     * document frequency, `tf * ln(N/df)` rounded to 6 decimals. */

@@ -128,14 +128,17 @@ object ScaleBench {
     }),
     "ann_topk_lsh" -> ((s, dir) =>
       pipelines.Similarity.annTopKLsh(GraphIO.embeddings(s, dir))),
-    // Σ|cell|² is bounded only if nlist grows with the corpus: this row
-    // runs the DERIVED default (nlist=0 → autoNlist = max(8, ⌈√N⌉)),
-    // the measured optimum of the assignment/pair bathtub — fixed
-    // nlist=8 measures 38.8× at 10× data; derived measures ~7× against
-    // a pair OUTPUT that itself grows 137× (see SCALING.md round 8).
+    // The documented 100 TB configuration end-to-end: derived nlist
+    // (autoNlist = ⌈√N⌉ — fixed nlist=8 measured 38.8× at 10×),
+    // hash-gated SAMPLED centroid training (decouples the Lloyd pass
+    // from corpus size), two-level hierarchical index assignment
+    // (2·√nlist folds per vector instead of nlist), per-vector verdict
+    // output (O(N), not O(dup²) pairs), and the per-cell anchor cap
+    // (comparison work O(N·cap)). Round 8 measured 5.0× at 10× on the
+    // pair-output formulation; the target band is ≤3×.
     "dedup_semantic" -> ((s, dir) =>
       pipelines.Similarity.semanticDuplicates(GraphIO.embeddings(s, dir),
-        0.3)),
+        0.3, trainFraction = 0.1)),
     "ann_topk_q8" -> ((s, dir) =>
       pipelines.Similarity.annTopKQ8(GraphIO.embeddings(s, dir))),
     // the composed 100 TB ladder: IVF cell probe -> quantized scan ->

@@ -209,6 +209,47 @@ object Similarity {
   /** Nearest-`n` centroid assignment: centroids are always broadcast
     * (`nlist` rows), the vector side streams once; deterministic
     * (distance, cid) tiebreak. */
+  /** Two-level (hierarchical) nearest-cell assignment: centroids are
+    * grouped under `⌈√nlist⌉` super-centroids (the smallest-cid
+    * centroids, each centroid assigned to its nearest super), and a
+    * vector first finds its nearest super, then its nearest centroid
+    * WITHIN that super's group — `O(2·√nlist)` distance folds per
+    * vector instead of the flat `O(nlist)`. With `nlist ∝ √N` that
+    * turns the full-corpus index assignment from Θ(N^1.5) into
+    * Θ(N^1.25), which is what lets [[semanticDuplicates]] hold a
+    * near-linear 10× wall ratio (SCALING.md round 9). The trade is the
+    * standard coarse-quantizer approximation: a vector whose true
+    * nearest centroid lives under a different super lands in a
+    * neighboring cell — acceptable for dedup blocking (both copies of
+    * a near-dup pair make the SAME approximate choice, since the
+    * assignment is a deterministic function of the embedding).
+    * Deterministic: every argmin tiebreaks on (distance, id), every
+    * fold is the oracle-mirrored sequential sqDist. */
+  private def nearestCellsHier(vecs: DataFrame, cents: DataFrame,
+      nlist: Int): DataFrame = {
+    val superCount = math.ceil(math.sqrt(nlist.toDouble)).toInt
+    val supers = cents.filter(col("cid") < superCount)
+      .select(col("cid").as("sid"), col("cvec").as("svec"))
+    // nlist rows × superCount supers — trivial
+    val wc = Window.partitionBy(col("cid")).orderBy(col("d"), col("sid"))
+    val centGroups = cents.crossJoin(broadcast(supers))
+      .withColumn("d", sqDist(col("cvec"), col("svec")))
+      .withColumn("rn", row_number().over(wc)).filter(col("rn") === 1)
+      .select(col("sid"), col("cid"), col("cvec"))
+    // corpus × superCount supers — N·√nlist folds
+    val wv = Window.partitionBy(col("vec_id")).orderBy(col("d"), col("sid"))
+    val vecSuper = vecs.crossJoin(broadcast(supers))
+      .withColumn("d", sqDist(col("embedding"), col("svec")))
+      .withColumn("rn", row_number().over(wv)).filter(col("rn") === 1)
+      .drop("svec", "d", "rn")
+    // corpus × own-group centroids — N·(nlist/superCount) folds on avg
+    val wv2 = Window.partitionBy(col("vec_id")).orderBy(col("d"), col("cid"))
+    vecSuper.join(broadcast(centGroups), Seq("sid"))
+      .withColumn("d", sqDist(col("embedding"), col("cvec")))
+      .withColumn("rn", row_number().over(wv2)).filter(col("rn") === 1)
+      .drop("sid", "cvec", "d", "rn")
+  }
+
   private def nearestCells(vecs: DataFrame, cents: DataFrame,
       n: Int): DataFrame = {
     val w = Window.partitionBy(col("vec_id"))
@@ -308,35 +349,92 @@ object Similarity {
       .orderBy(col("query_id"), col("rn"))
   }
 
-  /** SemDeDup-style semantic near-duplicate pairs: cluster the corpus
-    * with the IVF coarse quantizer ([[ivfCentroids]], nearest-cell
-    * assignment), then score exact cosine only for pairs sharing a
-    * cell, keeping pairs at or above `threshold`. This is the
-    * embedding-space analogue of MinHash banding: the quadratic pair
-    * space is cut to Σ|cell|² — with `nlist` scaled ∝ corpus size the
-    * per-cell population (and so the pair work) stays bounded as the
-    * corpus grows, which is exactly how SemDeDup runs over web-scale
-    * corpora (k-means first, pairwise cosine only inside clusters).
-    * Norms are computed once per vector, never per pair. At 100 TB
-    * pass `trainFraction` < 1 so centroid training runs on a
-    * deterministic hash-gated sample (see [[ivfCentroids]]). */
+  /** SemDeDup-style semantic dedup: cluster the corpus with the IVF
+    * coarse quantizer ([[ivfCentroids]], nearest-cell assignment),
+    * score exact cosine only WITHIN cells (the embedding-space
+    * analogue of MinHash banding — with `nlist` ∝ corpus size the
+    * per-cell pair work stays bounded), and emit ONE VERDICT ROW PER
+    * VECTOR: `(vec_id, cid, rep_id, max_cos, keep)`.
+    *
+    * Keep-first semantics: a vector is a duplicate iff some same-cell
+    * vector with a SMALLER vec_id has cosine ≥ `threshold`; `rep_id`
+    * is the smallest such vector (its representative), `max_cos` the
+    * max cosine to any smaller-id same-cell vector (NULL for a cell's
+    * minimum — nothing smaller to compare), `keep` = no representative
+    * found. A vector can chain to an itself-dropped representative —
+    * the standard greedy shortcut (SemDeDup keeps one exemplar per
+    * similarity neighborhood; exact transitive closure would need the
+    * connected-components machinery of [[graft.pipelines.Dedup]]).
+    *
+    * OUTPUT IS O(corpus), NOT O(dup²) — the r8 version emitted the
+    * qualifying pairs themselves, and a mass-duplicated corpus (every
+    * replica a near-dup of every other) made the OUTPUT quadratic in
+    * the duplication factor even though the candidate generation was
+    * cell-bounded (measured 5.0× wall at 10× data, SCALING.md). The
+    * pair stream now collapses into per-vector aggregates the moment
+    * it is produced (map-side partial max/min inside the cid
+    * partition), so nothing pair-shaped is ever shuffled or returned.
+    *
+    * COMPARISON WORK IS O(corpus · maxCellCompare), NOT Σ|cell|² —
+    * each vector compares only against its cell's `maxCellCompare`
+    * smallest-id members ("anchors"); with √N-scaled nlist the
+    * uncapped within-cell pair work is Θ(N^1.5), which a mass-
+    * duplicated corpus actually reaches. When a cell overflows the
+    * cap, a loud audit warns (the [[Dedup.ngramJaccard]] df-guard
+    * pattern): two beyond-cap members are then compared only through
+    * the shared anchors, so a duplicate pair BOTH of whose members
+    * rank past the cap and whose representative is not an anchor can
+    * be missed. In the mass-duplication case the anchors are exactly
+    * the earliest copies, so verdicts are unaffected — late replicas
+    * still hit their earliest twin.
+    *
+    * Norms are computed once per vector, never per pair; the ranked
+    * cell assignment is materialized once and feeds both join sides,
+    * the audit, and the verdict join (the caller's
+    * `Checkpoints.releaseAll` frees it). At 100 TB pass
+    * `trainFraction` < 1 so centroid training runs on a deterministic
+    * hash-gated sample (see [[ivfCentroids]]). */
   def semanticDuplicates(emb: DataFrame, threshold: Double,
-      nlist: Int = 0, trainFraction: Double = 1.0): DataFrame = {
+      nlist: Int = 0, trainFraction: Double = 1.0,
+      maxCellCompare: Int = 64): DataFrame = {
+    require(maxCellCompare >= 1,
+      s"maxCellCompare must be >= 1, got $maxCellCompare")
     val corpus = emb.select(col("vec_id"), col("embedding"),
       norm(col("embedding")).as("nrm"))
+    val nl = resolveNlist(nlist, corpus)
     val indexed =
-      nearestCells(corpus, ivfCentroids(corpus, nlist, trainFraction), 1)
-    val x = indexed.select(col("cid"), col("vec_id").as("a"),
+      nearestCellsHier(corpus, ivfCentroids(corpus, nl, trainFraction), nl)
+    val wCell = Window.partitionBy(col("cid")).orderBy(col("vec_id"))
+    val ranked = graft.Checkpoints.materialize(
+      indexed.withColumn("rn", row_number().over(wCell)))
+    val nBeyond = ranked.filter(col("rn") > maxCellCompare).count()
+    if (nBeyond > 0)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"semanticDuplicates: $nBeyond vectors rank past maxCellCompare=" +
+          s"$maxCellCompare in their cell and are compared only against " +
+          "the cap anchors; duplicates whose every similar partner is " +
+          "beyond the cap are missed")
+    val x = ranked.select(col("cid"), col("vec_id").as("a"),
       col("embedding").as("va"), col("nrm").as("na"))
-    val y = indexed.select(col("cid").as("cid2"), col("vec_id").as("b"),
-      col("embedding").as("vb"), col("nrm").as("nb"))
-    x.join(y, col("cid") === col("cid2") && col("a") < col("b"))
-      .select(col("cid"), col("a"), col("b"),
+    // The anchor side is bounded (≤ nlist·maxCellCompare rows) — hash
+    // build side, never sorted (the checkpointed input hides size
+    // stats, which would otherwise push the planner to SMJ).
+    val y = ranked.filter(col("rn") <= maxCellCompare)
+      .select(col("cid").as("cid2"), col("vec_id").as("b"),
+        col("embedding").as("vb"), col("nrm").as("nb"))
+      .hint("SHUFFLE_HASH")
+    val verdicts = x.join(y, col("cid") === col("cid2") && col("b") < col("a"))
+      .select(col("a"), col("b"),
         (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
-      .filter(col("cos") >= lit(threshold))
-      .select(col("cid"), col("a"), col("b"),
-        round(col("cos"), 6).as("cosine"))
-      .orderBy(col("a"), col("b"))
+      .groupBy(col("a"))
+      .agg(max(col("cos")).as("max_cos"),
+        min(when(col("cos") >= lit(threshold), col("b"))).as("rep_id"))
+    ranked.select(col("vec_id"), col("cid"))
+      .join(verdicts, col("vec_id") === col("a"), "left")
+      .select(col("vec_id"), col("cid"), col("rep_id"),
+        round(col("max_cos"), 6).as("max_cos"),
+        col("rep_id").isNull.as("keep"))
+      .orderBy(col("vec_id"))
   }
 
   /** Per-vector max-abs: the int8 quantization scale denominator.

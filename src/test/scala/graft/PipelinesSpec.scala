@@ -193,14 +193,19 @@ class PipelinesSpec extends SparkSuite {
     assert(q8.nonEmpty && q8.forall(r => r.getLong(2) != r.getLong(0)))
     val sem = Similarity.semanticDuplicates(emb, 0.0, nlist = 4,
       trainFraction = 0.5).collect()
-    assert(sem.forall(r => r.getLong(1) < r.getLong(2)))
+    // one verdict row per vector; a representative is always a
+    // smaller-id vector
+    assert(sem.length == emb.count())
+    assert(sem.filter(!_.getBoolean(4)).forall(r => r.getLong(2) < r.getLong(0)))
   }
 
-  test("semanticDuplicates pairs near vectors within a cell, skips cross-cell") {
+  test("semanticDuplicates: per-vector verdicts, reps stay in-cell, " +
+      "output is O(corpus) not O(dup²)") {
     import spark.implicits._
     // two well-separated clusters (+x, +y); near-identical twins inside
-    // each cluster must pair, vectors from different clusters must not —
-    // both by the cell cut AND the cosine threshold.
+    // each cluster must collapse onto one representative, vectors from
+    // different clusters must not — both by the cell cut AND the
+    // cosine threshold.
     val rnd = new scala.util.Random(5)
     def jitter(base: Array[Float]): Array[Float] =
       base.map(v => v + (rnd.nextFloat() - 0.5f) * 0.02f)
@@ -208,13 +213,21 @@ class PipelinesSpec extends SparkSuite {
     val ys = (1L until 20L by 2).map(i => (i, jitter(Array(0f, 1f, 0f, 0f))))
     val emb = (xs ++ ys).toDF("vec_id", "embedding")
     val got = Similarity.semanticDuplicates(emb, 0.9, nlist = 2).collect()
-      .map(r => (r.getLong(1), r.getLong(2)))
-    assert(got.nonEmpty)
-    // pairs never straddle the two clusters (even ids +x, odd ids +y)
-    assert(got.forall { case (a, b) => a % 2 == b % 2 })
-    // jittered same-cluster vectors are all >= 0.9 cosine → complete
-    // within-cluster pairing: C(10,2) per cluster
-    assert(got.length == 2 * (10 * 9) / 2)
+    // a mass-duplicated corpus emits ONE row per vector — the r8 pair
+    // output here would have been 2·C(10,2) = 90 rows
+    assert(got.length == 20)
+    val byId = got.map(r => r.getLong(0) ->
+      ((r.getLong(1), if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        r.getBoolean(4)))).toMap
+    // each cluster keeps exactly its smallest member; everything else
+    // is a duplicate of it (complete within-cluster similarity)
+    assert(byId(0L)._3 && byId(1L)._3)
+    for (i <- 2L until 20L) {
+      val (_, rep, keep) = byId(i)
+      assert(!keep, s"vec $i should be a duplicate")
+      // representatives never straddle the clusters (even +x, odd +y)
+      assert(rep.contains(i % 2), s"vec $i rep $rep")
+    }
   }
 
   test("plan audit: dedup pair generation and semantic dedup never go cartesian") {
