@@ -1502,6 +1502,50 @@ object Oracles {
        |FROM g ORDER BY doc_id""".stripMargin
   }
 
+  /** Mirror of [[graft.pipelines.Images.resizedRoundTrip]]: the gray-8
+    * PNG hops are lossless and the nearest-neighbor pick grid is
+    * `orig[(i div nw)·f·W + (i mod nw)·f]` over the zero-padded byte
+    * raster, so the resized statistics replay from the raw bytes. */
+  def multimodalResizeReal(factor: Int = 2): String = {
+    val w = graft.pipelines.Images.RowWidth
+    val nw = math.max(1, w / factor)
+    s"""WITH $byteListCtes,
+       |g AS (SELECT doc_id, n, bs,
+       |  greatest(1, (n + ${w - 1}) // $w) AS h FROM bl),
+       |d AS (SELECT doc_id, bs, $nw AS nw, greatest(1, h // $factor) AS nh
+       |  FROM g),
+       |s AS (SELECT doc_id, nw, nh,
+       |  list_reduce(list_prepend(0::BIGINT, list_transform(range(nw * nh),
+       |    i -> coalesce(bs[CAST((i // nw) * $factor * $w +
+       |      (i % nw) * $factor + 1 AS INT)], 0))), (a, v) -> a + v) AS s
+       |  FROM d)
+       |SELECT doc_id, CAST(nw AS INT) AS width, CAST(nh AS INT) AS height,
+       |       CAST(nw * nh AS BIGINT) AS n_pixels,
+       |       round(CAST(s AS DOUBLE) / (nw * nh), 6) AS mean_luma
+       |FROM s ORDER BY doc_id""".stripMargin
+  }
+
+  /** Mirror of [[graft.pipelines.Images.frameSample]]: the gray GIF
+    * frames are lossless `side`×`side` tiles of the zero-padded byte
+    * stream, so every sampled frame's mean luminance replays from the
+    * raw bytes. */
+  def multimodalFrames(stride: Int = 2): String = {
+    val side = graft.pipelines.Images.RowWidth
+    val fb = side * side
+    s"""WITH $byteListCtes,
+       |g AS (SELECT doc_id, n, bs,
+       |  greatest(1, (n + ${fb - 1}) // $fb) AS f FROM bl),
+       |fr AS (SELECT doc_id, bs, unnest(range(f)) AS frame_idx FROM g),
+       |st AS (SELECT doc_id, frame_idx,
+       |  list_reduce(list_prepend(0::BIGINT, list_transform(range($fb),
+       |    j -> coalesce(bs[CAST(frame_idx * $fb + j + 1 AS INT)], 0))),
+       |    (a, v) -> a + v) AS s
+       |  FROM fr WHERE frame_idx % $stride = 0)
+       |SELECT doc_id, frame_idx, $side AS width, $side AS height,
+       |       round(CAST(s AS DOUBLE) / $fb, 6) AS mean_luma
+       |FROM st ORDER BY doc_id, frame_idx""".stripMargin
+  }
+
   /** Mirror of [[graft.pipelines.Audio.audioRoundTrip]]: 8-bit PCM is
     * lossless, so decoded sample statistics equal raw-byte statistics;
     * rate/channels are the encoder's literals. */

@@ -454,6 +454,19 @@ object SparkEntry {
     // so the oracle replays the decoded stats from the raw bytes.
     "multimodal_image_roundtrip" -> ((s, dir) =>
       graft.pipelines.Images.imageRoundTrip(s, GraphIO.documents(s, dir))),
+    // REAL 2-D resize proof: PNG → ImageIoCodec.resize (decode,
+    // nearest-neighbor both axes, re-encode) → decode — lossless hops,
+    // so the oracle replays the resized stats from raw bytes.
+    "multimodal_resize_real" -> ((s, dir) =>
+      graft.pipelines.Images.resizedRoundTrip(s,
+        GraphIO.documents(s, dir), factor = 2)),
+    // REAL multi-frame path: animated gray GIF (the JDK's only
+    // writable+readable multi-frame container) → per-frame decode →
+    // every-2nd-frame sampling — the video-pipeline shape without a
+    // JDK video codec.
+    "multimodal_frames" -> ((s, dir) =>
+      graft.pipelines.Images.frameSample(s, GraphIO.documents(s, dir),
+        stride = 2)),
     // REAL audio codec proof: bytes → 8-bit PCM WAV → AudioSystem
     // decode; lossless, so the oracle replays from raw bytes.
     "multimodal_audio_roundtrip" -> ((s, dir) =>
@@ -646,6 +659,8 @@ object SparkEntry {
     "multimodal_image_roundtrip" -> Oracles.multimodalImageRoundtrip,
     "multimodal_audio_roundtrip" -> Oracles.multimodalAudioRoundtrip,
     "multimodal_resize" -> Oracles.multimodalResize(),
+    "multimodal_resize_real" -> Oracles.multimodalResizeReal(factor = 2),
+    "multimodal_frames" -> Oracles.multimodalFrames(stride = 2),
     "corpus_quote_matrix" -> Oracles.corpusQuoteMatrix(),
     "dedup_containment" -> Oracles.dedupContainment(threshold = 0.5),
     "pipeline_curate" -> Oracles.pipelineCurate(

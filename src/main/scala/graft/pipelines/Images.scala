@@ -101,6 +101,153 @@ object Images {
     }
   }
 
+  /** Oracle-gated REAL 2-D resize proof: bytes → gray-8 PNG →
+    * [[ImageIoCodec.resize]] (decode, nearest-neighbor downsample BOTH
+    * axes by `factor`, re-encode) → decode → geometry + luminance
+    * stats. Both PNG hops are lossless and the resampler's pick grid
+    * is deterministic, so the DuckDB twin
+    * ([[graft.Oracles.multimodalResizeReal]]) replays the resized
+    * statistics from the raw bytes — a 1-D byte stride (the old
+    * FakeCodec route) or any interpolating resampler breaks the hash. */
+  def resizedRoundTrip(spark: SparkSession, docs: DataFrame,
+      factor: Int): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val rz = ImageIoCodec.resize(encodeGrayPng(bytes), factor)
+        val (w, h, px) = decodeGray(rz).getOrElse(
+          throw new IllegalStateException(
+            s"self-encoded resized PNG undecodable for doc $id"))
+        var sum = 0L
+        px.foreach(b => sum += (b & 0xff))
+        ImageMeta(id, w, h, px.length.toLong, sum.toDouble / px.length)
+      })
+      .toDF()
+      .select(col("doc_id"), col("width"), col("height"), col("n_pixels"),
+        round(col("mean_luma"), 6).as("mean_luma"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Pack bytes into consecutive `side`×`side` gray frames (zero-padded
+    * tail, at least one frame) and encode as a REAL multi-frame
+    * animated GIF via the JDK's sequence-writing ImageIO GIF writer —
+    * the pure-JDK stand-in for a video container (no video codec ships
+    * with the JDK). Gray-8 fits a 256-entry GIF palette exactly, so
+    * the frames are lossless. */
+  def encodeAnimatedGif(bytes: Array[Byte], side: Int = RowWidth)
+      : Array[Byte] = {
+    val frameBytes = side * side
+    val nFrames = math.max(1, (bytes.length + frameBytes - 1) / frameBytes)
+    val bos = new ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bos)
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      var f = 0
+      while (f < nFrames) {
+        val img = new BufferedImage(side, side, BufferedImage.TYPE_BYTE_GRAY)
+        val raster = img.getRaster
+        var i = 0
+        while (i < frameBytes) {
+          val gi = f * frameBytes + i
+          raster.setSample(i % side, i / side, 0,
+            if (gi < bytes.length) bytes(gi) & 0xff else 0)
+          i += 1
+        }
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null),
+          null)
+        f += 1
+      }
+      writer.endWriteSequence()
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
+    bos.toByteArray
+  }
+
+  /** Decode EVERY frame of a multi-frame payload (animated GIF) to
+    * (width, height, luminance bytes). Empty for undecodable bytes —
+    * the corrupt-tail posture, same as [[decodeGray]]. */
+  def decodeFrames(payload: Array[Byte]): Seq[(Int, Int, Array[Byte])] = {
+    val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(payload))
+    try {
+      val readers = ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) return Seq.empty
+      val reader = readers.next()
+      try {
+        reader.setInput(iis)
+        val n = reader.getNumImages(true)
+        (0 until n).map { i =>
+          val im = reader.read(i)
+          val gray =
+            if (im.getType == BufferedImage.TYPE_BYTE_GRAY) im
+            else {
+              val g = new BufferedImage(im.getWidth, im.getHeight,
+                BufferedImage.TYPE_BYTE_GRAY)
+              val gg = g.createGraphics()
+              try gg.drawImage(im, 0, 0, null) finally gg.dispose()
+              g
+            }
+          val (w, h) = (gray.getWidth, gray.getHeight)
+          val out = new Array[Byte](w * h)
+          val raster = gray.getRaster
+          var j = 0
+          while (j < out.length) {
+            out(j) = raster.getSample(j % w, j / w, 0).toByte
+            j += 1
+          }
+          (w, h, out)
+        }
+      } finally reader.dispose()
+    } catch {
+      case _: java.io.IOException => Seq.empty
+    } finally iis.close()
+  }
+
+  final case class FrameMeta(doc_id: Long, frame_idx: Long, width: Int,
+    height: Int, mean_luma: Double)
+
+  /** Oracle-gated multi-frame decode + FRAME SAMPLING: bytes → REAL
+    * animated gray GIF ([[encodeAnimatedGif]], one `side`×`side` frame
+    * per `side`² bytes) → REAL per-frame ImageIO decode
+    * ([[decodeFrames]]) → keep every `stride`-th frame → per-frame
+    * geometry + mean luminance. This is the video-pipeline shape
+    * (decode, sample frames, featurize) on the only multi-frame
+    * container the JDK can both write and read; the GIF hops are
+    * lossless, so the DuckDB twin
+    * ([[graft.Oracles.multimodalFrames]]) replays the sampled frame
+    * statistics from the raw bytes. Scale shape: one encoded container
+    * + one decoded frame in memory per row at a time, `flatMap` inside
+    * one `mapPartitions` pass — output rows ∝ payload bytes / side². */
+  def frameSample(spark: SparkSession, docs: DataFrame, stride: Int = 2,
+      side: Int = RowWidth): DataFrame = {
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    import spark.implicits._
+    docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        val gif = encodeAnimatedGif(bytes, side)
+        val frames = decodeFrames(gif)
+        if (frames.isEmpty)
+          throw new IllegalStateException(
+            s"self-encoded GIF undecodable for doc $id") // loud beats silent
+        frames.iterator.zipWithIndex
+          .filter { case (_, i) => i % stride == 0 }
+          .map { case ((w, h, px), i) =>
+            var sum = 0L
+            px.foreach(b => sum += (b & 0xff))
+            FrameMeta(id, i.toLong, w, h, sum.toDouble / px.length)
+          }
+      })
+      .toDF()
+      .select(col("doc_id"), col("frame_idx"), col("width"), col("height"),
+        round(col("mean_luma"), 6).as("mean_luma"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
   /** Oracle-gated end-to-end round trip: UTF-8 document bytes → REAL
     * gray-8 PNG encode → REAL ImageIO decode → decoded geometry +
     * mean luminance. Because gray-8 PNG is lossless, the DuckDB twin
@@ -129,14 +276,15 @@ object Images {
 }
 
 /** REAL [[MediaCodec]]: ImageIO-backed decode (PNG/BMP/GIF/JPEG — the
-  * JDK's built-in readers), luminance-byte output; byte-level `resize`
-  * keeps the trait's 1-D contract (callers with image semantics use
-  * [[Images.resizePng]] for true 2-D resampling). Drop-in for
+  * JDK's built-in readers), luminance-byte output; `resize` is the
+  * true 2-D resampler ([[Images.resizePng]]: decode, nearest-neighbor
+  * downsample BOTH axes, re-encode — undecodable payloads pass
+  * through unchanged, the corrupt-tail posture). Drop-in for
   * [[Multimodal.extractFeatures]]/[[Multimodal.resizeAll]]. */
 object ImageIoCodec extends MediaCodec {
   override def decode(payload: Array[Byte]): Array[Byte] =
     Images.decodeGray(payload).map(_._3).getOrElse(Array.emptyByteArray)
 
   override def resize(payload: Array[Byte], factor: Int): Array[Byte] =
-    FakeCodec.resize(payload, factor)
+    Images.resizePng(payload, factor)
 }

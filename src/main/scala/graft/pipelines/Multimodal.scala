@@ -58,17 +58,18 @@ object Multimodal {
       GraftHash.graftHash(spark, col("text")).as("payload_fp"))
       .orderBy(col("doc_id"))
 
-  /** Distributed "resize" pass over payloads: mapPartitions batches, one
+  /** Distributed resize pass over payloads: mapPartitions batches, one
     * output row per input, metadata updated to the new byte length.
-    * The decode→resize composition is where a real media pipeline would
-    * do its work; here both steps are the documented stubs. */
+    * The codec's `resize` is container-to-container (an encoded
+    * payload in, an encoded payload out — [[ImageIoCodec]] decodes,
+    * 2-D-resamples, and re-encodes internally; the [[FakeCodec]] stub
+    * byte-strides the opaque payload). */
   def resizeAll(spark: SparkSession, payloads: DataFrame,
       factor: Int, codec: MediaCodec = FakeCodec): Dataset[Payload] = {
     import spark.implicits._
     payloads.select(col("doc_id"), col("mime"), col("payload")).as[Payload]
       .mapPartitions(_.map { p =>
-        Payload(p.doc_id, p.mime,
-          codec.resize(codec.decode(p.payload), factor))
+        Payload(p.doc_id, p.mime, codec.resize(p.payload, factor))
       })
   }
 
@@ -99,7 +100,9 @@ object Multimodal {
 trait MediaCodec extends Serializable {
   /** Decode an opaque payload into frame/sample bytes. */
   def decode(payload: Array[Byte]): Array[Byte]
-  /** Rescale decoded data to `factor`⁻¹ of its size. */
+  /** Rescale an ENCODED payload to `factor`⁻¹ per media dimension,
+    * returning an encoded payload (container in, container out — a
+    * real codec decodes, resamples, and re-encodes internally). */
   def resize(payload: Array[Byte], factor: Int): Array[Byte]
 }
 

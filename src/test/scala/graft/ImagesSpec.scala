@@ -76,6 +76,54 @@ class ImagesSpec extends SparkSuite {
     }
   }
 
+  test("ImageIoCodec.resize halves both dimensions through the codec " +
+      "trait (real 2-D resampler, not a byte stride)") {
+    // 16x4 gradient through the TRAIT entry point (what resizeAll
+    // drives): dimensions halve and samples come from the (2x, 2y)
+    // pick grid — a 1-D byte stride would keep a 16-wide geometry.
+    val src = Array.tabulate(64)(i => i.toByte)
+    val out = ImageIoCodec.resize(Images.encodeGrayPng(src), 2)
+    val Some((w, h, px)) = Images.decodeGray(out)
+    assert(w == 8 && h == 2, s"expected halved dimensions, got ${w}x$h")
+    for (y <- 0 until 2; x <- 0 until 8)
+      assert(px(y * 8 + x) == src(2 * y * 16 + 2 * x))
+    // and through the distributed resizeAll pass
+    import spark.implicits._
+    val payloads = Seq((1L, "image/png", Images.encodeGrayPng(src)))
+      .toDF("doc_id", "mime", "payload")
+    val rz = Multimodal.resizeAll(spark, payloads, 2, ImageIoCodec)
+      .collect().head
+    assert(Images.decodeGray(rz.payload).exists {
+      case (ww, hh, _) => ww == 8 && hh == 2 })
+  }
+
+  test("animated GIF: multi-frame encode/decode is lossless; frame " +
+      "sampling keeps every stride-th frame") {
+    val b = bytes(16 * 16 * 3 + 10, 7) // 3 full frames + a padded 4th
+    val gif = Images.encodeAnimatedGif(b)
+    assert(gif.take(3).map(_.toChar).mkString == "GIF")
+    val frames = Images.decodeFrames(gif)
+    assert(frames.length == 4)
+    assert(frames.forall { case (w, h, px) =>
+      w == 16 && h == 16 && px.length == 256 })
+    // lossless: concatenated frame pixels = zero-padded payload
+    val all = frames.flatMap(_._3).toArray
+    assert(all.take(b.length).toSeq == b.toSeq)
+    assert(all.drop(b.length).forall(_ == 0))
+    // single-frame GIF of undecodable-junk size still decodes; junk in
+    // is Seq.empty out
+    assert(Images.decodeFrames("not a gif".getBytes("UTF-8")).isEmpty)
+    // sampling: stride 2 over 4 frames keeps frames 0 and 2
+    import spark.implicits._
+    val docs = Seq((1L, new String(Array.fill(16 * 16 * 3 + 10)('a'))))
+      .toDF("doc_id", "text")
+    val got = Images.frameSample(spark, docs, stride = 2).collect()
+    assert(got.map(_.getLong(1)).toSeq == Seq(0L, 2L))
+    assert(got.forall(r => r.getInt(2) == 16 && r.getInt(3) == 16))
+    // frame 0 is all 'a' (97): mean 97; frame 2 likewise
+    assert(got.forall(r => r.getDouble(4) == 97.0))
+  }
+
   test("imageRoundTrip matches a direct byte computation") {
     import spark.implicits._
     val docs = Seq((1L, "hello world"), (2L, ""), (3L, "x" * 40))

@@ -854,9 +854,11 @@ class PipelinesSpec extends SparkSuite {
     val f = Multimodal.extractFeatures(spark, Multimodal.withPayload(d),
       ZeroCodec).collect().head
     assert(f.n_bytes == 3 && f.byte_mean == 0.0) // zeros, not "abc" bytes
+    // resize is container-to-container: the injected codec sees the
+    // ENCODED payload, not a pre-decoded one
     val r = Multimodal.resizeAll(spark, Multimodal.withPayload(d), 3,
       ZeroCodec).collect().head
-    assert(r.payload.length == 1 && r.payload.head == 0)
+    assert(r.payload.length == 1 && r.payload.head == 'a'.toByte)
   }
 
   test("KMV sketch: exact below K, within 3 sigma above K, merges to " +
