@@ -1672,6 +1672,29 @@ object Oracles {
     * The Spark side computes the fused wide hash and recovers (h1, h2)
     * by div/mod of the bijective pairing; here the two folds are
     * computed directly — identical values by construction. */
+  /** Oracle of the STREAMING CMS gate (`stream_token_cms`): the
+    * streaming complete-mode cell grid must equal the batch grid, and
+    * the batch grid is this SQL — the `cells` stage of
+    * [[corpusTokenCms]] alone, ordered by (r, bucket). */
+  def streamTokenCms: String = {
+    import graft.pipelines.Sketches.{CmsDepth, CmsWidth}
+    val params = MinHashParams.params.take(CmsDepth)
+    def ext(v: String) = s"(($v) || '|' || ($v) || '#' || ($v))"
+    val arms = params.zipWithIndex.map { case ((a, b), r) =>
+      s"SELECT $r AS r, " +
+        s"(($a*h1 + $b*h2) % 1000000007) % $CmsWidth AS bucket FROM h12"
+    }.mkString("\n    UNION ALL ")
+    s"""WITH tok AS MATERIALIZED (
+       |  SELECT unnest(${TF.sqlTokens("text")}) AS v FROM documents),
+       |h12 AS MATERIALIZED (
+       |  SELECT ${GraftHash.duckdbSql(ext("v"))} AS h1,
+       |         ${GraftHash.duckdbSql2(ext("v"))} AS h2
+       |  FROM tok WHERE v IS NOT NULL)
+       |SELECT r, bucket, CAST(count(*) AS BIGINT) AS cnt
+       |FROM ($arms) u GROUP BY r, bucket
+       |ORDER BY r, bucket""".stripMargin
+  }
+
   def corpusTokenCms(probes: Seq[String]): String = {
     import graft.pipelines.Sketches.{CmsDepth, CmsWidth}
     val params = MinHashParams.params.take(CmsDepth)

@@ -542,6 +542,32 @@ object SparkEntry {
         GraphIO.documents(s, dir)
           .select(explode(TF.tokens(col("text"))).as("tok")),
         col("tok"), CmsProbes)),
+    // STREAMING twin of the CMS cell grid: the same tokens arrive via
+    // readStream (continuous-ingest shape), the sketch aggregates in
+    // complete mode — state is the bounded d×w grid regardless of
+    // stream length — and the AvailableNow run drains the parquet as
+    // one finite stream. The oracle is the batch cells SQL: streaming
+    // and batch must produce the identical grid.
+    "stream_token_cms" -> ((s, dir) => {
+      val name = "graft_stream_cms_gate"
+      val schema = GraphIO.documents(s, dir).schema
+      // the testdata tables are single parquet FILES; the file-stream
+      // source demands a directory-shaped path, so glob the file name
+      // ([t] = literal t) — the source then lists the parent dir and
+      // matches exactly documents.parquet. A production deployment
+      // streams a directory and never hits this.
+      val docs = s.readStream.schema(schema)
+        .parquet(s"$dir/documents.parque[t]")
+      val toks = docs.select(explode(TF.tokens(col("text"))).as("tok"))
+      s.catalog.dropTempView(name) // idempotent re-run in one session
+      val q = Sketches.cmsSketch(s, toks, col("tok"))
+        .writeStream.outputMode("complete").format("memory")
+        .queryName(name)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(name).orderBy(col("r"), col("bucket"))
+    }),
     // ---- retrieval: keyword, hybrid sparse+dense, inverted index ----
     "search_bm25" -> ((s, dir) =>
       Retrieval.bm25(GraphIO.documents(s, dir), SearchTerms)),
@@ -677,6 +703,7 @@ object SparkEntry {
     "sample_weighted" -> Oracles.sampleWeighted(n = 50),
     "sample_quality_cutoff" -> Oracles.sampleQualityCutoff(),
     "corpus_token_cms" -> Oracles.corpusTokenCms(CmsProbes),
+    "stream_token_cms" -> Oracles.streamTokenCms,
     "search_bm25" -> Oracles.bm25Search(SearchTerms),
     "search_hybrid_rrf" -> Oracles.hybridRrf(SearchTerms, queryVecId = 0L),
     "text_inverted_index" -> Oracles.invertedIndex(2, 400))

@@ -81,6 +81,8 @@ class CheckpointLifecycleSpec extends SparkSuite {
   test("reliable checkpoint mode produces identical kernel scores") {
     val local = Hits.run(g1, numIter = 8)
     val (lh, la) = (scoresMap(local.hubs), scoresMap(local.auths))
+    val localConv = scoresMap(
+      Hits.runConverged(g1, tol = 1e-9, maxIter = 20)._1.auths)
     val dir = java.nio.file.Files
       .createTempDirectory("graft-ckpt-spec").toString
     spark.conf.set(Checkpoints.ReliableKey, "true")
@@ -89,8 +91,21 @@ class CheckpointLifecycleSpec extends SparkSuite {
       val reliable = Hits.run(g1, numIter = 8)
       assertApprox(scoresMap(reliable.hubs), lh, 1e-15)
       assertApprox(scoresMap(reliable.auths), la, 1e-15)
+      // reliable mode really engaged: the run wrote checkpoint files
+      // into the configured shared-storage dir (a silent fallback to
+      // localCheckpoint would leave it empty)
+      def filesUnder(p: java.io.File): Int =
+        if (p.isDirectory) p.listFiles().map(filesUnder).sum
+        else 1
+      assert(filesUnder(new java.io.File(dir)) > 0,
+        s"no reliable checkpoint files written under $dir")
       val pr = PageRank.run(g1, numIter = 4)
       assert(pr.count() > 0)
+      // converged loops run the same materialize path: executor-loss
+      // safety also covers the fixed-point kernels, scores unchanged
+      val (rc, it) = Hits.runConverged(g1, tol = 1e-9, maxIter = 20)
+      assert(it > 1)
+      assertApprox(scoresMap(rc.auths), localConv, 1e-15)
     } finally {
       spark.conf.unset(Checkpoints.ReliableKey)
       spark.conf.unset(Checkpoints.DirKey)
