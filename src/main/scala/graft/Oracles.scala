@@ -1672,6 +1672,20 @@ object Oracles {
     * The Spark side computes the fused wide hash and recovers (h1, h2)
     * by div/mod of the bijective pairing; here the two folds are
     * computed directly — identical values by construction. */
+  /** Mirror of [[graft.pipelines.Sketches.heavyHitters]]: the operator
+    * computes EXACT counts of every token with frequency > n/(k+1) —
+    * the Misra-Gries pass only bounds the candidate set, so the oracle
+    * is the plain exact formulation with the same integer-exact
+    * `cnt·(k+1) > n` threshold. */
+  def corpusHeavyTokens(k: Int = 64): String =
+    s"""WITH vals AS MATERIALIZED (
+       |  SELECT unnest(${TF.sqlTokens("text")}) AS v FROM documents),
+       |tot AS (SELECT count(*) AS n FROM vals)
+       |SELECT v, CAST(count(*) AS BIGINT) AS cnt
+       |FROM vals GROUP BY v
+       |HAVING count(*) * ${k + 1} > (SELECT n FROM tot)
+       |ORDER BY cnt DESC, v""".stripMargin
+
   /** Oracle of the STREAMING CMS gate (`stream_token_cms`): the
     * streaming complete-mode cell grid must equal the batch grid, and
     * the batch grid is this SQL — the `cells` stage of

@@ -542,6 +542,14 @@ object SparkEntry {
         GraphIO.documents(s, dir)
           .select(explode(TF.tokens(col("text"))).as("tok")),
         col("tok"), CmsProbes)),
+    // Exact heavy hitters: Misra-Gries bounded candidate pass + exact
+    // recount of the ≤ k candidates — the output is exactly the tokens
+    // with frequency > n/(k+1), merge-order-independent.
+    "corpus_heavy_tokens" -> ((s, dir) =>
+      Sketches.heavyHitters(s,
+        GraphIO.documents(s, dir)
+          .select(explode(TF.tokens(col("text"))).as("tok")),
+        col("tok"))),
     // STREAMING twin of the CMS cell grid: the same tokens arrive via
     // readStream (continuous-ingest shape), the sketch aggregates in
     // complete mode — state is the bounded d×w grid regardless of
@@ -704,6 +712,7 @@ object SparkEntry {
     "sample_quality_cutoff" -> Oracles.sampleQualityCutoff(),
     "corpus_token_cms" -> Oracles.corpusTokenCms(CmsProbes),
     "stream_token_cms" -> Oracles.streamTokenCms,
+    "corpus_heavy_tokens" -> Oracles.corpusHeavyTokens(),
     "search_bm25" -> Oracles.bm25Search(SearchTerms),
     "search_hybrid_rrf" -> Oracles.hybridRrf(SearchTerms, queryVecId = 0L),
     "text_inverted_index" -> Oracles.invertedIndex(2, 400))

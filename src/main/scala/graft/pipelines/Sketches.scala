@@ -190,6 +190,48 @@ object Sketches {
       .orderBy(col("probe"))
   }
 
+  /** EXACT heavy hitters in two bounded passes — every value whose
+    * frequency exceeds `n/(k+1)`, with its exact count:
+    *
+    *  1. a [[graft.functions.MisraGriesAgg]] pass folds the stream
+    *     into ≤ k candidate values (map-side-combined, ≤ k counters
+    *     per partition — the bounded-state pass that makes this
+    *     feasible at 100 TB, where a full `groupBy(value).count()`
+    *     would hash-aggregate the whole vocabulary);
+    *  2. the stream is re-scanned once, semi-joined against the
+    *     broadcast ≤ k-row candidate list, and only candidates are
+    *     exactly recounted.
+    *
+    * The MG guarantee (every value with true count > n/(k+1) survives
+    * any merge tree) makes the final `cnt·(k+1) > n` filter
+    * MERGE-ORDER-INDEPENDENT: the candidate set may wobble near the
+    * threshold between runs, but the values that pass the exact-count
+    * filter are exactly the true heavy hitters every time — which is
+    * what lets an order-sensitive sketch power an oracle-gated
+    * operator. The threshold compares `cnt·(k+1) > n` in exact int64
+    * arithmetic (no division-semantics drift cross-engine). The total
+    * count rides the candidate aggregate as an in-plan 1-row broadcast
+    * (no driver action). */
+  def heavyHitters(spark: SparkSession, df: DataFrame, value: Column,
+      k: Int = 64): DataFrame = {
+    import spark.implicits._
+    require(k >= 1, s"k must be >= 1, got $k")
+    val vals = df.select(value.cast("string").as("v"))
+      .filter(col("v").isNotNull)
+    val cand = vals.as[String]
+      .select(new graft.functions.MisraGriesAgg(k).toColumn.name("cand"),
+        count(lit(1)).as[Long]) // 1 row: candidates + total stream count
+      .toDF("cand", "n")
+    val candidates = cand
+      .select(explode(col("cand")).as("v"), col("n")) // ≤ k rows
+    vals.join(broadcast(candidates), Seq("v"), "inner")
+      .groupBy(col("v"), col("n"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * lit(k + 1L) > col("n"))
+      .select(col("v"), col("cnt"))
+      .orderBy(col("cnt").desc, col("v"))
+  }
+
   def kmvPairwiseJaccard(spark: SparkSession, df: DataFrame, group: Column,
       value: Column): DataFrame = {
     // Materialize the (tiny — one row per group) sketch table before the

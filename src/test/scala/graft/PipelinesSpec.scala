@@ -861,6 +861,30 @@ class PipelinesSpec extends SparkSuite {
     assert(r.payload.length == 1 && r.payload.head == 'a'.toByte)
   }
 
+  test("heavyHitters: exact counts above n/(k+1), partition-invariant, " +
+      "and the recount join stays broadcast") {
+    import spark.implicits._
+    import graft.pipelines.Sketches
+    val rows = Seq.fill(300)("hot") ++ Seq.fill(120)("warm") ++
+      (1 to 500).map(i => s"tail$i") ++ Seq.fill(80)("edge")
+    val df = rows.toDF("v")
+    val n = rows.length // 1000
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Sketches.heavyHitters(spark, d, col("v"), k = 8).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val got = run(df)
+    // threshold n/(k+1) = 1000/9 ≈ 111.1: hot (300) and warm (120)
+    // qualify, edge (80) and every tail value do not
+    assert(got == Seq("hot" -> 300L, "warm" -> 120L))
+    // merge-order independence: radically different partitionings
+    assert(run(df.repartition(32)) == got)
+    assert(run(df.coalesce(1)) == got)
+    // the recount join against the <= k candidates must be broadcast
+    val plan = Sketches.heavyHitters(spark, df, col("v"), k = 8)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("KMV sketch: exact below K, within 3 sigma above K, merges to " +
       "the union's sketch") {
     import spark.implicits._

@@ -195,6 +195,38 @@ class PropertiesSpec extends SparkSuite {
     }
   }
 
+  test("MisraGriesAgg guarantee: every value with freq > n/(k+1) survives " +
+      "any split-merge; counts undercount by <= n/(k+1)") {
+    val gen: Gen[List[String]] = for {
+      n <- Gen.choose(0, 400)
+      rows <- Gen.listOfN(n, Gen.frequency(
+        6 -> Gen.const("hot"), 3 -> Gen.const("warm"),
+        2 -> Gen.oneOf("a", "b", "c"),
+        1 -> Gen.choose(0, 200).map(i => s"tail$i")))
+    } yield rows
+    val samples = (1 to 10).flatMap(i =>
+      gen.apply(Gen.Parameters.default, Seed(300L + i)))
+    for (rows <- samples; k <- Seq(2, 4, 8)) {
+      val agg = new graft.functions.MisraGriesAgg(k)
+      val n = rows.length
+      val truth = rows.groupBy(identity).map { case (v, g) => v -> g.size }
+      val heavy = truth.filter { case (_, c) => c.toLong * (k + 1) > n }.keySet
+      // arbitrary 3-way split-merge (the shape Spark's partials take)
+      val parts = rows.grouped(math.max(1, rows.length / 3)).toList
+      val merged = parts.map(_.foldLeft(agg.zero)(agg.reduce))
+        .foldLeft(agg.zero)(agg.merge)
+      val cand = agg.finish(merged).toSet
+      assert(heavy.subsetOf(cand),
+        s"k=$k lost heavy hitters ${heavy -- cand} (n=$n)")
+      // stored counts undercount by at most n/(k+1)
+      merged.foreach { case (v, c) =>
+        val t = truth.getOrElse(v, 0).toLong
+        assert(c <= t && t - c <= n / (k + 1) + 1,
+          s"k=$k count bound broken for $v: stored $c true $t n=$n")
+      }
+    }
+  }
+
   test("TopKAgg ranks NaN metrics largest, matching desc sort order") {
     // The window formulation sorts NaN as the largest double under
     // desc; a naive `>` comparator would never admit a NaN row,
