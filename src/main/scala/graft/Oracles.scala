@@ -1765,6 +1765,35 @@ object Oracles {
        |FROM x GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  /** Mirror of [[graft.pipelines.TextMetrics.bigramNll]]: bigrams by
+    * PARALLEL unnest of the token list against its own tail (DuckDB
+    * zips equal-length parallel unnests), conditional surprise
+    * `−ln(c(a,b)/c_start(a))` in integer micro-nats, exact long sum,
+    * one division to the mean. */
+  def textBigramNll: String = {
+    val toks = TF.sqlTokens("text")
+    s"""WITH t AS MATERIALIZED (
+       |  SELECT doc_id, $toks AS ts FROM documents),
+       |bg AS MATERIALIZED (
+       |  SELECT doc_id,
+       |         unnest(ts[1:len(ts)-1]) AS a,
+       |         unnest(ts[2:len(ts)]) AS b
+       |  FROM t WHERE len(ts) >= 2),
+       |cab AS MATERIALIZED (
+       |  SELECT a, b, CAST(count(*) AS BIGINT) AS cab FROM bg GROUP BY a, b),
+       |ca AS MATERIALIZED (
+       |  SELECT a, CAST(count(*) AS BIGINT) AS ca FROM bg GROUP BY a),
+       |x AS (
+       |  SELECT doc_id,
+       |         CAST(round(-ln(CAST(cab AS DOUBLE) / CAST(ca AS DOUBLE))
+       |                    * 1000000.0) AS BIGINT) AS nll_micro
+       |  FROM bg JOIN cab USING (a, b) JOIN ca USING (a))
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |       round(CAST(sum(nll_micro) AS DOUBLE) / 1000000.0
+       |             / CAST(count(*) AS DOUBLE), 6) AS mean_nll
+       |FROM x GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   /** Mirror of [[graft.pipelines.TextMetrics.qualityCutoff]]:
     * percentile over integer micro-unit qualities, survivors above. */
   def sampleQualityCutoff(q: Double = 0.75): String = {

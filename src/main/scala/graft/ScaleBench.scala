@@ -164,6 +164,15 @@ object ScaleBench {
     "text_inverted_index" -> ((s, dir) =>
       pipelines.Retrieval.invertedIndex(GraphIO.documents(s, dir),
         minDf = 2, maxDf = Int.MaxValue)),
+    // bounded MG candidate pass (≤ k counters per partition) + exact
+    // recount of ≤ k broadcast candidates: two scans, no vocabulary-
+    // sized aggregation — the ratio should be the token-scan floor
+    "corpus_heavy_tokens" -> ((s, dir) =>
+      pipelines.Sketches.heavyHitters(s,
+        GraphIO.documents(s, dir)
+          .select(explode(graft.functions.TextFunctions.tokens(col("text")))
+            .as("tok")),
+        col("tok"))),
     // fixed d×w cell grid: map-side combine collapses every partition
     // to ≤2048 cells — the ratio should be the token-scan floor
     "corpus_token_cms" -> ((s, dir) =>

@@ -486,6 +486,10 @@ object SparkEntry {
     // unigram distribution (micro-nat-exact cross-engine).
     "text_unigram_nll" -> ((s, dir) =>
       TextMetrics.unigramNll(GraphIO.documents(s, dir))),
+    // Order-sensitive companion: conditional bigram surprise — high for
+    // common tokens in uncommon order (shuffled/stitched text).
+    "text_bigram_nll" -> ((s, dir) =>
+      TextMetrics.bigramNll(GraphIO.documents(s, dir))),
     // Cross-source quotation matrix over winnow fingerprints.
     "corpus_quote_matrix" -> ((s, dir) =>
       Dedup.sourceQuoteMatrix(s, GraphIO.documents(s, dir))),
@@ -707,6 +711,7 @@ object SparkEntry {
     "sample_topk_quality_agg" -> Oracles.sampleTopkQuality(k = 10),
     "text_char_entropy" -> Oracles.textCharEntropy,
     "text_unigram_nll" -> Oracles.textUnigramNll,
+    "text_bigram_nll" -> Oracles.textBigramNll,
     "sample_temperature" -> Oracles.sampleTemperature(total = 200, alpha = 0.5),
     "sample_weighted" -> Oracles.sampleWeighted(n = 50),
     "sample_quality_cutoff" -> Oracles.sampleQualityCutoff(),

@@ -419,6 +419,14 @@ object Dedup {
     try {
       val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       val dfs = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      // loud drop audit — same contract as ngramJaccard's: hot-shingle
+      // exclusion silently undercounts both containment directions, so
+      // it must never be invisible
+      val nDropped = dfs.filter(col("df") > maxShingleDf).count()
+      if (nDropped > 0)
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"containment: dropped $nDropped hot shingles (df > $maxShingleDf) " +
+            "before the pair join; their pairs' containment is undercounted")
       val kept = sh.join(dfs.filter(col("df") <= maxShingleDf),
         Seq("sh"), "left_semi")
       val x = kept.select(col("doc_id").as("a"), col("sh"))

@@ -131,6 +131,51 @@ object TextMetrics {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-document mean BIGRAM negative log-likelihood under the
+    * corpus's own bigram statistics — the order-sensitive companion of
+    * [[unigramNll]]: a document of common tokens in an uncommon ORDER
+    * (shuffled text, stitched boilerplate, keyword-stuffed spam) scores
+    * high here while unigram NLL stays low. Per bigram (a, b) the
+    * conditional surprise is `−ln(c(a,b) / c_start(a))` where
+    * `c_start(a)` counts bigrams beginning with `a` — every observed
+    * bigram has c ≥ 1, so no smoothing is needed for corpus-internal
+    * scoring. Returns `(doc_id, n_bigrams, mean_nll)`; documents with
+    * < 2 tokens produce no row.
+    *
+    * Determinism: the unigramNll scheme — per-bigram micro-nats
+    * rounded BEFORE the per-document sum (exact long arithmetic,
+    * order-independent), one division back at the end.
+    *
+    * Scale shape: bigrams are formed IN-PLAN by zipping the token
+    * array with its own tail (no positional self-join of the token
+    * stream — that join would shuffle rows ∝ tokens on a composite
+    * key); then two hash aggregations (corpus bigram counts, start
+    * counts) and two dimension joins of the bigram stream, the same
+    * broadcast-or-shuffle profile as tfidf/unigramNll. */
+  def bigramNll(docs: DataFrame): DataFrame = {
+    val ts = TF.tokens(col("text"))
+    val bg = docs
+      .select(col("doc_id"), ts.as("ts"))
+      .filter(size(col("ts")) >= 2)
+      .select(col("doc_id"),
+        explode(zip_with(
+          slice(col("ts"), lit(1), size(col("ts")) - 1),
+          slice(col("ts"), lit(2), size(col("ts")) - 1),
+          (a, b) => struct(a.as("a"), b.as("b")))).as("z"))
+      .select(col("doc_id"), col("z.a").as("a"), col("z.b").as("b"))
+    val cab = bg.groupBy(col("a"), col("b")).agg(count(lit(1)).as("cab"))
+    val ca = bg.groupBy(col("a")).agg(count(lit(1)).as("ca"))
+    bg.join(cab, Seq("a", "b")).join(ca, Seq("a"))
+      .select(col("doc_id"),
+        round(-log(col("cab").cast("double") / col("ca").cast("double")) *
+          lit(1e6)).cast("long").as("nll_micro"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("nll_micro")).cast("double") / lit(1e6) /
+          count(lit(1)).cast("double"), 6).as("mean_nll"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Dynamic-threshold quality filter: keep documents whose quality
     * clears the corpus's own `q`-th percentile — "keep the best
     * quartile" curation, where the cutoff adapts to the corpus instead
