@@ -1,0 +1,67 @@
+package graft.pipelines
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact continuous percentiles WITHOUT the multiset buffer.
+  *
+  * Spark's exact `percentile` aggregate holds a group's entire value
+  * MULTISET in one aggregation buffer — a single global group (the
+  * corpus quality cutoff) or one hot group key buffers the full 100 TB
+  * column on one task. This helper computes the identical continuous
+  * percentile from the group's value HISTOGRAM instead:
+  *
+  *  1. `groupBy(group, value).count()` — a hash aggregation whose
+  *     state is bounded by the VALUE DOMAIN (integer micro-units /
+  *     cents: ≤ ~10⁶-10⁸ distinct), not the row count;
+  *  2. a running-count window over the histogram rows (per-group
+  *     partition; for the global case a single partition over the
+  *     domain-bounded histogram — bounded by the domain, never the
+  *     corpus);
+  *  3. per quantile `q`: `idx = q·(n−1)`, the values at 0-based ranks
+  *     `⌊idx⌋`/`⌈idx⌉` picked by conditional min over the cumulative
+  *     counts, then `lo + (idx − ⌊idx⌋)·(hi − lo)` — operand-for-
+  *     operand the interpolation Spark's `Percentile.getPercentile`
+  *     and DuckDB's `quantile_cont` evaluate, so results are
+  *     bit-identical to the aggregate they replace (the oracle gates
+  *     prove it: they were authored against `percentile` /
+  *     `quantile_cont` and pass unchanged).
+  */
+object Quantiles {
+
+  /** `(group..., q, n, p)` — exact continuous percentile `p` of the
+    * integer-valued `value` for each group × each `qs` entry. Pass
+    * `groupCols = Nil` for one global group. */
+  def contFromHistogram(df: DataFrame, groupCols: Seq[String],
+      value: Column, qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty, "need at least one quantile")
+    val spark = df.sparkSession
+    import spark.implicits._
+    // a constant key stands in for the global group so every step
+    // below is the one grouped code path
+    val (base, gcols) =
+      if (groupCols.isEmpty)
+        (df.select(lit(1).as("__g"), value.cast("long").as("v")), Seq("__g"))
+      else
+        (df.select(groupCols.map(col) :+ value.cast("long").as("v"): _*),
+          groupCols)
+    val g = gcols.map(col)
+    val hist = base.groupBy(g :+ col("v"): _*).agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(g: _*).orderBy(col("v"))
+    val cum = hist.select(g ++ Seq(col("v"), col("cnt"),
+      sum(col("cnt")).over(w).as("cum")): _*)
+    val tot = hist.groupBy(g: _*).agg(sum(col("cnt")).as("n"))
+    val qdf = qs.toDF("q")
+    val sel = cum.join(tot, gcols).crossJoin(broadcast(qdf))
+      .withColumn("idx", col("q") * (col("n") - 1).cast("double"))
+      .groupBy(g ++ Seq(col("q"), col("n"), col("idx")): _*)
+      .agg(min(when(col("cum") > floor(col("idx")), col("v"))).as("lo"),
+        min(when(col("cum") > ceil(col("idx")), col("v"))).as("hi"))
+      .select(g ++ Seq(col("q"), col("n"),
+        (col("lo").cast("double") +
+          (col("idx") - floor(col("idx")).cast("double")) *
+          (col("hi") - col("lo")).cast("double")).as("p")): _*)
+    if (groupCols.isEmpty) sel.drop("__g") else sel
+  }
+}

@@ -187,15 +187,19 @@ object TextMetrics {
     * exact longs is engine-reproducible where raw-double interpolation
     * is ulp-hostage).
     *
-    * Scale shape: one scan-local projection, one single-row percentile
-    * aggregate broadcast back, one filter — the cutoff never touches
-    * the driver. */
+    * Scale shape: one scan-local projection; the cutoff comes from the
+    * corpus-wide quality HISTOGRAM
+    * ([[Quantiles.contFromHistogram]] — the exact `percentile`
+    * aggregate would buffer every document's value in ONE task for
+    * this single global group, the classic 100 TB OOM), broadcast back
+    * as one row; one filter. The cutoff never touches the driver. */
   def qualityCutoff(docs: DataFrame, q: Double = 0.75): DataFrame = {
     require(q > 0.0 && q < 1.0, s"q must be in (0, 1), got $q")
     val base = docs.select(col("doc_id"),
       round(TF.qualityScore(col("text")) * lit(1e6)).cast("long")
         .as("q_micro"))
-    val cut = base.agg(percentile(col("q_micro"), lit(q)).as("cutoff"))
+    val cut = Quantiles.contFromHistogram(base, Nil, col("q_micro"), Seq(q))
+      .select(col("p").as("cutoff"))
     base.crossJoin(broadcast(cut))
       .filter(col("q_micro").cast("double") >= col("cutoff"))
       .select(col("doc_id"),

@@ -356,17 +356,25 @@ object EventPipelines {
   /** Exact continuous percentiles (p50/p90/p99) of event value per
     * event type. Computed over exact integer cents so both engines
     * interpolate between identical integers (the only floats in play
-    * are the interpolation weights), then rounded. Spark's exact
-    * `percentile` aggregate is a sort-based ObjectHashAggregate —
-    * per-group state is the group's value multiset, fine for a
-    * bounded-cardinality key like event_type; for high-cardinality
-    * keys at 100 TB the approx_percentile sketch is the drop-in. */
+    * are the interpolation weights), then rounded.
+    *
+    * Computed from the per-type cents HISTOGRAM
+    * ([[graft.pipelines.Quantiles.contFromHistogram]]) — Spark's exact
+    * `percentile` aggregate buffers a group's whole value multiset in
+    * one task, which a hot event type at 100 TB turns into an OOM; the
+    * histogram path's state is bounded by the cents DOMAIN per type.
+    * Bit-identical results (same interpolation arithmetic — the
+    * quantile_cont oracle passes unchanged). */
   def typePercentiles(events: DataFrame): DataFrame = {
     val cents = round(col("value") * lit(100.0)).cast("long")
-    def p(q: Double) = round(percentile(cents, lit(q)), 6)
-    events.groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n"), p(0.5).as("p50"),
-        p(0.9).as("p90"), p(0.99).as("p99"))
+    val p = graft.pipelines.Quantiles.contFromHistogram(
+      events.select(col("event_type"), cents.as("c")),
+      Seq("event_type"), col("c"), Seq(0.5, 0.9, 0.99))
+    p.groupBy(col("event_type"))
+      .agg(max(col("n")).as("n"),
+        round(max(when(col("q") === 0.5, col("p"))), 6).as("p50"),
+        round(max(when(col("q") === 0.9, col("p"))), 6).as("p90"),
+        round(max(when(col("q") === 0.99, col("p"))), 6).as("p99"))
       .orderBy(col("event_type"))
   }
 

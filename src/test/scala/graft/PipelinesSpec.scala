@@ -861,6 +861,36 @@ class PipelinesSpec extends SparkSuite {
     assert(r.payload.length == 1 && r.payload.head == 'a'.toByte)
   }
 
+  test("Quantiles.contFromHistogram == the exact percentile aggregate, " +
+      "grouped and global, without the multiset buffer") {
+    import spark.implicits._
+    import graft.pipelines.Quantiles
+    val rnd = new scala.util.Random(23)
+    val rows = (1 to 800).map(_ =>
+      (s"g${rnd.nextInt(3)}", rnd.nextInt(50).toLong)) ++
+      Seq(("g3", 7L)) // singleton group: idx = 0 edge
+    val df = rows.toDF("g", "v")
+    val qs = Seq(0.25, 0.5, 0.9, 0.99)
+    // grouped
+    val hist = Quantiles.contFromHistogram(df, Seq("g"), col("v"), qs)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(3))
+      .toMap
+    for (q <- qs) {
+      val want = df.groupBy(col("g"))
+        .agg(percentile(col("v"), lit(q)).as("p")).collect()
+        .map(r => r.getString(0) -> r.getDouble(1)).toMap
+      for ((g, p) <- want)
+        assert(hist((g, q)) == p, s"grouped q=$q g=$g: ${hist((g, q))} != $p")
+    }
+    // global (the quality-cutoff shape: one group = the whole corpus)
+    val glob = Quantiles.contFromHistogram(df, Nil, col("v"), qs)
+      .collect().map(r => r.getDouble(0) -> r.getDouble(2)).toMap
+    for (q <- qs) {
+      val want = df.agg(percentile(col("v"), lit(q))).head.getDouble(0)
+      assert(glob(q) == want, s"global q=$q: ${glob(q)} != $want")
+    }
+  }
+
   test("heavyHitters: exact counts above n/(k+1), partition-invariant, " +
       "and the recount join stays broadcast") {
     import spark.implicits._
