@@ -1809,6 +1809,25 @@ object Oracles {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Mirror of [[graft.pipelines.TextMetrics.qualityCutoffBySource]]:
+    * per-source quantile_cont over micro-unit qualities, survivors at
+    * or above their own source's cutoff. */
+  def sampleQualityCutoffBySource(q: Double = 0.75): String = {
+    val qs = TF.sqlQualityScore("text")
+    s"""WITH b AS MATERIALIZED (
+       |  SELECT doc_id, source,
+       |         CAST(round($qs * 1000000.0) AS BIGINT) AS q_micro
+       |  FROM documents),
+       |c AS MATERIALIZED (
+       |  SELECT source, quantile_cont(q_micro, $q) AS cutoff
+       |  FROM b GROUP BY source)
+       |SELECT doc_id, source,
+       |       round(CAST(q_micro AS DOUBLE) / 1000000.0, 6) AS quality,
+       |       round(cutoff / 1000000.0, 6) AS cutoff
+       |FROM b JOIN c USING (source) WHERE CAST(q_micro AS DOUBLE) >= cutoff
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** Mirror of [[graft.pipelines.TextMetrics.charEntropy]]: per-class
     * `−(c/n)·ln(c/n)` in micro-nats (exact long sum per document). */
   def textCharEntropy: String =

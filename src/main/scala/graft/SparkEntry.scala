@@ -490,6 +490,9 @@ object SparkEntry {
     // common tokens in uncommon order (shuffled/stitched text).
     "text_bigram_nll" -> ((s, dir) =>
       TextMetrics.bigramNll(GraphIO.documents(s, dir))),
+    // Stratified curation: each source keeps its own best quantile.
+    "sample_quality_cutoff_by_source" -> ((s, dir) =>
+      TextMetrics.qualityCutoffBySource(GraphIO.documents(s, dir))),
     // Cross-source quotation matrix over winnow fingerprints.
     "corpus_quote_matrix" -> ((s, dir) =>
       Dedup.sourceQuoteMatrix(s, GraphIO.documents(s, dir))),
@@ -712,6 +715,8 @@ object SparkEntry {
     "text_char_entropy" -> Oracles.textCharEntropy,
     "text_unigram_nll" -> Oracles.textUnigramNll,
     "text_bigram_nll" -> Oracles.textBigramNll,
+    "sample_quality_cutoff_by_source" ->
+      Oracles.sampleQualityCutoffBySource(),
     "sample_temperature" -> Oracles.sampleTemperature(total = 200, alpha = 0.5),
     "sample_weighted" -> Oracles.sampleWeighted(n = 50),
     "sample_quality_cutoff" -> Oracles.sampleQualityCutoff(),

@@ -208,6 +208,35 @@ object TextMetrics {
       .orderBy(col("doc_id"))
   }
 
+  /** STRATIFIED dynamic quality filter: keep documents above their own
+    * SOURCE's `q`-th quality percentile — per-domain curation (the
+    * Dolma/CCNet practice: a threshold tuned on the whole corpus lets
+    * one high-quality domain drown out the rest; a per-source cutoff
+    * keeps the best of EACH domain). Returns `(doc_id, source,
+    * quality, cutoff)` for survivors — same shape as [[qualityCutoff]]
+    * plus the stratum.
+    *
+    * Same determinism (integer micro-unit histogram percentile) and
+    * same scale posture as [[qualityCutoff]], through
+    * [[Quantiles.contFromHistogram]]'s grouped path: per-source
+    * histogram state bounded by the quality DOMAIN, cutoffs a
+    * one-row-per-source broadcast dimension. */
+  def qualityCutoffBySource(docs: DataFrame, q: Double = 0.75): DataFrame = {
+    require(q > 0.0 && q < 1.0, s"q must be in (0, 1), got $q")
+    val base = docs.select(col("doc_id"), col("source"),
+      round(TF.qualityScore(col("text")) * lit(1e6)).cast("long")
+        .as("q_micro"))
+    val cuts = Quantiles.contFromHistogram(base, Seq("source"),
+        col("q_micro"), Seq(q))
+      .select(col("source"), col("p").as("cutoff"))
+    base.join(broadcast(cuts), Seq("source"))
+      .filter(col("q_micro").cast("double") >= col("cutoff"))
+      .select(col("doc_id"), col("source"),
+        round(col("q_micro").cast("double") / lit(1e6), 6).as("quality"),
+        round(col("cutoff") / lit(1e6), 6).as("cutoff"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-document Shannon entropy of the character distribution (nats)
     * — the garbled/binary-content detector: natural text sits in a
     * narrow entropy band, base64/binary spills high, repeated-char

@@ -258,6 +258,38 @@ class EventStreamingSpec extends SparkSuite {
     assert(got == want && want.nonEmpty)
   }
 
+  test("streaming Misra-Gries summary keeps every heavy hitter " +
+      "(complete mode over a file stream)") {
+    // The MG survival guarantee holds under ANY merge tree — including
+    // the incremental one a streaming complete-mode aggregation builds
+    // — so a continuous-ingest pipeline can maintain the candidate set
+    // online and run the exact recount as a periodic batch pass.
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-mg-stream").toFile
+    dir.deleteOnExit()
+    val rows = Seq.fill(40)("hot") ++ Seq.fill(15)("warm") ++
+      (1 to 30).map(i => s"tail$i")
+    val df = rows.toDF("v")
+    df.write.mode("overwrite").parquet(dir.getAbsolutePath)
+    val k = 4
+    val stream = spark.readStream.schema(df.schema)
+      .parquet(dir.getAbsolutePath)
+    val q = stream.select(col("v")).as[String]
+      .select(new graft.functions.MisraGriesAgg(k).toColumn.name("cand"))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("graft_mg_stream")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val cand = spark.sql("SELECT cand FROM graft_mg_stream")
+      .collect().head.getSeq[String](0).toSet
+    assert(cand.size <= k)
+    val n = rows.length // 85; heavy = freq > 85/5 = 17 -> "hot" only
+    val heavy = rows.groupBy(identity)
+      .collect { case (v, g) if g.size.toLong * (k + 1) > n => v }.toSet
+    assert(heavy == Set("hot") && heavy.subsetOf(cand),
+      s"stream summary lost heavy hitters: $heavy vs $cand")
+  }
+
   test("stream-stream interval join pairs errors with in-window clicks " +
       "and matches the batch range join") {
     import spark.implicits._
