@@ -2,7 +2,7 @@ package graft
 
 import graft.operators._
 import graft.pipelines.{Dedup, Packing, Retrieval, Sampling, Similarity,
-  Sketches}
+  Sketches, TextMetrics}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -100,6 +100,8 @@ object Main {
       "kmv <in> <out> [group_col] [value_col] [pairs], " +
       "search <in> <out> <terms,csv> [k] [emb.parquet probe_vec_id], " +
       "cms <in> <out> [value_col] <probes,csv>, " +
+      "heavy <in> <out> [value_col] [k], " +
+      "quality_cut <in> <out> [q] [by_source], " +
       "curate <in> <out> [min_quality] [lang] [total] [alpha]")
 
   private[graft] def run(spark: SparkSession, cmd: String, a: Array[String]): Unit = {
@@ -326,6 +328,26 @@ object Main {
             col(arg(2, "text")), probes)
           .write.mode("overwrite").parquet(out)
         println(s"CMS estimates for ${probes.size} probes written to $out")
+      case "heavy" =>
+        // Exact heavy hitters of any parquet column (MG candidates +
+        // bounded recount):  heavy <in.parquet> <out_dir> [col] [k]
+        val (in, out) = pipelineIo(cmd, a)
+        Sketches.heavyHitters(spark, spark.read.parquet(in),
+            col(arg(2, "text")), k = intArg(3, "64", "k"))
+          .write.mode("overwrite").parquet(out)
+        println(s"Heavy hitters written to $out")
+      case "quality_cut" =>
+        // Dynamic quality curation, corpus-wide or per source:
+        //   quality_cut <docs.parquet> <out_dir> [q] [by_source]
+        val (in, out) = pipelineIo(cmd, a)
+        val docs = spark.read.parquet(in)
+        val q = doubleArg(2, "0.75", "q")
+        val result =
+          if (arg(3, "false").toBoolean)
+            TextMetrics.qualityCutoffBySource(docs, q)
+          else TextMetrics.qualityCutoff(docs, q)
+        result.write.mode("overwrite").parquet(out)
+        println(s"Quality survivors written to $out")
       case "pack" =>
         val (in, out) = pipelineIo(cmd, a)
         val assignments = Packing.packDocs(spark, spark.read.parquet(in),

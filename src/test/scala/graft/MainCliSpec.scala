@@ -149,6 +149,41 @@ class MainCliSpec extends SparkSuite {
     }
   }
 
+  test("heavy verb: exact heavy hitters of a column") {
+    import spark.implicits._
+    val p = s"$tmp/heavy_docs"
+    (Seq.fill(30)("hot") ++ Seq.fill(12)("warm") ++
+      (1 to 40).map(i => s"tail$i"))
+      .toDF("text").write.mode("overwrite").parquet(p)
+    val out = s"$tmp/heavy_out"
+    // n = 82, k = 4 -> threshold 82/5 = 16.4: hot only
+    Main.run(spark, "heavy", Array(p, out, "text", "4"))
+    val got = spark.read.parquet(out).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq("hot" -> 30L))
+  }
+
+  test("quality_cut verb: corpus-wide and per-source modes") {
+    import spark.implicits._
+    val p = s"$tmp/qcut_docs"
+    ((1L to 8L).map(i => (i, "the of and a clean readable sentence here", "web")) ++
+      (10L to 17L).map(i => (i, "zzz ### !!!! @@@@", "spam")))
+      .toDF("doc_id", "text", "source").write.mode("overwrite").parquet(p)
+    val out = s"$tmp/qcut_out"
+    Main.run(spark, "quality_cut", Array(p, out, "0.5"))
+    val corpus = spark.read.parquet(out)
+    assert(corpus.columns.toSeq == Seq("doc_id", "quality", "cutoff"))
+    // corpus-wide: the clean half dominates the 0.5 cutoff
+    assert(corpus.collect().map(_.getLong(0)).forall(_ <= 8L))
+    val out2 = s"$tmp/qcut_src_out"
+    Main.run(spark, "quality_cut", Array(p, out2, "0.5", "true"))
+    val bySrc = spark.read.parquet(out2)
+    assert(bySrc.columns.toSeq == Seq("doc_id", "source", "quality", "cutoff"))
+    // stratified: each source keeps its own best half — spam survives
+    val srcs = bySrc.collect().map(_.getString(1)).toSet
+    assert(srcs == Set("web", "spam"))
+  }
+
   test("curate verb: end-to-end chain writes the temperature draw") {
     import spark.implicits._
     val p = s"$tmp/curate_docs"
