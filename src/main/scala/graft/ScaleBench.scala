@@ -192,6 +192,11 @@ object ScaleBench {
     // tfidf's scale shape
     "text_unigram_nll" -> ((s, dir) =>
       pipelines.TextMetrics.unigramNll(GraphIO.documents(s, dir))),
+    // in-plan bigram zip → bigram-vocabulary join: the dimension table
+    // is bigram-vocab-sized (can approach tokens on diverse corpora) —
+    // the shuffle-dim join must stay ~linear in the bigram stream
+    "text_bigram_nll" -> ((s, dir) =>
+      pipelines.TextMetrics.bigramNll(GraphIO.documents(s, dir))),
     // shared-shingle pair join — the df-guard must keep candidate pairs
     // near-linear as replicated docs multiply shingle document frequency
     "dedup_containment" -> ((s, dir) =>

@@ -253,6 +253,26 @@ class PipelinesSpec extends SparkSuite {
     assert(planStr.contains("HashJoin [cid"), planStr)
   }
 
+  test("plan audit: bigramNll and stratified cutoff join shapes") {
+    import spark.implicits._
+    val d = docs((1L, "a b c a b"), (2L, "b c d"), (3L, "a b"))
+    // bigram NLL: the bigram stream joins its two count dimensions as
+    // hash equi-joins on (a, b) / (a) — never cartesian, and never a
+    // positional self-join of the token stream (the zip is in-plan)
+    val bg = TextMetrics.bigramNll(d)
+    val bgPlan = bg.queryExecution.executedPlan.toString
+    assert(!bgPlan.contains("CartesianProduct"), bgPlan)
+    assert(!bgPlan.contains("BroadcastNestedLoopJoin"), bgPlan)
+    // stratified cutoff: the one-row-per-source cutoff dimension joins
+    // broadcast on the stratum key
+    val ds = Seq((1L, "clean readable text", "web"),
+      (2L, "zzz ###", "spam")).toDF("doc_id", "text", "source")
+    val qc = TextMetrics.qualityCutoffBySource(ds, 0.5)
+    val qcPlan = qc.queryExecution.executedPlan.toString
+    assert(qcPlan.contains("BroadcastHashJoin"), qcPlan)
+    assert(!qcPlan.contains("CartesianProduct"), qcPlan)
+  }
+
   test("plan audit: decontaminate/tfidf/q8-ANN never go cartesian; rerank joins are hash equi-joins") {
     import spark.implicits._
     val d = docs((1L, "a b c d e"), (7L, "a b c d e"), (2L, "f g h i j"))
