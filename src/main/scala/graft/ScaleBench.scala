@@ -126,8 +126,11 @@ object ScaleBench {
         d.filter(col("doc_id") % 10 =!= 7), d.filter(col("doc_id") % 10 === 7),
         mBits = 1 << 22)
     }),
+    // derived bucket width (autoBits: 2^bits ∝ corpus/64) — expected
+    // candidates per probe stay ~constant as the corpus grows, the
+    // autoNlist discipline on the LSH axis
     "ann_topk_lsh" -> ((s, dir) =>
-      pipelines.Similarity.annTopKLsh(GraphIO.embeddings(s, dir))),
+      pipelines.Similarity.annTopKLsh(GraphIO.embeddings(s, dir), bits = 0)),
     // The documented 100 TB configuration end-to-end: derived nlist
     // (autoNlist = ⌈√N⌉ — fixed nlist=8 measured 38.8× at 10×),
     // hash-gated SAMPLED centroid training (decouples the Lloyd pass

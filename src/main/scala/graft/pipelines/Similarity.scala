@@ -150,19 +150,29 @@ object Similarity {
     * corpus is still bucketed once, and the candidate join stays an
     * equi-join on (table, bucket) against a broadcast probe list of
     * `nq·Tables·nprobe` rows. `nprobe = 1` is the classic single-probe
-    * scheme; the ceiling is `1 + Bits + C(Bits,2)` (own bucket + all
-    * 1-/2-bit flips). */
+    * scheme; the ceiling is `1 + bits + C(bits,2)` (own bucket + all
+    * 1-/2-bit flips — `nprobe` is clamped to it, so a wide default
+    * composes with narrow derived widths).
+    *
+    * `bits` is the bucket width: the gate pins the default
+    * ([[HyperplaneLsh.Bits]]) to keep its DuckDB twin static; pass
+    * `bits <= 0` to DERIVE it from the corpus count
+    * ([[HyperplaneLsh.autoBits]] — expected bucket population stays
+    * ~constant as the corpus grows, the `autoNlist` discipline on the
+    * LSH axis). */
   def annTopKLsh(emb: DataFrame, nq: Int = 10, k: Int = 5,
-      nprobe: Int = 22): DataFrame = {
-    val bits = HyperplaneLsh.Bits
-    val maxProbes = 1 + bits + bits * (bits - 1) / 2
-    require(nprobe >= 1 && nprobe <= maxProbes,
-      s"nprobe must be in [1, $maxProbes], got $nprobe")
+      nprobe: Int = 22, bits: Int = HyperplaneLsh.Bits): DataFrame = {
+    val b = if (bits > 0) bits else HyperplaneLsh.autoBits(emb.count())
+    require(b <= HyperplaneLsh.MaxBits,
+      s"bits must be <= ${HyperplaneLsh.MaxBits}, got $b")
+    val maxProbes = 1 + b + b * (b - 1) / 2
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    val np = math.min(nprobe, maxProbes)
     val base = emb.select(col("vec_id"), col("embedding"),
       norm(col("embedding")).as("nrm"))
     val buckets = (0 until HyperplaneLsh.Tables).map { t =>
       base.select(col("vec_id"), lit(t).as("tbl"),
-        HyperplaneLsh.bucket(t, col("embedding")).as("bkt"))
+        HyperplaneLsh.bucket(t, col("embedding"), b).as("bkt"))
     }.reduce(_ unionAll _)
     // Probe list: perturbation sets {}, {j}, {i,j} ranked by summed
     // |margin| (ties on the xor mask), deterministic on both engines
@@ -172,19 +182,19 @@ object Similarity {
     val qb = (0 until HyperplaneLsh.Tables).map { t =>
       val qrows = base.filter(col("vec_id") < nq)
         .select(Seq(col("vec_id"),
-          HyperplaneLsh.bucket(t, col("embedding")).as("bkt0")) ++
-          (0 until bits).map(j =>
+          HyperplaneLsh.bucket(t, col("embedding"), b).as("bkt0")) ++
+          (0 until b).map(j =>
             abs(HyperplaneLsh.planeDot(t, j, col("embedding"))).as(s"m$j")): _*)
       val entries: Seq[Column] =
         struct(lit(0.0).as("m"), lit(0L).as("x")) +:
-        ((0 until bits).map(j =>
+        ((0 until b).map(j =>
           struct(col(s"m$j").as("m"), lit(1L << j).as("x"))) ++
-         (for { i <- 0 until bits; j <- (i + 1) until bits } yield
+         (for { i <- 0 until b; j <- (i + 1) until b } yield
           struct((col(s"m$i") + col(s"m$j")).as("m"),
             lit((1L << i) | (1L << j)).as("x"))))
       val probes = array_sort(array(entries: _*))
       qrows.select(col("vec_id").as("query_id"), lit(t).as("qt"),
-        explode(transform(slice(probes, 1, nprobe), s =>
+        explode(transform(slice(probes, 1, np), s =>
           col("bkt0").bitwiseXOR(s.getField("x")))).as("qk"))
     }.reduce(_ unionAll _)
     val cand = buckets.join(broadcast(qb),
@@ -608,13 +618,43 @@ object Similarity {
   * bucket of a vector is exactly reproducible in plain SQL. */
 object HyperplaneLsh {
   val Tables = 4
+  /** Default (gate-pinned) bucket width. Scale-path callers derive the
+    * width from the corpus instead ([[autoBits]]) — a FIXED width lets
+    * buckets grow linearly with the corpus and the candidate set with
+    * them, the same quiet quadratic the IVF family's `autoNlist`
+    * exists to prevent. */
   val Bits = 6
+  /** Hard ceiling on derivable widths: plane indices stay disjoint
+    * across tables (the weight stride) and probe masks stay in int64. */
+  val MaxBits = 24
   val Dim = 64
 
+  /** Corpus-derived bucket width: enough hyperplanes that the EXPECTED
+    * bucket population is ~`targetBucket` (`2^bits ≈ n/targetBucket`),
+    * clamped to `[2, MaxBits]`. The per-probe candidate count then
+    * stays ~constant as the corpus grows, with probe cost rising only
+    * logarithmically (more margin folds per query). */
+  def autoBits(corpusSize: Long, targetBucket: Int = 64): Int = {
+    require(targetBucket >= 1, s"targetBucket must be >= 1, got $targetBucket")
+    val want = math.ceil(math.log(math.max(1.0,
+      corpusSize.toDouble / targetBucket)) / math.log(2.0)).toInt
+    math.min(MaxBits, math.max(2, want))
+  }
+
   /** Integer weight of hyperplane (table t, bit j, dimension k):
-    * roughly zero-mean over [-501001, 499002). */
-  def weight(t: Int, j: Int, k: Int): Long =
-    ((((t.toLong * Bits + j) * Dim + k) * 2654435761L) % 1000003L) - 501001L
+    * roughly zero-mean over [-501001, 499002). Plane (t, j) is the
+    * SAME hyperplane at every bucket width: the first [[Bits]] planes
+    * per table keep their original (gate-measured) index space
+    * `t·Bits + j`, and wider widths draw EXTRA planes from the
+    * disjoint range starting at `Tables·Bits` — so widening never
+    * collides with (or perturbs) an existing plane, and the pinned
+    * gates' results and measured recall are unchanged. */
+  def weight(t: Int, j: Int, k: Int): Long = {
+    val idx =
+      if (j < Bits) t.toLong * Bits + j
+      else Tables.toLong * Bits + t.toLong * (MaxBits - Bits) + (j - Bits)
+    (((idx * Dim + k) * 2654435761L) % 1000003L) - 501001L
+  }
 
   /** Signed distance-to-hyperplane (unnormalized margin) of `emb`
     * against plane (t, j) — the bucket bit is its sign; multi-probe
@@ -625,11 +665,14 @@ object HyperplaneLsh {
       lit(0.0), (acc, v) => acc + v)
   }
 
-  /** Sign-bucket of `emb` in table `t`: Bits-wide integer. */
-  def bucket(t: Int, emb: Column): Column =
-    (0 until Bits).map { j =>
+  /** Sign-bucket of `emb` in table `t`: `bits`-wide integer. */
+  def bucket(t: Int, emb: Column, bits: Int = Bits): Column = {
+    require(bits >= 1 && bits <= MaxBits,
+      s"bits must be in [1, $MaxBits], got $bits")
+    (0 until bits).map { j =>
       when(planeDot(t, j, emb) > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
+  }
 
   /** DuckDB twin of [[planeDot]]. */
   def planeDotSql(t: Int, j: Int, embCol: String): String = {
@@ -641,8 +684,8 @@ object HyperplaneLsh {
   }
 
   /** DuckDB twin of [[bucket]]. */
-  def bucketSql(t: Int, embCol: String): String =
-    (0 until Bits).map { j =>
+  def bucketSql(t: Int, embCol: String, bits: Int = Bits): String =
+    (0 until bits).map { j =>
       s"(CASE WHEN ${planeDotSql(t, j, embCol)} > 0 THEN ${1L << j} ELSE 0 END)"
     }.mkString("(", " + ", ")")
 }

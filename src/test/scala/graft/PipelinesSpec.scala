@@ -131,6 +131,39 @@ class PipelinesSpec extends SparkSuite {
     assert(rf >= exact.size / 2, s"nprobe=22 recall $rf/${exact.size}")
   }
 
+  test("LSH bucket width derives from the corpus (autoBits); derived " +
+      "and widened paths stay well-formed") {
+    import spark.implicits._
+    import graft.pipelines.HyperplaneLsh
+    // expected bucket population ~targetBucket: 2^bits ≈ n/64
+    assert(HyperplaneLsh.autoBits(64L * 64) == 6)
+    assert(HyperplaneLsh.autoBits(64L * 256) == 8)
+    assert(HyperplaneLsh.autoBits(100) == 2) // clamped floor
+    assert(HyperplaneLsh.autoBits(Long.MaxValue) == HyperplaneLsh.MaxBits)
+    // widening draws DISJOINT extra planes: plane (t, j<6) unchanged
+    for (t <- 0 until HyperplaneLsh.Tables; j <- 0 until HyperplaneLsh.Bits)
+      assert(HyperplaneLsh.weight(t, j, 0) ==
+        ((((t.toLong * 6 + j) * 64) * 2654435761L) % 1000003L) - 501001L)
+    val extra = (for (t <- 0 until HyperplaneLsh.Tables;
+      j <- HyperplaneLsh.Bits until 10) yield (t, j)).map {
+      case (t, j) => (0 until 4).map(k => HyperplaneLsh.weight(t, j, k)) }
+    assert(extra.distinct.length == extra.length, "extra planes collide")
+    // derived-bits ANN on a small corpus: nprobe clamps to the narrow
+    // width's ceiling, output stays a valid dense top-k
+    val rnd = new scala.util.Random(29)
+    val emb = (0L until 150L).map(i =>
+      (i, Array.fill(64)(rnd.nextFloat() - 0.5f))).toDF("vec_id", "embedding")
+    val auto = Similarity.annTopKLsh(emb, nq = 4, k = 3, bits = 0).collect()
+    assert(auto.nonEmpty)
+    auto.groupBy(_.getLong(0)).foreach { case (q, rows) =>
+      assert(rows.map(_.getInt(1)).sorted.toSeq == (1 to rows.length))
+      assert(rows.forall(_.getLong(2) != q))
+    }
+    // widened path (bits=8 > the pinned 6) runs on the same corpus
+    val wide = Similarity.annTopKLsh(emb, nq = 4, k = 3, bits = 8).collect()
+    assert(wide.forall(r => r.getLong(2) != r.getLong(0)))
+  }
+
   test("annTopKIvf with nprobe == nlist degenerates to exact brute force") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
