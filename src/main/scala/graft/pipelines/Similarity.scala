@@ -48,12 +48,14 @@ object Similarity {
     * the multi-probe width of the LSH rung (buckets probed per table:
     * own + margin-ranked 1-/2-bit flips); it is separate from the
     * IVF `nprobe` because the two knobs live on different scales
-    * (buckets-of-2^Bits vs cells-of-nlist). */
+    * (buckets-of-2^Bits vs cells-of-nlist). `lshBits <= 0` derives the
+    * bucket width from the corpus ([[HyperplaneLsh.autoBits]]). */
   def ann(emb: DataFrame, strategy: AnnStrategy, nq: Int = 10, k: Int = 5,
       nlist: Int = 0, nprobe: Int = 2, cand: Int = 20,
-      trainFraction: Double = 1.0, lshProbes: Int = 22): DataFrame = strategy match {
+      trainFraction: Double = 1.0, lshProbes: Int = 22,
+      lshBits: Int = HyperplaneLsh.Bits): DataFrame = strategy match {
     case AnnStrategy.Exact => annTopK(emb, nq, k)
-    case AnnStrategy.Lsh => annTopKLsh(emb, nq, k, lshProbes)
+    case AnnStrategy.Lsh => annTopKLsh(emb, nq, k, lshProbes, lshBits)
     case AnnStrategy.Ivf => annTopKIvf(emb, nq, k, nlist, nprobe, trainFraction)
     case AnnStrategy.Q8 => annTopKQ8(emb, nq, k, cand)
     case AnnStrategy.Q8Ivf =>
