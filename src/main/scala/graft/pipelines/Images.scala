@@ -58,8 +58,13 @@ object Images {
     * deterministic). Returns None for undecodable bytes. */
   def decodeGray(payload: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
     val img =
+      // NonFatal, not just IOException: a malformed-but-recognized
+      // payload can crash a JDK decoder with a runtime exception
+      // (index/negative-size errors from truncated headers), and the
+      // documented corrupt-tail posture is "undecodable → None", not
+      // "kill the task"
       try Option(ImageIO.read(new ByteArrayInputStream(payload)))
-      catch { case _: java.io.IOException => None }
+      catch { case scala.util.control.NonFatal(_) => None }
     img.map { im =>
       val gray =
         if (im.getType == BufferedImage.TYPE_BYTE_GRAY) im
@@ -203,7 +208,8 @@ object Images {
         }
       } finally reader.dispose()
     } catch {
-      case _: java.io.IOException => Seq.empty
+      // same corrupt-tail posture (and rationale) as [[decodeGray]]
+      case scala.util.control.NonFatal(_) => Seq.empty
     } finally iis.close()
   }
 

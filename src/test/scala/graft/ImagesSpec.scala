@@ -33,6 +33,15 @@ class ImagesSpec extends SparkSuite {
     assert(Images.decodeGray(junk).isEmpty)
     assert(ImageIoCodec.decode(junk).isEmpty)
     assert(Images.resizePng(junk, 2).toSeq == junk.toSeq)
+    // RECOGNIZED but truncated payloads (valid magic, cut-off body) hit
+    // the decoder proper — whatever it throws, the corrupt-tail posture
+    // is None/empty, never a crashed task
+    val truncPng = Images.encodeGrayPng(bytes(64, 3)).take(30)
+    assert(Images.decodeGray(truncPng).isEmpty)
+    assert(Images.resizePng(truncPng, 2).toSeq == truncPng.toSeq)
+    val truncGif = Images.encodeAnimatedGif(bytes(600, 4)).take(40)
+    assert(Images.decodeFrames(truncGif).isEmpty ||
+      Images.decodeFrames(truncGif).forall(_._3.nonEmpty))
   }
 
   test("resizePng: nearest-neighbor 2-D downsample, exact samples") {
