@@ -286,6 +286,27 @@ class PipelinesSpec extends SparkSuite {
     assert(planStr.contains("HashJoin [cid"), planStr)
   }
 
+  test("bigramNll: closed forms — deterministic order scores zero, " +
+      "rare continuations score ln of the branching") {
+    import spark.implicits._
+    // corpus: "a b" x3 and "a c" x1 -> c_start(a)=4, c(a,b)=3, c(a,c)=1
+    val d = docs((1L, "a b"), (2L, "a b"), (3L, "a b"), (4L, "a c"),
+      (5L, "x")) // single token: no bigram, no row
+    val got = TextMetrics.bigramNll(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    def micro(x: Double) = math.rint(x * 1e6) / 1e6
+    // doc 1-3: one bigram (a,b): -ln(3/4)
+    val ab = micro(-math.log(3.0 / 4.0))
+    assert(got(1L) == ((1L, ab)) && got(3L) == ((1L, ab)))
+    // doc 4: (a,c): -ln(1/4) = ln 4
+    assert(got(4L) == ((1L, micro(-math.log(1.0 / 4.0)))))
+    assert(!got.contains(5L))
+    // a corpus whose every continuation is forced scores exactly zero
+    val det = docs((1L, "p q r"), (2L, "p q r"))
+    val z = TextMetrics.bigramNll(det).collect()
+    assert(z.forall(_.getDouble(2) == 0.0)) // c(a,b) == c_start(a) ∀
+  }
+
   test("plan audit: bigramNll and stratified cutoff join shapes") {
     import spark.implicits._
     val d = docs((1L, "a b c a b"), (2L, "b c d"), (3L, "a b"))
@@ -919,9 +940,11 @@ class PipelinesSpec extends SparkSuite {
     import spark.implicits._
     import graft.pipelines.Quantiles
     val rnd = new scala.util.Random(23)
+    // negative values included: event cents go below zero (refunds),
+    // and the histogram path must order/interpolate them identically
     val rows = (1 to 800).map(_ =>
-      (s"g${rnd.nextInt(3)}", rnd.nextInt(50).toLong)) ++
-      Seq(("g3", 7L)) // singleton group: idx = 0 edge
+      (s"g${rnd.nextInt(3)}", rnd.nextInt(100).toLong - 50L)) ++
+      Seq(("g3", -7L)) // singleton group: idx = 0 edge
     val df = rows.toDF("g", "v")
     val qs = Seq(0.25, 0.5, 0.9, 0.99)
     // grouped
