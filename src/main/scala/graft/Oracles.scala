@@ -1809,6 +1809,23 @@ object Oracles {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Mirror of [[graft.pipelines.TextMetrics.vocabulary]]: (term, doc)
+    * pre-aggregation, per-term tf/df, minCount floor, (tf desc, term)
+    * ranking truncated to maxSize. Integer-exact. */
+  def textVocabulary(minCount: Long = 2, maxSize: Int = 1000): String =
+    s"""WITH pd AS MATERIALIZED (
+       |  SELECT term, doc_id, count(*) AS tfd FROM (
+       |    SELECT doc_id, unnest(${TF.sqlTokens("text")}) AS term
+       |    FROM documents) u GROUP BY term, doc_id),
+       |st AS MATERIALIZED (
+       |  SELECT term, CAST(sum(tfd) AS BIGINT) AS tf,
+       |         CAST(count(*) AS BIGINT) AS df
+       |  FROM pd GROUP BY term HAVING sum(tfd) >= $minCount),
+       |tp AS (SELECT * FROM st ORDER BY tf DESC, term LIMIT $maxSize)
+       |SELECT CAST(ROW_NUMBER() OVER (ORDER BY tf DESC, term) AS BIGINT)
+       |         AS rnk, term, tf, df
+       |FROM tp ORDER BY rnk""".stripMargin
+
   /** Mirror of [[graft.pipelines.TextMetrics.qualityCutoffBySource]]:
     * per-source quantile_cont over micro-unit qualities, survivors at
     * or above their own source's cutoff. */

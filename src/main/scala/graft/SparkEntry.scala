@@ -493,6 +493,10 @@ object SparkEntry {
     // Stratified curation: each source keeps its own best quantile.
     "sample_quality_cutoff_by_source" -> ((s, dir) =>
       TextMetrics.qualityCutoffBySource(GraphIO.documents(s, dir))),
+    // Vocabulary induction: the tokenizer-training input (tf/df per
+    // term, min-count floor, size-capped deterministic ranking).
+    "text_vocabulary" -> ((s, dir) =>
+      TextMetrics.vocabulary(GraphIO.documents(s, dir))),
     // Cross-source quotation matrix over winnow fingerprints.
     "corpus_quote_matrix" -> ((s, dir) =>
       Dedup.sourceQuoteMatrix(s, GraphIO.documents(s, dir))),
@@ -717,6 +721,7 @@ object SparkEntry {
     "text_bigram_nll" -> Oracles.textBigramNll,
     "sample_quality_cutoff_by_source" ->
       Oracles.sampleQualityCutoffBySource(),
+    "text_vocabulary" -> Oracles.textVocabulary(),
     "sample_temperature" -> Oracles.sampleTemperature(total = 200, alpha = 0.5),
     "sample_weighted" -> Oracles.sampleWeighted(n = 50),
     "sample_quality_cutoff" -> Oracles.sampleQualityCutoff(),

@@ -237,6 +237,38 @@ object TextMetrics {
       .orderBy(col("doc_id"))
   }
 
+  /** Corpus vocabulary induction — the input a tokenizer/BPE training
+    * run starts from: per term the corpus frequency `tf` and document
+    * frequency `df`, floored at `minCount` occurrences, ranked by
+    * `(tf desc, term asc)` and truncated to the `maxSize` head. Returns
+    * `(rnk, term, tf, df)`.
+    *
+    * Scale shape: explode → (term, doc) pre-aggregation (absorbs
+    * within-document repetition map-side) → per-term aggregation →
+    * `minCount` filter → TakeOrderedAndProject for the `maxSize` head;
+    * the only global window ranks the ALREADY-LIMITED ≤ maxSize rows
+    * (the [[Sampling]] bounded-set pattern — never a corpus-wide
+    * single-partition window). Integer-exact, ties broken on the term
+    * string identically in both engines. */
+  def vocabulary(docs: DataFrame, minCount: Long = 2,
+      maxSize: Int = 1000): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    require(maxSize >= 1, s"maxSize must be >= 1, got $maxSize")
+    import org.apache.spark.sql.expressions.Window
+    val perDoc = docs
+      .select(col("doc_id"), explode(TF.tokens(col("text"))).as("term"))
+      .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tfd"))
+    val stats = perDoc.groupBy(col("term"))
+      .agg(sum(col("tfd")).as("tf"), count(lit(1)).as("df"))
+      .filter(col("tf") >= minCount)
+    val top = stats.orderBy(col("tf").desc, col("term")).limit(maxSize)
+    top
+      .withColumn("rnk", row_number()
+        .over(Window.orderBy(col("tf").desc, col("term"))).cast("long"))
+      .select(col("rnk"), col("term"), col("tf"), col("df"))
+      .orderBy(col("rnk"))
+  }
+
   /** Per-document Shannon entropy of the character distribution (nats)
     * — the garbled/binary-content detector: natural text sits in a
     * narrow entropy band, base64/binary spills high, repeated-char

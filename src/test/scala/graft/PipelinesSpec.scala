@@ -286,6 +286,22 @@ class PipelinesSpec extends SparkSuite {
     assert(planStr.contains("HashJoin [cid"), planStr)
   }
 
+  test("vocabulary: tf/df closed forms, minCount floor, size cap, " +
+      "deterministic tie ranking") {
+    import spark.implicits._
+    val d = docs((1L, "b b a"), (2L, "b a c"), (3L, "a"))
+    // a: tf 3 df 3; b: tf 3 df 2; c: tf 1 df 1
+    val got = TextMetrics.vocabulary(d, minCount = 2, maxSize = 10)
+      .collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    // c is floored out by minCount; the a/b tf tie breaks on the term
+    assert(got == Seq((1L, "a", 3L, 3L), (2L, "b", 3L, 2L)))
+    // the size cap keeps the head of the ranking
+    val capped = TextMetrics.vocabulary(d, minCount = 1, maxSize = 1)
+      .collect().map(_.getString(1)).toSeq
+    assert(capped == Seq("a"))
+  }
+
   test("bigramNll: closed forms — deterministic order scores zero, " +
       "rare continuations score ln of the branching") {
     import spark.implicits._
