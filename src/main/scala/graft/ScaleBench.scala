@@ -195,6 +195,9 @@ object ScaleBench {
     // tfidf's scale shape
     "text_unigram_nll" -> ((s, dir) =>
       pipelines.TextMetrics.unigramNll(GraphIO.documents(s, dir))),
+    // (term, doc) pre-agg → per-term agg → bounded head: scan floor
+    "text_vocabulary" -> ((s, dir) =>
+      pipelines.TextMetrics.vocabulary(GraphIO.documents(s, dir))),
     // in-plan bigram zip → bigram-vocabulary join: the dimension table
     // is bigram-vocab-sized (can approach tokens on diverse corpora) —
     // the shuffle-dim join must stay ~linear in the bigram stream
