@@ -153,18 +153,28 @@ object Retrieval {
     * column-sorting comparator). Terms outside the `[minDf, maxDf]`
     * document-frequency band are dropped: the upper bound is the
     * stopword guard that keeps every posting list sub-linear in corpus
-    * size, the lower bound drops hapax noise. One explode + one hash
-    * aggregation keyed by term (map-side combine applies); `sort_array`
+    * size, the lower bound drops hapax noise.
+    *
+    * The band is enforced BEFORE the list aggregation: df is a cheap
+    * counting pass, and the (doc, term) stream is semi-joined against
+    * the in-band terms before any `collect_list` runs — filtering
+    * after the aggregation would let a stopword-grade term accumulate
+    * its full O(corpus) posting list in ONE aggregation buffer just to
+    * throw it away (the same multiset-buffer hazard
+    * [[graft.pipelines.Quantiles]] exists to avoid). `sort_array`
     * makes the list order deterministic regardless of which partition
     * delivered each doc_id. */
   def invertedIndex(docs: DataFrame, minDf: Int = 1,
-      maxDf: Int = Int.MaxValue): DataFrame =
-    docs.select(col("doc_id"),
-        explode(array_distinct(TF.tokens(col("text")))).as("term"))
-      .groupBy(col("term"))
-      .agg(count(lit(1)).as("df"),
-        array_join(sort_array(collect_list(col("doc_id"))), ",")
-          .as("postings"))
+      maxDf: Int = Int.MaxValue): DataFrame = {
+    val dt = docs.select(col("doc_id"),
+      explode(array_distinct(TF.tokens(col("text")))).as("term"))
+    val inBand = dt.groupBy(col("term")).agg(count(lit(1)).as("df"))
       .where(col("df") >= lit(minDf.toLong) && col("df") <= lit(maxDf.toLong))
+    dt.join(inBand, Seq("term"))
+      .groupBy(col("term"), col("df"))
+      .agg(array_join(sort_array(collect_list(col("doc_id"))), ",")
+        .as("postings"))
+      .select(col("term"), col("df"), col("postings"))
       .orderBy(col("term"))
+  }
 }
