@@ -101,6 +101,7 @@ object Main {
       "search <in> <out> <terms,csv> [k] [emb.parquet probe_vec_id], " +
       "cms <in> <out> [value_col] <probes,csv>, " +
       "heavy <in> <out> [value_col] [k], " +
+      "vocab <in> <out> [min_count] [max_size], " +
       "quality_cut <in> <out> [q] [by_source], " +
       "curate <in> <out> [min_quality] [lang] [total] [alpha]")
 
@@ -328,6 +329,15 @@ object Main {
             col(arg(2, "text")), probes)
           .write.mode("overwrite").parquet(out)
         println(s"CMS estimates for ${probes.size} probes written to $out")
+      case "vocab" =>
+        // Vocabulary induction (the tokenizer-training input):
+        //   vocab <docs.parquet> <out_dir> [min_count] [max_size]
+        val (in, out) = pipelineIo(cmd, a)
+        TextMetrics.vocabulary(spark.read.parquet(in),
+          minCount = longArg(2, "2", "min_count"),
+          maxSize = intArg(3, "1000", "max_size"))
+          .write.mode("overwrite").parquet(out)
+        println(s"Vocabulary written to $out")
       case "heavy" =>
         // Exact heavy hitters of any parquet column (MG candidates +
         // bounded recount):  heavy <in.parquet> <out_dir> [col] [k]

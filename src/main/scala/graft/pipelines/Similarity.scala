@@ -104,7 +104,13 @@ object Similarity {
     * [[HyperplaneLsh.Tables]] sign-bucket tables (within `label`
     * blocks), then exact cosine >= threshold on the deduplicated
     * candidate pairs. Approximate-recall by design — the documented
-    * trade of the LSH scale path. */
+    * trade of the LSH scale path.
+    *
+    * This is the PAIR-INSPECTION API (which vectors collide, at what
+    * cosine) — its output is inherently O(dup²) on a mass-duplicated
+    * corpus, like every pair emitter. For corpus DEDUP at scale use
+    * [[semanticDuplicates]], whose per-vector verdicts and anchor cap
+    * keep both output and comparison work O(corpus). */
   def nearDuplicates(emb: DataFrame, threshold: Double): DataFrame = {
     val base = emb.select(col("vec_id"), col("label"), col("embedding"),
       norm(col("embedding")).as("nrm"))

@@ -163,6 +163,18 @@ class MainCliSpec extends SparkSuite {
     assert(got == Seq("hot" -> 30L))
   }
 
+  test("vocab verb: ranked term statistics with floor and cap") {
+    import spark.implicits._
+    val p = s"$tmp/vocab_docs"
+    Seq((1L, "b b a"), (2L, "b a c"), (3L, "a"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(p)
+    val out = s"$tmp/vocab_out"
+    Main.run(spark, "vocab", Array(p, out, "2", "10"))
+    val got = spark.read.parquet(out).orderBy(col("rnk")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((1L, "a", 3L, 3L), (2L, "b", 3L, 2L)))
+  }
+
   test("quality_cut verb: corpus-wide and per-source modes") {
     import spark.implicits._
     val p = s"$tmp/qcut_docs"
