@@ -38,14 +38,25 @@ object Checkpoints {
 
   /** Eagerly materialize `df` with truncated lineage: `localCheckpoint`
     * by default, reliable `checkpoint` when [[ReliableKey]] is set. */
-  def materialize(df: DataFrame): DataFrame = {
+  def materialize(df: DataFrame): DataFrame =
+    materialize(df, eager = true)
+
+  /** [[materialize]] with the caller choosing the materializing action:
+    * `eager = false` returns the lazily-checkpointed frame, and the
+    * caller MUST immediately run a FULL-SCAN action on it (a global
+    * aggregate — never `limit`/`head`, which compute only some
+    * partitions). That action computes every partition and thereby
+    * persists the checkpoint — so a required audit aggregate can double
+    * as the materializing pass instead of costing a dedicated job
+    * (ADVICE r9 on [[graft.pipelines.Similarity.semanticDuplicates]]). */
+  def materialize(df: DataFrame, eager: Boolean): DataFrame = {
     val spark = df.sparkSession
     if (spark.conf.get(ReliableKey, "false").toBoolean) {
       if (spark.sparkContext.getCheckpointDir.isEmpty)
         spark.sparkContext.setCheckpointDir(spark.conf.get(DirKey,
           sys.props("java.io.tmpdir") + "/graft-checkpoints"))
-      df.checkpoint(eager = true)
-    } else df.localCheckpoint(eager = true)
+      df.checkpoint(eager = eager)
+    } else df.localCheckpoint(eager = eager)
   }
 
   /** Eagerly release the storage behind a [[materialize]]d (or

@@ -216,6 +216,59 @@ object Images {
   final case class FrameMeta(doc_id: Long, frame_idx: Long, width: Int,
     height: Int, mean_luma: Double)
 
+  /** Per-frame (width, height, meanLuma) of every `stride`-th frame,
+    * decoding ONE frame at a time: non-sampled indices are never
+    * `reader.read`, and a sampled frame's pixels are reduced to the
+    * scalar statistics before the next frame is touched — per-row
+    * memory is the encoded container plus a single decoded frame, not
+    * the full decoded frame set (our GIF frames are written
+    * independent/full by [[encodeAnimatedGif]], so index-skipping is
+    * sound). Empty for undecodable bytes — the [[decodeGray]]
+    * corrupt-tail posture. */
+  def sampledFrameStats(payload: Array[Byte],
+      stride: Int): Seq[(Int, Int, Int, Double)] = {
+    val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(payload))
+    try {
+      val readers = ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) return Seq.empty
+      val reader = readers.next()
+      try {
+        reader.setInput(iis)
+        val n = reader.getNumImages(true)
+        val out = scala.collection.mutable.ArrayBuffer[(Int, Int, Int, Double)]()
+        var i = 0
+        while (i < n) {
+          if (i % stride == 0) {
+            val im = reader.read(i)
+            val gray =
+              if (im.getType == BufferedImage.TYPE_BYTE_GRAY) im
+              else {
+                val g = new BufferedImage(im.getWidth, im.getHeight,
+                  BufferedImage.TYPE_BYTE_GRAY)
+                val gg = g.createGraphics()
+                try gg.drawImage(im, 0, 0, null) finally gg.dispose()
+                g
+              }
+            val (w, h) = (gray.getWidth, gray.getHeight)
+            val raster = gray.getRaster
+            var sum = 0L
+            var j = 0
+            while (j < w * h) {
+              sum += raster.getSample(j % w, j / w, 0)
+              j += 1
+            }
+            out += ((i, w, h, sum.toDouble / (w * h)))
+          }
+          i += 1
+        }
+        out.toSeq
+      } finally reader.dispose()
+    } catch {
+      // same corrupt-tail posture (and rationale) as [[decodeGray]]
+      case scala.util.control.NonFatal(_) => Seq.empty
+    } finally iis.close()
+  }
+
   /** Oracle-gated multi-frame decode + FRAME SAMPLING: bytes → REAL
     * animated gray GIF ([[encodeAnimatedGif]], one `side`×`side` frame
     * per `side`² bytes) → REAL per-frame ImageIO decode
@@ -226,8 +279,10 @@ object Images {
     * lossless, so the DuckDB twin
     * ([[graft.Oracles.multimodalFrames]]) replays the sampled frame
     * statistics from the raw bytes. Scale shape: one encoded container
-    * + one decoded frame in memory per row at a time, `flatMap` inside
-    * one `mapPartitions` pass — output rows ∝ payload bytes / side². */
+    * + ONE decoded frame in memory per row at a time
+    * ([[sampledFrameStats]] never materializes the frame set, and
+    * never decodes a skipped frame), `flatMap` inside one
+    * `mapPartitions` pass — output rows ∝ payload bytes / side². */
   def frameSample(spark: SparkSession, docs: DataFrame, stride: Int = 2,
       side: Int = RowWidth): DataFrame = {
     require(stride >= 1, s"stride must be >= 1, got $stride")
@@ -236,17 +291,13 @@ object Images {
       .as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, bytes) =>
         val gif = encodeAnimatedGif(bytes, side)
-        val frames = decodeFrames(gif)
+        val frames = sampledFrameStats(gif, stride)
         if (frames.isEmpty)
           throw new IllegalStateException(
             s"self-encoded GIF undecodable for doc $id") // loud beats silent
-        frames.iterator.zipWithIndex
-          .filter { case (_, i) => i % stride == 0 }
-          .map { case ((w, h, px), i) =>
-            var sum = 0L
-            px.foreach(b => sum += (b & 0xff))
-            FrameMeta(id, i.toLong, w, h, sum.toDouble / px.length)
-          }
+        frames.iterator.map { case (i, w, h, mean) =>
+          FrameMeta(id, i.toLong, w, h, mean)
+        }
       })
       .toDF()
       .select(col("doc_id"), col("frame_idx"), col("width"), col("height"),

@@ -32,19 +32,37 @@ object Quantiles {
 
   /** `(group..., q, n, p)` — exact continuous percentile `p` of the
     * integer-valued `value` for each group × each `qs` entry. Pass
-    * `groupCols = Nil` for one global group. */
+    * `groupCols = Nil` for one global group.
+    *
+    * NULL `value` rows are skipped — the same null semantics as
+    * Spark's `percentile` and DuckDB's `quantile_cont` (counting
+    * nulls would shift every rank on null-containing input). The
+    * value domain must be INTEGER-VALUED: a non-integral value would
+    * silently truncate under `cast(long)` and diverge from the
+    * aggregates this replaces, so the plan raises an error on the
+    * first non-integral row instead (a codegen'd comparison per row —
+    * no extra pass). */
   def contFromHistogram(df: DataFrame, groupCols: Seq[String],
       value: Column, qs: Seq[Double]): DataFrame = {
     require(qs.nonEmpty, "need at least one quantile")
     val spark = df.sparkSession
     import spark.implicits._
+    // null-skip FIRST (so the integral guard below can't fire on a
+    // null, whose comparison is null and would fall into the error arm)
+    val nn = df.filter(value.isNotNull)
+    val vlong = value.cast("long")
+    val guarded = when(value.cast("double") === vlong.cast("double"), vlong)
+      .otherwise(raise_error(concat(
+        lit("Quantiles.contFromHistogram: non-integral value "),
+        value.cast("string"),
+        lit(" — pre-scale to integer micro-units (see scaladoc)"))))
     // a constant key stands in for the global group so every step
     // below is the one grouped code path
     val (base, gcols) =
       if (groupCols.isEmpty)
-        (df.select(lit(1).as("__g"), value.cast("long").as("v")), Seq("__g"))
+        (nn.select(lit(1).as("__g"), guarded.as("v")), Seq("__g"))
       else
-        (df.select(groupCols.map(col) :+ value.cast("long").as("v"): _*),
+        (nn.select(groupCols.map(col) :+ guarded.as("v"): _*),
           groupCols)
     val g = gcols.map(col)
     val hist = base.groupBy(g :+ col("v"): _*).agg(count(lit(1)).as("cnt"))

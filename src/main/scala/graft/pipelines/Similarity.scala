@@ -423,15 +423,23 @@ object Similarity {
     val indexed =
       nearestCellsHier(corpus, ivfCentroids(corpus, nl, trainFraction), nl)
     val wCell = Window.partitionBy(col("cid")).orderBy(col("vec_id"))
+    // Lazy checkpoint: the overflow-audit aggregate below is the
+    // materializing action (a global max computes every partition), so
+    // the audit costs zero extra jobs in the common no-overflow case
+    // (ADVICE r9); the precise beyond-cap count is only worth a second
+    // job once the cheap max-rank check says overflow actually happened.
     val ranked = graft.Checkpoints.materialize(
-      indexed.withColumn("rn", row_number().over(wCell)))
-    val nBeyond = ranked.filter(col("rn") > maxCellCompare).count()
-    if (nBeyond > 0)
+      indexed.withColumn("rn", row_number().over(wCell)), eager = false)
+    val maxRnRow = ranked.agg(max(col("rn"))).head()
+    val overflow = !maxRnRow.isNullAt(0) && maxRnRow.getInt(0) > maxCellCompare
+    if (overflow) {
+      val nBeyond = ranked.filter(col("rn") > maxCellCompare).count()
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"semanticDuplicates: $nBeyond vectors rank past maxCellCompare=" +
           s"$maxCellCompare in their cell and are compared only against " +
           "the cap anchors; duplicates whose every similar partner is " +
           "beyond the cap are missed")
+    }
     val x = ranked.select(col("cid"), col("vec_id").as("a"),
       col("embedding").as("va"), col("nrm").as("na"))
     // The anchor side is bounded (≤ nlist·maxCellCompare rows) — hash
