@@ -697,6 +697,99 @@ object Oracles {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  /** Shared CTE chain replaying [[graft.pipelines.BpeTrain]] stage for
+    * stage: the capped word-type dictionary, then per training round
+    * `i` the weighted adjacent-pair counts (`pairs_i`), the
+    * deterministic argmax (`pick_i` — `count desc, lhs, rhs`, the
+    * Spark side's exact tiebreak), and the leftmost fold of that merge
+    * over every word (`tw_{i+1}`, the [[textBpeTokens]] `list_reduce`
+    * fold with the merge pulled from `pick_i` via a 1-row cross join
+    * instead of a literal). Every CTE is MATERIALIZED — the chain is
+    * self-referential enough that inlining explodes. */
+  private def bpeTrainCtes(k: Int, minCount: Long, maxWordTypes: Int): String = {
+    val d = "chr(31)"
+    val stages = (0 until k).map { i =>
+      s"""pairs_$i AS MATERIALIZED (
+         |  SELECT syms[j] AS lhs, syms[j + 1] AS rhs,
+         |         CAST(SUM(cnt) AS BIGINT) AS c
+         |  FROM (SELECT unnest(generate_series(1, array_length(syms) - 1)) AS j,
+         |               syms, cnt
+         |        FROM (SELECT string_split(s, $d) AS syms, cnt FROM tw_$i) t0) t
+         |  GROUP BY 1, 2),
+         |pick_$i AS MATERIALIZED (
+         |  SELECT lhs, rhs, c FROM pairs_$i ORDER BY c DESC, lhs, rhs LIMIT 1),
+         |tw_${i + 1} AS MATERIALIZED (
+         |  SELECT list_reduce(list_prepend('', string_split(s, $d)),
+         |    (acc, x) -> CASE WHEN acc = '' THEN x
+         |      WHEN (acc = p.lhs OR ends_with(acc, $d || p.lhs)) AND x = p.rhs
+         |      THEN substr(acc, 1, length(acc) - length(p.lhs)) || p.lhs || p.rhs
+         |      ELSE acc || $d || x END) AS s, cnt
+         |  FROM tw_$i CROSS JOIN pick_$i p)""".stripMargin
+    }.mkString(",\n")
+    s"""twords AS MATERIALIZED (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM (
+       |    SELECT unnest(regexp_extract_all(lower(text),
+       |      '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS w FROM documents) u
+       |  GROUP BY w HAVING count(*) >= $minCount
+       |  ORDER BY cnt DESC, w LIMIT $maxWordTypes),
+       |tw_0 AS MATERIALIZED (
+       |  SELECT array_to_string(regexp_split_to_array(w, ''), $d) AS s, cnt
+       |  FROM twords),
+       |$stages""".stripMargin
+  }
+
+  /** Mirror of [[graft.pipelines.BpeTrain.merges]]: the learned merge
+    * list, rank by rank. */
+  def bpeTrain(k: Int = graft.pipelines.BpeTrain.DefaultMerges,
+      minCount: Long = graft.pipelines.BpeTrain.DefaultMinCount,
+      maxWordTypes: Int = graft.pipelines.BpeTrain.DefaultMaxWordTypes)
+      : String = {
+    val union = (0 until k).map { i =>
+      s"SELECT CAST(${i + 1} AS BIGINT) AS rnk, lhs, rhs, c AS pcnt " +
+        s"FROM pick_$i"
+    }.mkString("\nUNION ALL ")
+    s"""WITH ${bpeTrainCtes(k, minCount, maxWordTypes)}
+       |SELECT * FROM ($union) ORDER BY rnk""".stripMargin
+  }
+
+  /** Mirror of the TRAINED-vocab `text_bpe_tokens` gate: the
+    * [[bpeTrainCtes]] training chain learns the merges, then the
+    * [[textBpeTokens]] apply chain replays them over the documents —
+    * each apply stage pulling its merge from the corresponding
+    * `pick_i` (1-row cross join) instead of a pinned literal. */
+  def textBpeTokensTrained(
+      k: Int = graft.pipelines.BpeTrain.DefaultMerges,
+      minCount: Long = graft.pipelines.BpeTrain.DefaultMinCount,
+      maxWordTypes: Int = graft.pipelines.BpeTrain.DefaultMaxWordTypes)
+      : String = {
+    val d = "chr(31)"
+    val applyStages = (0 until k).map { i =>
+      s"""w${i + 1} AS MATERIALIZED (
+         |  SELECT doc_id, list_reduce(list_prepend('', string_split(s, $d)),
+         |    (acc, x) -> CASE WHEN acc = '' THEN x
+         |      WHEN (acc = p.lhs OR ends_with(acc, $d || p.lhs)) AND x = p.rhs
+         |      THEN substr(acc, 1, length(acc) - length(p.lhs)) || p.lhs || p.rhs
+         |      ELSE acc || $d || x END) AS s
+         |  FROM w$i CROSS JOIN pick_$i p)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${bpeTrainCtes(k, minCount, maxWordTypes)},
+       |words AS MATERIALIZED (
+       |  SELECT doc_id, unnest(regexp_extract_all(lower(text),
+       |    '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS w FROM documents),
+       |w0 AS (SELECT doc_id,
+       |  array_to_string(regexp_split_to_array(w, ''), $d) AS s FROM words),
+       |$applyStages,
+       |wc AS (SELECT doc_id,
+       |  array_length(string_split(s, $d)) AS n FROM w$k),
+       |agg AS (SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_bpe
+       |        FROM wc GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |       CAST(${TF.sqlSubtokenCount("d.text")} AS BIGINT) AS n_subtokens,
+       |       CAST(coalesce(a.n_bpe, 0) AS BIGINT) AS n_bpe
+       |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   /** Same result as [[dedupExact]] — the hash-group formulation only
     * changes the shuffle key, so the plain text-group query is the
     * oracle. */

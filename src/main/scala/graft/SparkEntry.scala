@@ -366,16 +366,26 @@ object SparkEntry {
       GraphIO.documents(s, dir).select(col("doc_id"),
         TF.langIdNgram(col("text")).as("lang_tri"))
         .orderBy(col("doc_id"))),
-    // Real-BPE token counts (canonical merge application, Demo vocab)
-    // next to the subtoken proxy they refine — a per-row codegen'd
-    // scalar, no shuffle; the vocab rides the plan as a reference obj.
+    // Real-BPE token counts next to the subtoken proxy they refine —
+    // a per-row codegen'd scalar, no shuffle; the vocab rides the plan
+    // as a reference obj. The vocab is TRAINED on this corpus
+    // (BpeTrain — the closed tokenizer-training loop): K bounded
+    // rounds over the capped word-type dictionary, then the learned
+    // K-row merge list is collected (the IVF-centroid pattern) and
+    // applied corpus-wide.
     "text_bpe_tokens" -> ((s, dir) => {
-      val bpe = new graft.functions.BpeTokenizer(graft.functions.BpeVocab.Demo)
+      val bpe = new graft.functions.BpeTokenizer(
+        graft.pipelines.BpeTrain.trainedVocab(GraphIO.documents(s, dir)))
       GraphIO.documents(s, dir).select(col("doc_id"),
         TF.subtokenCount(col("text")).cast("long").as("n_subtokens"),
         bpe.countTokens(col("text")).as("n_bpe"))
         .orderBy(col("doc_id"))
     }),
+    // The BPE TRAINER itself, gate-shaped: the learned merge list in
+    // rank order, replayed merge-for-merge by the DuckDB oracle
+    // (pair-count argmax + leftmost fold per round).
+    "bpe_train" -> ((s, dir) =>
+      graft.pipelines.BpeTrain.merges(GraphIO.documents(s, dir))),
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhash(s, GraphIO.documents(s, dir))),
     "dedup_clusters" -> ((s, dir) =>
@@ -684,7 +694,8 @@ object SparkEntry {
     "dedup_exact" -> Oracles.dedupExact,
     "dedup_exact_hash" -> Oracles.dedupExactHash,
     "text_langid_ngram" -> Oracles.textLangIdNgram,
-    "text_bpe_tokens" -> Oracles.textBpeTokens,
+    "text_bpe_tokens" -> Oracles.textBpeTokensTrained(),
+    "bpe_train" -> Oracles.bpeTrain(),
     "dedup_simhash" -> Oracles.dedupSimhash,
     "dedup_clusters" -> Oracles.dedupClusters,
     "dedup_clusters_star" -> Oracles.dedupClusters,

@@ -25,7 +25,11 @@ object TextFunctions {
 
   /** BPE-ish regex subtokens: alpha runs, digit runs, and single
     * non-alnum marks — the pre-tokenization split most BPE vocabularies
-    * start from. */
+    * start from. Array form; NULL text -> empty array. */
+  def subtokens(text: Column): Column =
+    coalesce(regexp_extract_all(lower(text),
+      lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)), array().cast("array<string>"))
+
   def subtokenCount(text: Column): Column =
     coalesce(size(regexp_extract_all(lower(text),
       lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))), lit(0))
