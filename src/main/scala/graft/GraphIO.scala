@@ -259,6 +259,63 @@ object GraphIO {
   def embeddings(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"$sfDir/embeddings.parquet")
 
+  /** Directory-shaped path for the FILE-STREAM source. Spark's file
+    * stream lists a directory; the testdata tables are single parquet
+    * FILES, so those are byte-copied once per (sfDir, table) into
+    * `target/stream-src/…/<table>/` and the copy's directory returned
+    * (length-checked so a regenerated testdata file refreshes the
+    * copy). A table that is already a directory — every derived
+    * ScaleBench corpus, every production layout — streams in place. */
+  def streamingDir(sfDir: String, table: String): String = {
+    val src = new java.io.File(s"$sfDir/$table.parquet")
+    require(src.exists, s"no $table.parquet under $sfDir")
+    if (src.isDirectory) src.getAbsolutePath
+    else {
+      val safe = sfDir.replaceAll("[^a-zA-Z0-9]", "_")
+      val outDir = new java.io.File(s"target/stream-src/$safe/$table")
+      val dst = new java.io.File(outDir, s"$table.parquet")
+      if (!dst.exists || dst.length != src.length) {
+        outDir.mkdirs()
+        java.nio.file.Files.copy(src.toPath, dst.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+      outDir.getAbsolutePath
+    }
+  }
+
+  /** `readStream` twin of [[events]]: same directory contract as
+    * [[streamingDir]], same epoch-nanos `ts` normalization. The file
+    * schema comes from a one-footer batch read (the stream source
+    * requires an explicit schema). For TIMESTAMP(NANOS) files the
+    * legacy `nanosAsLong` conf must be visible to the STREAM's
+    * analysis, and a streaming query cannot run on a cloned session's
+    * conf alone — so for that layout only, the conf is set on the
+    * caller's session (documented side effect; every graft entry point
+    * reads events through the normalizing accessors, so the semantics
+    * are unchanged). */
+  def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = streamingDir(sfDir, "events")
+    val batch =
+      try spark.read.parquet(dir)
+      catch {
+        case _: org.apache.spark.sql.AnalysisException =>
+          spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+          spark.read.parquet(dir)
+      }
+    val raw = spark.readStream.schema(batch.schema).parquet(dir)
+    raw.schema("ts").dataType match {
+      case LongType => raw
+      case TimestampType =>
+        raw.withColumn("ts", unix_micros(col("ts")) * lit(1000L))
+      case TimestampNTZType =>
+        raw.withColumn("ts",
+          unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
+      case other => throw new IllegalArgumentException(
+        s"events.ts has unsupported type $other; expected a timestamp " +
+          "or epoch-nanos BIGINT")
+    }
+  }
+
   /** Events table with `ts` normalized to epoch-nanos BIGINT regardless
     * of the file's parquet timestamp unit, so every downstream pipeline
     * sees one stable integer-nanos contract (nanos exceed double

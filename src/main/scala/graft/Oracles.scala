@@ -325,6 +325,45 @@ object Oracles {
        |SELECT user_id, sess, COUNT(*) AS n_events, MAX(e) - MIN(e) AS dur_us
        |FROM g GROUP BY user_id, sess ORDER BY user_id, sess""".stripMargin
 
+  /** Mirror of the `stream_sessionize` gate: the [[sessionize]] batch
+    * sessions restricted to what a finite AvailableNow drain of the
+    * explicit-state sessionizer
+    * ([[graft.streaming.EventPipelines.sessionizeStream]], watermark
+    * delay 0) actually emits — every session CLOSED by a later event
+    * (all but each user's last), plus each user's last session iff the
+    * event-time timeout fired for it: Spark fires a state timeout when
+    * the watermark advances STRICTLY beyond the registered deadline
+    * (`last + gap`, ms resolution), and the final watermark of a
+    * delay-0 drain is the global max event time — so the one session
+    * that can never flush is a last session whose `last + gap` reaches
+    * past the corpus' max timestamp (empirically pinned at sf0.001:
+    * 946 batch sessions → 945 streamed; the unflushed one belongs to
+    * the max-ts holder). */
+  def streamSessionize(gapUs: Long = 30L * 60 * 1000000L): String =
+    s"""WITH f AS MATERIALIZED (
+       |  SELECT user_id, epoch_us(ts) AS e, event_id,
+       |         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL THEN 1
+       |              WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > $gapUs THEN 1
+       |              ELSE 0 END AS is_new
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+       |g AS MATERIALIZED (
+       |  SELECT user_id, e, event_id,
+       |         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY e, event_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess
+       |  FROM f),
+       |sess AS MATERIALIZED (
+       |  SELECT user_id, sess, COUNT(*) AS n_events,
+       |         MAX(e) - MIN(e) AS dur_us, MAX(e) AS last_e
+       |  FROM g GROUP BY user_id, sess),
+       |lastsess AS (SELECT user_id, MAX(sess) AS last_sess
+       |             FROM sess GROUP BY user_id),
+       |wm AS (SELECT MAX(e) // 1000 AS wm_ms FROM f)
+       |SELECT user_id, n_events, dur_us
+       |FROM sess JOIN lastsess USING (user_id) CROSS JOIN wm
+       |WHERE sess < last_sess OR (last_e // 1000 + ${gapUs / 1000}) < wm_ms
+       |ORDER BY user_id, n_events, dur_us""".stripMargin
+
   // ------------------- utility operators -------------------
 
   def topicsList: String =

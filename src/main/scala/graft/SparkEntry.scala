@@ -580,13 +580,11 @@ object SparkEntry {
     "stream_token_cms" -> ((s, dir) => {
       val name = "graft_stream_cms_gate"
       val schema = GraphIO.documents(s, dir).schema
-      // the testdata tables are single parquet FILES; the file-stream
-      // source demands a directory-shaped path, so glob the file name
-      // ([t] = literal t) — the source then lists the parent dir and
-      // matches exactly documents.parquet. A production deployment
-      // streams a directory and never hits this.
+      // real directory-shaped file-stream source (GraphIO.streamingDir
+      // byte-copies a single-file testdata table into a directory once;
+      // directory-shaped corpora stream in place)
       val docs = s.readStream.schema(schema)
-        .parquet(s"$dir/documents.parque[t]")
+        .parquet(GraphIO.streamingDir(dir, "documents"))
       val toks = docs.select(explode(TF.tokens(col("text"))).as("tok"))
       s.catalog.dropTempView(name) // idempotent re-run in one session
       val q = Sketches.cmsSketch(s, toks, col("tok"))
@@ -596,6 +594,30 @@ object SparkEntry {
         .start()
       q.awaitTermination()
       s.table(name).orderBy(col("r"), col("bucket"))
+    }),
+    // STREAMING sessionization twin: the explicit-state
+    // flatMapGroupsWithState sessionizer (bounded state: one open
+    // session per watermark-active user) drains the events directory
+    // as one AvailableNow run. ts is µs-floored BEFORE the stream so
+    // stream nanos arithmetic and the µs-resolution oracle see the
+    // same instants. Oracle: the batch twin restricted to the sessions
+    // a finite drain actually closes (see Oracles.streamSessionize).
+    "stream_sessionize" -> ((s, dir) => {
+      val name = "graft_stream_sessionize_gate"
+      val ev = GraphIO.eventsStream(s, dir)
+        .withColumn("ts", expr("ts div 1000 * 1000"))
+      s.catalog.dropTempView(name) // idempotent re-run in one session
+      val q = EventPipelines.sessionizeStream(s, ev,
+          watermarkDelay = "0 seconds")
+        .toDF()
+        .writeStream.outputMode("append").format("memory").queryName(name)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(name)
+        .select(col("user_id"), col("n_events"),
+          expr("dur_ns div 1000").as("dur_us"))
+        .orderBy(col("user_id"), col("n_events"), col("dur_us"))
     }),
     // ---- retrieval: keyword, hybrid sparse+dense, inverted index ----
     "search_bm25" -> ((s, dir) =>
@@ -738,6 +760,7 @@ object SparkEntry {
     "sample_quality_cutoff" -> Oracles.sampleQualityCutoff(),
     "corpus_token_cms" -> Oracles.corpusTokenCms(CmsProbes),
     "stream_token_cms" -> Oracles.streamTokenCms,
+    "stream_sessionize" -> Oracles.streamSessionize(),
     "corpus_heavy_tokens" -> Oracles.corpusHeavyTokens(),
     "search_bm25" -> Oracles.bm25Search(SearchTerms),
     "search_hybrid_rrf" -> Oracles.hybridRrf(SearchTerms, queryVecId = 0L),
