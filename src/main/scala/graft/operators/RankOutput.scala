@@ -39,9 +39,20 @@ object RankOutput {
 
   /** Single-file text sink, sorted desc — the reference's output layout.
     * `coalesce(1)` is a narrow repartition exactly as the reference's
-    * `coalesce(1, False)`. */
+    * `coalesce(1, False)`.
+    *
+    * Scores are rounded to 12 decimals BEFORE ranking: kernel scores
+    * are transcendental-born doubles, and `Math.pow/log/exp` admit
+    * ±1-ulp platform variance — unrounded, two hosts could disagree on
+    * both the printed strings and the order of near-ties. After the
+    * round, ties resolve on the id tiebreak identically everywhere
+    * (`SinkStabilitySpec` asserts byte-identical output across two
+    * JVM runs). 12 decimals is far below any meaningful score
+    * separation (the oracle gates round to 6) and far above ulp
+    * noise (~1e-16 relative on unit-scale scores). */
   def writeScoresText(scores: DataFrame, dir: String): Unit =
-    tupleText(ranked(scores)).coalesce(1)
+    tupleText(ranked(scores.withColumn("score", round(col("score"), 12))))
+      .coalesce(1)
       .write.mode("overwrite").text(dir)
 
   /** GraphViz/DOT text export — the engine-side replacement for the
