@@ -209,7 +209,39 @@ object ScaleBench {
       pipelines.Dedup.containment(GraphIO.documents(s, dir), 0.5)),
     // winnow fingerprints -> per-source distinct -> df-guarded pair join
     "corpus_quote_matrix" -> ((s, dir) =>
-      pipelines.Dedup.sourceQuoteMatrix(s, GraphIO.documents(s, dir))))
+      pipelines.Dedup.sourceQuoteMatrix(s, GraphIO.documents(s, dir))),
+    // ---- per-user window family (VERDICT r9 item 3): partitioned
+    // sort windows are the canonical skew exposure — one hot user is
+    // one sort partition. Uniform replication shifts user ids, so the
+    // USER count grows and per-user partitions stay constant: the
+    // expected ratio is the scan floor. The deliberately skewed twin
+    // (mode "skewwin") keeps ONE user unshifted across replicas.
+    "events_sessionize" -> ((s, dir) =>
+      streaming.EventPipelines.sessionizeBatch(GraphIO.events(s, dir))),
+    "events_sessionize_salted" -> ((s, dir) =>
+      streaming.EventPipelines.sessionizeSalted(GraphIO.events(s, dir))),
+    "events_window" -> ((s, dir) =>
+      streaming.EventPipelines.windowedStatsBatch(GraphIO.events(s, dir))),
+    // cumulative window over ALL users (the gate's user_id<20 filter
+    // bounds gate output, not operator work — for scale evidence the
+    // window must see the whole corpus)
+    "events_running_totals_all" -> ((s, dir) =>
+      streaming.EventPipelines.runningTotals(GraphIO.events(s, dir),
+        Long.MaxValue)),
+    // ---- multimodal codec family (VERDICT r9 item 2): per-row
+    // encode/decode inside one mapPartitions pass, one decoded frame
+    // in memory at a time — linear by construction, now MEASURED (the
+    // fixed-nlist IVF was also "linear by construction" until it
+    // wasn't)
+    "multimodal_frames" -> ((s, dir) =>
+      pipelines.Images.frameSample(s, GraphIO.documents(s, dir), stride = 2)),
+    "multimodal_image_roundtrip" -> ((s, dir) =>
+      pipelines.Images.imageRoundTrip(s, GraphIO.documents(s, dir))),
+    "multimodal_audio_roundtrip" -> ((s, dir) =>
+      pipelines.Audio.audioRoundTrip(s, GraphIO.documents(s, dir))),
+    "multimodal_resize_real" -> ((s, dir) =>
+      pipelines.Images.resizedRoundTrip(s, GraphIO.documents(s, dir),
+        factor = 2)))
 
   def main(args: Array[String]): Unit = {
     val baseDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
@@ -269,7 +301,12 @@ object ScaleBench {
     //  - "one:<query>" — the named query alone on both corpora, timed
     //    cold then warm after the standard warmup, in this JVM only —
     //    the order-independent ratio;
-    //  - "train" — skip the sweep, run only the trainFraction evidence.
+    //  - "train" — skip the sweep, run only the trainFraction evidence;
+    //  - "skewwin" — the per-user window family on base vs UNIFORM
+    //    reps× vs a DELIBERATELY SKEWED reps× corpus (the hottest base
+    //    user keeps its id across replicas, so it ends with reps× its
+    //    events while everyone else stays base-sized — the
+    //    one-giant-user sort-partition stress, VERDICT r9 item 3).
     val mode = if (args.length > 3) args(3) else "all"
     val order = if (mode.startsWith("seed:"))
       new scala.util.Random(mode.stripPrefix("seed:").toLong).shuffle(queries)
@@ -301,6 +338,59 @@ object ScaleBench {
         f""""base_first":$bf%.2f,"base_warm":$bw%.2f,""" +
         f""""big_first":$gf%.2f,"big_warm":$gw%.2f,""" +
         f""""warm_ratio":${gw / bw}%.2f}""")
+    } else if (mode == "skewwin") {
+      // Self-contained events-only corpora (uniform AND skewed), so the
+      // window family can be pushed past 10× without deriving the full
+      // multi-table corpus — at 10× a 100k-event base is still at the
+      // 32-core job-overhead floor (~0.6 s); the skew exposure needs
+      // reps high enough that the hot user's single sort partition
+      // dominates (reps=100 → 10M events, 1M on one user).
+      val uniDir = s"$outDir-uniwin$reps"
+      val skewDir = s"$outDir-skewwin$reps"
+      if (!new java.io.File(s"$skewDir/events.parquet/_SUCCESS").exists()) {
+        val ev = spark.read.parquet(s"$baseDir/events.parquet")
+        val hot = GraphIO.events(spark, baseDir).groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("user_id")).head().getLong(0)
+        println(s"[skewwin] hot user = $hot")
+        (0 until reps).map { r =>
+          ev.withColumn("user_id", col("user_id") + lit(r * Shift))
+            .withColumn("event_id", col("event_id") + lit(r * Shift))
+        }.reduce(_ unionAll _)
+          .write.mode("overwrite").parquet(s"$uniDir/events.parquet")
+        (0 until reps).map { r =>
+          ev.withColumn("user_id",
+              when(col("user_id") === hot, col("user_id"))
+                .otherwise(col("user_id") + lit(r * Shift)))
+            .withColumn("event_id", col("event_id") + lit(r * Shift))
+        }.reduce(_ unionAll _)
+          .write.mode("overwrite").parquet(s"$skewDir/events.parquet")
+      }
+      val qmap = queries.toMap
+      def timed(dir: String, name: String): (Double, Double) = {
+        def once(): Double = {
+          val t0 = System.nanoTime()
+          val df = qmap(name)(spark, dir)
+          try df.write.format("noop").mode("overwrite").save()
+          finally Checkpoints.releaseAll(df)
+          (System.nanoTime() - t0) / 1e9
+        }
+        (once(), once())
+      }
+      Seq("events_sessionize", "events_sessionize_salted", "events_window",
+        "events_running_totals_all")
+        .foreach { name =>
+          val (bf, bw) = timed(baseDir, name)
+          val (uf, uw) = timed(uniDir, name) // uniform reps×
+          val (kf, kw) = timed(skewDir, name) // one reps×-hot user
+          println(f"""{"metric":"skewwin","query":"$name",""" +
+            f""""base_warm":$bw%.2f,"uniform${reps}x_warm":$uw%.2f,""" +
+            f""""skew${reps}x_warm":$kw%.2f,""" +
+            f""""uniform_ratio":${uw / bw}%.2f,""" +
+            f""""skew_ratio":${kw / bw}%.2f,""" +
+            f""""base_first":$bf%.2f,"uniform_first":$uf%.2f,""" +
+            f""""skew_first":$kf%.2f}""")
+        }
     } else if (mode != "train") {
       def benchOrdered(dir: String): Map[String, Double] = benchDir(dir, order)
       val base = benchOrdered(baseDir)
@@ -315,6 +405,9 @@ object ScaleBench {
         s""""ratios":$ratios}""")
     }
 
+    if (mode.startsWith("one:") || mode == "skewwin") {
+      spark.stop(); return
+    }
     // trainFraction evidence. The testdata embedding table (2k-20k
     // rows) is far too small for training cost to be data-dominated, so
     // build corpora of ~20k / ~1M vectors by in-plan id-shifted

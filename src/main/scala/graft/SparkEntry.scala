@@ -222,6 +222,11 @@ object SparkEntry {
     // ---- events: batch twins of the streaming pipeline ----
     "events_sessionize" -> ((s, dir) =>
       EventPipelines.sessionizeBatch(GraphIO.events(s, dir))),
+    // Salt-and-merge twin: same sessions from bounded partitions (the
+    // hot-user skew posture); gated on the UNCHANGED sessionize oracle
+    // — the gate IS the output-equality proof.
+    "events_sessionize_salted" -> ((s, dir) =>
+      EventPipelines.sessionizeSalted(GraphIO.events(s, dir))),
     "events_window" -> ((s, dir) =>
       EventPipelines.windowedStatsBatch(GraphIO.events(s, dir))),
     "events_rollup" -> ((s, dir) =>
@@ -680,6 +685,7 @@ object SparkEntry {
     "hits_converged" -> Oracles.hitsConverged(numIter = 12),
     "salsa_converged" -> Oracles.salsaConverged(numIter = 13),
     "events_sessionize" -> Oracles.sessionize(),
+    "events_sessionize_salted" -> Oracles.sessionize(),
     "events_window" -> Oracles.eventsWindow,
     "events_rollup" -> Oracles.eventsRollup,
     "events_active_time" -> Oracles.eventsActiveTime(),

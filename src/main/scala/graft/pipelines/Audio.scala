@@ -66,7 +66,8 @@ object Audio {
     * the raw bytes with no audio library. */
   def audioRoundTrip(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+    Multimodal.fanOut(
+        docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("payload")))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) =>
         val wav = encodePcmWav(bytes)

@@ -117,7 +117,8 @@ object Images {
   def resizedRoundTrip(spark: SparkSession, docs: DataFrame,
       factor: Int): DataFrame = {
     import spark.implicits._
-    docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+    Multimodal.fanOut(
+        docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("payload")))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) =>
         val rz = ImageIoCodec.resize(encodeGrayPng(bytes), factor)
@@ -287,7 +288,8 @@ object Images {
       side: Int = RowWidth): DataFrame = {
     require(stride >= 1, s"stride must be >= 1, got $stride")
     import spark.implicits._
-    docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+    Multimodal.fanOut(
+        docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("payload")))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, bytes) =>
         val gif = encodeAnimatedGif(bytes, side)
@@ -313,7 +315,8 @@ object Images {
     * geometry, lossy path, channel mixup) breaks the hash match. */
   def imageRoundTrip(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+    Multimodal.fanOut(
+        docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("payload")))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) =>
         val png = encodeGrayPng(bytes)

@@ -29,12 +29,27 @@ object Multimodal {
       lit("application/octet-stream").as("mime"),
       encode(col("text"), "UTF-8").as("payload"))
 
+  /** Row-count-proportional fan-out for CPU-bound codec stages. A
+    * parquet scan partitions by BYTES (`maxPartitionBytes` plus the
+    * per-file open cost), which for a compact text/pointer table packs
+    * tens of thousands of codec rows into one or two tasks — measured
+    * 23.4× wall at 10× data on `multimodal_audio_roundtrip`
+    * (near-serial decode on a 10-small-file corpus) before this.
+    * Round-robin repartition to the cluster's core count puts a
+    * payload-row-sized shuffle in front of work that dwarfs it — the
+    * standard posture for decode/resize/featurize stages whose cost is
+    * per-ROW, not per-byte. Every codec entry point routes through
+    * this before its `mapPartitions`. */
+  def fanOut(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   /** Distributed feature extraction: one `mapPartitions` pass, batch
     * shape = one partition, constant memory per row. */
   def extractFeatures(spark: SparkSession, payloads: DataFrame,
       codec: MediaCodec = FakeCodec): Dataset[Features] = {
     import spark.implicits._
-    payloads.select(col("doc_id"), col("mime"), col("payload")).as[Payload]
+    fanOut(payloads.select(col("doc_id"), col("mime"), col("payload")))
+      .as[Payload]
       .mapPartitions(_.map { p =>
         val decoded = codec.decode(p.payload) // pluggable codec boundary
         val hist = new Array[Double](8)
@@ -67,7 +82,8 @@ object Multimodal {
   def resizeAll(spark: SparkSession, payloads: DataFrame,
       factor: Int, codec: MediaCodec = FakeCodec): Dataset[Payload] = {
     import spark.implicits._
-    payloads.select(col("doc_id"), col("mime"), col("payload")).as[Payload]
+    fanOut(payloads.select(col("doc_id"), col("mime"), col("payload")))
+      .as[Payload]
       .mapPartitions(_.map { p =>
         Payload(p.doc_id, p.mime, codec.resize(p.payload, factor))
       })

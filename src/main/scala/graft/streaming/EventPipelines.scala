@@ -61,6 +61,63 @@ object EventPipelines {
       .orderBy(col("user_id"), col("sess"))
   }
 
+  /** SKEW-PROOF sessionization — identical output to
+    * [[sessionizeBatch]] from two BOUNDED stages, for the corpus where
+    * one giant user makes the per-user sort window a single hot
+    * partition (the canonical window-family skew exposure).
+    *
+    * Stage 1 keys the window by `(user_id, salt)` with
+    * `salt = event_id % salts`, so a user's events — however many —
+    * sort in `salts` independent partitions, and collapses each
+    * slice to its within-slice session summaries `(n, lo, hi)`.
+    * Stage 2 re-merges each user's summaries: sorted by interval
+    * start, an interval opens a NEW session iff its start is more than
+    * `gapUs` past the RUNNING MAX of previous ends (running max, not
+    * `lag` — slices interleave, so an interval can nest inside an
+    * earlier one). Per-user stage-2 input is session-count-sized
+    * (≤ true sessions + salts−1 extra splits), never event-sized.
+    *
+    * Output equality is structural, not approximate: gap-tolerance
+    * interval merging computes the connected components of the
+    * "within gap" relation on the sorted event timestamps, and
+    * pre-merging any disjoint slice subsets first cannot change the
+    * components (each stage-1 interval sits inside one true session;
+    * stage 2 links exactly the cross-slice pairs within tolerance).
+    * The `events_sessionize_salted` gate runs against the UNCHANGED
+    * [[sessionizeBatch]] oracle to prove it. */
+  def sessionizeSalted(events: DataFrame,
+      gapUs: Long = 30L * 60 * 1000000L, salts: Int = 16): DataFrame = {
+    require(salts >= 1, s"salts must be >= 1, got $salts")
+    import org.apache.spark.sql.expressions.Window
+    val w1 = Window.partitionBy(col("user_id"), col("salt"))
+      .orderBy(col("e"), col("event_id"))
+    val sliced = events.select(col("user_id"), expr("ts div 1000").as("e"),
+      col("event_id"), pmod(col("event_id"), lit(salts.toLong)).as("salt"))
+    val iv = sliced
+      .withColumn("is_new",
+        when(col("e") - lag(col("e"), 1).over(w1) > gapUs, 1)
+          .when(lag(col("e"), 1).over(w1).isNull, 1).otherwise(0))
+      .withColumn("s1", sum(col("is_new"))
+        .over(w1.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("salt"), col("s1"))
+      .agg(count(lit(1)).as("n"), min(col("e")).as("lo"),
+        max(col("e")).as("hi"))
+    val w2 = Window.partitionBy(col("user_id"))
+      .orderBy(col("lo"), col("hi"), col("salt"), col("s1"))
+    val runMax = max(col("hi"))
+      .over(w2.rowsBetween(Window.unboundedPreceding, -1))
+    iv
+      .withColumn("is_new",
+        when(col("lo") - runMax > gapUs, 1)
+          .when(runMax.isNull, 1).otherwise(0))
+      .withColumn("sess", sum(col("is_new"))
+        .over(w2.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("sess"))
+      .agg(sum(col("n")).as("n_events"),
+        (max(col("hi")) - min(col("lo"))).as("dur_us"))
+      .orderBy(col("user_id"), col("sess"))
+  }
+
   /** Streaming sessionization via explicit state: one open session per
     * user, flushed either when an event arrives past the gap or when the
     * event-time watermark passes the session's gap deadline (so an idle

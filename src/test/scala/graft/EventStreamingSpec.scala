@@ -90,6 +90,32 @@ class EventStreamingSpec extends SparkSuite {
     assert(emitted == Set((1L, 3L, 2L * m)))
   }
 
+  test("sessionizeSalted equals sessionizeBatch, including nested-slice " +
+    "intervals, duplicate timestamps, and every salt width") {
+    import spark.implicits._
+    val m = 60L * 1000000000L
+    val b = 1700000000L * 1000000000L
+    val rnd = new scala.util.Random(7)
+    // Adversarial mix: user 1 dense run whose slices nest (a long
+    // within-slice interval spanning another salt's short one); user 2
+    // duplicate-timestamp burst (the time-shard-proof case); user 3
+    // random spray with gaps; user 4 single event.
+    val rows =
+      (0 until 40).map(i => (1L, b + i * m, 100L + i)) ++ // one long session
+        Seq((1L, b + 200L * m, 150L), (1L, b + 201L * m, 151L)) ++
+        (0 until 25).map(i => (2L, b + 7L * m, 200L + i)) ++ // same instant
+        (0 until 30).map(i =>
+          (3L, b + rnd.nextInt(5000).toLong * m, 300L + i)) ++
+        Seq((4L, b, 400L))
+    val df = rows.toDF("user_id", "ts", "event_id")
+    val want = EventPipelines.sessionizeBatch(df).collect().map(_.toSeq).toSeq
+    for (salts <- Seq(1, 2, 3, 16, 64)) {
+      val got = EventPipelines.sessionizeSalted(df, salts = salts)
+        .collect().map(_.toSeq).toSeq
+      assert(got == want, s"salted($salts) diverges from batch")
+    }
+  }
+
   test("idle session is flushed by the event-time timeout and state removed") {
     import spark.implicits._
     val m = 60L * 1000000000L // 1 min in ns
