@@ -28,6 +28,17 @@ import org.apache.spark.sql.functions._
   * is a certainty. */
 object Images {
 
+  /** ImageIO's default stream cache is DISK-backed: every
+    * encode/decode creates and deletes a temp file, which under a
+    * fanned-out codec stage turns into filesystem churn on the hot
+    * path (measured on the PNG round trip, 20k ops: 4.52 s serial /
+    * 0.90 s × 16 threads with the disk cache vs 1.23 s / 0.13 s with
+    * memory-backed streams — ~3.7× serial, ~7× threaded). Payloads
+    * here are row-sized and already in memory, so the memory cache is
+    * strictly better; the switch is JVM-global and runs once when the
+    * first codec task loads this object on an executor. */
+  locally { ImageIO.setUseCache(false) }
+
   /** Fixed row width of the synthetic gray PNG built from a byte
     * payload (content-independent so the oracle can replay geometry). */
   val RowWidth = 16
