@@ -883,6 +883,18 @@ object Oracles {
   def dedupMinHashLsh: String =
     s"WITH $minhashPairCtes\nSELECT a, b FROM pairs ORDER BY a, b"
 
+  /** Mirror of [[graft.pipelines.Dedup.incrementalMinhash]] on the
+    * `dedup_incremental_minhash` gate split (odd delta vs even
+    * corpus): the same band CTE chain, with the final join taking the
+    * delta side against the index side instead of the a<b self-join. */
+  def dedupIncrementalMinhash: String =
+    s"""WITH $minhashPairCtes
+       |SELECT DISTINCT x.doc_id AS new_id, y.doc_id AS dup_of
+       |FROM bands x JOIN bands y
+       |  ON x.band = y.band AND x.sig = y.sig
+       | AND x.doc_id % 2 = 1 AND y.doc_id % 2 = 0
+       |ORDER BY new_id, dup_of""".stripMargin
+
   /** Shared recursive-CC CTE chain ending in `cc(id, cluster_id)` over
     * the MinHash/LSH pairs: every node collects the labels of
     * everything it can reach, then keeps the minimum. */

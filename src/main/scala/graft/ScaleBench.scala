@@ -210,6 +210,17 @@ object ScaleBench {
     // winnow fingerprints -> per-source distinct -> df-guarded pair join
     "corpus_quote_matrix" -> ((s, dir) =>
       pipelines.Dedup.sourceQuoteMatrix(s, GraphIO.documents(s, dir))),
+    // BPE merge training: the dictionary build is the only
+    // corpus-sized step (one explode + hash agg, capped head); the 16
+    // training rounds run on the ≤4096-row word-type table — the
+    // ratio should be the dict-scan floor, however many merges
+    "bpe_train" -> ((s, dir) =>
+      pipelines.BpeTrain.merges(GraphIO.documents(s, dir))),
+    // streaming ingest twin: AvailableNow drain of the documents
+    // DIRECTORY (the derived corpus is multi-file, so this also
+    // exercises multi-batch admission); CMS grid state is bounded, so
+    // the ratio should be the token-scan floor plus batch overhead
+    "stream_token_cms" -> SparkEntry.queries("stream_token_cms"),
     // ---- per-user window family (VERDICT r9 item 3): partitioned
     // sort windows are the canonical skew exposure — one hot user is
     // one sort partition. Uniform replication shifts user ids, so the

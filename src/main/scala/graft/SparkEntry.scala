@@ -528,6 +528,14 @@ object SparkEntry {
       Dedup.dedupIncremental(s,
         d.filter(col("doc_id") % 2 === 0), d.filter(col("doc_id") % 2 === 1))
     }),
+    // Incremental NEAR-dup: odd doc_ids' band signatures probe the
+    // even half's persisted LSH index (the minhash analogue of
+    // dedup_incremental — O(delta) probes, no corpus self-join).
+    "dedup_incremental_minhash" -> ((s, dir) => {
+      val d = GraphIO.documents(s, dir)
+      Dedup.incrementalMinhash(s,
+        d.filter(col("doc_id") % 2 === 0), d.filter(col("doc_id") % 2 === 1))
+    }),
     // Context-window chunking with stride (doc → embedding inputs).
     "text_chunks" -> ((s, dir) =>
       Packing.chunkTokens(GraphIO.documents(s, dir), size = 32, stride = 16)),
@@ -750,6 +758,7 @@ object SparkEntry {
     "pipeline_curate" -> Oracles.pipelineCurate(
       minQuality = 0.5, lang = "en", total = 100, alpha = 0.5),
     "dedup_incremental" -> Oracles.dedupIncremental,
+    "dedup_incremental_minhash" -> Oracles.dedupIncrementalMinhash,
     "text_chunks" -> Oracles.textChunks(size = 32, stride = 16),
     "dedup_winnow" -> Oracles.dedupWinnow(k = 3, w = 4),
     "layout_zorder" -> Oracles.layoutZorder(bits = 8),

@@ -226,13 +226,30 @@ object Dedup {
     * distinct shingles at ≥10⁹-document scale, biasing every min slot
     * downward on exactly the corpora this operator exists for. */
   def minhashLsh(spark: SparkSession, docs: DataFrame): DataFrame = {
-    // Hash before distinct: the dedup shuffle then moves (doc_id, int64)
-    // instead of raw shingle strings — the FUSED wide hash computes both
-    // folds in one string pass, and the (h, h2) components are recovered
-    // by div/mod after the distinct (bijective pairing). Equivalent
-    // regardless of hash collisions — min() is multiplicity-insensitive,
-    // so collapsing two colliding shingles to one row cannot change any
-    // min slot.
+    val bands = bandTable(spark, docs)
+    val x = bands.select(col("doc_id").as("a"), col("band"), col("sig"))
+    val y = bands.select(col("doc_id").as("b"),
+      col("band").as("band2"), col("sig").as("sig2"))
+    x.join(y, col("band") === col("band2") && col("sig") === col("sig2") &&
+        col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+      .orderBy(col("a"), col("b"))
+  }
+
+  /** Per-document LSH band signatures `(doc_id, band, sig)` — the
+    * candidate index both [[minhashLsh]] (self-join) and
+    * [[incrementalMinhash]] (delta-vs-index probe) join on, and the
+    * table a production deployment PERSISTS between deltas (3 int64s ×
+    * bands per document).
+    *
+    * Hash before distinct: the dedup shuffle then moves (doc_id, int64)
+    * instead of raw shingle strings — the FUSED wide hash computes both
+    * folds in one string pass, and the (h, h2) components are recovered
+    * by div/mod after the distinct (bijective pairing). Equivalent
+    * regardless of hash collisions — min() is multiplicity-insensitive,
+    * so collapsing two colliding shingles to one row cannot change any
+    * min slot. */
+  def bandTable(spark: SparkSession, docs: DataFrame): DataFrame = {
     val hh = docs
       .select(col("doc_id"), explode(TF.shingles(col("text"), 3)).as("sh"))
       .select(col("doc_id"), GraftHash.widePair(spark, col("sh")).as("wh"))
@@ -244,18 +261,33 @@ object Dedup {
         .as(s"m$j")
     }
     val mh = hh.groupBy(col("doc_id")).agg(minAggs.head, minAggs.tail: _*)
-    val bands = (0 until MinHashParams.Bands).map { bd =>
+    (0 until MinHashParams.Bands).map { bd =>
       val ms = (0 until MinHashParams.Rows)
         .map(r => col(s"m${bd * MinHashParams.Rows + r}"))
       mh.select(col("doc_id"), lit(bd).as("band"), bandSig(ms).as("sig"))
     }.reduce(_ unionAll _)
-    val x = bands.select(col("doc_id").as("a"), col("band"), col("sig"))
-    val y = bands.select(col("doc_id").as("b"),
+  }
+
+  /** INCREMENTAL near-duplicate detection — the daily-delta production
+    * shape, the [[minhashLsh]] analogue of [[dedupIncremental]]'s
+    * exact check: the NEW documents' band signatures probe the
+    * existing corpus's PERSISTED signature index, so a delta of `d`
+    * documents costs `O(d·bands)` index probes against a co-keyed
+    * join — never a corpus self-join per delta. Returns
+    * `(new_id, dup_of)` — every existing document sharing ≥ 1 LSH
+    * band with a new one (the same candidate semantics as
+    * [[minhashLsh]], restricted to new×existing pairs). Here the
+    * index side is derived in-query from `corpus`; a deployment reads
+    * it back from storage and appends the delta's signatures after
+    * the probe. */
+  def incrementalMinhash(spark: SparkSession, corpus: DataFrame,
+      delta: DataFrame): DataFrame = {
+    val idx = bandTable(spark, corpus).select(col("doc_id").as("dup_of"),
       col("band").as("band2"), col("sig").as("sig2"))
-    x.join(y, col("band") === col("band2") && col("sig") === col("sig2") &&
-        col("a") < col("b"))
-      .select(col("a"), col("b")).distinct()
-      .orderBy(col("a"), col("b"))
+    bandTable(spark, delta)
+      .join(idx, col("band") === col("band2") && col("sig") === col("sig2"))
+      .select(col("doc_id").as("new_id"), col("dup_of")).distinct()
+      .orderBy(col("new_id"), col("dup_of"))
   }
 
   /** Per-document folded MinHash signature via the typed

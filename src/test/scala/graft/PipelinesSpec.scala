@@ -35,6 +35,28 @@ class PipelinesSpec extends SparkSuite {
     assert(!pairs.contains((1L, 3L)))
   }
 
+  test("incrementalMinhash: delta probes the corpus index, " +
+    "new x existing only, consistent with the self-join candidates") {
+    val text = "one two three four five six seven eight nine ten"
+    val d = docs((2L, text), (4L, text), (3L, text),
+      (5L, "completely different words in this much longer unrelated " +
+        "document body here"))
+    val corpus = d.filter(org.apache.spark.sql.functions.col("doc_id") % 2 === 0)
+    val delta = d.filter(org.apache.spark.sql.functions.col("doc_id") % 2 === 1)
+    val got = Dedup.incrementalMinhash(spark, corpus, delta).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // new doc 3 hits both existing copies; new doc 5 hits nothing;
+    // existing docs never appear on the new side
+    assert(got == Set((3L, 2L), (3L, 4L)))
+    // consistency: the incremental pairs are exactly the self-join
+    // candidates restricted to delta x corpus
+    val self = Dedup.minhashLsh(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = self.flatMap { case (a, b) =>
+      Seq((a, b), (b, a)) }.filter { case (n, e) => n % 2 == 1 && e % 2 == 0 }
+    assert(got == expected)
+  }
+
   test("ngram jaccard: identical docs score 1.0") {
     val text = "one two three four five"
     val d = docs((1L, text), (2L, text), (3L, "unrelated totally distinct " +
