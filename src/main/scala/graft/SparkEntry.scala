@@ -632,6 +632,23 @@ object SparkEntry {
           expr("dur_ns div 1000").as("dur_us"))
         .orderBy(col("user_id"), col("n_events"), col("dur_us"))
     }),
+    // STREAMING running totals: per-event emission from one
+    // accumulator double per user; on the single-batch AvailableNow
+    // drain the fold order equals the batch window's frame order, so
+    // the batch oracle passes unchanged (no closed-set restriction —
+    // every event emits at arrival, nothing waits on a watermark).
+    "stream_running_totals" -> ((s, dir) => {
+      val name = "graft_stream_running_gate"
+      s.catalog.dropTempView(name) // idempotent re-run in one session
+      val q = EventPipelines
+        .runningTotalsStream(s, GraphIO.eventsStream(s, dir))
+        .toDF()
+        .writeStream.outputMode("append").format("memory").queryName(name)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(name).orderBy(col("user_id"), col("event_id"))
+    }),
     // ---- retrieval: keyword, hybrid sparse+dense, inverted index ----
     "search_bm25" -> ((s, dir) =>
       Retrieval.bm25(GraphIO.documents(s, dir), SearchTerms)),
@@ -776,6 +793,7 @@ object SparkEntry {
     "corpus_token_cms" -> Oracles.corpusTokenCms(CmsProbes),
     "stream_token_cms" -> Oracles.streamTokenCms,
     "stream_sessionize" -> Oracles.streamSessionize(),
+    "stream_running_totals" -> Oracles.eventsRunningTotals(),
     "corpus_heavy_tokens" -> Oracles.corpusHeavyTokens(),
     "search_bm25" -> Oracles.bm25Search(SearchTerms),
     "search_hybrid_rrf" -> Oracles.hybridRrf(SearchTerms, queryVecId = 0L),

@@ -410,6 +410,53 @@ object EventPipelines {
       .orderBy(col("user_id"), col("event_id"))
   }
 
+  final case class VEv(user_id: Long, ts: Long, event_id: Long,
+    value: Double)
+  final case class Running(user_id: Long, event_id: Long,
+    running_cents: Long)
+
+  /** STREAMING running totals — the explicit-state twin of
+    * [[runningTotals]]: one accumulator double per user, each event
+    * emitted immediately with its running value in cents. Within a
+    * batch the fold visits a user's events in `(ts, event_id)` order —
+    * the left-to-right association the batch window's
+    * unbounded-preceding frame uses — and the per-event rounding
+    * replicates Spark's `round` (`BigDecimal.valueOf`, HALF_UP), so on
+    * an in-order drain (the AvailableNow gate: one file, one batch)
+    * the emitted rows are BIT-IDENTICAL to the batch twin and the
+    * `events_running_totals` oracle passes unchanged.
+    *
+    * State is O(active users) — one double, never a buffer; no
+    * watermark is involved because nothing is ever flushed-by-time
+    * (every event produces output at arrival). At scale, cross-batch
+    * DISORDER is the caveat: an event arriving after a later-ts event
+    * was already folded gets the accumulator as-of arrival, the
+    * standard eventual-consistency trade of per-event emission;
+    * deployments needing strict event-time order buffer behind a
+    * watermark first (the [[sessionizeStream]] machinery). */
+  def runningTotalsStream(spark: SparkSession, events: DataFrame,
+      maxUser: Long = 20): Dataset[Running] = {
+    import spark.implicits._
+    def fold(user: Long, evs: Iterator[VEv],
+        state: GroupState[Double]): Iterator[Running] = {
+      var acc = state.getOption.getOrElse(0.0)
+      val out = evs.toSeq.sortBy(e => (e.ts, e.event_id)).map { e =>
+        acc += e.value
+        Running(user, e.event_id,
+          java.math.BigDecimal.valueOf(acc * 100.0)
+            .setScale(0, java.math.RoundingMode.HALF_UP).longValue())
+      }
+      state.update(acc)
+      out.iterator
+    }
+    events.filter(col("user_id") < maxUser)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .as[VEv]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(fold)
+  }
+
   /** Exact continuous percentiles (p50/p90/p99) of event value per
     * event type. Computed over exact integer cents so both engines
     * interpolate between identical integers (the only floats in play

@@ -116,6 +116,40 @@ class EventStreamingSpec extends SparkSuite {
     }
   }
 
+  test("runningTotalsStream: state carries across microbatches and " +
+    "matches the batch window") {
+    import spark.implicits._
+    val b = 1700000000L * 1000000000L
+    val m = 60L * 1000000000L
+    // integer values so cross-check is exact regardless of fold grouping
+    val early = Seq((1L, b + 0 * m, 10L, 2.0), (1L, b + 1 * m, 11L, 3.0),
+      (2L, b + 0 * m, 20L, 5.0))
+    val late = Seq((1L, b + 2 * m, 12L, 4.0), (2L, b + 3 * m, 21L, 1.0))
+    val dir = java.nio.file.Files.createTempDirectory("graft-rt").toFile
+    dir.deleteOnExit()
+    // two files, ts-ordered by file, drained one file per batch — the
+    // second batch must resume from the first's accumulator
+    early.toDF("user_id", "ts", "event_id", "value")
+      .coalesce(1).write.mode("append").parquet(dir.getAbsolutePath)
+    late.toDF("user_id", "ts", "event_id", "value")
+      .coalesce(1).write.mode("append").parquet(dir.getAbsolutePath)
+    val schema = spark.read.parquet(dir.getAbsolutePath).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.getAbsolutePath)
+    spark.catalog.dropTempView("graft_rt_test")
+    val q = EventPipelines.runningTotalsStream(spark, stream)
+      .toDF().writeStream.outputMode("append").format("memory")
+      .queryName("graft_rt_test")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val got = spark.sql("SELECT * FROM graft_rt_test").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = EventPipelines
+      .runningTotals((early ++ late).toDF("user_id", "ts", "event_id", "value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want) // 12 -> 900 cents, 21 -> 600: state carried
+  }
+
   test("idle session is flushed by the event-time timeout and state removed") {
     import spark.implicits._
     val m = 60L * 1000000000L // 1 min in ns
