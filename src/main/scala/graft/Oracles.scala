@@ -325,6 +325,15 @@ object Oracles {
        |SELECT user_id, sess, COUNT(*) AS n_events, MAX(e) - MIN(e) AS dur_us
        |FROM g GROUP BY user_id, sess ORDER BY user_id, sess""".stripMargin
 
+  /** Mirror of the `stream_window` gate: the hourly tumbling window in
+    * epoch-second buckets (Spark's `window(ts, "1 hour")` is
+    * epoch-hour aligned in the UTC session zone) without the
+    * `n_users` distinct count the streaming agg can't maintain. */
+  def streamWindow: String =
+    s"""SELECT CAST(epoch_us(ts) // 3600000000 * 3600 AS BIGINT) AS hour_ts,
+       |       event_type, count(*) AS n, round(SUM(value), 6) AS total
+       |FROM events GROUP BY 1, 2 ORDER BY hour_ts, event_type""".stripMargin
+
   /** Mirror of the `stream_sessionize` gate: the [[sessionize]] batch
     * sessions restricted to what a finite AvailableNow drain of the
     * explicit-state sessionizer

@@ -632,6 +632,25 @@ object SparkEntry {
           expr("dur_ns div 1000").as("dur_us"))
         .orderBy(col("user_id"), col("n_events"), col("dur_us"))
     }),
+    // STREAMING tumbling-window stats: watermark + hourly window in
+    // complete mode (state = windows × types, bounded) drained
+    // AvailableNow — the canonical streaming aggregation, gated
+    // against the same hour-bucket arithmetic in DuckDB.
+    "stream_window" -> ((s, dir) => {
+      val name = "graft_stream_window_gate"
+      val ev = GraphIO.eventsStream(s, dir)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      s.catalog.dropTempView(name) // idempotent re-run in one session
+      val q = EventPipelines.windowedStats(ev)
+        .writeStream.outputMode("complete").format("memory").queryName(name)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(name)
+        .select(col("window.start").cast("long").as("hour_ts"),
+          col("event_type"), col("n"), round(col("total"), 6).as("total"))
+        .orderBy(col("hour_ts"), col("event_type"))
+    }),
     // STREAMING running totals: per-event emission from one
     // accumulator double per user; on the single-batch AvailableNow
     // drain the fold order equals the batch window's frame order, so
@@ -794,6 +813,7 @@ object SparkEntry {
     "stream_token_cms" -> Oracles.streamTokenCms,
     "stream_sessionize" -> Oracles.streamSessionize(),
     "stream_running_totals" -> Oracles.eventsRunningTotals(),
+    "stream_window" -> Oracles.streamWindow,
     "corpus_heavy_tokens" -> Oracles.corpusHeavyTokens(),
     "search_bm25" -> Oracles.bm25Search(SearchTerms),
     "search_hybrid_rrf" -> Oracles.hybridRrf(SearchTerms, queryVecId = 0L),
