@@ -892,6 +892,20 @@ object Oracles {
   def dedupMinHashLsh: String =
     s"WITH $minhashPairCtes\nSELECT a, b FROM pairs ORDER BY a, b"
 
+  /** Mirror of [[graft.pipelines.Dedup.minhashEstimate]]: the band
+    * CTE pairs joined against the 16-slot signature CTE; k/16 is
+    * exactly representable so no rounding is involved. */
+  def dedupMinhashEstimate: String = {
+    val agree = (0 until MinHashParams.NumHashes).map(j =>
+      s"CASE WHEN x.m$j = y.m$j THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH $minhashPairCtes
+       |SELECT p.a, p.b, ($agree) / 16.0 AS est_jaccard
+       |FROM pairs p
+       |JOIN mh x ON x.doc_id = p.a
+       |JOIN mh y ON y.doc_id = p.b
+       |ORDER BY p.a, p.b""".stripMargin
+  }
+
   /** Mirror of [[graft.pipelines.Dedup.incrementalMinhash]] on the
     * `dedup_incremental_minhash` gate split (odd delta vs even
     * corpus): the same band CTE chain, with the final join taking the
@@ -1245,6 +1259,16 @@ object Oracles {
        |             ORDER BY ${sqDistSql("v.embedding", "g.cvec")}, g.cid) AS rn
        |    FROM vsup v JOIN cgrp g ON g.sid = v.sid) WHERE rn = 1)""".stripMargin
   }
+
+  /** Mirror of [[graft.pipelines.Similarity.clusterReport]]: the
+    * [[ivfCtes]] flat assignment aggregated per cell, with the
+    * micro-unit exact norm mean. */
+  def corpusClusters(nlist: Int = 8, dim: Int = 64): String =
+    s"""WITH ${ivfCtes(nlist, dim)}
+       |SELECT cid, count(*) AS n_vecs, min(vec_id) AS exemplar_id,
+       |       round(SUM(CAST(round(nrm * 1000000.0::DOUBLE) AS BIGINT))
+       |             / 1000000.0::DOUBLE / count(*), 6) AS mean_norm
+       |FROM a1 GROUP BY cid ORDER BY cid""".stripMargin
 
   /** IVF ANN top-k (mirror of
     * [[graft.pipelines.Similarity.annTopKIvf]]): [[ivfCtes]] +

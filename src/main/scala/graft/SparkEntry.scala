@@ -427,6 +427,10 @@ object SparkEntry {
     "ann_topk" -> ((s, dir) =>
       Similarity.ann(GraphIO.embeddings(s, dir), Similarity.AnnStrategy.Exact)
         .withColumn("rn", col("rn").cast("long"))),
+    // Cluster-composition report: one broadcast IVF assignment pass +
+    // a per-cell hash agg — corpus inspection before mixture choices.
+    "corpus_clusters" -> ((s, dir) =>
+      Similarity.clusterReport(GraphIO.embeddings(s, dir), nlist = 8)),
     "ann_topk_lsh" -> ((s, dir) =>
       Similarity.ann(GraphIO.embeddings(s, dir), Similarity.AnnStrategy.Lsh)
         .withColumn("rn", col("rn").cast("long"))),
@@ -531,6 +535,10 @@ object SparkEntry {
     // Incremental NEAR-dup: odd doc_ids' band signatures probe the
     // even half's persisted LSH index (the minhash analogue of
     // dedup_incremental — O(delta) probes, no corpus self-join).
+    // Candidate triage: estimated Jaccard (matching MinHash slots /
+    // 16) per LSH candidate pair — the prune-before-exact-verify rung.
+    "dedup_minhash_estimate" -> ((s, dir) =>
+      Dedup.minhashEstimate(s, GraphIO.documents(s, dir))),
     "dedup_incremental_minhash" -> ((s, dir) => {
       val d = GraphIO.documents(s, dir)
       Dedup.incrementalMinhash(s,
@@ -779,6 +787,7 @@ object SparkEntry {
     "dedup_embedding" -> Oracles.dedupEmbedding(0.3),
     "dedup_semantic" -> Oracles.dedupSemantic(0.3),
     "ann_topk" -> Oracles.annTopK(),
+    "corpus_clusters" -> Oracles.corpusClusters(),
     "ann_topk_lsh" -> Oracles.annTopKLsh(),
     "ann_topk_ivf" -> Oracles.annTopKIvf(),
     "multimodal_chunks" -> Oracles.multimodalChunks(),
@@ -795,6 +804,7 @@ object SparkEntry {
       minQuality = 0.5, lang = "en", total = 100, alpha = 0.5),
     "dedup_incremental" -> Oracles.dedupIncremental,
     "dedup_incremental_minhash" -> Oracles.dedupIncrementalMinhash,
+    "dedup_minhash_estimate" -> Oracles.dedupMinhashEstimate,
     "text_chunks" -> Oracles.textChunks(size = 32, stride = 16),
     "dedup_winnow" -> Oracles.dedupWinnow(k = 3, w = 4),
     "layout_zorder" -> Oracles.layoutZorder(bits = 8),

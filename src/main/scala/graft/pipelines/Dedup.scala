@@ -250,6 +250,18 @@ object Dedup {
     * so collapsing two colliding shingles to one row cannot change any
     * min slot. */
   def bandTable(spark: SparkSession, docs: DataFrame): DataFrame = {
+    val mh = slotTable(spark, docs)
+    (0 until MinHashParams.Bands).map { bd =>
+      val ms = (0 until MinHashParams.Rows)
+        .map(r => col(s"m${bd * MinHashParams.Rows + r}"))
+      mh.select(col("doc_id"), lit(bd).as("band"), bandSig(ms).as("sig"))
+    }.reduce(_ unionAll _)
+  }
+
+  /** Per-document 16-slot MinHash table `(doc_id, m0..m15)` — the
+    * signature [[bandTable]] folds into band keys and
+    * [[minhashEstimate]] compares slot-by-slot. */
+  def slotTable(spark: SparkSession, docs: DataFrame): DataFrame = {
     val hh = docs
       .select(col("doc_id"), explode(TF.shingles(col("text"), 3)).as("sh"))
       .select(col("doc_id"), GraftHash.widePair(spark, col("sh")).as("wh"))
@@ -260,12 +272,7 @@ object Dedup {
       min((lit(a) * col("h") + lit(b) * col("h2")) % lit(MinHashParams.P))
         .as(s"m$j")
     }
-    val mh = hh.groupBy(col("doc_id")).agg(minAggs.head, minAggs.tail: _*)
-    (0 until MinHashParams.Bands).map { bd =>
-      val ms = (0 until MinHashParams.Rows)
-        .map(r => col(s"m${bd * MinHashParams.Rows + r}"))
-      mh.select(col("doc_id"), lit(bd).as("band"), bandSig(ms).as("sig"))
-    }.reduce(_ unionAll _)
+    hh.groupBy(col("doc_id")).agg(minAggs.head, minAggs.tail: _*)
   }
 
   /** INCREMENTAL near-duplicate detection — the daily-delta production
@@ -288,6 +295,30 @@ object Dedup {
       .join(idx, col("band") === col("band2") && col("sig") === col("sig2"))
       .select(col("doc_id").as("new_id"), col("dup_of")).distinct()
       .orderBy(col("new_id"), col("dup_of"))
+  }
+
+  /** LSH candidates with their ESTIMATED Jaccard similarity — the
+    * triage layer between candidate generation and an exact verify:
+    * for each [[minhashLsh]] pair, the fraction of the 16 MinHash
+    * slots that agree (the unbiased Jaccard estimator; k/16 is exactly
+    * representable, so the estimate is integer-exact cross-engine).
+    * A pipeline thresholds on this to rank/prune candidates before
+    * paying an exact [[ngramJaccard]] pass. Scale shape: the banded
+    * candidate pairs (never all-pairs) joined twice against the
+    * 16-slot signature table — per-pair work is a 16-slot compare. */
+  def minhashEstimate(spark: SparkSession, docs: DataFrame): DataFrame = {
+    val pairs = minhashLsh(spark, docs)
+    val slots = slotTable(spark, docs)
+    def side(tag: String) = slots.select(col("doc_id").as(tag) +:
+      (0 until MinHashParams.NumHashes)
+        .map(j => col(s"m$j").as(s"$tag$j")): _*)
+    val agree = (0 until MinHashParams.NumHashes)
+      .map(j => when(col(s"a$j") === col(s"b$j"), 1).otherwise(0))
+      .reduce(_ + _)
+    pairs.join(side("a"), "a").join(side("b"), "b")
+      .select(col("a"), col("b"),
+        (agree.cast("double") / lit(16.0)).as("est_jaccard"))
+      .orderBy(col("a"), col("b"))
   }
 
   /** Per-document folded MinHash signature via the typed

@@ -326,6 +326,33 @@ object Similarity {
       .localCheckpoint(true)
   }
 
+  /** Corpus cluster-composition report — the k-means "what is in my
+    * corpus" inspection a curation pipeline runs before choosing its
+    * source mixture: one row per IVF cell with its population, its
+    * smallest member id (a deterministic exemplar to eyeball), and the
+    * mean vector norm. Scale shape: centroid training (optionally
+    * hash-gate-sampled via `trainFraction`), ONE broadcast assignment
+    * pass over the corpus, one hash aggregation keyed by cid — no
+    * pairwise work anywhere. The norm mean goes through the integer
+    * micro-unit sum (round each norm to µ-units, sum longs, divide
+    * back) so the cross-row aggregation is exact and oracle-gateable. */
+  def clusterReport(emb: DataFrame, nlist: Int = 8,
+      trainFraction: Double = 1.0): DataFrame = {
+    val corpus = emb.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("nrm"))
+    val nl = resolveNlist(nlist, corpus)
+    val assigned =
+      nearestCells(corpus, ivfCentroids(corpus, nl, trainFraction), 1)
+    assigned
+      .select(col("cid"), col("vec_id"),
+        round(col("nrm") * lit(1e6)).cast("long").as("nrm_micro"))
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_vecs"), min(col("vec_id")).as("exemplar_id"),
+        round(sum(col("nrm_micro")).cast("double") / lit(1e6) /
+          count(lit(1)).cast("double"), 6).as("mean_norm"))
+      .orderBy(col("cid"))
+  }
+
   /** IVF (inverted-file) ANN top-k — the cell-probe scale path: the
     * corpus is partitioned into `nlist` cells by nearest centroid, and
     * each query scores only the vectors in its `nprobe` nearest cells,
