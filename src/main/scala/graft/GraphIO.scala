@@ -274,10 +274,15 @@ object GraphIO {
       val safe = sfDir.replaceAll("[^a-zA-Z0-9]", "_")
       val outDir = new java.io.File(s"target/stream-src/$safe/$table")
       val dst = new java.io.File(outDir, s"$table.parquet")
-      if (!dst.exists || dst.length != src.length) {
+      // refresh on length OR mtime change: a regenerated testdata file
+      // can land byte-length-identical (fixed row count, same codec),
+      // and a stale copy would silently diverge from the batch side
+      if (!dst.exists || dst.length != src.length ||
+        dst.lastModified < src.lastModified) {
         outDir.mkdirs()
         java.nio.file.Files.copy(src.toPath, dst.toPath,
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        dst.setLastModified(src.lastModified)
       }
       outDir.getAbsolutePath
     }

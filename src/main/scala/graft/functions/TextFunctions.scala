@@ -31,8 +31,7 @@ object TextFunctions {
       lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)), array().cast("array<string>"))
 
   def subtokenCount(text: Column): Column =
-    coalesce(size(regexp_extract_all(lower(text),
-      lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))), lit(0))
+    coalesce(size(subtokens(text)), lit(0))
 
   /** Stopword hit count over whitespace tokens (with multiplicity). */
   def stopwordCount(text: Column, stopwords: Seq[String]): Column =

@@ -88,7 +88,8 @@ object Audio {
     * Tries each cached reader like `AudioSystem` would (a reader
     * signals "not my format" with `UnsupportedAudioFileException`). */
   def decodePcm(payload: Array[Byte]): Option[(Float, Int, Array[Byte])] = {
-    fileReaders.iterator.flatMap { reader =>
+    def tryRead(reader: javax.sound.sampled.spi.AudioFileReader)
+        : Option[(Float, Int, Array[Byte])] =
       try {
         val ais = reader.getAudioInputStream(
           new ByteArrayInputStream(payload))
@@ -101,7 +102,7 @@ object Audio {
           Some((fmt.getSampleRate, fmt.getChannels, out.toByteArray))
         } finally ais.close()
       } catch { case _: Exception => None }
-    }.take(1).toSeq.headOption
+    fileReaders.iterator.map(tryRead).collectFirst { case Some(r) => r }
   }
 
   /** Oracle-gated round trip: UTF-8 document bytes → REAL WAV encode →

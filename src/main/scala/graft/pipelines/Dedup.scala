@@ -249,14 +249,19 @@ object Dedup {
     * regardless of hash collisions — min() is multiplicity-insensitive,
     * so collapsing two colliding shingles to one row cannot change any
     * min slot. */
-  def bandTable(spark: SparkSession, docs: DataFrame): DataFrame = {
-    val mh = slotTable(spark, docs)
+  def bandTable(spark: SparkSession, docs: DataFrame): DataFrame =
+    bandsFrom(slotTable(spark, docs))
+
+  /** Band keys from an ALREADY-COMPUTED slot table — lets callers that
+    * need both views ([[minhashEstimate]]) materialize the slot table
+    * once instead of re-running the shingle explode + 16-min
+    * aggregation per consumer. */
+  private def bandsFrom(mh: DataFrame): DataFrame =
     (0 until MinHashParams.Bands).map { bd =>
       val ms = (0 until MinHashParams.Rows)
         .map(r => col(s"m${bd * MinHashParams.Rows + r}"))
       mh.select(col("doc_id"), lit(bd).as("band"), bandSig(ms).as("sig"))
     }.reduce(_ unionAll _)
-  }
 
   /** Per-document 16-slot MinHash table `(doc_id, m0..m15)` — the
     * signature [[bandTable]] folds into band keys and
@@ -293,6 +298,10 @@ object Dedup {
       col("band").as("band2"), col("sig").as("sig2"))
     bandTable(spark, delta)
       .join(idx, col("band") === col("band2") && col("sig") === col("sig2"))
+      // a re-ingested document (backfill/reprocessing) is present on
+      // BOTH sides and would report itself as its own duplicate — a
+      // keep-one-per-pair consumer would then drop it entirely
+      .filter(col("doc_id") =!= col("dup_of"))
       .select(col("doc_id").as("new_id"), col("dup_of")).distinct()
       .orderBy(col("new_id"), col("dup_of"))
   }
@@ -307,8 +316,18 @@ object Dedup {
     * candidate pairs (never all-pairs) joined twice against the
     * 16-slot signature table — per-pair work is a 16-slot compare. */
   def minhashEstimate(spark: SparkSession, docs: DataFrame): DataFrame = {
-    val pairs = minhashLsh(spark, docs)
-    val slots = slotTable(spark, docs)
+    // The slot table feeds the band self-join (4 branches per side)
+    // AND both signature sides — materialize it once so the shingle
+    // explode + 16-min aggregation (the expensive stage) runs once,
+    // not once per plan instance; the caller's releaseAll frees it.
+    val slots = graft.Checkpoints.materialize(slotTable(spark, docs))
+    val bands = bandsFrom(slots)
+    val x = bands.select(col("doc_id").as("a"), col("band"), col("sig"))
+    val y = bands.select(col("doc_id").as("b"),
+      col("band").as("band2"), col("sig").as("sig2"))
+    val pairs = x.join(y, col("band") === col("band2") &&
+        col("sig") === col("sig2") && col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
     def side(tag: String) = slots.select(col("doc_id").as(tag) +:
       (0 until MinHashParams.NumHashes)
         .map(j => col(s"m$j").as(s"$tag$j")): _*)

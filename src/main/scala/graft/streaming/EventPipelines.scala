@@ -173,7 +173,12 @@ object EventPipelines {
       }
     }
     events.select(col("user_id"), col("ts"), col("event_id"),
-        timestamp_micros((col("ts") / 1000L).cast("long")).as("event_time"))
+        // integer div, never `/`: Spark's `/` is DOUBLE division, and
+        // epoch-nanos exceed double's 53-bit mantissa (ulp ≈ 256 ns) —
+        // the FP path puts event_time 1 µs low for ~half of all
+        // timestamps, which skews the watermark the timeout flush
+        // (and its oracle) depend on
+        timestamp_micros(expr("ts div 1000")).as("event_time"))
       .withWatermark("event_time", watermarkDelay)
       .as[Ev]
       .groupByKey(_.user_id)
@@ -426,14 +431,19 @@ object EventPipelines {
     * the emitted rows are BIT-IDENTICAL to the batch twin and the
     * `events_running_totals` oracle passes unchanged.
     *
-    * State is O(active users) — one double, never a buffer; no
-    * watermark is involved because nothing is ever flushed-by-time
-    * (every event produces output at arrival). At scale, cross-batch
-    * DISORDER is the caveat: an event arriving after a later-ts event
-    * was already folded gets the accumulator as-of arrival, the
-    * standard eventual-consistency trade of per-event emission;
-    * deployments needing strict event-time order buffer behind a
-    * watermark first (the [[sessionizeStream]] machinery). */
+    * CROSS-BATCH state is one double per active user; WITHIN a batch
+    * the group's events are buffered and sorted to fold in event-time
+    * order (the same per-batch buffering [[sessionizeStream]] does),
+    * so per-task memory is bounded by the hottest user's events per
+    * MICROBATCH — size microbatches via admission control
+    * (`maxFilesPerTrigger`/`maxBytesPerTrigger`) when one user can
+    * dominate a batch. No watermark is involved because nothing is
+    * ever flushed-by-time (every event produces output at arrival).
+    * At scale, cross-batch DISORDER is the caveat: an event arriving
+    * after a later-ts event was already folded gets the accumulator
+    * as-of arrival, the standard eventual-consistency trade of
+    * per-event emission; deployments needing strict event-time order
+    * buffer behind a watermark first. */
   def runningTotalsStream(spark: SparkSession, events: DataFrame,
       maxUser: Long = 20): Dataset[Running] = {
     import spark.implicits._
