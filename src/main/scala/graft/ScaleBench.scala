@@ -210,6 +210,21 @@ object ScaleBench {
     // winnow fingerprints -> per-source distinct -> df-guarded pair join
     "corpus_quote_matrix" -> ((s, dir) =>
       pipelines.Dedup.sourceQuoteMatrix(s, GraphIO.documents(s, dir))),
+    // delta-vs-index probe: the banded index join must stay linear in
+    // delta size as the corpus multiplies
+    "dedup_incremental_minhash" -> ((s, dir) => {
+      val d = GraphIO.documents(s, dir)
+      pipelines.Dedup.incrementalMinhash(s,
+        d.filter(col("doc_id") % 2 === 0), d.filter(col("doc_id") % 2 === 1))
+    }),
+    // banded pairs + two slot-table joins over the ONE materialized
+    // signature aggregation; pair count is band-bounded, never n²
+    "dedup_minhash_estimate" -> ((s, dir) =>
+      pipelines.Dedup.minhashEstimate(s, GraphIO.documents(s, dir))),
+    // one broadcast assignment pass + per-cell agg — must be scan-floor
+    "corpus_clusters" -> ((s, dir) =>
+      pipelines.Similarity.clusterReport(GraphIO.embeddings(s, dir),
+        nlist = 8)),
     // BPE merge training: the dictionary build is the only
     // corpus-sized step (one explode + hash agg, capped head); the 16
     // training rounds run on the ≤4096-row word-type table — the
