@@ -102,6 +102,9 @@ object Main {
       "cms <in> <out> [value_col] <probes,csv>, " +
       "heavy <in> <out> [value_col] [k], " +
       "vocab <in> <out> [min_count] [max_size], " +
+      "bpe_train <in> <out> [num_merges], " +
+      "clusters <emb> <out> [nlist], " +
+      "inc_dedup <corpus> <delta> <out>, " +
       "quality_cut <in> <out> [q] [by_source], " +
       "curate <in> <out> [min_quality] [lang] [total] [alpha]")
 
@@ -338,6 +341,32 @@ object Main {
           maxSize = intArg(3, "1000", "max_size"))
           .write.mode("overwrite").parquet(out)
         println(s"Vocabulary written to $out")
+      case "bpe_train" =>
+        // Learn a BPE merge list from the corpus (rank, lhs, rhs,
+        // pcnt): bpe_train <docs.parquet> <out_dir> [num_merges]
+        val (in, out) = pipelineIo(cmd, a)
+        pipelines.BpeTrain.merges(spark.read.parquet(in),
+          numMerges = intArg(2, "16", "num_merges"))
+          .write.mode("overwrite").parquet(out)
+        println(s"BPE merges written to $out")
+      case "clusters" =>
+        // Corpus cluster-composition report over an embedding table:
+        //   clusters <emb.parquet> <out_dir> [nlist]
+        val (in, out) = pipelineIo(cmd, a)
+        pipelines.Similarity.clusterReport(spark.read.parquet(in),
+          nlist = intArg(2, "0", "nlist"))
+          .write.mode("overwrite").parquet(out)
+        println(s"Cluster report written to $out")
+      case "inc_dedup" =>
+        // Incremental near-dup: delta docs vs an existing corpus's
+        // band index:  inc_dedup <corpus.parquet> <delta.parquet> <out>
+        if (a.length < 3) throw CliArgError(
+          "inc_dedup needs <corpus.parquet> <delta.parquet> <out_dir>")
+        val (corpus, delta, out) = (a(0), a(1), a(2))
+        pipelines.Dedup.incrementalMinhash(spark,
+          spark.read.parquet(corpus), spark.read.parquet(delta))
+          .write.mode("overwrite").parquet(out)
+        println(s"Incremental near-dup pairs written to $out")
       case "heavy" =>
         // Exact heavy hitters of any parquet column (MG candidates +
         // bounded recount):  heavy <in.parquet> <out_dir> [col] [k]

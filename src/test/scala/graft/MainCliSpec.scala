@@ -163,6 +163,34 @@ class MainCliSpec extends SparkSuite {
     assert(got == Seq("hot" -> 30L))
   }
 
+  test("bpe_train verb: learned merge list in rank order") {
+    val out = s"$tmp/bpe_out"
+    Main.run(spark, "bpe_train", Array(docsPath, out, "3"))
+    val got = spark.read.parquet(out).orderBy("rnk").collect()
+    assert(got.length == 3)
+    assert(got.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    assert(got.forall(_.getLong(3) >= 1L)) // pair counts positive
+  }
+
+  test("clusters verb: cell populations cover the corpus") {
+    val out = s"$tmp/clusters_out"
+    Main.run(spark, "clusters", Array(embPath, out, "4"))
+    val got = spark.read.parquet(out).collect()
+    assert(got.map(_.getLong(1)).sum == 30L) // every vector assigned once
+    assert(got.forall(_.getDouble(3) > 0.0)) // mean norms positive
+  }
+
+  test("inc_dedup verb: delta duplicates matched against the corpus") {
+    val out = s"$tmp/incdedup_out"
+    Main.run(spark, "inc_dedup", Array(docsPath, docsPath, out))
+    // every doc probes an index containing itself: self-pairs are
+    // guarded out, but exact copies (docs 1/2/4 share text) remain
+    val got = spark.read.parquet(out).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((1L, 2L)) && got.contains((2L, 1L)))
+    assert(got.forall { case (n, e) => n != e })
+  }
+
   test("vocab verb: ranked term statistics with floor and cap") {
     import spark.implicits._
     val p = s"$tmp/vocab_docs"
