@@ -285,6 +285,23 @@ class PipelinesSpec extends SparkSuite {
     }
   }
 
+  test("plan audit: incremental minhash and estimate stay on bucket keys") {
+    val d = docs((1L, "a b c d e"), (2L, "a b c d e"), (3L, "f g h i j"),
+      (4L, "a b c d e"))
+    // delta-vs-index probe and the estimate's slot joins are all
+    // equi-joins on (band, sig) / doc_id — cartesian/BNLJ would be the
+    // all-pairs plan the banding exists to avoid
+    for (df <- Seq(
+      Dedup.incrementalMinhash(spark,
+        d.filter(org.apache.spark.sql.functions.col("doc_id") % 2 === 0),
+        d.filter(org.apache.spark.sql.functions.col("doc_id") % 2 === 1)),
+      Dedup.minhashEstimate(spark, d))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), plan)
+      assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    }
+  }
+
   test("plan audit: dedup pair generation and semantic dedup never go cartesian") {
     import spark.implicits._
     val d = docs((1L, "a b c d e"), (2L, "a b c d e"), (3L, "f g h i j"))
