@@ -104,7 +104,8 @@ object Main {
       "vocab <in> <out> [min_count] [max_size], " +
       "bpe_train <in> <out> [num_merges], " +
       "clusters <emb> <out> [nlist], " +
-      "inc_dedup <corpus> <delta> <out>, " +
+      "band_index <docs> <out>, " +
+      "inc_dedup <corpus_or_index> <delta> <out>, " +
       "quality_cut <in> <out> [q] [by_source], " +
       "curate <in> <out> [min_quality] [lang] [total] [alpha]")
 
@@ -345,27 +346,49 @@ object Main {
         // Learn a BPE merge list from the corpus (rank, lhs, rhs,
         // pcnt): bpe_train <docs.parquet> <out_dir> [num_merges]
         val (in, out) = pipelineIo(cmd, a)
-        pipelines.BpeTrain.merges(spark.read.parquet(in),
-          numMerges = intArg(2, "16", "num_merges"))
-          .write.mode("overwrite").parquet(out)
+        val k = intArg(2, "16", "num_merges")
+        if (k < 1) throw CliArgError(s"$cmd: num_merges must be >= 1, got $k")
+        val merges =
+          try pipelines.BpeTrain.merges(spark.read.parquet(in), numMerges = k)
+          catch {
+            case e: IllegalArgumentException
+                if e.getMessage != null && e.getMessage.contains("exhausted") =>
+              throw CliArgError(s"$cmd: ${e.getMessage}")
+          }
+        merges.write.mode("overwrite").parquet(out)
         println(s"BPE merges written to $out")
       case "clusters" =>
         // Corpus cluster-composition report over an embedding table:
         //   clusters <emb.parquet> <out_dir> [nlist]
         val (in, out) = pipelineIo(cmd, a)
-        pipelines.Similarity.clusterReport(spark.read.parquet(in),
+        Similarity.clusterReport(spark.read.parquet(in),
           nlist = intArg(2, "0", "nlist"))
           .write.mode("overwrite").parquet(out)
         println(s"Cluster report written to $out")
-      case "inc_dedup" =>
-        // Incremental near-dup: delta docs vs an existing corpus's
-        // band index:  inc_dedup <corpus.parquet> <delta.parquet> <out>
-        if (a.length < 3) throw CliArgError(
-          "inc_dedup needs <corpus.parquet> <delta.parquet> <out_dir>")
-        val (corpus, delta, out) = (a(0), a(1), a(2))
-        pipelines.Dedup.incrementalMinhash(spark,
-          spark.read.parquet(corpus), spark.read.parquet(delta))
+      case "band_index" =>
+        // Persist the LSH band-signature index for a corpus (the
+        // once-per-corpus half of incremental near-dup):
+        //   band_index <docs.parquet> <out_dir>
+        val (in, out) = pipelineIo(cmd, a)
+        Dedup.bandTable(spark, spark.read.parquet(in))
           .write.mode("overwrite").parquet(out)
+        println(s"Band index written to $out")
+      case "inc_dedup" =>
+        // Incremental near-dup: delta docs vs an existing corpus —
+        // pass either raw corpus documents (index built in-run) or a
+        // band_index output (detected by schema; the true O(delta)
+        // daily-delta path): inc_dedup <corpus_or_index> <delta> <out>
+        if (a.length < 3) throw CliArgError(
+          "inc_dedup needs <corpus_or_index.parquet> <delta.parquet> <out_dir>")
+        val (corpus, delta, out) = (a(0), a(1), a(2))
+        val left = spark.read.parquet(corpus)
+        val result =
+          if (left.columns.toSet == Set("doc_id", "band", "sig"))
+            Dedup.incrementalMinhashIndexed(spark, left,
+              spark.read.parquet(delta))
+          else Dedup.incrementalMinhash(spark, left,
+            spark.read.parquet(delta))
+        result.write.mode("overwrite").parquet(out)
         println(s"Incremental near-dup pairs written to $out")
       case "heavy" =>
         // Exact heavy hitters of any parquet column (MG candidates +

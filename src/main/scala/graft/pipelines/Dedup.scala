@@ -293,8 +293,17 @@ object Dedup {
     * it back from storage and appends the delta's signatures after
     * the probe. */
   def incrementalMinhash(spark: SparkSession, corpus: DataFrame,
+      delta: DataFrame): DataFrame =
+    incrementalMinhashIndexed(spark, bandTable(spark, corpus), delta)
+
+  /** [[incrementalMinhash]] against an ALREADY-BUILT `(doc_id, band,
+    * sig)` index ([[bandTable]] output read back from storage) — the
+    * shape a daily-delta deployment actually runs: the corpus-sized
+    * signature pass happened once at index build, each delta pays only
+    * its own signatures plus the probe join. */
+  def incrementalMinhashIndexed(spark: SparkSession, index: DataFrame,
       delta: DataFrame): DataFrame = {
-    val idx = bandTable(spark, corpus).select(col("doc_id").as("dup_of"),
+    val idx = index.select(col("doc_id").as("dup_of"),
       col("band").as("band2"), col("sig").as("sig2"))
     bandTable(spark, delta)
       .join(idx, col("band") === col("band2") && col("sig") === col("sig2"))
