@@ -116,6 +116,43 @@ class EventStreamingSpec extends SparkSuite {
     }
   }
 
+  test("event-time timeout boundary: deadline == watermark does NOT " +
+    "flush (strict <), deadline < watermark does — the invariant the " +
+    "stream_sessionize oracle encodes") {
+    import spark.implicits._
+    val MsNs = 1000000L
+    val gapMs = 30L * 60 * 1000
+    val b = 1700000000000L // ms, ms-aligned so µs floors are exact
+    // maxUser's single event at T defines the delay-0 watermark.
+    val T = b + 10 * gapMs
+    val rows = Seq(
+      (9L, T * MsNs, 90L), // watermark holder: deadline T+gap > wm, open
+      // user 1: deadline = (T - gap) + gap = T == wm exactly -> boundary
+      (1L, (T - gapMs) * MsNs, 10L),
+      // user 2: deadline = (T - gap - 1ms) + gap = wm - 1ms < wm -> flush
+      (2L, (T - gapMs - 1) * MsNs, 20L))
+    val dir = java.nio.file.Files.createTempDirectory("graft-bnd").toFile
+    dir.deleteOnExit()
+    rows.toDF("user_id", "ts", "event_id")
+      .coalesce(1).write.mode("overwrite").parquet(dir.getAbsolutePath)
+    val schema = spark.read.parquet(dir.getAbsolutePath).schema
+    val stream = spark.readStream.schema(schema)
+      .parquet(dir.getAbsolutePath)
+    spark.catalog.dropTempView("graft_bnd_test")
+    val q = EventPipelines.sessionizeStream(spark, stream,
+        watermarkDelay = "0 seconds")
+      .toDF().writeStream.outputMode("append").format("memory")
+      .queryName("graft_bnd_test")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val flushed = spark.sql("SELECT user_id FROM graft_bnd_test")
+      .collect().map(_.getLong(0)).toSet
+    assert(flushed == Set(2L),
+      s"expected only user 2 (deadline < wm) flushed, got $flushed — " +
+        "if user 1 appears, Spark's timeout comparison is no longer " +
+        "strict and Oracles.streamSessionize must change `<` accordingly")
+  }
+
   test("runningTotalsStream: state carries across microbatches and " +
     "matches the batch window") {
     import spark.implicits._
