@@ -93,7 +93,7 @@ object Main {
       "hits_converged [tol] [max_iter], salsa_converged [tol] [max_iter], " +
       "pagerank_converged [damping] [tol] [max_iter]; pipelines: " +
       "dedup <in> <out> [exact|near|clean], " +
-      "ann <in> <out> [exact|lsh|ivf|q8|q8ivf] [nq] [k], " +
+      "ann <in> <out> [exact|lsh|ivf|q8|q8ivf|mrl] [nq] [k], " +
       "split <in> <out> [id_col] [train val test (per-mille)], " +
       "shuffle <in> <out> [id_col], " +
       "pack <in> <out> [capacity] [buckets] [id_col] [text_col], " +
@@ -251,6 +251,7 @@ object Main {
           case "ivf"   => Similarity.AnnStrategy.Ivf
           case "q8"    => Similarity.AnnStrategy.Q8
           case "q8ivf" => Similarity.AnnStrategy.Q8Ivf
+          case "mrl"   => Similarity.AnnStrategy.Mrl
           case s => throw CliArgError(s"Unknown ann strategy: $s")
         }
         Similarity.ann(spark.read.parquet(in), strategy,

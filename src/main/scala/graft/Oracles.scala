@@ -1513,6 +1513,40 @@ object Oracles {
 
   /** Mirror of [[graft.pipelines.Similarity.annTopKQ8]]: quantized
     * integer-dot prefilter (`cand` overfetch), exact cosine rerank. */
+  /** Mirror of [[graft.pipelines.Similarity.annTopKMrl]]: prefix-
+    * cosine candidates (DuckDB's 1-based inclusive list slice is
+    * Spark's `slice(x, 1, dims)`) then the exact full-vector rerank. */
+  def annTopKMrl(nq: Int = 10, k: Int = 5, dims: Int = 16,
+      cand: Int = 20): String =
+    s"""WITH base AS MATERIALIZED (
+       |  SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM embeddings),
+       |pref AS MATERIALIZED (
+       |  SELECT vec_id, embedding[1:$dims] AS p,
+       |         ${normSql(s"embedding[1:$dims]")} AS pn FROM base),
+       |q AS (SELECT vec_id AS query_id, p AS qp, pn AS qpn
+       |      FROM pref WHERE vec_id < $nq),
+       |approx AS (
+       |  SELECT q.query_id, c.vec_id AS neighbor_id,
+       |         ${dotSql("c.p", "q.qp")} / (c.pn * q.qpn) AS pcos
+       |  FROM pref c JOIN q ON c.vec_id <> q.query_id),
+       |cnd AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |           ROW_NUMBER() OVER (PARTITION BY query_id
+       |             ORDER BY pcos DESC, neighbor_id) AS crn
+       |    FROM approx) WHERE crn <= $cand),
+       |exact AS (
+       |  SELECT cd.query_id, cd.neighbor_id,
+       |         ${dotSql("qf.embedding", "e.embedding")} / (qf.nrm * e.nrm) AS cos
+       |  FROM cnd cd JOIN base e ON e.vec_id = cd.neighbor_id
+       |              JOIN base qf ON qf.vec_id = cd.query_id),
+       |r AS (
+       |  SELECT query_id, neighbor_id, cos,
+       |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+       |  FROM exact)
+       |SELECT query_id, rn, neighbor_id, round(cos, 6) AS cosine FROM r
+       |WHERE rn <= $k ORDER BY query_id, rn""".stripMargin
+
   def annTopKQ8(nq: Int = 10, k: Int = 5, cand: Int = 20): String = {
     val intdot = "list_reduce(list_prepend(0::BIGINT, " +
       "list_transform(list_zip(c.q, qq.q), z -> z[1] * z[2])), (a, x) -> a + x)"

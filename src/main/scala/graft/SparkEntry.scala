@@ -434,6 +434,12 @@ object SparkEntry {
     "ann_topk_lsh" -> ((s, dir) =>
       Similarity.ann(GraphIO.embeddings(s, dir), Similarity.AnnStrategy.Lsh)
         .withColumn("rn", col("rn").cast("long"))),
+    // matryoshka rung: prefix-cosine candidates (dims/D of the float
+    // reads), exact full-vector rerank — the dimension-reduction axis
+    // of the ladder
+    "ann_topk_mrl" -> ((s, dir) =>
+      Similarity.ann(GraphIO.embeddings(s, dir), Similarity.AnnStrategy.Mrl)
+        .withColumn("rn", col("rn").cast("long"))),
     "ann_topk_ivf" -> ((s, dir) =>
       Similarity.ann(GraphIO.embeddings(s, dir), Similarity.AnnStrategy.Ivf,
           nlist = 8)
@@ -788,6 +794,7 @@ object SparkEntry {
     "dedup_semantic" -> Oracles.dedupSemantic(0.3),
     "ann_topk" -> Oracles.annTopK(),
     "corpus_clusters" -> Oracles.corpusClusters(),
+    "ann_topk_mrl" -> Oracles.annTopKMrl(),
     "ann_topk_lsh" -> Oracles.annTopKLsh(),
     "ann_topk_ivf" -> Oracles.annTopKIvf(),
     "multimodal_chunks" -> Oracles.multimodalChunks(),

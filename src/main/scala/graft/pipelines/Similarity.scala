@@ -28,7 +28,8 @@ object Similarity {
     * correctness baseline, linear per query), [[Lsh]] (hyperplane
     * buckets), [[Ivf]] (cell-probe), [[Q8]] (int8 prefilter + exact
     * rerank, full-corpus stage 1), [[Q8Ivf]] (cell-probe + int8 + exact
-    * rerank — the 100 TB configuration). */
+    * rerank — the 100 TB configuration), [[Mrl]] (matryoshka prefix
+    * truncation — the dimension-reduction axis). */
   sealed abstract class AnnStrategy
   object AnnStrategy {
     case object Exact extends AnnStrategy
@@ -36,6 +37,7 @@ object Similarity {
     case object Ivf extends AnnStrategy
     case object Q8 extends AnnStrategy
     case object Q8Ivf extends AnnStrategy
+    case object Mrl extends AnnStrategy
   }
 
   /** Unified ANN entry point: one signature over every strategy in the
@@ -49,18 +51,22 @@ object Similarity {
     * own + margin-ranked 1-/2-bit flips); it is separate from the
     * IVF `nprobe` because the two knobs live on different scales
     * (buckets-of-2^Bits vs cells-of-nlist). `lshBits <= 0` derives the
-    * bucket width from the corpus ([[HyperplaneLsh.autoBits]]). */
+    * bucket width from the corpus ([[HyperplaneLsh.autoBits]]);
+    * `mrlDims` is the matryoshka rung's prefix width. */
   def ann(emb: DataFrame, strategy: AnnStrategy, nq: Int = 10, k: Int = 5,
       nlist: Int = 0, nprobe: Int = 2, cand: Int = 20,
       trainFraction: Double = 1.0, lshProbes: Int = 22,
-      lshBits: Int = HyperplaneLsh.Bits): DataFrame = strategy match {
-    case AnnStrategy.Exact => annTopK(emb, nq, k)
-    case AnnStrategy.Lsh => annTopKLsh(emb, nq, k, lshProbes, lshBits)
-    case AnnStrategy.Ivf => annTopKIvf(emb, nq, k, nlist, nprobe, trainFraction)
-    case AnnStrategy.Q8 => annTopKQ8(emb, nq, k, cand)
-    case AnnStrategy.Q8Ivf =>
-      annTopKQ8Ivf(emb, nq, k, nlist, nprobe, cand, trainFraction)
-  }
+      lshBits: Int = HyperplaneLsh.Bits, mrlDims: Int = 16): DataFrame =
+    strategy match {
+      case AnnStrategy.Exact => annTopK(emb, nq, k)
+      case AnnStrategy.Lsh => annTopKLsh(emb, nq, k, lshProbes, lshBits)
+      case AnnStrategy.Ivf =>
+        annTopKIvf(emb, nq, k, nlist, nprobe, trainFraction)
+      case AnnStrategy.Q8 => annTopKQ8(emb, nq, k, cand)
+      case AnnStrategy.Q8Ivf =>
+        annTopKQ8Ivf(emb, nq, k, nlist, nprobe, cand, trainFraction)
+      case AnnStrategy.Mrl => annTopKMrl(emb, nq, k, mrlDims, cand)
+    }
 
   /** Default IVF cell count: `max(8, ⌈√N⌉)` from the corpus size — the
     * standard √N-scaled inverted-file sizing, and the measured optimum
@@ -549,6 +555,56 @@ object Similarity {
           (lit(127.0 * 127.0) * col("nrm") * col("qn"))).as("qcos"))
     val wc = Window.partitionBy(col("query_id"))
       .orderBy(col("qcos").desc, col("neighbor_id"))
+    val candidates = approx.withColumn("crn", row_number().over(wc))
+      .filter(col("crn") <= cand)
+      .select(col("query_id"), col("neighbor_id"))
+    val ce = base.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("ve"), col("nrm").as("vn"))
+    val qe = base.filter(col("vec_id") < nq)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("nrm").as("qn"))
+    val exact = candidates.join(ce, Seq("neighbor_id"))
+      .join(broadcast(qe), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("qv"), col("ve")) / (col("qn") * col("vn"))).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    exact.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("rn"), col("neighbor_id"),
+        round(col("cos"), 6).as("cosine"))
+      .orderBy(col("query_id"), col("rn"))
+  }
+
+  /** Matryoshka (truncated-dimension) ANN — the THIRD cheap-candidate
+    * axis of the ladder: [[annTopKQ8]] shrinks value PRECISION (int8
+    * codes), [[annTopKIvf]] shrinks the SCANNED SET (probed cells),
+    * this shrinks the DIMENSION: stage 1 ranks the corpus by the
+    * cosine of the first `dims` embedding components (MRL-style prefix
+    * truncation — matryoshka-trained embeddings concentrate energy in
+    * the prefix, so a dims/D read suffices for candidates; the storage
+    * win comes from laying the prefix out as its own column), stage 2
+    * exact-reranks the `cand` survivors per query on full vectors.
+    * Same determinism contract as every other rung: (score desc, id)
+    * tiebreaks, prefix cosine computed with the identical left-fold
+    * dot/norm the DuckDB twin replays, 6-decimal final rounding. */
+  def annTopKMrl(emb: DataFrame, nq: Int = 10, k: Int = 5,
+      dims: Int = 16, cand: Int = 20): DataFrame = {
+    require(dims >= 1, s"dims must be >= 1, got $dims")
+    val base = emb.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("nrm"))
+    val pref = base.select(col("vec_id"), col("embedding"), col("nrm"),
+      slice(col("embedding"), 1, dims).as("p"))
+      .withColumn("pn", norm(col("p")))
+    val queries = pref.filter(col("vec_id") < nq)
+      .select(col("vec_id").as("query_id"), col("p").as("qp"),
+        col("pn").as("qpn"))
+    val approx = pref.join(broadcast(queries),
+        col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (dot(col("p"), col("qp")) / (col("pn") * col("qpn"))).as("pcos"))
+    val wc = Window.partitionBy(col("query_id"))
+      .orderBy(col("pcos").desc, col("neighbor_id"))
     val candidates = approx.withColumn("crn", row_number().over(wc))
       .filter(col("crn") <= cand)
       .select(col("query_id"), col("neighbor_id"))

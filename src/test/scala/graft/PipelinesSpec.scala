@@ -186,6 +186,25 @@ class PipelinesSpec extends SparkSuite {
     assert(wide.forall(r => r.getLong(2) != r.getLong(0)))
   }
 
+  test("annTopKMrl: full-width prefix degenerates to exact; truncated " +
+    "prefix with wide rerank still recovers the exact top-k") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val emb = (0L until 40L).map(i => (i, Array.fill(16)(rnd.nextFloat() - 0.5f)))
+      .toDF("vec_id", "embedding")
+    val exact = Similarity.annTopK(emb, nq = 3, k = 3).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    // dims = full width: stage 1 IS the exact ranking
+    val full = Similarity.annTopKMrl(emb, nq = 3, k = 3, dims = 16)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(full == exact)
+    // dims = 4 with a rerank pool wider than the corpus: candidates
+    // cover everything, so the exact rerank recovers the exact answer
+    val trunc = Similarity.annTopKMrl(emb, nq = 3, k = 3, dims = 4, cand = 40)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(trunc == exact)
+  }
+
   test("annTopKIvf with nprobe == nlist degenerates to exact brute force") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
