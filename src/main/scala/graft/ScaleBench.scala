@@ -150,6 +150,10 @@ object ScaleBench {
         0.3, trainFraction = 0.1)),
     "ann_topk_q8" -> ((s, dir) =>
       pipelines.Similarity.annTopKQ8(GraphIO.embeddings(s, dir))),
+    // matryoshka rung: stage 1 reads dims/D of the floats per corpus
+    // row — linear like q8's stage 1, with a smaller constant
+    "ann_topk_mrl" -> ((s, dir) =>
+      pipelines.Similarity.annTopKMrl(GraphIO.embeddings(s, dir))),
     // the composed 100 TB ladder: IVF cell probe -> quantized scan ->
     // exact rerank; per-query cost must stay sub-linear in corpus size
     "ann_topk_q8_ivf" -> ((s, dir) =>
