@@ -12,7 +12,10 @@ object Bench {
     if (name == "hits_weighted_alt") "orderalt"
     else if (name.startsWith("evt_")) "event"
     else if (name.startsWith("hits_") || name.startsWith("salsa_") ||
-      Set("pagerank", "topics_list", "graph_degrees", "rank_topk",
+      name.startsWith("pagerank") || // incl. pagerank_converged — an exact
+      // match here once let it run inside the flat family, re-deriving and
+      // re-persisting the order graph mid-family (r9-r11 bench artifacts)
+      Set("topics_list", "graph_degrees", "rank_topk",
         "sample_hash", "render_model", "graph_bucketed_write")(name)) "order"
     else "flat" // documents/embeddings/events parquet — nothing persisted
 
@@ -145,7 +148,17 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val failedJson = failed.sorted.map(n => s"\"$n\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"warmup_sec":$warmup,"failed":$failedJson,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"warmup_sec":$warmup,"failed":$failedJson,"sf":"$sfDir"}"""
+    println(json)
+    // Also land the full JSON on disk: stdout capture downstream keeps
+    // only a bounded tail, which has repeatedly truncated the per-query
+    // map (~58 of 118 numbers missing from three rounds' artifacts).
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_last.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      (json + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $out: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

@@ -147,8 +147,15 @@ object Main {
           doubleArg(2, "0.8", "beta"), intArg(1, "8", "num_iter")))
       case "topic_exclusive_hits" =>
         val g = load(arg(2, DefaultNodes), arg(3, DefaultEdges))
+        // GRAFT_TOPIC_EXCLUSIVE_LITERAL=1 replays the reference's literal
+        // self-loops-only note-E semantics (topic_exclusive_hits.py:49)
+        // instead of the intent semantics, without changing the verb's
+        // positional CLI shape.
+        val literal = sys.env.get("GRAFT_TOPIC_EXCLUSIVE_LITERAL")
+          .exists(v => v == "1" || v.equalsIgnoreCase("true"))
         emit(s"topic_exclusive_HITS/${a(0)}",
-          Hits.runTopicExclusive(g, a(0), intArg(1, "8", "num_iter")))
+          Hits.runTopicExclusive(g, a(0), intArg(1, "8", "num_iter"),
+            selfLoopsOnly = literal))
       case "query_dependent_hits" =>
         val g = load(arg(2, DefaultNodes), arg(3, DefaultEdges))
         emit(s"query_dependent_HITS/${a(0)}",

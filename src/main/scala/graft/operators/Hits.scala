@@ -171,9 +171,12 @@ object Hits {
   }
 
   /** K5 topic-exclusive HITS: base kernel on the induced topic subgraph
-    * (intent semantics — SURVEY.md §2 note E). */
-  def runTopicExclusive(g: Graph, topic: String, numIter: Int = 8): Result =
-    run(Subgraph.topicExclusive(g, topic), numIter)
+    * (intent semantics by default — SURVEY.md §2 note E;
+    * `selfLoopsOnly = true` replays the reference's literal
+    * self-loops-only edge filter, see [[Subgraph.topicExclusive]]). */
+  def runTopicExclusive(g: Graph, topic: String, numIter: Int = 8,
+      selfLoopsOnly: Boolean = false): Result =
+    run(Subgraph.topicExclusive(g, topic, selfLoopsOnly), numIter)
 
   /** K6 query-dependent HITS: base kernel on the neighborhood graph. */
   def runQueryDependent(g: Graph, topic: String, numIter: Int = 8): Result =

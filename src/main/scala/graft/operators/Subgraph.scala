@@ -26,13 +26,27 @@ object Subgraph {
     * prove the intent was both-endpoints filtering (SURVEY.md §2 note E).
     * Two chained equi semi-joins; the topic node set is typically small
     * enough that Spark broadcasts both.
+    *
+    * `selfLoopsOnly = true` reproduces the reference's LITERAL semantics
+    * instead, for parity users replaying the code as written: the semi-join
+    * predicate `(src == id) & (dst == id)` can only be satisfied by a
+    * single node row when `src == dst`, so exactly the self-loop edges
+    * whose endpoint is a topic node survive. Expressed as a `src = dst`
+    * filter followed by one equi semi-join — same result set, no
+    * nested-loop plan. Off by default; the intent mode is what every
+    * shipped kernel and gate uses.
     */
-  def topicExclusive(g: Graph, topic: String): Graph = {
+  def topicExclusive(g: Graph, topic: String,
+      selfLoopsOnly: Boolean = false): Graph = {
     val tnodes = g.nodes.filter(col("label") === topic)
     val tids = tnodes.select("id")
-    val edges = g.edges
-      .join(tids, g.edges("src") === tids("id"), "left_semi")
-      .join(tids, g.edges("dst") === tids("id"), "left_semi")
+    val edges =
+      if (selfLoopsOnly) {
+        val loops = g.edges.filter(col("src") === col("dst"))
+        loops.join(tids, loops("src") === tids("id"), "left_semi")
+      } else g.edges
+        .join(tids, g.edges("src") === tids("id"), "left_semi")
+        .join(tids, g.edges("dst") === tids("id"), "left_semi")
     Graph(tnodes, edges)
   }
 

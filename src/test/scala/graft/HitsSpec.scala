@@ -86,6 +86,28 @@ class HitsSpec extends SparkSuite {
     assert(scoresMap(r.auths).keySet == Set("a", "b"))
   }
 
+  test("G4b selfLoopsOnly replays the reference's literal note-E filter") {
+    // Literal reference code (topic_exclusive_hits.py:49) semi-joins on
+    // (src==id) & (dst==id): only topic-node self-loops can satisfy it.
+    val g = graph(
+      Seq(("a", "a", 1.0), ("a", "b", 1.0), ("b", "b", 1.0), ("c", "c", 1.0)),
+      Map("a" -> "t", "b" -> "t", "c" -> "other"))
+    val lit = operators.Subgraph.topicExclusive(g, "t", selfLoopsOnly = true)
+    val litEdges = lit.edges.collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(litEdges == Set(("a", "a"), ("b", "b"))) // a→b and c→c dropped
+    // Intent mode on the same graph keeps the intra-topic a→b edge too.
+    val intent = operators.Subgraph.topicExclusive(g, "t")
+    val intentEdges = intent.edges.collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(intentEdges == Set(("a", "a"), ("b", "b"), ("a", "b")))
+    // Both modes expose the same (topic-filtered) node set.
+    assert(lit.nodes.collect().map(_.getString(0)).toSet == Set("a", "b"))
+    // And the literal kernel still runs end to end on what survives.
+    val r = Hits.runTopicExclusive(g, "t", numIter = 1, selfLoopsOnly = true)
+    assert(scoresMap(r.auths).keySet == Set("a", "b"))
+  }
+
   test("G3 query-dependent neighborhood graph") {
     val labels = Map("a" -> "gene", "b" -> "gene", "c" -> "drug",
       "d" -> "drug", "e" -> "other")
