@@ -520,6 +520,31 @@ object Oracles {
        |  AND c.click_ts <= e.err_ts AND c.click_ts >= e.err_ts - $windowNs
        |ORDER BY err_id, click_id""".stripMargin
 
+  /** Oracle for `stream_range_join` — the streaming stream-stream
+    * interval join ([[graft.streaming.EventPipelines.rangeJoinStream]])
+    * on a single AvailableNow drain emits exactly the batch interval
+    * join's pair set, so the oracle is the plain range predicate at µs
+    * resolution (the gate µs-floors ts entering the stream). */
+  def streamRangeJoin(windowUs: Long = 3600L * 1000000L): String =
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT event_id AS err_id, user_id, epoch_us(ts) AS err_us
+       |  FROM events WHERE event_type = 'error'),
+       |c AS MATERIALIZED (
+       |  SELECT event_id AS click_id, user_id, epoch_us(ts) AS click_us
+       |  FROM events WHERE event_type = 'click')
+       |SELECT e.err_id, c.click_id, e.err_us - c.click_us AS lag_us
+       |FROM e JOIN c ON e.user_id = c.user_id
+       |  AND c.click_us <= e.err_us AND c.click_us >= e.err_us - $windowUs
+       |ORDER BY err_id, click_id""".stripMargin
+
+  /** Oracle for `stream_dedup` — a finite drain of
+    * dropDuplicatesWithinWatermark emits one row per distinct
+    * (user_id, event_type); the gate projects only the keys since the
+    * surviving payload row is arrival-order-dependent. */
+  def streamDedup: String =
+    """SELECT user_id, event_type FROM events
+      |GROUP BY user_id, event_type ORDER BY user_id, event_type""".stripMargin
+
   /** Oracle for the salted-join query: the salted join's result set is
     * by construction identical to the plain equi-join, so the plain
     * join IS the oracle (the salting is a physical routing change). */
@@ -1629,6 +1654,34 @@ object Oracles {
        |  FROM exact)
        |SELECT query_id, rn, neighbor_id, round(cos, 6) AS cosine FROM r
        |WHERE rn <= $k ORDER BY query_id, rn""".stripMargin
+  }
+
+  /** Recall@k audit (mirror of
+    * [[graft.pipelines.Similarity.recallAudit]]): each approximate
+    * rung's full oracle query is embedded as a materialized CTE (a CTE
+    * body may itself start with WITH), the exact rung once, and recall
+    * is the intersection size over nq·k — all-integer until the final
+    * IEEE division, so bit-identical across engines. */
+  def annRecallAudit(nq: Int = 10, k: Int = 5): String = {
+    val total = nq.toLong * k
+    def wrap(q: String): String =
+      s"(SELECT query_id, neighbor_id FROM (\n$q\n) t)"
+    def row(name: String): String =
+      s"""SELECT '$name' AS rung, CAST(COUNT(*) AS BIGINT) AS hits,
+         |       CAST($total AS BIGINT) AS total,
+         |       COUNT(*) / $total.0::DOUBLE AS recall
+         |FROM ${name}_t a JOIN exact_t e
+         |  ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id""".stripMargin
+    s"""WITH exact_t AS MATERIALIZED ${wrap(annTopK(nq, k))},
+       |ivf_t AS MATERIALIZED ${wrap(annTopKIvf(nq, k))},
+       |lsh_t AS MATERIALIZED ${wrap(annTopKLsh(nq, k))},
+       |mrl_t AS MATERIALIZED ${wrap(annTopKMrl(nq, k))},
+       |q8_t AS MATERIALIZED ${wrap(annTopKQ8(nq, k))}
+       |${row("ivf")}
+       |UNION ALL ${row("lsh")}
+       |UNION ALL ${row("mrl")}
+       |UNION ALL ${row("q8")}
+       |ORDER BY rung""".stripMargin
   }
 
   /** Frame-sampling fingerprints (mirror of

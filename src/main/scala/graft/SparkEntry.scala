@@ -469,6 +469,12 @@ object SparkEntry {
       Similarity.ann(GraphIO.embeddings(s, dir), Similarity.AnnStrategy.Q8Ivf,
           nlist = 8, trainFraction = 0.5)
         .withColumn("rn", col("rn").cast("long"))),
+    // Accuracy half of the ANN ladder as a first-class gated output:
+    // recall@k of every approximate rung against the exact rung, both
+    // deterministic, so the recall numbers themselves are oracle-checked
+    // (the DuckDB twin recomputes each rung and intersects).
+    "ann_recall_audit" -> ((s, dir) =>
+      Similarity.recallAudit(GraphIO.embeddings(s, dir))),
     // ---- multimodal plumbing ----
     "multimodal_meta" -> ((s, dir) =>
       Multimodal.metaQuery(s, GraphIO.documents(s, dir))),
@@ -682,6 +688,48 @@ object SparkEntry {
       q.awaitTermination()
       s.table(name).orderBy(col("user_id"), col("event_id"))
     }),
+    // STREAMING stream-stream interval join twin of events_range_join:
+    // both sides watermarked, event-time-bounded join condition → Spark
+    // derives a state-retention horizon for both buffers. The single
+    // AvailableNow drain sees every pair co-resident in one batch, so
+    // the emitted set is exactly the batch interval join — the oracle is
+    // the same range predicate in DuckDB at µs resolution (ts is
+    // µs-floored going into the stream, like the batch twin's µs floor).
+    "stream_range_join" -> ((s, dir) => {
+      val name = "graft_stream_rangejoin_gate"
+      val ev = GraphIO.eventsStream(s, dir)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      s.catalog.dropTempView(name) // idempotent re-run in one session
+      val q = EventPipelines.rangeJoinStream(ev)
+        .writeStream.outputMode("append").format("memory").queryName(name)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(name)
+        .select(col("err_id"), col("click_id"),
+          (unix_micros(col("err_ts")) - unix_micros(col("click_ts")))
+            .as("lag_us"))
+        .orderBy(col("err_id"), col("click_id"))
+    }),
+    // STREAMING exact dedup: dropDuplicatesWithinWatermark keeps one
+    // row per (user_id, event_type) with state bounded by the watermark
+    // horizon. Which payload row survives depends on intra-batch arrival
+    // order, so the gate projects only the key columns — the emitted KEY
+    // set on a finite drain is exactly the distinct pairs, which is what
+    // the DuckDB oracle checks.
+    "stream_dedup" -> ((s, dir) => {
+      val name = "graft_stream_dedup_gate"
+      val ev = GraphIO.eventsStream(s, dir)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      s.catalog.dropTempView(name) // idempotent re-run in one session
+      val q = EventPipelines.streamingDedup(ev)
+        .writeStream.outputMode("append").format("memory").queryName(name)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(name).select(col("user_id"), col("event_type"))
+        .orderBy(col("user_id"), col("event_type"))
+    }),
     // ---- retrieval: keyword, hybrid sparse+dense, inverted index ----
     "search_bm25" -> ((s, dir) =>
       Retrieval.bm25(GraphIO.documents(s, dir), SearchTerms)),
@@ -793,6 +841,7 @@ object SparkEntry {
     "dedup_embedding" -> Oracles.dedupEmbedding(0.3),
     "dedup_semantic" -> Oracles.dedupSemantic(0.3),
     "ann_topk" -> Oracles.annTopK(),
+    "ann_recall_audit" -> Oracles.annRecallAudit(),
     "corpus_clusters" -> Oracles.corpusClusters(),
     "ann_topk_mrl" -> Oracles.annTopKMrl(),
     "ann_topk_lsh" -> Oracles.annTopKLsh(),
@@ -831,6 +880,8 @@ object SparkEntry {
     "stream_sessionize" -> Oracles.streamSessionize(),
     "stream_running_totals" -> Oracles.eventsRunningTotals(),
     "stream_window" -> Oracles.streamWindow,
+    "stream_range_join" -> Oracles.streamRangeJoin(),
+    "stream_dedup" -> Oracles.streamDedup,
     "corpus_heavy_tokens" -> Oracles.corpusHeavyTokens(),
     "search_bm25" -> Oracles.bm25Search(SearchTerms),
     "search_hybrid_rrf" -> Oracles.hybridRrf(SearchTerms, queryVecId = 0L),

@@ -68,6 +68,38 @@ object Similarity {
       case AnnStrategy.Mrl => annTopKMrl(emb, nq, k, mrlDims, cand)
     }
 
+  /** Recall@k audit of the approximate ANN rungs against the exact rung
+    * — the accuracy half of the ladder's accuracy/cost trade, as a
+    * first-class gated query rather than a spec-only observation. Each
+    * rung's (query_id, neighbor_id) pairs inner-join the exact top-k's;
+    * recall = |intersection| / (nq·k). Everything is deterministic
+    * (both rungs are), so the recall numbers are exact and
+    * cross-engine-checkable.
+    *
+    * Scale shape: the audit runs the rungs themselves (each already
+    * bucketed/banded/capped — no all-pairs path) plus one tiny
+    * broadcast join per rung on nq·k rows. At 100 TB you run it on a
+    * sampled query set exactly as here (nq queries), so audit cost is
+    * the rung cost, not corpus-squared. */
+  def recallAudit(emb: DataFrame, nq: Int = 10, k: Int = 5,
+      nlist: Int = 8): DataFrame = {
+    val total = nq.toLong * k
+    val exact = ann(emb, AnnStrategy.Exact, nq, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val rungs: Seq[(String, DataFrame)] = Seq(
+      "ivf" -> ann(emb, AnnStrategy.Ivf, nq, k, nlist = nlist),
+      "lsh" -> ann(emb, AnnStrategy.Lsh, nq, k),
+      "mrl" -> ann(emb, AnnStrategy.Mrl, nq, k),
+      "q8" -> ann(emb, AnnStrategy.Q8, nq, k))
+    rungs.map { case (name, df) =>
+      df.select(col("query_id"), col("neighbor_id"))
+        .join(exact, Seq("query_id", "neighbor_id"))
+        .agg(count(lit(1)).as("hits"))
+        .select(lit(name).as("rung"), col("hits"), lit(total).as("total"),
+          (col("hits").cast("double") / lit(total.toDouble)).as("recall"))
+    }.reduce(_ unionAll _).orderBy(col("rung"))
+  }
+
   /** Default IVF cell count: `max(8, ⌈√N⌉)` from the corpus size — the
     * standard √N-scaled inverted-file sizing, and the measured optimum
     * of the assignment/pair cost bathtub (SCALING.md round 8): total

@@ -493,11 +493,21 @@ object EventPipelines {
   }
 
   /** Streaming exact dedup: drop duplicate (user_id, event_type) pairs
-    * within the watermark window — the streaming flavor of exact dedup
-    * with bounded state. */
-  def streamingDedup(events: DataFrame): DataFrame =
-    events.withWatermark("ts", "1 hour")
-      .dropDuplicates("user_id", "event_type")
+    * arriving within the watermark horizon of the first occurrence — the
+    * streaming flavor of exact dedup. `dropDuplicatesWithinWatermark`
+    * (not plain `dropDuplicates`): with dedup keys that exclude the
+    * event-time column, plain streaming dropDuplicates never evicts its
+    * key state (the watermark only bounds state when the event-time
+    * column is part of the subset), so on an unbounded stream the seen-set
+    * grows forever. The WithinWatermark variant expires each key once the
+    * watermark passes its first-seen event time + delay, keeping state
+    * O(keys active inside the horizon) — the 100 TB/continuous-ingest
+    * posture. `ts` must be the TimestampType event-time column of a
+    * `readStream` DataFrame. */
+  def streamingDedup(events: DataFrame,
+      watermarkDelay: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
 
   /** Top-3 users per event type by total value, ranked on exact integer
     * cents (cross-engine-stable ordering; values have 2 decimals, so
