@@ -105,6 +105,8 @@ object Main {
       "bpe_train <in> <out> [num_merges], " +
       "clusters <emb> <out> [nlist], " +
       "band_index <docs> <out>, " +
+      "band_append <index> <docs> <out> [gen], " +
+      "band_compact <index> <out>, " +
       "inc_dedup <corpus_or_index> <delta> <out>, " +
       "quality_cut <in> <out> [q] [by_source], " +
       "curate <in> <out> [min_quality] [lang] [total] [alpha]")
@@ -384,20 +386,56 @@ object Main {
       case "inc_dedup" =>
         // Incremental near-dup: delta docs vs an existing corpus —
         // pass either raw corpus documents (index built in-run) or a
-        // band_index output (detected by schema; the true O(delta)
-        // daily-delta path): inc_dedup <corpus_or_index> <delta> <out>
+        // band_index/band_append output (detected by schema; the true
+        // O(delta) daily-delta path — a versioned index is compacted
+        // to latest generations before the probe):
+        //   inc_dedup <corpus_or_index> <delta> <out>
         if (a.length < 3) throw CliArgError(
           "inc_dedup needs <corpus_or_index.parquet> <delta.parquet> <out_dir>")
         val (corpus, delta, out) = (a(0), a(1), a(2))
         val left = spark.read.parquet(corpus)
-        val result =
-          if (left.columns.toSet == Set("doc_id", "band", "sig"))
+        val result = left.columns.toSet match {
+          case s if s == Set("doc_id", "band", "sig") =>
             Dedup.incrementalMinhashIndexed(spark, left,
               spark.read.parquet(delta))
-          else Dedup.incrementalMinhash(spark, left,
+          case s if s == Set("doc_id", "band", "sig", "gen") =>
+            Dedup.incrementalMinhashIndexed(spark,
+              Dedup.bandIndexCompact(left), spark.read.parquet(delta))
+          case _ => Dedup.incrementalMinhash(spark, left,
             spark.read.parquet(delta))
+        }
         result.write.mode("overwrite").parquet(out)
         println(s"Incremental near-dup pairs written to $out")
+      case "band_append" =>
+        // Append a new generation of signatures for (re-)ingested docs
+        // to a persisted index — pure file append, nothing corpus-sized
+        // rewritten: band_append <index> <docs.parquet> <out_dir> [gen]
+        // gen defaults to (max existing generation) + 1; a plain
+        // band_index output counts as generation 0.
+        if (a.length < 3) throw CliArgError(
+          "band_append needs <index.parquet> <docs.parquet> <out_dir> [gen]")
+        val idxDf = spark.read.parquet(a(0))
+        val versioned =
+          if (idxDf.columns.contains("gen")) idxDf
+          else idxDf.withColumn("gen", lit(0L))
+        val gen =
+          if (a.length > 3) longArg(3, "1", "gen")
+          else versioned.agg(max(col("gen"))).head.getLong(0) + 1
+        Dedup.bandIndexAppend(versioned,
+            Dedup.bandIndexEntries(spark, spark.read.parquet(a(1)), gen))
+          .write.mode("overwrite").parquet(a(2))
+        println(s"Band index + generation $gen written to ${a(2)}")
+      case "band_compact" =>
+        // Compact a versioned index to each doc's latest generation
+        // (probe-shaped output): band_compact <index> <out_dir>
+        val (in, out) = pipelineIo(cmd, a)
+        val idxDf = spark.read.parquet(in)
+        val versioned =
+          if (idxDf.columns.contains("gen")) idxDf
+          else idxDf.withColumn("gen", lit(0L))
+        Dedup.bandIndexCompact(versioned)
+          .write.mode("overwrite").parquet(out)
+        println(s"Compacted band index written to $out")
       case "heavy" =>
         // Exact heavy hitters of any parquet column (MG candidates +
         // bounded recount):  heavy <in.parquet> <out_dir> [col] [k]

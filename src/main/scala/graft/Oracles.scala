@@ -892,7 +892,7 @@ object Oracles {
     * candidate pairs: 16 hash slots over the 60-bit (h, h2) shingle
     * pair, 4 bands of 4 rows with the WIDE two-fold band signature,
     * same (a_j, b_j) constants as the Spark side ([[MinHashParams]]). */
-  private def minhashPairCtes: String = {
+  private def minhashBandCtes: String = {
     val mins = MinHashParams.params.zipWithIndex.map { case ((a, b), j) =>
       s"MIN(($a * h + $b * h2) % ${MinHashParams.P}) AS m$j"
     }.mkString(", ")
@@ -908,11 +908,23 @@ object Oracles {
        |    SELECT doc_id, unnest(${TF.sqlShingles("text", 3)}) AS sh FROM documents) t),
        |hh AS MATERIALIZED (SELECT doc_id, ${GraftHash.duckdbSql("sh")} AS h, ${GraftHash.duckdbSql2("sh")} AS h2 FROM sh),
        |mh AS MATERIALIZED (SELECT doc_id, $mins FROM hh GROUP BY doc_id),
-       |bands AS MATERIALIZED ($bandRows),
+       |bands AS MATERIALIZED ($bandRows)""".stripMargin
+  }
+
+  private def minhashPairCtes: String =
+    s"""$minhashBandCtes,
        |pairs AS MATERIALIZED (
        |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
        |  FROM bands x JOIN bands y ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id)""".stripMargin
-  }
+
+  /** Oracle for `band_index_lifecycle`: the from-scratch band table of
+    * the FINAL corpus. The Spark side arrives here via build(stale) →
+    * append(updated gen) → compact; if compaction retires superseded
+    * generations correctly the two are identical, which is the whole
+    * lifecycle claim. */
+  def bandIndexLifecycle: String =
+    s"""WITH $minhashBandCtes
+       |SELECT doc_id, band, sig FROM bands ORDER BY doc_id, band""".stripMargin
 
   def dedupMinHashLsh: String =
     s"WITH $minhashPairCtes\nSELECT a, b FROM pairs ORDER BY a, b"

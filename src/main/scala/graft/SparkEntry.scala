@@ -556,6 +556,24 @@ object SparkEntry {
       Dedup.incrementalMinhash(s,
         d.filter(col("doc_id") % 2 === 0), d.filter(col("doc_id") % 2 === 1))
     }),
+    // Band-index lifecycle proof: build gen-0 over a corpus where every
+    // 10th document carries STALE text, append the true versions as
+    // gen 1, compact — the result must equal a from-scratch rebuild
+    // over the final corpus, which is exactly what the DuckDB oracle
+    // computes. Retirement is load-bearing: if compaction failed to
+    // drop the superseded signatures, the stale (different-text) sigs
+    // would survive and hash-mismatch the rebuild.
+    "band_index_lifecycle" -> ((s, dir) => {
+      val d = GraphIO.documents(s, dir)
+      val updated = d.filter(col("doc_id") % 10 === 0)
+      val stale = updated
+        .withColumn("text", concat(lit("STALE "), col("text")))
+      val gen0 = Dedup.bandIndexEntries(s,
+        d.filter(col("doc_id") % 10 =!= 0).unionByName(stale), gen = 0)
+      val idx = Dedup.bandIndexAppend(gen0,
+        Dedup.bandIndexEntries(s, updated, gen = 1))
+      Dedup.bandIndexCompact(idx).orderBy(col("doc_id"), col("band"))
+    }),
     // Context-window chunking with stride (doc → embedding inputs).
     "text_chunks" -> ((s, dir) =>
       Packing.chunkTokens(GraphIO.documents(s, dir), size = 32, stride = 16)),
@@ -860,6 +878,7 @@ object SparkEntry {
       minQuality = 0.5, lang = "en", total = 100, alpha = 0.5),
     "dedup_incremental" -> Oracles.dedupIncremental,
     "dedup_incremental_minhash" -> Oracles.dedupIncrementalMinhash,
+    "band_index_lifecycle" -> Oracles.bandIndexLifecycle,
     "dedup_minhash_estimate" -> Oracles.dedupMinhashEstimate,
     "text_chunks" -> Oracles.textChunks(size = 32, stride = 16),
     "dedup_winnow" -> Oracles.dedupWinnow(k = 3, w = 4),

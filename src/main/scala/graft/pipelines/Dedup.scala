@@ -315,6 +315,47 @@ object Dedup {
       .orderBy(col("new_id"), col("dup_of"))
   }
 
+  // ---- band-index lifecycle: build / append / compact ----
+  //
+  // The persisted `(doc_id, band, sig)` index ([[bandTable]]) is what a
+  // daily-delta deployment probes; documents get RE-INGESTED (backfill,
+  // reprocessing, content updates), so the index needs a lifecycle:
+  // append the new generation's signatures, then compact away the
+  // superseded ones. Generations are an explicit `gen` column — append
+  // is a blind unionByName (pure file append in a parquet deployment, no
+  // read-modify-write of the corpus-sized index on the delta path), and
+  // compaction is the periodic rewrite that keeps only each document's
+  // latest generation. Correctness bar (gated): compact(build(stale) ++
+  // entries(updated)) == build-from-scratch(final corpus).
+
+  /** Band-index rows for `docs` stamped with generation `gen` —
+    * the unit of both initial build (`gen = 0`) and each append. */
+  def bandIndexEntries(spark: SparkSession, docs: DataFrame,
+      gen: Long): DataFrame =
+    bandTable(spark, docs).withColumn("gen", lit(gen))
+
+  /** Append a new generation of signatures to a versioned index: a
+    * pure union — O(delta) work, nothing corpus-sized is rewritten.
+    * Caller contract: one `gen` value per append, strictly above any
+    * generation already present for the re-ingested doc_ids. */
+  def bandIndexAppend(index: DataFrame, entries: DataFrame): DataFrame =
+    index.unionByName(entries)
+
+  /** Compact a versioned index to each document's LATEST generation,
+    * dropping superseded signatures (and the `gen` column — output is
+    * probe-shaped `(doc_id, band, sig)`, directly comparable to a
+    * from-scratch [[bandTable]] rebuild).
+    *
+    * Scale shape: one doc_id-keyed max aggregation plus a co-keyed
+    * join — both shuffle on doc_id only, so compaction of a 10¹²-row
+    * index is a single co-partitioned pass, not a window over the
+    * whole table. */
+  def bandIndexCompact(index: DataFrame): DataFrame = {
+    val latest = index.groupBy(col("doc_id")).agg(max(col("gen")).as("gen"))
+    index.join(latest, Seq("doc_id", "gen"))
+      .select(col("doc_id"), col("band"), col("sig"))
+  }
+
   /** LSH candidates with their ESTIMATED Jaccard similarity — the
     * triage layer between candidate generation and an exact verify:
     * for each [[minhashLsh]] pair, the fraction of the 16 MinHash

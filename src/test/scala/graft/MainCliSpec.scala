@@ -191,6 +191,30 @@ class MainCliSpec extends SparkSuite {
     assert(got.forall { case (n, e) => n != e })
   }
 
+  test("band_append + band_compact verbs: lifecycle equals rebuild, " +
+    "compacted index drives inc_dedup") {
+    val idx0 = s"$tmp/band_idx0"
+    val idx1 = s"$tmp/band_idx1"
+    val compacted = s"$tmp/band_compacted"
+    Main.run(spark, "band_index", Array(docsPath, idx0))
+    // Re-ingest the whole corpus as generation 1 (band_index output has
+    // no gen column — treated as generation 0; default gen = max + 1).
+    Main.run(spark, "band_append", Array(idx0, docsPath, idx1))
+    assert(spark.read.parquet(idx1).columns.contains("gen"))
+    Main.run(spark, "band_compact", Array(idx1, compacted))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    // same docs re-ingested → compacted index == plain index
+    assert(rows(spark.read.parquet(compacted)) ==
+      rows(spark.read.parquet(idx0)))
+    // a versioned index feeds inc_dedup directly (compacted in-verb)
+    val out = s"$tmp/incdedup_versioned_out"
+    Main.run(spark, "inc_dedup", Array(idx1, docsPath, out))
+    val got = spark.read.parquet(out).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((1L, 2L)) && got.forall { case (n, e) => n != e })
+  }
+
   test("vocab verb: ranked term statistics with floor and cap") {
     import spark.implicits._
     val p = s"$tmp/vocab_docs"

@@ -57,6 +57,28 @@ class PipelinesSpec extends SparkSuite {
     assert(got == expected)
   }
 
+  test("band-index lifecycle: append supersedes, compact equals rebuild") {
+    val textA = "one two three four five six seven eight nine ten"
+    val textB = "completely different words in this much longer unrelated " +
+      "document body here"
+    // Doc 1 was first ingested with stale text, then re-ingested.
+    val stale = docs((1L, textB), (2L, textA))
+    val finalCorpus = docs((1L, textA), (2L, textA))
+    val idx = Dedup.bandIndexAppend(
+      Dedup.bandIndexEntries(spark, stale, gen = 0),
+      Dedup.bandIndexEntries(spark, finalCorpus
+        .filter(org.apache.spark.sql.functions.col("doc_id") === 1L), gen = 1))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val compacted = rows(Dedup.bandIndexCompact(idx))
+    val rebuild = rows(Dedup.bandTable(spark, finalCorpus))
+    assert(compacted == rebuild)
+    // the superseded gen-0 signatures of doc 1 (textB) are gone
+    val staleSigs = rows(Dedup.bandTable(spark,
+      stale.filter(org.apache.spark.sql.functions.col("doc_id") === 1L)))
+    assert(compacted.intersect(staleSigs).isEmpty)
+  }
+
   test("ngram jaccard: identical docs score 1.0") {
     val text = "one two three four five"
     val d = docs((1L, text), (2L, text), (3L, "unrelated totally distinct " +
