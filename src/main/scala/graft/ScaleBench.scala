@@ -351,7 +351,11 @@ object ScaleBench {
     //    reps× vs a DELIBERATELY SKEWED reps× corpus (the hottest base
     //    user keeps its id across replicas, so it ends with reps× its
     //    events while everyone else stays base-sized — the
-    //    one-giant-user sort-partition stress, VERDICT r9 item 3).
+    //    one-giant-user sort-partition stress, VERDICT r9 item 3);
+    //  - "skewkernel" — the graph-kernel analogue: base vs UNIFORM
+    //    reps× vs a skewed reps× order graph where one part absorbs
+    //    ~10% of all lineitem partkeys — one authority holding ~4-5%
+    //    of all edges (hot-authority degree skew, VERDICT r10 item 3).
     val mode = if (args.length > 3) args(3) else "all"
     val order = if (mode.startsWith("seed:"))
       new scala.util.Random(mode.stripPrefix("seed:").toLong).shuffle(queries)
@@ -436,6 +440,79 @@ object ScaleBench {
             f""""base_first":$bf%.2f,"uniform_first":$uf%.2f,""" +
             f""""skew_first":$kf%.2f}""")
         }
+    } else if (mode == "skewkernel") {
+      // 100× ORDER-GRAPH rung (VERDICT r10 item 3 / r11 item 4): the
+      // kernel family's scale-up + skew evidence, the graph analogue of
+      // skewwin. Self-contained orders+lineitem corpora derived from
+      // baseDir (use sf0.01 so base×100 ≈ sf1 — kernels stay minutes,
+      // not hours): a UNIFORM reps× replica set (all keys shifted — node
+      // and edge counts really grow reps×, degree distribution
+      // unchanged), and a SKEWED twin with identical row counts where
+      // ~10% of all lineitem rows remap their partkey to one hot part —
+      // a single authority holding ~4-5% of ALL edges, so the kernel's
+      // dst-keyed aggregation and the degree joins each see one giant
+      // reduce key (the power-law hot-authority stress). The claim under
+      // test: Hits.loop's co-partitioned join/agg plan degrades
+      // gracefully under graph skew (skew_ratio ≈ uniform_ratio), since
+      // the per-iteration agg is a partial-aggregating hash agg, not a
+      // sort over the hot key's edge list.
+      val uniDir = s"$outDir-unikernel$reps"
+      val skewDir = s"$outDir-skewkernel$reps"
+      if (!new java.io.File(s"$skewDir/lineitem.parquet/_SUCCESS").exists()) {
+        val orders = spark.read.parquet(s"$baseDir/orders.parquet")
+        val li = spark.read.parquet(s"$baseDir/lineitem.parquet")
+        val hot = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("l_partkey")).head().getLong(0)
+        println(s"[skewkernel] hot part = $hot")
+        def repOrders(out: String): Unit =
+          (0 until reps).map { r =>
+            orders.withColumn("o_orderkey", col("o_orderkey") + lit(r * Shift))
+              .withColumn("o_custkey", col("o_custkey") + lit(r * Shift))
+          }.reduce(_ unionAll _)
+            .write.mode("overwrite").parquet(s"$out/orders.parquet")
+        repOrders(uniDir); repOrders(skewDir)
+        (0 until reps).map { r =>
+          li.withColumn("l_orderkey", col("l_orderkey") + lit(r * Shift))
+            .withColumn("l_partkey", col("l_partkey") + lit(r * Shift))
+        }.reduce(_ unionAll _)
+          .write.mode("overwrite").parquet(s"$uniDir/lineitem.parquet")
+        (0 until reps).map { r =>
+          li.withColumn("l_orderkey", col("l_orderkey") + lit(r * Shift))
+            // every 10th order's rows funnel into the ONE unshifted hot
+            // part; everything else scales uniformly
+            .withColumn("l_partkey",
+              when(col("l_orderkey") % 10 === 0, lit(hot))
+                .otherwise(col("l_partkey") + lit(r * Shift)))
+        }.reduce(_ unionAll _)
+          .write.mode("overwrite").parquet(s"$skewDir/lineitem.parquet")
+      }
+      val qmap = queries.toMap
+      def timed(dir: String, name: String): (Double, Double) = {
+        def once(): Double = {
+          val t0 = System.nanoTime()
+          val df = qmap(name)(spark, dir)
+          try df.write.format("noop").mode("overwrite").save()
+          finally Checkpoints.releaseAll(df)
+          (System.nanoTime() - t0) / 1e9
+        }
+        (once(), once())
+      }
+      Seq("graph_degrees", "hits_base", "salsa_iterative").foreach { name =>
+        val (bf, bw) = timed(baseDir, name)
+        val (uf, uw) = timed(uniDir, name) // uniform reps×
+        val (kf, kw) = timed(skewDir, name) // one hot authority
+        // evict between queries, not corpora: at reps=100 three
+        // persisted ~13M-edge graphs at once would fight for memory
+        // and distort exactly the ratios being measured
+        GraphIO.evict(spark, uniDir); GraphIO.evict(spark, skewDir)
+        println(f"""{"metric":"skewkernel","query":"$name",""" +
+          f""""base_warm":$bw%.2f,"uniform${reps}x_warm":$uw%.2f,""" +
+          f""""skew${reps}x_warm":$kw%.2f,""" +
+          f""""uniform_ratio":${uw / bw}%.2f,""" +
+          f""""skew_ratio":${kw / bw}%.2f,""" +
+          f""""base_first":$bf%.2f,"uniform_first":$uf%.2f,""" +
+          f""""skew_first":$kf%.2f}""")
+      }
     } else if (mode != "train") {
       def benchOrdered(dir: String): Map[String, Double] = benchDir(dir, order)
       val base = benchOrdered(baseDir)
@@ -450,7 +527,8 @@ object ScaleBench {
         s""""ratios":$ratios}""")
     }
 
-    if (mode.startsWith("one:") || mode == "skewwin") {
+    if (mode.startsWith("one:") || mode == "skewwin" ||
+        mode == "skewkernel") {
       spark.stop(); return
     }
     // trainFraction evidence. The testdata embedding table (2k-20k
