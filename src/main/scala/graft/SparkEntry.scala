@@ -395,13 +395,13 @@ object SparkEntry {
       Dedup.simhash(s, GraphIO.documents(s, dir))),
     "dedup_clusters" -> ((s, dir) =>
       ConnectedComponents.clusters(
-        Dedup.minhashLsh(s, GraphIO.documents(s, dir)))),
+        Dedup.minhashLsh(s, GraphIO.documents(s, dir), ordered = false))),
     // Same clusters via the large-star/small-star engine (O(log d)
     // rounds — the adversarial-chain-safe variant); oracle shared with
     // dedup_clusters because the output contract is identical.
     "dedup_clusters_star" -> ((s, dir) =>
       ConnectedComponents.clustersStar(
-        Dedup.minhashLsh(s, GraphIO.documents(s, dir)))),
+        Dedup.minhashLsh(s, GraphIO.documents(s, dir), ordered = false))),
     "pipeline_near_dedup" -> ((s, dir) =>
       Dedup.nearDedupCorpus(s, GraphIO.documents(s, dir))),
     "dedup_minhash_lsh" -> ((s, dir) =>

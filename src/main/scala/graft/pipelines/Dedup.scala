@@ -171,7 +171,7 @@ object Dedup {
     * or hash agg on a fixed-width key. */
   def nearDedupCorpus(spark: SparkSession, docs: DataFrame): DataFrame = {
     val comp = graft.operators.ConnectedComponents
-      .run(minhashLsh(spark, docs))
+      .run(minhashLsh(spark, docs, ordered = false))
     val sizes = comp.groupBy(col("comp")).agg(count(lit(1)).as("n"))
     val canon = comp.join(sizes, Seq("comp"))
       .filter(col("id") === col("comp"))
@@ -225,15 +225,21 @@ object Dedup {
     * components — a 30-bit single-fold key would silently merge
     * distinct shingles at ≥10⁹-document scale, biasing every min slot
     * downward on exactly the corpora this operator exists for. */
-  def minhashLsh(spark: SparkSession, docs: DataFrame): DataFrame = {
+  def minhashLsh(spark: SparkSession, docs: DataFrame,
+      ordered: Boolean = true): DataFrame = {
     val bands = bandTable(spark, docs)
     val x = bands.select(col("doc_id").as("a"), col("band"), col("sig"))
     val y = bands.select(col("doc_id").as("b"),
       col("band").as("band2"), col("sig").as("sig2"))
-    x.join(y, col("band") === col("band2") && col("sig") === col("sig2") &&
+    val pairs = x
+      .join(y, col("band") === col("band2") && col("sig") === col("sig2") &&
         col("a") < col("b"))
       .select(col("a"), col("b")).distinct()
-      .orderBy(col("a"), col("b"))
+    // The global sort exists for gate determinism (stable dump order);
+    // the deployed shape feeds the pairs straight into components /
+    // verify stages, where sorting an unbounded pair list is a wasted
+    // range exchange — those callers pass ordered = false.
+    if (ordered) pairs.orderBy(col("a"), col("b")) else pairs
   }
 
   /** Per-document LSH band signatures `(doc_id, band, sig)` — the
