@@ -84,8 +84,14 @@ object Similarity {
   def recallAudit(emb: DataFrame, nq: Int = 10, k: Int = 5,
       nlist: Int = 8): DataFrame = {
     val total = nq.toLong * k
-    val exact = ann(emb, AnnStrategy.Exact, nq, k)
-      .select(col("query_id"), col("neighbor_id"))
+    // Materialized once: the exact pair set feeds all four rung
+    // branches of the output union — left as a plan it would recompute
+    // the brute-force scan (the audit's dominant cost at scale) per
+    // branch. nq·k rows, so the checkpoint is trivially small and the
+    // per-rung join broadcasts it.
+    val exact = graft.Checkpoints.materialize(
+      ann(emb, AnnStrategy.Exact, nq, k)
+        .select(col("query_id"), col("neighbor_id")))
     val rungs: Seq[(String, DataFrame)] = Seq(
       "ivf" -> ann(emb, AnnStrategy.Ivf, nq, k, nlist = nlist),
       "lsh" -> ann(emb, AnnStrategy.Lsh, nq, k),
