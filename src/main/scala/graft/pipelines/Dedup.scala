@@ -357,8 +357,15 @@ object Dedup {
     * index is a single co-partitioned pass, not a window over the
     * whole table. */
   def bandIndexCompact(index: DataFrame): DataFrame = {
-    val latest = index.groupBy(col("doc_id")).agg(max(col("gen")).as("gen"))
-    index.join(latest, Seq("doc_id", "gen"))
+    // Join on doc_id ONLY and filter the generation equality: the max
+    // aggregation's output is already hash-partitioned by doc_id, so a
+    // doc_id equi-join reuses that exchange, whereas joining on the
+    // composite (doc_id, gen) key would re-shuffle BOTH sides on a
+    // partitioning nothing upstream or downstream shares.
+    val latest = index.groupBy(col("doc_id"))
+      .agg(max(col("gen")).as("max_gen"))
+    index.join(latest, Seq("doc_id"))
+      .filter(col("gen") === col("max_gen"))
       .select(col("doc_id"), col("band"), col("sig"))
   }
 

@@ -360,6 +360,37 @@ class CatalystSpec extends SparkSuite {
       s"only the output-sort exchange expected:\n$plan")
   }
 
+  test("bandIndexCompact shuffles on doc_id only — no composite-key " +
+      "exchange, no nested-loop join") {
+    import spark.implicits._
+    // every doc carries a stale gen-0 signature set and (for even ids)
+    // a superseding gen-1 set with different sigs
+    val idx = (1L to 50L).flatMap { d =>
+      val stale = (0 until 4).map(b => (d, b, d * 31 + b, 0L))
+      val fresh = (0 until 4).map(b => (d, b, d * 131 + b, 1L))
+      if (d % 2 == 0) stale ++ fresh else stale
+    }.toDF("doc_id", "band", "sig", "gen")
+    val compacted = graft.pipelines.Dedup.bandIndexCompact(idx)
+    val plan = compacted.queryExecution.executedPlan.toString
+    // every hash exchange keys on doc_id alone; the (doc_id, gen)
+    // composite would re-shuffle both sides on a partitioning nothing
+    // shares
+    plan.linesIterator.filter(_.contains("hashpartitioning")).foreach { l =>
+      assert(l.contains("doc_id") && !l.contains("gen"),
+        s"exchange not keyed on doc_id alone:\n$plan")
+    }
+    assert(!plan.contains("BroadcastNestedLoop") &&
+      !plan.contains("CartesianProduct"), s"nested loop in compact:\n$plan")
+    // semantics: latest generation per doc survives, gen column dropped
+    val got = compacted.collect().map(r =>
+      (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val want = (1L to 50L).flatMap { d =>
+      val m = if (d % 2 == 0) 131L else 31L
+      (0 until 4).map(b => (d, b, d * m + b))
+    }.toSet
+    assert(got == want)
+  }
+
   test("MinHashAgg merge combines partial buffers slot-wise") {
     val b1 = MinHashAgg.reduce(MinHashAgg.zero, (42L, 19L))
     val b2 = MinHashAgg.reduce(MinHashAgg.zero, (7L, 3L))
