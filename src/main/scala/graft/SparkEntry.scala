@@ -556,6 +556,16 @@ object SparkEntry {
       Dedup.incrementalMinhash(s,
         d.filter(col("doc_id") % 2 === 0), d.filter(col("doc_id") % 2 === 1))
     }),
+    // Incremental cluster maintenance: clusters(even corpus) + odd
+    // delta must equal from-scratch clusters of the full corpus — the
+    // gate shares dedup_clusters' oracle verbatim, so the equality IS
+    // the check (including new docs bridging previously separate
+    // clusters).
+    "dedup_clusters_incremental" -> ((s, dir) => {
+      val d = GraphIO.documents(s, dir)
+      Dedup.incrementalClusters(s,
+        d.filter(col("doc_id") % 2 === 0), d.filter(col("doc_id") % 2 === 1))
+    }),
     // Band-index lifecycle proof: build gen-0 over a corpus where every
     // 10th document carries STALE text, append the true versions as
     // gen 1, compact — the result must equal a from-scratch rebuild
@@ -879,6 +889,7 @@ object SparkEntry {
     "dedup_incremental" -> Oracles.dedupIncremental,
     "dedup_incremental_minhash" -> Oracles.dedupIncrementalMinhash,
     "band_index_lifecycle" -> Oracles.bandIndexLifecycle,
+    "dedup_clusters_incremental" -> Oracles.dedupClusters,
     "dedup_minhash_estimate" -> Oracles.dedupMinhashEstimate,
     "text_chunks" -> Oracles.textChunks(size = 32, stride = 16),
     "dedup_winnow" -> Oracles.dedupWinnow(k = 3, w = 4),

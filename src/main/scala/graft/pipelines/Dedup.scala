@@ -369,6 +369,42 @@ object Dedup {
       .select(col("doc_id"), col("band"), col("sig"))
   }
 
+  /** INCREMENTAL duplicate-cluster maintenance — the daily-delta shape
+    * for near-dup clusters, completing the lifecycle story:
+    * [[incrementalMinhashIndexed]] keeps the candidate PAIRS incremental,
+    * this keeps the resolved CLUSTERS incremental. The existing corpus
+    * contributes its (persisted, in deployment) cluster assignments as
+    * star edges `(member, cluster_rep)` — which preserve exactly the
+    * old graph's connectivity — plus its band index for the delta
+    * probe; the delta contributes new×existing probe pairs and its own
+    * new×new self-join pairs. Connected components over that union
+    * equals components over the FULL corpus's pair graph (banding is
+    * per-document, so old×old pairs are unchanged by the delta), which
+    * is what the gate proves: the output passes `dedup_clusters`'
+    * from-scratch oracle unchanged. Connectivity is preserved by
+    * construction, so a new document that pairs into two previously
+    * separate clusters merges them, exactly as a rebuild would.
+    *
+    * Scale shape: per delta, O(|old clusters|) star edges + O(delta)
+    * probe/self pairs feed the O(log d)-round component engine — the
+    * corpus-sized shingle/minhash pass never re-runs (here the base
+    * assignments and index are derived in-query; a deployment reads
+    * both back from storage, exactly like the `band_index`/`inc_dedup`
+    * pattern). */
+  def incrementalClusters(spark: SparkSession, corpus: DataFrame,
+      delta: DataFrame): DataFrame = {
+    val baseCc = graft.operators.ConnectedComponents
+      .run(minhashLsh(spark, corpus, ordered = false)) // (id, comp)
+    val starEdges = baseCc.filter(col("id") =!= col("comp"))
+      .select(col("id").as("a"), col("comp").as("b"))
+    val newOld = incrementalMinhashIndexed(spark, bandTable(spark, corpus),
+        delta)
+      .select(col("new_id").as("a"), col("dup_of").as("b"))
+    val newNew = minhashLsh(spark, delta, ordered = false)
+    graft.operators.ConnectedComponents.clusters(
+      starEdges.unionAll(newOld).unionAll(newNew))
+  }
+
   /** LSH candidates with their ESTIMATED Jaccard similarity — the
     * triage layer between candidate generation and an exact verify:
     * for each [[minhashLsh]] pair, the fraction of the 16 MinHash

@@ -57,6 +57,31 @@ class PipelinesSpec extends SparkSuite {
     assert(got == expected)
   }
 
+  test("incrementalClusters: delta extends base clusters, unrelated " +
+    "docs stay out; result equals from-scratch clustering") {
+    val textA = "one two three four five six seven eight nine ten"
+    val textB = "completely different words in this much longer unrelated " +
+      "document body here"
+    // Base corpus: {1,2} cluster on textA, {5,6} cluster on textB —
+    // two separate components. Delta doc 9 duplicates textA, delta doc
+    // 10 duplicates textB, and delta doc 11 is unrelated (no pairs).
+    val corpus = docs((1L, textA), (2L, textA), (5L, textB), (6L, textB))
+    val delta = docs((9L, textA), (10L, textB),
+      (11L, "entirely novel content with no shingle overlap at all " +
+        "whatsoever in any words"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val inc = rows(Dedup.incrementalClusters(spark, corpus, delta))
+    val scratch = rows(graft.operators.ConnectedComponents.clusters(
+      Dedup.minhashLsh(spark, docs((1L, textA), (2L, textA), (5L, textB),
+        (6L, textB), (9L, textA), (10L, textB)))))
+    assert(inc == scratch)
+    // membership: {1,2,9} under rep 1 and {5,6,10} under rep 5; doc 11
+    // pairs nothing and stays out
+    assert(inc == Set((1L, 1L, 3L), (2L, 1L, 3L), (9L, 1L, 3L),
+      (5L, 5L, 3L), (6L, 5L, 3L), (10L, 5L, 3L)))
+  }
+
   test("band-index lifecycle: append supersedes, compact equals rebuild") {
     val textA = "one two three four five six seven eight nine ten"
     val textB = "completely different words in this much longer unrelated " +
