@@ -255,6 +255,23 @@ object ScaleBench {
     // exercises multi-batch admission); CMS grid state is bounded, so
     // the ratio should be the token-scan floor plus batch overhead
     "stream_token_cms" -> SparkEntry.queries("stream_token_cms"),
+    // ---- round-12 additions, each with its 10× one: row ----
+    // gen-0 build + gen-1 append + compact: two shingle passes (stale
+    // corpus + updated tenth) and a doc_id-keyed compact join — must
+    // track the corpus scan, never re-sort the index
+    "band_index_lifecycle" -> SparkEntry.queries("band_index_lifecycle"),
+    // materialized corpus band table feeds base pairs + delta probe;
+    // component rounds bounded by cluster diameter
+    "dedup_clusters_incremental" ->
+      SparkEntry.queries("dedup_clusters_incremental"),
+    // four bucketed/capped rung scans + one materialized exact pair
+    // set; cost must track the rungs, not 4x the exact scan
+    "ann_recall_audit" -> SparkEntry.queries("ann_recall_audit"),
+    // stream-stream interval join drained AvailableNow: state bounded
+    // by the watermark+window horizon however long the stream
+    "stream_range_join" -> SparkEntry.queries("stream_range_join"),
+    // watermarked dedup state: keys inside the horizon only
+    "stream_dedup" -> SparkEntry.queries("stream_dedup"),
     // ---- per-user window family (VERDICT r9 item 3): partitioned
     // sort windows are the canonical skew exposure — one hot user is
     // one sort partition. Uniform replication shifts user ids, so the
