@@ -94,6 +94,8 @@ object Main {
       "pagerank_converged [damping] [tol] [max_iter]; pipelines: " +
       "dedup <in> <out> [exact|near|clean], " +
       "ann <in> <out> [exact|lsh|ivf|q8|q8ivf|mrl] [nq] [k], " +
+      "ivf_index <emb> <out> [nlist] [train_frac], " +
+      "ann_persisted <index_dir> <emb> <out> [nq] [k], " +
       "split <in> <out> [id_col] [train val test (per-mille)], " +
       "shuffle <in> <out> [id_col], " +
       "pack <in> <out> [capacity] [buckets] [id_col] [text_col], " +
@@ -267,6 +269,26 @@ object Main {
             nq = intArg(3, "10", "nq"), k = intArg(4, "5", "k"))
           .write.mode("overwrite").parquet(out)
         println(s"ANN top-k (${arg(2, "q8ivf")}) written to $out")
+      case "ivf_index" =>
+        // Persist the IVF index for a corpus (the once-per-corpus half
+        // of the ANN lifecycle, the embedding analogue of band_index):
+        //   ivf_index <embeddings.parquet> <out_dir> [nlist] [train_frac]
+        // nlist <= 0 derives sqrt(N) from the corpus.
+        val (in, out) = pipelineIo(cmd, a)
+        Similarity.ivfIndexWrite(spark.read.parquet(in), out,
+          nlist = intArg(2, "0", "nlist"),
+          trainFraction = doubleArg(3, "1.0", "train_frac"))
+        println(s"IVF index written to $out")
+      case "ann_persisted" =>
+        // Probe a persisted IVF index:
+        //   ann_persisted <index_dir> <embeddings.parquet> <out> [nq] [k]
+        if (a.length < 3) throw CliArgError(
+          "ann_persisted needs <index_dir> <embeddings.parquet> <out_dir> [nq] [k]")
+        Similarity.annTopKIvfPersisted(spark, a(0),
+            spark.read.parquet(a(1)),
+            nq = intArg(3, "10", "nq"), k = intArg(4, "5", "k"))
+          .write.mode("overwrite").parquet(a(2))
+        println(s"ANN top-k over persisted index written to ${a(2)}")
       case "split" =>
         val (in, out) = pipelineIo(cmd, a)
         val weights = if (a.length > 3)

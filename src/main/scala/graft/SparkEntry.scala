@@ -469,6 +469,16 @@ object SparkEntry {
       Similarity.ann(GraphIO.embeddings(s, dir), Similarity.AnnStrategy.Q8Ivf,
           nlist = 8, trainFraction = 0.5)
         .withColumn("rn", col("rn").cast("long"))),
+    // IVF index lifecycle proof: build + persist the index (centroids
+    // and the cell-repartitioned assigned corpus), read it back, probe
+    // — must equal the in-memory rung, so the gate shares
+    // ann_topk_ivf's oracle verbatim.
+    "ann_topk_ivf_persisted" -> ((s, dir) => {
+      val idxDir = "target/graft-ivf-" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+      Similarity.ivfIndexWrite(GraphIO.embeddings(s, dir), idxDir, nlist = 8)
+      Similarity.annTopKIvfPersisted(s, idxDir, GraphIO.embeddings(s, dir))
+        .withColumn("rn", col("rn").cast("long"))
+    }),
     // Accuracy half of the ANN ladder as a first-class gated output:
     // recall@k of every approximate rung against the exact rung, both
     // deterministic, so the recall numbers themselves are oracle-checked
@@ -870,6 +880,7 @@ object SparkEntry {
     "dedup_semantic" -> Oracles.dedupSemantic(0.3),
     "ann_topk" -> Oracles.annTopK(),
     "ann_recall_audit" -> Oracles.annRecallAudit(),
+    "ann_topk_ivf_persisted" -> Oracles.annTopKIvf(),
     "corpus_clusters" -> Oracles.corpusClusters(),
     "ann_topk_mrl" -> Oracles.annTopKMrl(),
     "ann_topk_lsh" -> Oracles.annTopKLsh(),

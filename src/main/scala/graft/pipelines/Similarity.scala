@@ -1,7 +1,7 @@
 package graft.pipelines
 
 import graft.functions.GraftHash
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -419,9 +419,19 @@ object Similarity {
       norm(col("embedding")).as("nrm"))
     val cent1 = ivfCentroids(corpus, nlist, trainFraction)
     val indexed = nearestCells(corpus, cent1, 1)
-    val probes = nearestCells(corpus.filter(col("vec_id") < nq), cent1, nprobe)
+    ivfProbe(indexed, cent1, corpus.filter(col("vec_id") < nq), nq, k, nprobe)
+  }
+
+  /** Shared probe tail of the IVF rungs: queries pick `nprobe` nearest
+    * cells, the cell-restricted candidates score exact cosine, one
+    * bounded per-query window ranks. `indexed` is the cell-assigned
+    * corpus `(vec_id, cid, embedding, nrm)` — in-memory or read back
+    * from a persisted index, the plan is identical. */
+  private def ivfProbe(indexed: DataFrame, cents: DataFrame,
+      qcorpus: DataFrame, nq: Int, k: Int, nprobe: Int): DataFrame = {
+    val probes = nearestCells(qcorpus, cents, nprobe)
       .select(col("vec_id").as("query_id"), col("cid"))
-    val queries = corpus.filter(col("vec_id") < nq)
+    val queries = qcorpus
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
         col("nrm").as("qn"))
     val scored = indexed.join(broadcast(probes), Seq("cid"))
@@ -436,6 +446,41 @@ object Similarity {
       .select(col("query_id"), col("rn"), col("neighbor_id"),
         round(col("cos"), 6).as("cosine"))
       .orderBy(col("query_id"), col("rn"))
+  }
+
+  /** Build-and-persist half of the IVF index lifecycle (the embedding
+    * analogue of the `band_index` CLI step): trains centroids, assigns
+    * every vector to its cell, and writes both as parquet —
+    * `centroids.parquet` (nlist rows) and `index.parquet`, the
+    * cell-assigned corpus repartitioned BY CELL so each probe reads
+    * contiguous cell files instead of every file. Build once per
+    * corpus; [[annTopKIvfPersisted]] (and each delta's queries) pay
+    * only the probe. */
+  def ivfIndexWrite(emb: DataFrame, dir: String, nlist: Int = 0,
+      trainFraction: Double = 1.0): Unit = {
+    val corpus = emb.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("nrm"))
+    val cent = ivfCentroids(corpus, nlist, trainFraction)
+    cent.write.mode("overwrite").parquet(s"$dir/centroids.parquet")
+    nearestCells(corpus, cent, 1)
+      .select(col("vec_id"), col("cid"), col("embedding"), col("nrm"))
+      .repartition(col("cid"))
+      .write.mode("overwrite").parquet(s"$dir/index.parquet")
+  }
+
+  /** Probe half of the IVF index lifecycle: top-k against an index
+    * [[ivfIndexWrite]] persisted earlier. The norm/centroid doubles
+    * round-trip parquet bit-exactly, so the result is identical to the
+    * in-memory [[annTopKIvf]] — which is exactly what the
+    * `ann_topk_ivf_persisted` gate proves (it shares `ann_topk_ivf`'s
+    * oracle verbatim). */
+  def annTopKIvfPersisted(spark: SparkSession, dir: String, emb: DataFrame,
+      nq: Int = 10, k: Int = 5, nprobe: Int = 2): DataFrame = {
+    val cents = spark.read.parquet(s"$dir/centroids.parquet")
+    val indexed = spark.read.parquet(s"$dir/index.parquet")
+    val qcorpus = emb.filter(col("vec_id") < nq)
+      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+    ivfProbe(indexed, cents, qcorpus, nq, k, nprobe)
   }
 
   /** SemDeDup-style semantic dedup: cluster the corpus with the IVF

@@ -47,6 +47,27 @@ class MainCliSpec extends SparkSuite {
     assert(got.forall(r => r.getInt(1) >= 1 && r.getInt(1) <= 2))
   }
 
+  test("ivf_index + ann_persisted verbs: persisted probe equals the " +
+    "in-memory ivf rung") {
+    val idxDir = s"$tmp/ivf_idx"
+    val outP = s"$tmp/ann_persisted_out"
+    val outM = s"$tmp/ann_ivf_out"
+    Main.run(spark, "ivf_index", Array(embPath, idxDir, "4"))
+    assert(spark.read.parquet(s"$idxDir/centroids.parquet").count() == 4)
+    Main.run(spark, "ann_persisted", Array(idxDir, embPath, outP, "3", "2"))
+    Main.run(spark, "ann", Array(embPath, outM, "ivf", "3", "2"))
+    def rows(p: String) = spark.read.parquet(p).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    // the ann verb's ivf derives nlist from the corpus; rebuild the
+    // in-memory rung at the SAME nlist for the equality check
+    val mem = graft.pipelines.Similarity.annTopKIvf(
+      spark.read.parquet(embPath), nq = 3, k = 2, nlist = 4).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(rows(outP) == mem)
+  }
+
   test("split verb: partitioned output is a disjoint total cover") {
     val out = s"$tmp/split_out"
     Main.run(spark, "split", Array(docsPath, out))
