@@ -110,6 +110,7 @@ object Main {
       "band_append <index> <docs> <out> [gen], " +
       "band_compact <index> <out>, " +
       "inc_dedup <corpus_or_index> <delta> <out>, " +
+      "inc_clusters <corpus> <delta> <out>, " +
       "quality_cut <in> <out> [q] [by_source], " +
       "curate <in> <out> [min_quality] [lang] [total] [alpha]")
 
@@ -428,6 +429,16 @@ object Main {
         }
         result.write.mode("overwrite").parquet(out)
         println(s"Incremental near-dup pairs written to $out")
+      case "inc_clusters" =>
+        // Incremental near-dup CLUSTER maintenance: existing corpus's
+        // clusters + delta probes -> updated clusters, equal to a
+        // from-scratch rebuild: inc_clusters <corpus> <delta> <out>
+        if (a.length < 3) throw CliArgError(
+          "inc_clusters needs <corpus.parquet> <delta.parquet> <out_dir>")
+        Dedup.incrementalClusters(spark, spark.read.parquet(a(0)),
+            spark.read.parquet(a(1)))
+          .write.mode("overwrite").parquet(a(2))
+        println(s"Incremental clusters written to ${a(2)}")
       case "band_append" =>
         // Append a new generation of signatures for (re-)ingested docs
         // to a persisted index — pure file append, nothing corpus-sized

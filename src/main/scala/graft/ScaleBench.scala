@@ -272,6 +272,9 @@ object ScaleBench {
     "stream_range_join" -> SparkEntry.queries("stream_range_join"),
     // watermarked dedup state: keys inside the horizon only
     "stream_dedup" -> SparkEntry.queries("stream_dedup"),
+    // persisted-index probe: build writes centroids + cell files once,
+    // the probe reads nprobe cells — build is the corpus-linear part
+    "ann_topk_ivf_persisted" -> SparkEntry.queries("ann_topk_ivf_persisted"),
     // ---- per-user window family (VERDICT r9 item 3): partitioned
     // sort windows are the canonical skew exposure — one hot user is
     // one sort partition. Uniform replication shifts user ids, so the

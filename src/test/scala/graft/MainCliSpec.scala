@@ -236,6 +236,16 @@ class MainCliSpec extends SparkSuite {
     assert(got.contains((1L, 2L)) && got.forall { case (n, e) => n != e })
   }
 
+  test("inc_clusters verb: incremental clusters over corpus + delta") {
+    val out = s"$tmp/inc_clusters_out"
+    // corpus = delta = docsPath: every doc probes an index containing
+    // its own text — docs 1/2/4 share text, so they cluster under 1
+    Main.run(spark, "inc_clusters", Array(docsPath, docsPath, out))
+    val got = spark.read.parquet(out).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got(1L) == 1L && got(2L) == 1L && got(4L) == 1L)
+  }
+
   test("vocab verb: ranked term statistics with floor and cap") {
     import spark.implicits._
     val p = s"$tmp/vocab_docs"
