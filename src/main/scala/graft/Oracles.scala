@@ -1688,11 +1688,13 @@ object Oracles {
        |ivf_t AS MATERIALIZED ${wrap(annTopKIvf(nq, k))},
        |lsh_t AS MATERIALIZED ${wrap(annTopKLsh(nq, k))},
        |mrl_t AS MATERIALIZED ${wrap(annTopKMrl(nq, k))},
-       |q8_t AS MATERIALIZED ${wrap(annTopKQ8(nq, k))}
+       |q8_t AS MATERIALIZED ${wrap(annTopKQ8(nq, k))},
+       |q8ivf_t AS MATERIALIZED ${wrap(annTopKQ8Ivf(nq, k))}
        |${row("ivf")}
        |UNION ALL ${row("lsh")}
        |UNION ALL ${row("mrl")}
        |UNION ALL ${row("q8")}
+       |UNION ALL ${row("q8ivf")}
        |ORDER BY rung""".stripMargin
   }
 

@@ -96,7 +96,10 @@ object Similarity {
       "ivf" -> ann(emb, AnnStrategy.Ivf, nq, k, nlist = nlist),
       "lsh" -> ann(emb, AnnStrategy.Lsh, nq, k),
       "mrl" -> ann(emb, AnnStrategy.Mrl, nq, k),
-      "q8" -> ann(emb, AnnStrategy.Q8, nq, k))
+      "q8" -> ann(emb, AnnStrategy.Q8, nq, k),
+      // the composed 100 TB configuration — the rung whose recall
+      // actually matters in deployment
+      "q8ivf" -> ann(emb, AnnStrategy.Q8Ivf, nq, k, nlist = nlist))
     rungs.map { case (name, df) =>
       df.select(col("query_id"), col("neighbor_id"))
         .join(exact, Seq("query_id", "neighbor_id"))
