@@ -90,6 +90,7 @@ object Main {
       "weighted_salsa random_teleport_salsa topic_specific_salsa " +
       "query_dependent_salsa list_topics draw_graph " +
       "pagerank [num_iter] [damping], " +
+      "pagerank_personalized <topic> [num_iter] [damping], " +
       "hits_converged [tol] [max_iter], salsa_converged [tol] [max_iter], " +
       "pagerank_converged [damping] [tol] [max_iter]; pipelines: " +
       "dedup <in> <out> [exact|near|clean], " +
@@ -176,6 +177,20 @@ object Main {
         RankOutput.topK(p, 10).collect()
           .foreach(row => println(s"('${row.getString(0)}', ${row.getDouble(1)})"))
         println("Scores written under outputs/PageRank/")
+      case "pagerank_personalized" =>
+        // Personalized variant: teleport to a topic seed set — same CLI
+        // shape as topic_specific_hits.
+        if (a.isEmpty) throw CliArgError(
+          "pagerank_personalized requires a topic label as its first argument")
+        val g = load(arg(3, DefaultNodes), arg(4, DefaultEdges))
+        val p = PageRank.runPersonalized(g, a(0),
+          doubleArg(2, "0.85", "damping"), intArg(1, "8", "num_iter"))
+        RankOutput.writeScoresText(p,
+          s"outputs/PageRank_personalized/${a(0)}/scores.txt")
+        println(s"Top 10 personalized-PageRank scores (${a(0)}):")
+        RankOutput.topK(p, 10).collect()
+          .foreach(row => println(s"('${row.getString(0)}', ${row.getDouble(1)})"))
+        println(s"Scores written under outputs/PageRank_personalized/${a(0)}/")
       // ---- convergence kernels: run to the fixed point (max-delta
       // below --tol) instead of a fixed iteration count; the reached
       // iteration is printed so a caller can pin it downstream ----

@@ -275,6 +275,35 @@ object Oracles {
     sb.toString
   }
 
+  /** Personalized-PageRank oracle (mirror of
+    * [[graft.operators.PageRank.runPersonalized]]): teleport uniform
+    * over the topic-labeled seed nodes, p₀ = the teleport vector,
+    * `(1-d)·t` as the same two-step IEEE product the Spark side
+    * computes (NOT pre-folded into one literal — the uniform kernel's
+    * `(1-d)/n` rounds differently). */
+  def pageRankPersonalized(topic: String, damping: Double = 0.85,
+      numIter: Int = 8, digits: Int = 9): String = {
+    val sb = new StringBuilder
+    sb ++= s"WITH $graphCtes"
+    sb ++= s",\nns AS MATERIALIZED (SELECT COUNT(*) AS n FROM nodes WHERE label = '$topic')"
+    sb ++= ",\ntele AS MATERIALIZED (SELECT id, CASE WHEN label = " +
+      s"'$topic' THEN 1::DOUBLE / (SELECT n FROM ns) ELSE 0::DOUBLE END AS t FROM nodes)"
+    sb ++= ",\nodeg AS MATERIALIZED (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src)"
+    sb ++= ",\np0 AS MATERIALIZED (SELECT id, t AS score FROM tele)"
+    for (i <- 1 to numIter) {
+      val prev = if (i == 1) "p0" else s"p${i - 1}"
+      sb ++= s",\nc$i AS MATERIALIZED (SELECT e.dst AS id, SUM(p.score / d.deg) AS mass FROM edges e " +
+        s"JOIN odeg d ON d.src = e.src JOIN $prev p ON p.id = e.src GROUP BY e.dst)"
+      sb ++= s",\np$i AS MATERIALIZED (SELECT n.id, " +
+        s"(1::DOUBLE - $damping::DOUBLE) * n.t + " +
+        s"$damping::DOUBLE * COALESCE(c.mass, 0::DOUBLE) AS score " +
+        s"FROM tele n LEFT JOIN c$i c ON c.id = n.id)"
+    }
+    sb ++= s"\nSELECT id, round(score, $digits) AS score FROM p$numIter"
+    sb ++= "\nORDER BY id"
+    sb.toString
+  }
+
   /** Convergence-run oracle for
     * [[graft.operators.PageRank.runConverged]], determinized exactly
     * like [[hitsConverged]]/[[salsaConverged]]: unrolled to the

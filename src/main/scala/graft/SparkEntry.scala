@@ -174,6 +174,12 @@ object SparkEntry {
       PageRank.run(GraphIO.orderGraph(s, dir))
         .select(col("id"), round(col("score"), 9).as("score"))
         .orderBy(col("id"))),
+    // Personalized variant: teleport uniform over the 'part' seed set
+    // — the PageRank analogue of topic-specific HITS.
+    "pagerank_personalized" -> ((s, dir) =>
+      PageRank.runPersonalized(GraphIO.orderGraph(s, dir), Topic)
+        .select(col("id"), round(col("score"), 9).as("score"))
+        .orderBy(col("id"))),
     // Convergence run, determinized like hits/salsa_converged: the
     // sf0.01 gate corpus stops at iteration 25 at tol 5.8e-8 (measured
     // delta(24)∈[1.0e-7,1.05e-7), delta(25)∈[3.2e-8,3.5e-8) — ~1.7×
@@ -824,6 +830,7 @@ object SparkEntry {
     "render_model" -> Oracles.renderModel(),
     "evt_hits_base" -> Oracles.hitsEventBase,
     "pagerank" -> Oracles.pageRank(),
+    "pagerank_personalized" -> Oracles.pageRankPersonalized(Topic),
     "pagerank_converged" -> Oracles.pageRankConverged(numIter = 25),
     "evt_salsa_weighted" -> Oracles.salsaEventWeighted,
     "hits_converged" -> Oracles.hitsConverged(numIter = 12),

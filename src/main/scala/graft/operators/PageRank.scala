@@ -65,6 +65,60 @@ object PageRank {
     }
   }
 
+  /** PERSONALIZED PageRank — teleport mass goes to a topic seed set
+    * instead of uniformly to every node (the PageRank analogue of
+    * topic-specific HITS, completing the query-dependent story across
+    * the kernel trio):
+    *
+    *   p'(v) = (1-d)·s(v) + d · Σ_{(u,v)∈E} p(u)/outdeg(u)
+    *
+    * with `s` uniform over the nodes labeled `topic` and zero
+    * elsewhere; `p₀ = s`. Same simplified no-dangling-redistribution
+    * formulation, same execution shape as [[run]]: the teleport vector
+    * rides the pre-hashed node table, so each iteration still shuffles
+    * only the |V|-sized aggregated mass. Kept separate from [[run]]
+    * rather than expressing uniform teleport through this path:
+    * `(1-d)·(1/n)` and `(1-d)/n` round differently in IEEE doubles,
+    * and the uniform gate's oracle replays the latter. */
+  def runPersonalized(g: Graph, topic: String, damping: Double = 0.85,
+      numIter: Int = 8): DataFrame = {
+    val spark = g.edges.sparkSession
+    val np = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val proj = g.edges.select(col("src"), col("dst"))
+    val dOut = Degrees.out(proj).hint("SHUFFLE_HASH")
+    val eOut = proj.repartition(np, col("src"))
+      .join(dOut, col("src") === dOut("id"))
+      .select(col("src"), col("dst"), col("out_degree")).persist()
+    val nSeeds = g.nodes.filter(col("label") === topic).count()
+    require(nSeeds > 0, s"no nodes labeled '$topic' to seed teleport")
+    // node universe + teleport column, pre-hashed once (the per-
+    // iteration left join is then shuffle-free on both sides)
+    val tele = g.nodes.select(col("id"),
+        when(col("label") === topic, lit(1.0 / nSeeds))
+          .otherwise(lit(0.0)).as("t"))
+      .repartition(np, col("id")).persist()
+    try {
+      var p = tele.select(col("id"), col("t").as("score"))
+      var prevCk: DataFrame = null
+      for (_ <- 1 to numIter) {
+        val p0 = p.hint("SHUFFLE_HASH")
+        val contrib = eOut.join(p0, eOut("src") === p0("id"))
+          .groupBy(eOut("dst").as("id"))
+          .agg(sum(col("score") / col("out_degree")).as("mass"))
+        p = Checkpoints.materialize(
+          tele.join(contrib.hint("SHUFFLE_HASH"), Seq("id"), "left")
+            .select(col("id"), (lit(1.0 - damping) * col("t") +
+              lit(damping) * coalesce(col("mass"), lit(0.0))).as("score")))
+        if (prevCk != null) Checkpoints.release(prevCk)
+        prevCk = p
+      }
+      p
+    } finally {
+      eOut.unpersist(false)
+      tele.unpersist(false)
+    }
+  }
+
   /** Fixed-point extension completing the convergence family
     * ([[Hits.runConverged]], [[Salsa.runConverged]]): iterate the
     * recurrence until the max absolute score change drops below `tol`.

@@ -34,6 +34,26 @@ class PageRankSpec extends SparkSuite {
     assert(p("c") > p("a") && p("d") > p("a")) // in-linked beat sources
   }
 
+  test("runPersonalized: teleport mass concentrates on the seed set") {
+    // a,b labeled t (seeds); c unlabeled. a→c, b→c, c→a. d = 0.5,
+    // seeds get t = 1/2 each, c gets 0. p0 = (1/2, 1/2, 0).
+    // iter 1: p(a) = 0.5*0.5 + 0.5*(p0(c)/1) = 0.25
+    //         p(b) = 0.25
+    //         p(c) = 0      + 0.5*(p0(a)/1 + p0(b)/1) = 0.5
+    val g = graph(Seq(("a", "c", 1.0), ("b", "c", 1.0), ("c", "a", 1.0)),
+      Map("a" -> "t", "b" -> "t", "c" -> "other"))
+    val p1 = scoresMap(PageRank.runPersonalized(g, "t", damping = 0.5,
+      numIter = 1))
+    assertApprox(p1, Map("a" -> 0.25, "b" -> 0.25, "c" -> 0.5))
+    // Deep run: non-seed, non-reachable mass decays to exactly 0 —
+    // teleport never revives a node outside the seed-reachable set.
+    val g2 = graph(Seq(("a", "b", 1.0), ("x", "y", 1.0)),
+      Map("a" -> "t", "b" -> "other", "x" -> "other", "y" -> "other"))
+    val p2 = scoresMap(PageRank.runPersonalized(g2, "t", numIter = 8))
+    assert(p2("x") == 0.0 && p2("y") == 0.0)
+    assert(p2("a") > 0.0 && p2("b") > 0.0)
+  }
+
   test("runConverged stops early and matches the fixed-iteration kernel " +
       "at the same depth") {
     // 2-cycle: uniform init IS the fixed point — converges on the
