@@ -275,6 +275,10 @@ object ScaleBench {
     // persisted-index probe: build writes centroids + cell files once,
     // the probe reads nprobe cells — build is the corpus-linear part
     "ann_topk_ivf_persisted" -> SparkEntry.queries("ann_topk_ivf_persisted"),
+    // seeded-teleport kernel: same per-iteration shape as pagerank —
+    // the ratio must match the kernel family's band
+    "pagerank_personalized" -> ((s, dir) =>
+      operators.PageRank.runPersonalized(GraphIO.orderGraph(s, dir), "part")),
     // ---- per-user window family (VERDICT r9 item 3): partitioned
     // sort windows are the canonical skew exposure — one hot user is
     // one sort partition. Uniform replication shifts user ids, so the
