@@ -774,6 +774,33 @@ object SparkEntry {
       s.table(name).select(col("user_id"), col("event_type"))
         .orderBy(col("user_id"), col("event_type"))
     }),
+    // STREAMING percentiles: the integer-cents histogram aggregates in
+    // complete mode (state = the VALUE DOMAIN, the same bound that
+    // makes the batch formulation spill-proof — the histogram IS the
+    // streaming quantile state), the drain hands the counted histogram
+    // to the shared interpolation tail, and the batch percentiles
+    // oracle passes UNCHANGED.
+    "stream_percentiles" -> ((s, dir) => {
+      val name = "graft_stream_pct_gate"
+      val ev = GraphIO.eventsStream(s, dir)
+      s.catalog.dropTempView(name) // idempotent re-run in one session
+      val hist = ev.select(col("event_type"),
+          round(col("value") * lit(100.0)).cast("long").as("c"))
+        .groupBy(col("event_type"), col("c")).agg(count(lit(1)).as("cnt"))
+      val q = hist
+        .writeStream.outputMode("complete").format("memory").queryName(name)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val p = graft.pipelines.Quantiles.contFromCounts(s.table(name),
+        Seq("event_type"), "c", "cnt", Seq(0.5, 0.9, 0.99))
+      p.groupBy(col("event_type"))
+        .agg(max(col("n")).as("n"),
+          round(max(when(col("q") === 0.5, col("p"))), 6).as("p50"),
+          round(max(when(col("q") === 0.9, col("p"))), 6).as("p90"),
+          round(max(when(col("q") === 0.99, col("p"))), 6).as("p99"))
+        .orderBy(col("event_type"))
+    }),
     // ---- retrieval: keyword, hybrid sparse+dense, inverted index ----
     "search_bm25" -> ((s, dir) =>
       Retrieval.bm25(GraphIO.documents(s, dir), SearchTerms)),
@@ -867,6 +894,7 @@ object SparkEntry {
     "ann_topk_q8_ivf" -> Oracles.annTopKQ8Ivf(),
     "ann_topk_q8_ivf_sampled" -> Oracles.annTopKQ8Ivf(trainPermille = 500),
     "events_percentiles" -> Oracles.eventsPercentiles,
+    "stream_percentiles" -> Oracles.eventsPercentiles,
     "text_fingerprint" -> Oracles.textFingerprint,
     "text_normalize" -> Oracles.textNormalize,
     "pipeline_clean_corpus" -> Oracles.pipelineCleanCorpus(),

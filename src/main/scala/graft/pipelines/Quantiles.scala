@@ -66,12 +66,37 @@ object Quantiles {
           groupCols)
     val g = gcols.map(col)
     val hist = base.groupBy(g :+ col("v"): _*).agg(count(lit(1)).as("cnt"))
+    val sel = contFromCounts(hist, gcols, "v", "cnt", qs)
+    if (groupCols.isEmpty) sel.drop("__g") else sel
+  }
+
+  /** Interpolation half of [[contFromHistogram]], entered with an
+    * ALREADY-COUNTED histogram `(group..., value, count)` — the shape a
+    * streaming complete-mode aggregation drains (the bounded histogram
+    * IS the streaming quantile state), or a pre-aggregated rollup table.
+    * Null-valued histogram rows are skipped (same semantics as the
+    * raw-row path). Identical arithmetic to [[contFromHistogram]] —
+    * same window, same rank picks, same interpolation operands. */
+  def contFromCounts(hist0: DataFrame, groupCols: Seq[String],
+      valueCol: String, cntCol: String, qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty, "need at least one quantile")
+    require(groupCols.nonEmpty,
+      "contFromCounts needs explicit group columns (a constant for global)")
+    val spark = hist0.sparkSession
+    import spark.implicits._
+    val g = groupCols.map(col)
+    val hist = hist0.filter(col(valueCol).isNotNull)
+      .select(g ++ Seq(col(valueCol).as("v"), col(cntCol).as("cnt")): _*)
     val w = Window.partitionBy(g: _*).orderBy(col("v"))
+    // group total as a whole-partition window over the SAME sort — no
+    // hist-vs-aggregate self-join (which also trips attribute-conflict
+    // resolution when hist is a memory-sink view), no second shuffle
+    val wAll = Window.partitionBy(g: _*)
     val cum = hist.select(g ++ Seq(col("v"), col("cnt"),
-      sum(col("cnt")).over(w).as("cum")): _*)
-    val tot = hist.groupBy(g: _*).agg(sum(col("cnt")).as("n"))
+      sum(col("cnt")).over(w).as("cum"),
+      sum(col("cnt")).over(wAll).as("n")): _*)
     val qdf = qs.toDF("q")
-    val sel = cum.join(tot, gcols).crossJoin(broadcast(qdf))
+    cum.crossJoin(broadcast(qdf))
       .withColumn("idx", col("q") * (col("n") - 1).cast("double"))
       .groupBy(g ++ Seq(col("q"), col("n"), col("idx")): _*)
       .agg(min(when(col("cum") > floor(col("idx")), col("v"))).as("lo"),
@@ -80,6 +105,5 @@ object Quantiles {
         (col("lo").cast("double") +
           (col("idx") - floor(col("idx")).cast("double")) *
           (col("hi") - col("lo")).cast("double")).as("p")): _*)
-    if (groupCols.isEmpty) sel.drop("__g") else sel
   }
 }
