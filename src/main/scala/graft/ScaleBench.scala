@@ -275,6 +275,9 @@ object ScaleBench {
     // persisted-index probe: build writes centroids + cell files once,
     // the probe reads nprobe cells — build is the corpus-linear part
     "ann_topk_ivf_persisted" -> SparkEntry.queries("ann_topk_ivf_persisted"),
+    // complete-mode histogram drain + interpolation: state bounded by
+    // the cents domain however many events stream through
+    "stream_percentiles" -> SparkEntry.queries("stream_percentiles"),
     // seeded-teleport kernel: same per-iteration shape as pagerank —
     // the ratio must match the kernel family's band
     "pagerank_personalized" -> ((s, dir) =>

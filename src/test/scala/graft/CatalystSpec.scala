@@ -391,6 +391,26 @@ class CatalystSpec extends SparkSuite {
     assert(got == want)
   }
 
+  test("contFromCounts plans one group-keyed sort — no histogram " +
+      "self-join, group total from the whole-partition window") {
+    import spark.implicits._
+    val hist = Seq(("a", 1L, 3L), ("a", 2L, 2L), ("b", 5L, 4L))
+      .toDF("g", "v", "cnt")
+    val p = graft.pipelines.Quantiles.contFromCounts(hist, Seq("g"),
+      "v", "cnt", Seq(0.5))
+    val plan = p.queryExecution.executedPlan.toString
+    // the running-cum and group-total windows share one sort; the old
+    // hist-vs-aggregate formulation both joined the histogram against
+    // itself (an extra shuffle) and tripped attribute-conflict
+    // resolution when the histogram was a memory-sink view
+    val selfJoins = plan.linesIterator
+      .count(l => l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin"))
+    assert(selfJoins == 0, s"histogram self-join present:\n$plan")
+    // semantics: a's 5 values (1,1,1,2,2) → median 1; b's 4 → 5
+    val got = p.collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(got("a") == 1.0 && got("b") == 5.0)
+  }
+
   test("MinHashAgg merge combines partial buffers slot-wise") {
     val b1 = MinHashAgg.reduce(MinHashAgg.zero, (42L, 19L))
     val b2 = MinHashAgg.reduce(MinHashAgg.zero, (7L, 3L))
