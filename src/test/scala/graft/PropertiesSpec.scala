@@ -248,4 +248,31 @@ class PropertiesSpec extends SparkSuite {
       .foldLeft(agg2.zero)(agg2.reduce)).toSeq
     assert(z.map(_._1) == Seq(5L))
   }
+
+  test("contFromCounts over a pre-counted histogram equals " +
+      "contFromHistogram over the raw rows on random corpora") {
+    import spark.implicits._
+    val genRows: Gen[List[(String, Long)]] = for {
+      m <- Gen.choose(5, 40)
+      rows <- Gen.listOfN(m, for {
+        g <- Gen.oneOf("a", "b", "c")
+        v <- Gen.choose(0L, 12L)
+      } yield (g, v))
+    } yield rows
+    val qs = Seq(0.25, 0.5, 0.9)
+    (1 to 6).flatMap(i =>
+      genRows.apply(Gen.Parameters.default, Seed(100L + i))).foreach { rows =>
+      val raw = rows.toDF("g", "v")
+      val viaRaw = graft.pipelines.Quantiles
+        .contFromHistogram(raw, Seq("g"), col("v"), qs)
+        .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2),
+          r.getDouble(3))).toSet
+      val hist = raw.groupBy(col("g"), col("v")).agg(count(lit(1)).as("cnt"))
+      val viaCounts = graft.pipelines.Quantiles
+        .contFromCounts(hist, Seq("g"), "v", "cnt", qs)
+        .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2),
+          r.getDouble(3))).toSet
+      assert(viaRaw == viaCounts, s"rows=$rows")
+    }
+  }
 }
