@@ -444,16 +444,55 @@ object Main {
         }
         result.write.mode("overwrite").parquet(out)
         println(s"Incremental near-dup pairs written to $out")
+      case "clusters_index" =>
+        // Persist the resolved duplicate-cluster assignments for a
+        // corpus (the once-per-corpus half of incremental cluster
+        // maintenance, alongside band_index):
+        //   clusters_index <docs.parquet> <out_dir>
+        val (in, out) = pipelineIo(cmd, a)
+        operators.ConnectedComponents.clusters(
+            Dedup.minhashLsh(spark, spark.read.parquet(in), ordered = false))
+          .write.mode("overwrite").parquet(out)
+        println(s"Cluster assignments written to $out")
       case "inc_clusters" =>
         // Incremental near-dup CLUSTER maintenance: existing corpus's
         // clusters + delta probes -> updated clusters, equal to a
-        // from-scratch rebuild: inc_clusters <corpus> <delta> <out>
-        if (a.length < 3) throw CliArgError(
-          "inc_clusters needs <corpus.parquet> <delta.parquet> <out_dir>")
-        Dedup.incrementalClusters(spark, spark.read.parquet(a(0)),
-            spark.read.parquet(a(1)))
-          .write.mode("overwrite").parquet(a(2))
-        println(s"Incremental clusters written to ${a(2)}")
+        // from-scratch rebuild. Two forms:
+        //   inc_clusters <corpus.parquet> <delta.parquet> <out_dir>
+        //     (index + base clusters derived in-run — the demo shape)
+        //   inc_clusters <band_index> <clusters_index> <delta> <out>
+        //     (both halves read from storage — the TRUE O(delta) path:
+        //      no corpus-sized pass runs; a versioned band_append index
+        //      is compacted to latest generations before the probe)
+        if (a.length == 4) {
+          val idxDf = spark.read.parquet(a(0))
+          val idx = idxDf.columns.toSet match {
+            case s if s == Set("doc_id", "band", "sig") => idxDf
+            case s if s == Set("doc_id", "band", "sig", "gen") =>
+              Dedup.bandIndexCompact(idxDf)
+            case other => throw CliArgError(
+              s"inc_clusters: ${a(0)} is not a band index " +
+                s"(columns ${other.mkString(",")}; expected doc_id,band,sig" +
+                "[,gen])")
+          }
+          val asg = spark.read.parquet(a(1))
+          if (!Set("doc_id", "cluster_id").subsetOf(asg.columns.toSet))
+            throw CliArgError(
+              s"inc_clusters: ${a(1)} is not a clusters_index output " +
+                s"(columns ${asg.columns.mkString(",")}; expected " +
+                "doc_id,cluster_id[,n_members])")
+          Dedup.incrementalClustersIndexed(spark, idx, asg,
+              spark.read.parquet(a(2)))
+            .write.mode("overwrite").parquet(a(3))
+          println(s"Incremental clusters written to ${a(3)}")
+        } else if (a.length == 3) {
+          Dedup.incrementalClusters(spark, spark.read.parquet(a(0)),
+              spark.read.parquet(a(1)))
+            .write.mode("overwrite").parquet(a(2))
+          println(s"Incremental clusters written to ${a(2)}")
+        } else throw CliArgError(
+          "inc_clusters needs <corpus> <delta> <out> or " +
+            "<band_index> <clusters_index> <delta> <out>")
       case "band_append" =>
         // Append a new generation of signatures for (re-)ingested docs
         // to a persisted index — pure file append, nothing corpus-sized
@@ -468,7 +507,15 @@ object Main {
           else idxDf.withColumn("gen", lit(0L))
         val gen =
           if (a.length > 3) longArg(3, "1", "gen")
-          else versioned.agg(max(col("gen"))).head.getLong(0) + 1
+          else {
+            // max(gen) over an EMPTY index aggregates to NULL — surface
+            // a CliArgError, not an opaque NPE from getLong on null
+            val maxRow = versioned.agg(max(col("gen"))).head
+            if (maxRow.isNullAt(0)) throw CliArgError(
+              s"band_append: index ${a(0)} is empty — build it with " +
+                "band_index first (or pass an explicit gen)")
+            maxRow.getLong(0) + 1
+          }
         Dedup.bandIndexAppend(versioned,
             Dedup.bandIndexEntries(spark, spark.read.parquet(a(1)), gen))
           .write.mode("overwrite").parquet(a(2))

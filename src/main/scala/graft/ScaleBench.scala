@@ -530,7 +530,12 @@ object ScaleBench {
         val (kf, kw) = timed(skewDir, name) // one hot authority
         // evict between queries, not corpora: at reps=100 three
         // persisted ~13M-edge graphs at once would fight for memory
-        // and distort exactly the ratios being measured
+        // and distort exactly the ratios being measured. Base too —
+        // otherwise from the 2nd query on, base_first reuses an
+        // already-persisted graph while uniform/skew pay full
+        // re-derive+persist, inflating the *_first ratios (the warm
+        // ratios were never affected).
+        GraphIO.evict(spark, baseDir)
         GraphIO.evict(spark, uniDir); GraphIO.evict(spark, skewDir)
         println(f"""{"metric":"skewkernel","query":"$name",""" +
           f""""base_warm":$bw%.2f,"uniform${reps}x_warm":$uw%.2f,""" +

@@ -582,6 +582,26 @@ object SparkEntry {
       Dedup.incrementalClusters(s,
         d.filter(col("doc_id") % 2 === 0), d.filter(col("doc_id") % 2 === 1))
     }),
+    // TRUE O(delta) cluster maintenance: the even half's band index AND
+    // resolved cluster assignments are written to parquet and read
+    // back, so the timed path runs NO corpus-sized pass — only delta
+    // signatures, the index probe, the delta self-join, and components
+    // over star+probe edges. Shares dedup_clusters' from-scratch
+    // oracle: the persisted-state path must equal a full rebuild.
+    "dedup_clusters_incremental_indexed" -> ((s, dir) => {
+      val d = GraphIO.documents(s, dir)
+      val base = d.filter(col("doc_id") % 2 === 0)
+      val tmp = "target/graft-clidx-" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+      Dedup.bandTable(s, base)
+        .write.mode("overwrite").parquet(tmp + "/band_index")
+      ConnectedComponents.clusters(
+          Dedup.minhashLsh(s, base, ordered = false))
+        .write.mode("overwrite").parquet(tmp + "/clusters_index")
+      Dedup.incrementalClustersIndexed(s,
+        s.read.parquet(tmp + "/band_index"),
+        s.read.parquet(tmp + "/clusters_index"),
+        d.filter(col("doc_id") % 2 === 1))
+    }),
     // Band-index lifecycle proof: build gen-0 over a corpus where every
     // 10th document carries STALE text, append the true versions as
     // gen 1, compact — the result must equal a from-scratch rebuild
@@ -749,6 +769,7 @@ object SparkEntry {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      requireSingleBatch(q, "stream_range_join")
       s.table(name)
         .select(col("err_id"), col("click_id"),
           (unix_micros(col("err_ts")) - unix_micros(col("click_ts")))
@@ -771,6 +792,7 @@ object SparkEntry {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      requireSingleBatch(q, "stream_dedup")
       s.table(name).select(col("user_id"), col("event_type"))
         .orderBy(col("user_id"), col("event_type"))
     }),
@@ -810,6 +832,23 @@ object SparkEntry {
     "text_inverted_index" -> ((s, dir) =>
       Retrieval.invertedIndex(GraphIO.documents(s, dir),
         minDf = 2, maxDf = 400)))
+
+  /** The stream_range_join / stream_dedup gates are batch-equivalent
+    * ONLY when the AvailableNow drain processes all input files in one
+    * micro-batch: a watermark advance between batches would silently
+    * drop cross-batch pairs/keys and diverge from the batch oracle. The
+    * parquet source does that today (no maxFilesPerTrigger set); this
+    * assertion makes a future source-config change fail loudly instead
+    * of corrupting the gate. */
+  private def requireSingleBatch(
+      q: org.apache.spark.sql.streaming.StreamingQuery,
+      gate: String): Unit = {
+    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+    require(dataBatches == 1,
+      s"$gate: expected ONE data micro-batch on the AvailableNow drain " +
+        s"(cross-batch watermark eviction would corrupt the gate); " +
+        s"saw $dataBatches")
+  }
 
   /** sfDir-scoped table prefix for the bucketed layout, so one JVM
     * touching several scale factors can never read a stale layout. */
@@ -936,6 +975,7 @@ object SparkEntry {
     "dedup_incremental_minhash" -> Oracles.dedupIncrementalMinhash,
     "band_index_lifecycle" -> Oracles.bandIndexLifecycle,
     "dedup_clusters_incremental" -> Oracles.dedupClusters,
+    "dedup_clusters_incremental_indexed" -> Oracles.dedupClusters,
     "dedup_minhash_estimate" -> Oracles.dedupMinhashEstimate,
     "text_chunks" -> Oracles.textChunks(size = 32, stride = 16),
     "dedup_winnow" -> Oracles.dedupWinnow(k = 3, w = 4),

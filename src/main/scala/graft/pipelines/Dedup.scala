@@ -407,10 +407,34 @@ object Dedup {
       .join(y, col("band") === col("band2") && col("sig") === col("sig2") &&
         col("a") < col("b"))
       .select(col("a"), col("b")).distinct()
-    val baseCc = graft.operators.ConnectedComponents.run(basePairs)
-    val starEdges = baseCc.filter(col("id") =!= col("comp"))
-      .select(col("id").as("a"), col("comp").as("b"))
-    val newOld = incrementalMinhashIndexed(spark, idx, delta)
+    val baseAssign =
+      graft.operators.ConnectedComponents.clusters(basePairs)
+    incrementalClustersIndexed(spark, idx, baseAssign, delta)
+  }
+
+  /** [[incrementalClusters]] against an ALREADY-BUILT band index
+    * ([[bandTable]] output) and ALREADY-RESOLVED base cluster
+    * assignments ([[graft.operators.ConnectedComponents.clusters]]
+    * output `(doc_id, cluster_id, n_members)`, both read back from
+    * storage) — the TRUE O(delta) daily-delta path: the corpus-sized
+    * shingle/minhash pass AND the base connected-components run both
+    * happened once at index-build time; each delta pays only its own
+    * signatures, the index probe, its self-join, and a component pass
+    * over O(|base members| + |delta pairs|) star/probe edges.
+    *
+    * The base assignments enter as star edges `(member, cluster_rep)`,
+    * which preserve exactly the old pair graph's connectivity, so
+    * components over star ∪ probe ∪ delta-self edges equal components
+    * over the full corpus's pair graph (banding is per-document — the
+    * delta cannot change old×old pairs). Gate
+    * `dedup_clusters_incremental_indexed` proves it by passing
+    * `dedup_clusters`' from-scratch oracle with both inputs round-
+    * tripped through parquet. */
+  def incrementalClustersIndexed(spark: SparkSession, index: DataFrame,
+      assignments: DataFrame, delta: DataFrame): DataFrame = {
+    val starEdges = assignments.filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id").as("a"), col("cluster_id").as("b"))
+    val newOld = incrementalMinhashIndexed(spark, index, delta)
       .select(col("new_id").as("a"), col("dup_of").as("b"))
     val newNew = minhashLsh(spark, delta, ordered = false)
     graft.operators.ConnectedComponents.clusters(

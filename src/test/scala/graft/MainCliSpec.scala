@@ -246,6 +246,47 @@ class MainCliSpec extends SparkSuite {
     assert(got(1L) == 1L && got(2L) == 1L && got(4L) == 1L)
   }
 
+  test("clusters_index + 4-arg inc_clusters: the O(delta) path reads " +
+    "both persisted halves and matches the in-run form") {
+    val bandIdx = s"$tmp/oc_band_idx"
+    val clIdx = s"$tmp/oc_clusters_idx"
+    val out4 = s"$tmp/oc_inc4_out"
+    val out3 = s"$tmp/oc_inc3_out"
+    Main.run(spark, "band_index", Array(docsPath, bandIdx))
+    Main.run(spark, "clusters_index", Array(docsPath, clIdx))
+    assert(spark.read.parquet(clIdx).columns.toSeq ==
+      Seq("doc_id", "cluster_id", "n_members"))
+    Main.run(spark, "inc_clusters", Array(bandIdx, clIdx, docsPath, out4))
+    Main.run(spark, "inc_clusters", Array(docsPath, docsPath, out3))
+    def rows(p: String) = spark.read.parquet(p).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows(out4) == rows(out3))
+    // a versioned (band_append) index is accepted and compacted in-verb
+    val idxV = s"$tmp/oc_band_idx_v"
+    Main.run(spark, "band_append", Array(bandIdx, docsPath, idxV))
+    val outV = s"$tmp/oc_incv_out"
+    Main.run(spark, "inc_clusters", Array(idxV, clIdx, docsPath, outV))
+    assert(rows(outV) == rows(out3))
+    // mis-shaped inputs fail fast, not deep in the plan
+    intercept[Main.CliArgError] {
+      Main.run(spark, "inc_clusters", Array(clIdx, clIdx, docsPath, out4))
+    }
+    intercept[Main.CliArgError] {
+      Main.run(spark, "inc_clusters", Array(bandIdx, bandIdx, docsPath, out4))
+    }
+  }
+
+  test("band_append on an empty index raises CliArgError, not an NPE") {
+    val empty = s"$tmp/oc_empty_idx"
+    spark.read.parquet(docsPath).limit(0)
+      .selectExpr("doc_id", "0 as band", "0L as sig", "0L as gen")
+      .write.mode("overwrite").parquet(empty)
+    val e = intercept[Main.CliArgError] {
+      Main.run(spark, "band_append", Array(empty, docsPath, s"$tmp/oc_x"))
+    }
+    assert(e.getMessage.contains("empty"))
+  }
+
   test("vocab verb: ranked term statistics with floor and cap") {
     import spark.implicits._
     val p = s"$tmp/vocab_docs"

@@ -82,6 +82,31 @@ class PipelinesSpec extends SparkSuite {
       (5L, 5L, 3L), (6L, 5L, 3L), (10L, 5L, 3L)))
   }
 
+  test("incrementalClustersIndexed: persisted index + assignments " +
+    "round-trip equals the in-query incremental path") {
+    val textA = "one two three four five six seven eight nine ten"
+    val textB = "completely different words in this much longer unrelated " +
+      "document body here"
+    val corpus = docs((1L, textA), (2L, textA), (5L, textB), (6L, textB))
+    val delta = docs((9L, textA), (10L, textB))
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-clidx").toString
+    // the two persisted halves a deployment reads back per delta
+    Dedup.bandTable(spark, corpus)
+      .write.mode("overwrite").parquet(s"$tmp/index")
+    graft.operators.ConnectedComponents.clusters(
+        Dedup.minhashLsh(spark, corpus, ordered = false))
+      .write.mode("overwrite").parquet(s"$tmp/assignments")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val indexed = rows(Dedup.incrementalClustersIndexed(spark,
+      spark.read.parquet(s"$tmp/index"),
+      spark.read.parquet(s"$tmp/assignments"), delta))
+    assert(indexed == rows(Dedup.incrementalClusters(spark, corpus, delta)))
+    assert(indexed == Set((1L, 1L, 3L), (2L, 1L, 3L), (9L, 1L, 3L),
+      (5L, 5L, 3L), (6L, 5L, 3L), (10L, 5L, 3L)))
+  }
+
   test("band-index lifecycle: append supersedes, compact equals rebuild") {
     val textA = "one two three four five six seven eight nine ten"
     val textB = "completely different words in this much longer unrelated " +
