@@ -196,22 +196,23 @@ object Main {
       // iteration is printed so a caller can pin it downstream ----
       case "hits_converged" =>
         val g = load(arg(2, DefaultNodes), arg(3, DefaultEdges))
-        val (r, n) = Hits.runConverged(g, doubleArg(0, "1e-9", "tol"),
+        val fp = Hits.runConverged(g, doubleArg(0, "1e-9", "tol"),
           intArg(1, "50", "max_iter"))
-        println(s"converged after $n iterations")
-        emit("converged_HITS", r)
+        println(convergenceLine(fp.iterations, fp.converged))
+        emit("converged_HITS", fp.result)
       case "salsa_converged" =>
         val g = load(arg(2, DefaultNodes), arg(3, DefaultEdges))
-        val (r, n) = Salsa.runConverged(g, doubleArg(0, "1e-9", "tol"),
+        val fp = Salsa.runConverged(g, doubleArg(0, "1e-9", "tol"),
           intArg(1, "50", "max_iter"))
-        println(s"converged after $n iterations")
-        emitS("SALSA/converged_SALSA", r)
+        println(convergenceLine(fp.iterations, fp.converged))
+        emitS("SALSA/converged_SALSA", fp.result)
       case "pagerank_converged" =>
         val g = load(arg(3, DefaultNodes), arg(4, DefaultEdges))
-        val (p, n) = PageRank.runConverged(g,
+        val fp = PageRank.runConverged(g,
           doubleArg(0, "0.85", "damping"), doubleArg(1, "1e-7", "tol"),
           intArg(2, "80", "max_iter"))
-        println(s"converged after $n iterations")
+        println(convergenceLine(fp.iterations, fp.converged))
+        val p = fp.result
         RankOutput.writeScoresText(p, "outputs/PageRank_converged/scores.txt")
         println("Top 10 PageRank scores:")
         RankOutput.topK(p, 10).collect()
@@ -568,6 +569,14 @@ object Main {
       case other => throw CliArgError(s"Unknown kernel: $other")
     }
   }
+
+  /** Human-readable convergence status for the `*_converged` verbs —
+    * an UN-converged (maxIter-capped) run must say so explicitly, not
+    * leave the caller to compare the count against the cap. */
+  private def convergenceLine(iters: Int, converged: Boolean): String =
+    if (converged) s"converged after $iters iterations"
+    else s"NOT converged: stopped at the max_iter cap ($iters iterations); " +
+      "scores are the best available refinement, not a certified fixed point"
 
   /** Pipeline verbs all take `<in.parquet> <out_dir>` as their first two
     * arguments; fail fast with usage when either is missing. */

@@ -175,10 +175,16 @@ object Oracles {
     * /root/testdata/sf0.01 at tol 1e-6, verified with a 20% delta margin
     * below the tolerance — see VERDICT r1 item 1), plus a
     * ('iter','n_iter',N) assertion row: if the kernel stops at any other
-    * count, the hash compare fails. Valid for the sf0.01 gate corpus. */
-  def hitsConverged(numIter: Int): String =
+    * count, the hash compare fails. Valid for the sf0.01 gate corpus.
+    * A second ('iter','converged',0|1) row asserts the kernel's OWN
+    * convergence verdict ([[graft.Fixpoint.converged]]) — sf-dependent
+    * non-convergence (a maxIter-capped run) is then a visible gate
+    * value, not something inferred from the count. */
+  def hitsConverged(numIter: Int, converged: Boolean = true): String =
     hits(numIter = numIter, extraSelects = Seq(
-      s"SELECT 'iter' AS kind, 'n_iter' AS id, $numIter::DOUBLE AS score"))
+      s"SELECT 'iter' AS kind, 'n_iter' AS id, $numIter::DOUBLE AS score",
+      s"SELECT 'iter' AS kind, 'converged' AS id, " +
+        s"${if (converged) 1 else 0}::DOUBLE AS score"))
   def hitsWeighted: String = hits(weighted = true)
   /** Second weighted run, alternative weight columns (mirror of
     * [[GraphIO.orderGraphAltWeights]] — the reference's tf-idf
@@ -235,10 +241,14 @@ object Oracles {
     * determinized exactly like [[hitsConverged]]: unrolled to the
     * iteration count the gate corpus converges at, plus a
     * ('iter','n_iter',N) assertion row that fails the hash compare if
-    * the kernel stops at any other count. */
-  def salsaConverged(numIter: Int): String =
+    * the kernel stops at any other count, and an
+    * ('iter','converged',0|1) row asserting the kernel's own
+    * [[graft.Fixpoint.converged]] verdict (see [[hitsConverged]]). */
+  def salsaConverged(numIter: Int, converged: Boolean = true): String =
     salsaIterative(numIter = numIter, extraSelects = Seq(
-      s"SELECT 'iter' AS kind, 'n_iter' AS id, $numIter::DOUBLE AS score"))
+      s"SELECT 'iter' AS kind, 'n_iter' AS id, $numIter::DOUBLE AS score",
+      s"SELECT 'iter' AS kind, 'converged' AS id, " +
+        s"${if (converged) 1 else 0}::DOUBLE AS score"))
   def salsaTeleport(beta: Double = 0.8): String =
     salsaIterative(post = TeleportAll(beta, "(2 * (SELECT n FROM nv))"))
   def salsaTopic(topic: String, beta: Double = 0.8): String =
@@ -307,11 +317,13 @@ object Oracles {
   /** Convergence-run oracle for
     * [[graft.operators.PageRank.runConverged]], determinized exactly
     * like [[hitsConverged]]/[[salsaConverged]]: unrolled to the
-    * iteration count the gate corpus converges at, plus an
-    * ('n_iter', N) assertion row. */
-  def pageRankConverged(numIter: Int): String =
+    * iteration count the gate corpus converges at, plus ('n_iter', N)
+    * and ('converged', 0|1) assertion rows — the latter checks the
+    * kernel's own [[graft.Fixpoint.converged]] verdict. */
+  def pageRankConverged(numIter: Int, converged: Boolean = true): String =
     pageRank(numIter = numIter, extraSelects = Seq(
-      s"SELECT 'n_iter' AS id, $numIter::DOUBLE AS score"))
+      s"SELECT 'n_iter' AS id, $numIter::DOUBLE AS score",
+      s"SELECT 'converged' AS id, ${if (converged) 1 else 0}::DOUBLE AS score"))
 
   /** Simplified SALSA (K7/K9/K12): degree mass, L1. */
   def salsaSimplified(weighted: Boolean = false, extraCtes: Seq[String] = Nil,

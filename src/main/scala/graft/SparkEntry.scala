@@ -128,11 +128,12 @@ object SparkEntry {
     // instead of 13.
     "salsa_converged" -> ((s, dir) => {
       import s.implicits._
-      val (r, iters) =
+      val fp =
         Salsa.runConverged(GraphIO.orderGraph(s, dir), 1e-9, 20,
           checkEvery = 3, firstCheck = 7)
-      scoresRows(r.hubs, r.auths, 9)
-        .unionAll(Seq(("iter", "n_iter", iters.toDouble))
+      scoresRows(fp.result.hubs, fp.result.auths, 9)
+        .unionAll(Seq(("iter", "n_iter", fp.iterations.toDouble),
+          ("iter", "converged", if (fp.converged) 1.0 else 0.0))
           .toDF("kind", "id", "score"))
         .orderBy(col("kind"), col("id"))
     }),
@@ -191,11 +192,12 @@ object SparkEntry {
     // ~2.4× margin), with 5 delta jobs instead of 25.
     "pagerank_converged" -> ((s, dir) => {
       import s.implicits._
-      val (p, iters) =
+      val fp =
         PageRank.runConverged(GraphIO.orderGraph(s, dir), 0.85, 5.8e-8, 60,
           checkEvery = 3, firstCheck = 13)
-      p.select(col("id"), round(col("score"), 9).as("score"))
-        .unionAll(Seq(("n_iter", iters.toDouble)).toDF("id", "score"))
+      fp.result.select(col("id"), round(col("score"), 9).as("score"))
+        .unionAll(Seq(("n_iter", fp.iterations.toDouble),
+          ("converged", if (fp.converged) 1.0 else 0.0)).toDF("id", "score"))
         .orderBy(col("id"))
     }),
     // ---- event-graph kernels (skewed in-degree coverage) ----
@@ -217,11 +219,12 @@ object SparkEntry {
     // jobs instead of 12.
     "hits_converged" -> ((s, dir) => {
       import s.implicits._
-      val (r, iters) =
+      val fp =
         Hits.runConverged(GraphIO.orderGraph(s, dir), 1.2e-6, 16,
           checkEvery = 3, firstCheck = 6)
-      scoresRows(r.hubs, r.auths, 6)
-        .unionAll(Seq(("iter", "n_iter", iters.toDouble))
+      scoresRows(fp.result.hubs, fp.result.auths, 6)
+        .unionAll(Seq(("iter", "n_iter", fp.iterations.toDouble),
+          ("iter", "converged", if (fp.converged) 1.0 else 0.0))
           .toDF("kind", "id", "score"))
         .orderBy(col("kind"), col("id"))
     }),

@@ -72,24 +72,39 @@ object Verify {
     // per-sf constant edits. The marker's score column is selected BY
     // NAME (a schema reorder must fail loudly, not misread a value), and
     // a fallback to the pinned sf0.01 oracle is logged.
-    def reportedIters(name: String, markerCol: String,
-        markerVal: String): Option[Int] =
-      try Some(spark.read.parquet(s"$outDir/$name")
-        .where(col(markerCol) === markerVal)
-        .select(col("score")).head.getDouble(0).toInt)
-      catch { case e: Throwable =>
+    // Two marker rows per converged kernel: the iteration count (id =
+    // 'n_iter') and the kernel's own converged verdict (0|1 under id =
+    // 'converged'). hits/salsa carry a 'kind' column whose marker rows
+    // are tagged 'iter' — filter on it too so a node literally named
+    // "n_iter" could never shadow the marker. Both feed the re-derived
+    // oracle.
+    def reportedMarker(name: String, hasKind: Boolean,
+        markerVal: String): Option[Double] =
+      try {
+        val base = spark.read.parquet(s"$outDir/$name")
+        val filtered =
+          if (hasKind) base.where(col("kind") === "iter" &&
+            col("id") === markerVal)
+          else base.where(col("id") === markerVal)
+        Some(filtered.select(col("score")).head.getDouble(0))
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name: could not read reported " +
-          s"iteration count (${e.getMessage}); keeping the pinned sf0.01 oracle")
+          s"'$markerVal' marker (${e.getMessage}); " +
+          "keeping the pinned sf0.01 oracle")
         None
       }
-    val adaptive: Seq[(String, String, String, Int => String)] = Seq(
-      ("hits_converged", "kind", "iter", Oracles.hitsConverged _),
-      ("salsa_converged", "kind", "iter", Oracles.salsaConverged _),
-      ("pagerank_converged", "id", "n_iter", Oracles.pageRankConverged _))
+    val adaptive: Seq[(String, Boolean, (Int, Boolean) => String)] = Seq(
+      ("hits_converged", true, (n, c) => Oracles.hitsConverged(n, c)),
+      ("salsa_converged", true, (n, c) => Oracles.salsaConverged(n, c)),
+      ("pagerank_converged", false,
+        (n, c) => Oracles.pageRankConverged(n, c)))
     val oracles = adaptive.foldLeft(SparkEntry.oracleSql) {
-      case (acc, (name, mc, mv, gen)) =>
+      case (acc, (name, hasKind, gen)) =>
         if (only.nonEmpty && !only(name)) acc
-        else reportedIters(name, mc, mv).fold(acc)(n => acc.updated(name, gen(n)))
+        else (for {
+          n <- reportedMarker(name, hasKind, "n_iter")
+          c <- reportedMarker(name, hasKind, "converged")
+        } yield acc.updated(name, gen(n.toInt, c != 0.0))).getOrElse(acc)
     }
     val json = oracles
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")

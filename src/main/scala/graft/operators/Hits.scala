@@ -87,10 +87,12 @@ object Hits {
     * schedule (`firstCheck, firstCheck+checkEvery, ...`) — the kernel
     * may overrun the true fixed point by < `checkEvery` no-op
     * refinements and reports the iterations actually executed (see
-    * [[PageRank.runConverged]] for the full rationale). */
+    * [[PageRank.runConverged]] for the full rationale). The returned
+    * [[graft.Fixpoint]] carries an explicit `converged` flag —
+    * false = capped at `maxIter` without a sub-`tol` delta. */
   def runConverged(g: Graph, tol: Double = 1e-9,
       maxIter: Int = 50, checkEvery: Int = 3, firstCheck: Int = 3)
-      : (Result, Int) = {
+      : graft.Fixpoint[Result] = {
     require(checkEvery >= 1 && firstCheck >= 1,
       s"need positive check schedule, got every=$checkEvery first=$firstCheck")
     val spark = g.edges.sparkSession
@@ -161,7 +163,7 @@ object Hits {
       // it-1 auth checkpoint it hung off is unreachable too.
       val h = Checkpoints.materialize(hubs)
       if (ck2 != null) Checkpoints.release(ck2)
-      (Result(h, auths), it)
+      graft.Fixpoint(Result(h, auths), it, done)
     } finally {
       // Drop the caches even on failure — the loop runs eager actions,
       // so exceptions mid-loop are real.

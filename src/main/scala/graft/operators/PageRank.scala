@@ -140,10 +140,12 @@ object PageRank {
     * true fixed point — each a no-op refinement of an already-converged
     * vector — and reports the iterations actually executed. Callers
     * pinning a determinized N (the oracle gates) align `firstCheck`
-    * with the measured fixed point. */
+    * with the measured fixed point. The returned [[graft.Fixpoint]]
+    * carries an explicit `converged` flag — false = capped at
+    * `maxIter` without a sub-`tol` delta. */
   def runConverged(g: Graph, damping: Double = 0.85, tol: Double = 1e-7,
       maxIter: Int = 80, checkEvery: Int = 3, firstCheck: Int = 3)
-      : (DataFrame, Int) = {
+      : graft.Fixpoint[DataFrame] = {
     require(checkEvery >= 1 && firstCheck >= 1,
       s"need positive check schedule, got every=$checkEvery first=$firstCheck")
     val spark = g.edges.sparkSession
@@ -186,7 +188,7 @@ object PageRank {
         p = cur
       }
       if (ck2 != null) Checkpoints.release(ck2)
-      (p, it)
+      graft.Fixpoint(p, it, done)
     } finally {
       eOut.unpersist(false)
       nodeIds.unpersist(false)

@@ -103,10 +103,12 @@ object Salsa {
     * `firstCheck/checkEvery` schedule (see [[PageRank.runConverged]]
     * for the rationale); the kernel may overrun the true fixed point
     * by < `checkEvery` no-op refinements and reports the iterations
-    * actually executed. */
+    * actually executed. The returned [[graft.Fixpoint]] carries an
+    * explicit `converged` flag — false = capped at `maxIter` without
+    * a sub-`tol` delta. */
   def runConverged(g: Graph, tol: Double = 1e-9,
       maxIter: Int = 50, checkEvery: Int = 3, firstCheck: Int = 3)
-      : (Result, Int) = {
+      : graft.Fixpoint[Result] = {
     require(checkEvery >= 1 && firstCheck >= 1,
       s"need positive check schedule, got every=$checkEvery first=$firstCheck")
     val spark = g.edges.sparkSession
@@ -166,7 +168,7 @@ object Salsa {
       // it-1 auth checkpoint it hung off becomes unreachable then.
       val h = Checkpoints.materialize(hubs)
       if (ck2 != null) Checkpoints.release(ck2)
-      (Result(h, auths), it)
+      graft.Fixpoint(Result(h, auths), it, done)
     } finally {
       eIn.unpersist(false)
       eOut.unpersist(false)

@@ -50,8 +50,8 @@ class CheckpointLifecycleSpec extends SparkSuite {
 
   test("runConverged leaves only the two result checkpoints") {
     val added = addedPersistentRdds {
-      val (r, it) = Hits.runConverged(g1, tol = 1e-9, maxIter = 20)
-      assert(it > 1 && scoresMap(r.auths).nonEmpty)
+      val fp = Hits.runConverged(g1, tol = 1e-9, maxIter = 20)
+      assert(fp.iterations > 1 && scoresMap(fp.result.auths).nonEmpty)
     }
     assert(added.size <= 2, s"leaked checkpoint RDDs: $added")
   }
@@ -82,7 +82,7 @@ class CheckpointLifecycleSpec extends SparkSuite {
     val local = Hits.run(g1, numIter = 8)
     val (lh, la) = (scoresMap(local.hubs), scoresMap(local.auths))
     val localConv = scoresMap(
-      Hits.runConverged(g1, tol = 1e-9, maxIter = 20)._1.auths)
+      Hits.runConverged(g1, tol = 1e-9, maxIter = 20).result.auths)
     val dir = java.nio.file.Files
       .createTempDirectory("graft-ckpt-spec").toString
     spark.conf.set(Checkpoints.ReliableKey, "true")
@@ -103,9 +103,9 @@ class CheckpointLifecycleSpec extends SparkSuite {
       assert(pr.count() > 0)
       // converged loops run the same materialize path: executor-loss
       // safety also covers the fixed-point kernels, scores unchanged
-      val (rc, it) = Hits.runConverged(g1, tol = 1e-9, maxIter = 20)
-      assert(it > 1)
-      assertApprox(scoresMap(rc.auths), localConv, 1e-15)
+      val fpc = Hits.runConverged(g1, tol = 1e-9, maxIter = 20)
+      assert(fpc.iterations > 1)
+      assertApprox(scoresMap(fpc.result.auths), localConv, 1e-15)
     } finally {
       spark.conf.unset(Checkpoints.ReliableKey)
       spark.conf.unset(Checkpoints.DirKey)

@@ -121,17 +121,19 @@ class HitsSpec extends SparkSuite {
 
   test("runConverged stops early on a fast-converging graph and matches " +
       "the fixed-iteration kernel at the same depth") {
-    val (r, iters) = Hits.runConverged(g1, tol = 1e-9, maxIter = 40)
+    val fp = Hits.runConverged(g1, tol = 1e-9, maxIter = 40)
+    val (r, iters) = (fp.result, fp.iterations)
     assert(iters < 40) // G1 converges almost immediately
+    assert(fp.converged, "early stop must report converged = true")
     val fixed = Hits.run(g1, numIter = iters)
     assertApprox(scoresMap(r.auths), scoresMap(fixed.auths), 1e-9)
   }
 
   test("runConverged on an empty graph converges immediately, no crash") {
-    val (r, iters) = Hits.runConverged(graph(Seq.empty), maxIter = 5)
-    assert(r.hubs.count() == 0L && r.auths.count() == 0L)
+    val fp = Hits.runConverged(graph(Seq.empty), maxIter = 5)
+    assert(fp.result.hubs.count() == 0L && fp.result.auths.count() == 0L)
     // empty delta reads as 0 < tol on the first SCHEDULED check
-    assert(iters <= 3)
+    assert(fp.iterations <= 3 && fp.converged)
   }
 
   test("edge input order does not change scores (permutation invariance)") {

@@ -61,26 +61,30 @@ class PageRankSpec extends SparkSuite {
     val g = graph(Seq(("a", "b", 1.0), ("b", "a", 1.0)))
     // checkEvery=1/firstCheck=1 reproduces the per-iteration check;
     // the default batched schedule is covered separately below.
-    val (p, iters) = PageRank.runConverged(g, tol = 1e-9, maxIter = 40,
+    val fp = PageRank.runConverged(g, tol = 1e-9, maxIter = 40,
       checkEvery = 1, firstCheck = 1)
+    val (p, iters) = (fp.result, fp.iterations)
     assert(iters <= 2, s"2-cycle took $iters iterations")
+    assert(fp.converged, "early stop must report converged = true")
     assertApprox(scoresMap(p), Map("a" -> 0.5, "b" -> 0.5))
     // a structured graph: converged result == fixed run at that depth.
     // Micro-graphs contract at the damping rate (~d^k — no dangling
     // leak to speed it up), so use d=0.5 to keep the loop short.
     val g2 = graph(Seq(("a", "c", 1.0), ("b", "c", 1.0), ("c", "d", 1.0),
       ("d", "a", 1.0)))
-    val (p2, it2) = PageRank.runConverged(g2, damping = 0.5,
+    val fp2 = PageRank.runConverged(g2, damping = 0.5,
       tol = 1e-9, maxIter = 60)
-    assert(it2 < 60)
+    val (p2, it2) = (fp2.result, fp2.iterations)
+    assert(it2 < 60 && fp2.converged)
     assertApprox(scoresMap(p2),
       scoresMap(PageRank.run(g2, damping = 0.5, numIter = it2)), 1e-12)
   }
 
   test("runConverged on an empty graph converges immediately, no crash") {
-    val (p, iters) = PageRank.runConverged(graph(Seq.empty), maxIter = 5)
-    assert(p.count() == 0L)
-    assert(iters <= 3) // first scheduled check (default firstCheck=3)
+    val fp = PageRank.runConverged(graph(Seq.empty), maxIter = 5)
+    assert(fp.result.count() == 0L)
+    assert(fp.iterations <= 3) // first scheduled check (default firstCheck=3)
+    assert(fp.converged)
   }
 
   test("batched delta checks stop on the schedule and report actual N") {
@@ -89,14 +93,25 @@ class PageRankSpec extends SparkSuite {
     // overruns by one no-op refinement, reports 3, and the vector still
     // equals the fixed-iteration kernel at that depth.
     val g = graph(Seq(("a", "b", 1.0), ("b", "a", 1.0)))
-    val (p, iters) = PageRank.runConverged(g, tol = 1e-9, maxIter = 40)
+    val fp = PageRank.runConverged(g, tol = 1e-9, maxIter = 40)
+    val (p, iters) = (fp.result, fp.iterations)
     assert(iters == 3, s"expected the first scheduled check, got $iters")
     assertApprox(scoresMap(p), Map("a" -> 0.5, "b" -> 0.5))
     // a misaligned schedule overruns by < checkEvery, never more
-    val (p5, it5) = PageRank.runConverged(g, tol = 1e-9, maxIter = 40,
+    val fp5 = PageRank.runConverged(g, tol = 1e-9, maxIter = 40,
       checkEvery = 5, firstCheck = 4)
+    val (p5, it5) = (fp5.result, fp5.iterations)
     assert(it5 == 4, s"expected the firstCheck iteration, got $it5")
     assertApprox(scoresMap(p5),
       scoresMap(PageRank.run(g, numIter = it5)), 1e-12)
+    // a cap too tight for the contraction rate must SAY un-converged
+    // (not leave callers comparing the count against the cap)
+    val gSlow = graph(Seq(("a", "c", 1.0), ("b", "c", 1.0),
+      ("c", "d", 1.0), ("d", "a", 1.0)))
+    val capped = PageRank.runConverged(gSlow, damping = 0.99,
+      tol = 1e-15, maxIter = 4, checkEvery = 1, firstCheck = 1)
+    assert(capped.iterations == 4 && !capped.converged,
+      "expected a capped, un-converged run; got " +
+        s"(${capped.iterations}, ${capped.converged})")
   }
 }

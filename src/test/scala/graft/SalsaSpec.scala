@@ -65,8 +65,9 @@ class SalsaSpec extends SparkSuite {
 
   test("runConverged stops early and matches the fixed-iteration kernel " +
       "at the same depth") {
-    val (r, iters) = Salsa.runConverged(g2, tol = 1e-9, maxIter = 40)
-    assert(iters < 40)
+    val fp = Salsa.runConverged(g2, tol = 1e-9, maxIter = 40)
+    val (r, iters) = (fp.result, fp.iterations)
+    assert(iters < 40 && fp.converged)
     val fixed = Salsa.run(g2, numIter = iters)
     assertApprox(scoresMap(r.auths), scoresMap(fixed.auths), 1e-12)
     assertApprox(scoresMap(r.hubs), scoresMap(fixed.hubs), 1e-12)
@@ -78,8 +79,8 @@ class SalsaSpec extends SparkSuite {
   }
 
   test("runConverged on an empty graph converges immediately, no crash") {
-    val (r, iters) = Salsa.runConverged(graph(Seq.empty), maxIter = 5)
-    assert(r.hubs.count() == 0L && r.auths.count() == 0L)
-    assert(iters <= 3) // first scheduled check (default firstCheck=3)
+    val fp = Salsa.runConverged(graph(Seq.empty), maxIter = 5)
+    assert(fp.result.hubs.count() == 0L && fp.result.auths.count() == 0L)
+    assert(fp.iterations <= 3 && fp.converged)
   }
 }
