@@ -757,6 +757,37 @@ object Oracles {
        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
   }
 
+  /** Oracle twin of the `stream_percentiles_sketch` gate: replays the
+    * fixed-bin sketch LITERALLY — clamped `floor((value-lo)/width)`
+    * bin, `lo + width·(bin + 0.5)` midpoint, `quantile_cont` over the
+    * midpoint multiset (bit-equal to
+    * [[graft.pipelines.Quantiles.contFromCounts]] over the drained
+    * histogram) — next to the exact percentiles, then recomputes the
+    * observed error and the width/2 bound check independently. */
+  def eventsPercentilesSketch(lo: Double, width: Double,
+      nbins: Int): String = {
+    val m = s"$lo + $width * (least(greatest(floor((value - $lo) / " +
+      s"$width), 0), ${nbins - 1}) + 0.5)"
+    def p(src: String, q: String) = s"round(quantile_cont($src, $q), 6)"
+    s"""WITH binned AS MATERIALIZED (
+       |  SELECT event_type, value, $m AS m
+       |  FROM events WHERE value IS NOT NULL),
+       |wq AS MATERIALIZED (
+       |  SELECT event_type, count(*) AS n,
+       |    ${p("m", "0.5")} AS p50_sketch, ${p("m", "0.9")} AS p90_sketch,
+       |    ${p("m", "0.99")} AS p99_sketch,
+       |    ${p("value", "0.5")} AS p50_exact, ${p("value", "0.9")} AS p90_exact,
+       |    ${p("value", "0.99")} AS p99_exact
+       |  FROM binned GROUP BY event_type),
+       |e AS (SELECT *, round(greatest(abs(p50_sketch - p50_exact),
+       |    abs(p90_sketch - p90_exact), abs(p99_sketch - p99_exact)), 6)
+       |    AS err_max FROM wq)
+       |SELECT event_type, n, p50_sketch, p90_sketch, p99_sketch,
+       |  p50_exact, p90_exact, p99_exact, err_max,
+       |  CASE WHEN err_max <= ${width / 2} THEN 1 ELSE 0 END AS within_bound
+       |FROM e ORDER BY event_type""".stripMargin
+  }
+
   def textFingerprint: String =
     s"SELECT doc_id, ${GraftHash.duckdbSql("text")} AS fp " +
       "FROM documents ORDER BY doc_id"

@@ -30,6 +30,15 @@ object SparkEntry {
     * token absent from the corpus. */
   private val CmsProbes = Seq("spark", "query", "vector", "zz_absent_probe")
 
+  /** Fixed-bin quantile-sketch geometry for the events `value` column:
+    * `(lo, width, nbins)` — [0, 1024) in half-unit bins, chosen from
+    * schema knowledge (testdata values span [0, ~561]; the documented
+    * width/2 error bound needs the domain covered — see
+    * [[graft.functions.FixedBinHistogramAgg]]). Shared verbatim with
+    * the DuckDB oracle ([[Oracles.eventsPercentilesSketch]] is invoked
+    * with exactly these values below). */
+  private val PctSketchBins: (Double, Double, Int) = (0.0, 0.5, 2048)
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("hits_base")(spark, "/root/testdata/sf0.001")
@@ -826,6 +835,63 @@ object SparkEntry {
           round(max(when(col("q") === 0.99, col("p"))), 6).as("p99"))
         .orderBy(col("event_type"))
     }),
+    // STREAMING percentiles, BOUNDED-STATE twin: the fixed-bin sketch
+    // aggregator ([[graft.functions.FixedBinHistogramAgg]]) replaces
+    // the exact value histogram — state is O(nbins) int64s per
+    // event_type REGARDLESS of how many distinct values the stream
+    // carries (the exact twin's state is value-domain-bounded, a
+    // property only integer-cents-like domains enjoy). Exact-vs-approx
+    // pairing, the ANN-recall-audit pattern: the gate emits the sketch
+    // estimates NEXT TO the exact percentiles plus the observed
+    // max-abs error, and asserts the documented width/2 bound — all
+    // recomputed independently by the DuckDB oracle.
+    "stream_percentiles_sketch" -> ((s, dir) => {
+      val name = "graft_stream_pct_sketch_gate"
+      val (lo, width, nbins) = PctSketchBins
+      val ev = GraphIO.eventsStream(s, dir)
+      s.catalog.dropTempView(name) // idempotent re-run in one session
+      val sketch =
+        graft.functions.FixedBinHistogramAgg.asUdaf(lo, width, nbins)
+      val q = ev.filter(col("value").isNotNull)
+        .groupBy(col("event_type")).agg(sketch(col("value")).as("bins"))
+        .writeStream.outputMode("complete").format("memory").queryName(name)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val binned = s.table(name)
+        .select(col("event_type"),
+          posexplode(col("bins")).as(Seq("bin", "cnt")))
+        .filter(col("cnt") > 0)
+        .select(col("event_type"),
+          graft.pipelines.Quantiles.binMidpoint(col("bin"), lo, width)
+            .as("m"),
+          col("cnt"))
+      val qs = Seq(0.5, 0.9, 0.99)
+      val est = graft.pipelines.Quantiles.contFromCounts(binned,
+        Seq("event_type"), "m", "cnt", qs)
+      val exactHist = GraphIO.events(s, dir)
+        .filter(col("value").isNotNull)
+        .groupBy(col("event_type"), col("value"))
+        .agg(count(lit(1)).as("cnt"))
+      val exact = graft.pipelines.Quantiles.contFromCounts(exactHist,
+        Seq("event_type"), "value", "cnt", qs)
+      def wide(df: DataFrame, tag: String) = df.groupBy(col("event_type"))
+        .agg(max(col("n")).as(s"n_$tag"),
+          round(max(when(col("q") === 0.5, col("p"))), 6).as(s"p50_$tag"),
+          round(max(when(col("q") === 0.9, col("p"))), 6).as(s"p90_$tag"),
+          round(max(when(col("q") === 0.99, col("p"))), 6).as(s"p99_$tag"))
+      val joined = wide(est, "sketch")
+        .join(wide(exact, "exact"), Seq("event_type"))
+      val errs = Seq("p50", "p90", "p99").map(p =>
+        abs(col(s"${p}_sketch") - col(s"${p}_exact")))
+      joined.select(col("event_type"), col("n_sketch").as("n"),
+          col("p50_sketch"), col("p90_sketch"), col("p99_sketch"),
+          col("p50_exact"), col("p90_exact"), col("p99_exact"),
+          round(greatest(errs: _*), 6).as("err_max"))
+        .withColumn("within_bound",
+          when(col("err_max") <= lit(width / 2), 1).otherwise(0))
+        .orderBy(col("event_type"))
+    }),
     // ---- retrieval: keyword, hybrid sparse+dense, inverted index ----
     "search_bm25" -> ((s, dir) =>
       Retrieval.bm25(GraphIO.documents(s, dir), SearchTerms)),
@@ -937,6 +1003,8 @@ object SparkEntry {
     "ann_topk_q8_ivf_sampled" -> Oracles.annTopKQ8Ivf(trainPermille = 500),
     "events_percentiles" -> Oracles.eventsPercentiles,
     "stream_percentiles" -> Oracles.eventsPercentiles,
+    "stream_percentiles_sketch" -> Oracles.eventsPercentilesSketch(
+      PctSketchBins._1, PctSketchBins._2, PctSketchBins._3),
     "text_fingerprint" -> Oracles.textFingerprint,
     "text_normalize" -> Oracles.textNormalize,
     "pipeline_clean_corpus" -> Oracles.pipelineCleanCorpus(),

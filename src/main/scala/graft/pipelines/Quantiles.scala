@@ -70,6 +70,18 @@ object Quantiles {
     if (groupCols.isEmpty) sel.drop("__g") else sel
   }
 
+  /** Bin-index → bin-midpoint mapping for the fixed-bin quantile
+    * sketch ([[graft.functions.FixedBinHistogramAgg]]): feeding these
+    * midpoints to [[contFromCounts]] yields the sketch's quantile
+    * ESTIMATE — the exact continuous percentile of the binned
+    * multiset, within `width/2` of the true quantile for in-domain
+    * values (see the aggregator's scaladoc for the bound's proof
+    * sketch and its clamping caveat). Written as
+    * `lo + width·(bin + 0.5)` — operand-for-operand what the DuckDB
+    * oracle evaluates, so the estimate is cross-engine bit-exact. */
+  def binMidpoint(bin: Column, lo: Double, width: Double): Column =
+    lit(lo) + lit(width) * (bin.cast("double") + lit(0.5))
+
   /** Interpolation half of [[contFromHistogram]], entered with an
     * ALREADY-COUNTED histogram `(group..., value, count)` — the shape a
     * streaming complete-mode aggregation drains (the bounded histogram

@@ -275,4 +275,54 @@ class PropertiesSpec extends SparkSuite {
       assert(viaRaw == viaCounts, s"rows=$rows")
     }
   }
+
+  test("fixed-bin sketch percentiles stay within the documented width/2 " +
+      "bound of the exact percentiles on random double corpora") {
+    import spark.implicits._
+    val (lo, width, nbins) = (0.0, 0.5, 64) // domain [0, 32)
+    val agg = new graft.functions.FixedBinHistogramAgg(lo, width, nbins)
+    val genRows: Gen[List[(String, Double)]] = for {
+      m <- Gen.choose(8, 60)
+      rows <- Gen.listOfN(m, for {
+        g <- Gen.oneOf("a", "b")
+        // in-domain doubles with non-trivial fractional parts
+        v <- Gen.choose(0, 31999).map(_ / 1000.0)
+      } yield (g, v))
+    } yield rows
+    val qs = Seq(0.1, 0.5, 0.9, 0.99)
+    (1 to 6).flatMap(i =>
+      genRows.apply(Gen.Parameters.default, Seed(500L + i))).foreach { rows =>
+      // sketch side: fold through the aggregator (reduce+merge split at
+      // an arbitrary point — exercises the algebraic partial path),
+      // then interpolate over bin midpoints
+      val hist = rows.groupBy(_._1).toSeq.flatMap { case (g, rs) =>
+        val (l, r) = rs.map(_._2).splitAt(rs.length / 2)
+        val bins = agg.merge(l.foldLeft(agg.zero)(agg.reduce),
+          r.foldLeft(agg.zero)(agg.reduce))
+        bins.zipWithIndex.collect { case (c, b) if c > 0 =>
+          (g, lo + width * (b + 0.5), c)
+        }
+      }.toDF("g", "m", "cnt")
+      val est = graft.pipelines.Quantiles
+        .contFromCounts(hist, Seq("g"), "m", "cnt", qs)
+        .collect().map(r => ((r.getString(0), r.getDouble(1)), r.getDouble(3)))
+        .toMap
+      // exact side: contFromCounts over the raw-value histogram
+      val exactHist = rows.toDF("g", "v")
+        .groupBy(col("g"), col("v")).agg(count(lit(1)).as("cnt"))
+      val exact = graft.pipelines.Quantiles
+        .contFromCounts(exactHist, Seq("g"), "v", "cnt", qs)
+        .collect().map(r => ((r.getString(0), r.getDouble(1)), r.getDouble(3)))
+        .toMap
+      assert(est.keySet == exact.keySet)
+      est.foreach { case (k, e) =>
+        val x = exact(k)
+        assert(math.abs(e - x) <= width / 2 + 1e-12,
+          s"$k: sketch $e vs exact $x exceeds width/2 = ${width / 2}")
+      }
+      // total count is preserved by the sketch (no clamp losses in-domain)
+      val n = est.size // sanity: one estimate per (group, q)
+      assert(n == exact.size)
+    }
+  }
 }
