@@ -96,6 +96,8 @@ object Main {
       "dedup <in> <out> [exact|near|clean], " +
       "ann <in> <out> [exact|lsh|ivf|q8|q8ivf|mrl] [nq] [k], " +
       "ivf_index <emb> <out> [nlist] [train_frac], " +
+      "ivf_append <index_dir> <emb> <out_dir> [gen], " +
+      "ivf_compact <index_dir> <out_dir>, " +
       "ann_persisted <index_dir> <emb> <out> [nq] [k], " +
       "split <in> <out> [id_col] [train val test (per-mille)], " +
       "shuffle <in> <out> [id_col], " +
@@ -296,6 +298,53 @@ object Main {
           nlist = intArg(2, "0", "nlist"),
           trainFraction = doubleArg(3, "1.0", "train_frac"))
         println(s"IVF index written to $out")
+      case "ivf_append" =>
+        // Append a new generation of cell assignments for (re-)ingested
+        // vectors to a persisted IVF index — assignment runs against
+        // the index's PERSISTED centroids (appends never retrain;
+        // retraining is an ivf_index rebuild), so it is O(delta):
+        //   ivf_append <index_dir> <emb.parquet> <out_dir> [gen]
+        // gen defaults to (max existing generation) + 1; a plain
+        // ivf_index output (no gen column) counts as generation 0.
+        if (a.length < 3) throw CliArgError(
+          "ivf_append needs <index_dir> <emb.parquet> <out_dir> [gen]")
+        val idxDf = spark.read.parquet(s"${a(0)}/index.parquet")
+        val cents = spark.read.parquet(s"${a(0)}/centroids.parquet")
+        val versioned =
+          if (idxDf.columns.contains("gen")) idxDf
+          else idxDf.withColumn("gen", lit(0L))
+        val gen =
+          if (a.length > 3) longArg(3, "1", "gen")
+          else {
+            // max(gen) over an EMPTY index aggregates to NULL — surface
+            // a CliArgError, not an opaque NPE (band_append discipline)
+            val maxRow = versioned.agg(max(col("gen"))).head
+            if (maxRow.isNullAt(0)) throw CliArgError(
+              s"ivf_append: index ${a(0)} is empty — build it with " +
+                "ivf_index first (or pass an explicit gen)")
+            maxRow.getLong(0) + 1
+          }
+        Similarity.ivfIndexAppend(versioned,
+            Similarity.ivfIndexEntries(spark.read.parquet(a(1)), cents, gen))
+          .write.mode("overwrite").parquet(s"${a(2)}/index.parquet")
+        // carry the pinned centroids so out_dir is a complete index
+        cents.write.mode("overwrite").parquet(s"${a(2)}/centroids.parquet")
+        println(s"IVF index + generation $gen written to ${a(2)}")
+      case "ivf_compact" =>
+        // Compact a versioned IVF index to each vector's latest
+        // generation, rewritten in the cell-repartitioned probe layout:
+        //   ivf_compact <index_dir> <out_dir>
+        val (in, out) = pipelineIo(cmd, a)
+        val idxDf = spark.read.parquet(s"$in/index.parquet")
+        val versioned =
+          if (idxDf.columns.contains("gen")) idxDf
+          else idxDf.withColumn("gen", lit(0L))
+        Similarity.ivfIndexCompact(versioned)
+          .repartition(col("cid"))
+          .write.mode("overwrite").parquet(s"$out/index.parquet")
+        spark.read.parquet(s"$in/centroids.parquet")
+          .write.mode("overwrite").parquet(s"$out/centroids.parquet")
+        println(s"Compacted IVF index written to $out")
       case "ann_persisted" =>
         // Probe a persisted IVF index:
         //   ann_persisted <index_dir> <embeddings.parquet> <out> [nq] [k]

@@ -497,6 +497,40 @@ object SparkEntry {
       Similarity.annTopKIvfPersisted(s, idxDir, GraphIO.embeddings(s, dir))
         .withColumn("rn", col("rn").cast("long"))
     }),
+    // IVF index LIFECYCLE gate: build a versioned index from a corpus
+    // with a deterministic subset of embeddings CORRUPTED (negated —
+    // those vectors land in the wrong cells), append a generation-1
+    // delta carrying the true embeddings for exactly that subset, and
+    // compact — the probe over the compacted index must then equal the
+    // from-scratch `ann_topk_ivf` run (shared oracle, verbatim), with
+    // every hop round-tripped through parquet. Centroids are pinned at
+    // build time (the lifecycle contract: appends assign against the
+    // persisted centroids; retraining is a rebuild), so the gate pins
+    // them to the corpus's trained centroids and proves append+compact
+    // reproduce assign-from-scratch — including the cell REASSIGNMENT
+    // of every re-ingested vector.
+    "ann_topk_ivf_appended" -> ((s, dir) => {
+      val base = "target/graft-ivflc-" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val emb = GraphIO.embeddings(s, dir)
+      val updated = col("vec_id") % 7 === 3
+      val stale = emb.withColumn("embedding",
+        when(updated, transform(col("embedding"), x => -x))
+          .otherwise(col("embedding")))
+      val corpus = emb.select(col("vec_id"), col("embedding"),
+        Similarity.norm(col("embedding")).as("nrm"))
+      val cents = Similarity.ivfCentroids(corpus, 8)
+      cents.write.mode("overwrite").parquet(s"$base/centroids.parquet")
+      Similarity.ivfIndexEntries(stale, cents, 0L)
+        .write.mode("overwrite").parquet(s"$base/v0.parquet")
+      Similarity.ivfIndexAppend(s.read.parquet(s"$base/v0.parquet"),
+          Similarity.ivfIndexEntries(emb.filter(updated), cents, 1L))
+        .write.mode("overwrite").parquet(s"$base/v1.parquet")
+      Similarity.ivfIndexCompact(s.read.parquet(s"$base/v1.parquet"))
+        .repartition(col("cid"))
+        .write.mode("overwrite").parquet(s"$base/index.parquet")
+      Similarity.annTopKIvfPersisted(s, base, emb)
+        .withColumn("rn", col("rn").cast("long"))
+    }),
     // Accuracy half of the ANN ladder as a first-class gated output:
     // recall@k of every approximate rung against the exact rung, both
     // deterministic, so the recall numbers themselves are oracle-checked
@@ -1026,6 +1060,7 @@ object SparkEntry {
     "ann_topk" -> Oracles.annTopK(),
     "ann_recall_audit" -> Oracles.annRecallAudit(),
     "ann_topk_ivf_persisted" -> Oracles.annTopKIvf(),
+    "ann_topk_ivf_appended" -> Oracles.annTopKIvf(),
     "corpus_clusters" -> Oracles.corpusClusters(),
     "ann_topk_mrl" -> Oracles.annTopKMrl(),
     "ann_topk_lsh" -> Oracles.annTopKLsh(),

@@ -486,6 +486,63 @@ object Similarity {
     ivfProbe(indexed, cents, qcorpus, nq, k, nprobe)
   }
 
+  // ---- IVF index lifecycle: build / append / compact ----
+  //
+  // The embedding analogue of the band-index lifecycle
+  // ([[Dedup.bandIndexEntries]]/Append/Compact): vectors get
+  // RE-INGESTED (re-embedding runs, content updates), so the persisted
+  // index needs generation-stamped appends plus a periodic compaction
+  // — without them every daily embedding delta forces a full index
+  // rebuild. Centroids are FIXED at build time and every append
+  // assigns its delta against those PERSISTED centroids, so cell
+  // identity is stable across generations; retraining centroids is by
+  // definition a REBUILD ([[ivfIndexWrite]]), never an append.
+  // Correctness bar (gated, `ann_topk_ivf_appended`): probe over
+  // compact(build(stale) ++ entries(updated)) == probe over an index
+  // assigned from scratch against the same centroids — which is the
+  // `ann_topk_ivf` oracle verbatim.
+
+  /** Cell-assigned, probe-shaped index rows for `emb` against FIXED
+    * `cents`, stamped with generation `gen` — the unit of both the
+    * initial versioned build (`gen = 0`) and each append. O(delta)
+    * work: one broadcast-centroid assignment pass over `emb` only. */
+  def ivfIndexEntries(emb: DataFrame, cents: DataFrame,
+      gen: Long): DataFrame =
+    nearestCells(emb.select(col("vec_id"), col("embedding"),
+        norm(col("embedding")).as("nrm")), cents, 1)
+      .select(col("vec_id"), col("cid"), col("embedding"), col("nrm"))
+      .withColumn("gen", lit(gen))
+
+  /** Append a new generation of assignments to a versioned index: a
+    * pure union — O(delta), nothing corpus-sized rewritten (a pure
+    * file append in a parquet deployment). Caller contract: one `gen`
+    * value per append, strictly above any generation already present
+    * for the re-ingested vec_ids (the [[Dedup.bandIndexAppend]]
+    * contract). */
+  def ivfIndexAppend(index: DataFrame, entries: DataFrame): DataFrame =
+    index.unionByName(entries)
+
+  /** Compact a versioned index to each vector's LATEST generation,
+    * dropping superseded cell assignments (and `gen` — output is the
+    * probe-shaped `(vec_id, cid, embedding, nrm)` layout
+    * [[annTopKIvfPersisted]] reads). Because entries were assigned
+    * against fixed centroids, keeping the latest generation IS the
+    * reassignment: a re-embedded vector's stale row (possibly in a
+    * different cell) is dropped wholesale.
+    *
+    * Scale shape: same as [[Dedup.bandIndexCompact]] — one
+    * vec_id-keyed max aggregation plus a co-keyed equi-join on vec_id
+    * ONLY (reusing the aggregation's exchange; the generation equality
+    * is a post-join filter), so compaction is a single co-partitioned
+    * pass over the index however large it grows. */
+  def ivfIndexCompact(index: DataFrame): DataFrame = {
+    val latest = index.groupBy(col("vec_id"))
+      .agg(max(col("gen")).as("max_gen"))
+    index.join(latest, Seq("vec_id"))
+      .filter(col("gen") === col("max_gen"))
+      .select(col("vec_id"), col("cid"), col("embedding"), col("nrm"))
+  }
+
   /** SemDeDup-style semantic dedup: cluster the corpus with the IVF
     * coarse quantizer ([[ivfCentroids]], nearest-cell assignment),
     * score exact cosine only WITHIN cells (the embedding-space

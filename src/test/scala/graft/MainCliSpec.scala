@@ -68,6 +68,53 @@ class MainCliSpec extends SparkSuite {
     assert(rows(outP) == mem)
   }
 
+  test("ivf_append + ivf_compact verbs: lifecycle equals the original " +
+    "index on full re-ingestion, centroids ride along") {
+    val idx0 = s"$tmp/ivflc_idx0"
+    val idx1 = s"$tmp/ivflc_idx1"
+    val compacted = s"$tmp/ivflc_compacted"
+    Main.run(spark, "ivf_index", Array(embPath, idx0, "4"))
+    // Re-ingest the whole corpus as generation 1 (ivf_index output has
+    // no gen column — treated as generation 0; default gen = max + 1).
+    Main.run(spark, "ivf_append", Array(idx0, embPath, idx1))
+    val v1 = spark.read.parquet(s"$idx1/index.parquet")
+    assert(v1.columns.contains("gen"))
+    assert(v1.count() == 60) // 30 vectors x 2 generations
+    Main.run(spark, "ivf_compact", Array(idx1, compacted))
+    def assigns(dir: String) = spark.read.parquet(s"$dir/index.parquet")
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cid")))
+      .toSet
+    // same vectors re-ingested against the SAME pinned centroids →
+    // compacted assignments == the original build's
+    assert(assigns(compacted) == assigns(idx0))
+    // centroids were carried through both hops unchanged
+    assert(spark.read.parquet(s"$compacted/centroids.parquet").count() == 4)
+    // the compacted dir is a complete, probe-ready index
+    val outC = s"$tmp/ivflc_probe_out"
+    val outO = s"$tmp/ivflc_probe_orig"
+    Main.run(spark, "ann_persisted", Array(compacted, embPath, outC, "3", "2"))
+    Main.run(spark, "ann_persisted", Array(idx0, embPath, outO, "3", "2"))
+    def rows(p: String) = spark.read.parquet(p).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(rows(outC) == rows(outO))
+  }
+
+  test("ivf_append on an empty index raises CliArgError, not an NPE") {
+    val emptyIdx = s"$tmp/ivflc_empty"
+    spark.read.parquet(embPath).limit(0)
+      .selectExpr("vec_id", "0L as cid", "embedding", "0.0 as nrm",
+        "0L as gen")
+      .write.mode("overwrite").parquet(s"$emptyIdx/index.parquet")
+    spark.read.parquet(embPath).limit(2)
+      .selectExpr("vec_id as cid", "embedding as cvec")
+      .write.mode("overwrite").parquet(s"$emptyIdx/centroids.parquet")
+    val e = intercept[Main.CliArgError] {
+      Main.run(spark, "ivf_append", Array(emptyIdx, embPath, s"$tmp/ivflc_x"))
+    }
+    assert(e.getMessage.contains("empty"))
+  }
+
   test("split verb: partitioned output is a disjoint total cover") {
     val out = s"$tmp/split_out"
     Main.run(spark, "split", Array(docsPath, out))
