@@ -375,6 +375,30 @@ object Oracles {
        |       event_type, count(*) AS n, round(SUM(value), 6) AS total
        |FROM events GROUP BY 1, 2 ORDER BY hour_ts, event_type""".stripMargin
 
+  /** Oracle for the `stream_two_drains` concurrency gate: the
+    * [[streamWindow]] and [[eventsRunningTotals]] batch semantics,
+    * reshaped into the gate's tagged `(drain, key, n, v)` union — any
+    * cross-drain interference in either concurrent query diverges from
+    * this row set. */
+  def streamTwoDrains(maxUser: Long = 20): String =
+    s"""WITH w AS (
+       |  SELECT 'window' AS drain,
+       |    CAST(epoch_us(ts) // 3600000000 * 3600 AS BIGINT)::VARCHAR
+       |      || '|' || event_type AS key,
+       |    count(*) AS n, round(SUM(value), 6) AS v
+       |  FROM events GROUP BY 1, 2),
+       |t AS (
+       |  SELECT 'totals' AS drain,
+       |    user_id::VARCHAR || '|' || event_id::VARCHAR AS key,
+       |    CAST(round(SUM(value) OVER (PARTITION BY user_id
+       |      ORDER BY ts, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      * 100.0::DOUBLE) AS BIGINT) AS n,
+       |    0.0::DOUBLE AS v
+       |  FROM events WHERE user_id < $maxUser)
+       |SELECT * FROM w UNION ALL SELECT * FROM t
+       |ORDER BY drain, key""".stripMargin
+
   /** Mirror of the `stream_sessionize` gate: the [[sessionize]] batch
     * sessions restricted to what a finite AvailableNow drain of the
     * explicit-state sessionizer

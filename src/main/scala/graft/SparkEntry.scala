@@ -798,6 +798,48 @@ object SparkEntry {
       q.awaitTermination()
       s.table(name).orderBy(col("user_id"), col("event_id"))
     }),
+    // CONCURRENT streaming drains: two structured-streaming queries —
+    // the complete-mode windowed rollup and the append-mode
+    // flatMapGroupsWithState running-totals fold — run AT THE SAME
+    // TIME in one SparkSession over the same events source; both are
+    // started before either is awaited. Composition evidence the
+    // per-drain gates can't give: the queries share the session's
+    // scheduler, memory, and state-store configuration, which is how
+    // any real pipeline runs its drains. The gate value is the tagged
+    // union of both outputs at full row fidelity, so the oracle (both
+    // batch oracles, union'd under the same tags) catches cross-drain
+    // interference in EITHER drain.
+    "stream_two_drains" -> ((s, dir) => {
+      val nameW = "graft_two_drains_window"
+      val nameT = "graft_two_drains_totals"
+      s.catalog.dropTempView(nameW) // idempotent re-run in one session
+      s.catalog.dropTempView(nameT)
+      val evW = GraphIO.eventsStream(s, dir)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val qW = EventPipelines.windowedStats(evW)
+        .writeStream.outputMode("complete").format("memory")
+        .queryName(nameW)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      val qT = EventPipelines
+        .runningTotalsStream(s, GraphIO.eventsStream(s, dir)).toDF()
+        .writeStream.outputMode("append").format("memory")
+        .queryName(nameT)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      // both live before either drains — genuinely concurrent
+      qW.awaitTermination()
+      qT.awaitTermination()
+      val w = s.table(nameW).select(lit("window").as("drain"),
+        concat(col("window.start").cast("long").cast("string"), lit("|"),
+          col("event_type")).as("key"),
+        col("n"), round(col("total"), 6).as("v"))
+      val t = s.table(nameT).select(lit("totals").as("drain"),
+        concat(col("user_id").cast("string"), lit("|"),
+          col("event_id").cast("string")).as("key"),
+        col("running_cents").as("n"), lit(0.0).as("v"))
+      w.unionAll(t).orderBy(col("drain"), col("key"))
+    }),
     // STREAMING stream-stream interval join twin of events_range_join:
     // both sides watermarked, event-time-bounded join condition → Spark
     // derives a state-retention horizon for both buffers. The single
@@ -1102,6 +1144,7 @@ object SparkEntry {
     "stream_sessionize" -> Oracles.streamSessionize(),
     "stream_running_totals" -> Oracles.eventsRunningTotals(),
     "stream_window" -> Oracles.streamWindow,
+    "stream_two_drains" -> Oracles.streamTwoDrains(),
     "stream_range_join" -> Oracles.streamRangeJoin(),
     "stream_dedup" -> Oracles.streamDedup,
     "corpus_heavy_tokens" -> Oracles.corpusHeavyTokens(),
