@@ -107,7 +107,7 @@ object Main {
       "cms <in> <out> [value_col] <probes,csv>, " +
       "heavy <in> <out> [value_col] [k], " +
       "vocab <in> <out> [min_count] [max_size], " +
-      "bpe_train <in> <out> [num_merges], " +
+      "bpe_train <in> <out> [num_merges] [fast|dist], " +
       "clusters <emb> <out> [nlist], " +
       "band_index <docs> <out>, " +
       "band_append <index> <docs> <out> [gen], " +
@@ -442,12 +442,22 @@ object Main {
         println(s"Vocabulary written to $out")
       case "bpe_train" =>
         // Learn a BPE merge list from the corpus (rank, lhs, rhs,
-        // pcnt): bpe_train <docs.parquet> <out_dir> [num_merges]
+        // pcnt): bpe_train <docs.parquet> <out_dir> [num_merges] [mode]
+        // mode: "fast" (default — driver-local greedy over the bounded
+        // word dictionary, one corpus job) or "dist" (the all-Spark
+        // loop, two jobs per merge; same merges either way).
         val (in, out) = pipelineIo(cmd, a)
         val k = intArg(2, "16", "num_merges")
         if (k < 1) throw CliArgError(s"$cmd: num_merges must be >= 1, got $k")
+        val fast = arg(3, "fast") match {
+          case "fast" => true
+          case "dist" => false
+          case other => throw CliArgError(
+            s"$cmd: mode must be fast|dist, got '$other'")
+        }
         val merges =
-          try pipelines.BpeTrain.merges(spark.read.parquet(in), numMerges = k)
+          try pipelines.BpeTrain.merges(spark.read.parquet(in),
+            numMerges = k, fast = fast)
           catch {
             case e: IllegalArgumentException
                 if e.getMessage != null && e.getMessage.contains("exhausted") =>

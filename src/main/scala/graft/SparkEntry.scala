@@ -409,6 +409,13 @@ object SparkEntry {
     // (pair-count argmax + leftmost fold per round).
     "bpe_train" -> ((s, dir) =>
       graft.pipelines.BpeTrain.merges(GraphIO.documents(s, dir))),
+    // Driver-local greedy twin at the same merge count — the bounded
+    // word dictionary trains on the driver (one corpus job instead of
+    // two jobs PER MERGE), and the gate shares bpe_train's greedy
+    // oracle verbatim: the speedup is job-count only, never a merge.
+    "bpe_train_fast" -> ((s, dir) =>
+      graft.pipelines.BpeTrain.merges(GraphIO.documents(s, dir),
+        fast = true)),
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhash(s, GraphIO.documents(s, dir))),
     "dedup_clusters" -> ((s, dir) =>
@@ -1089,6 +1096,7 @@ object SparkEntry {
     "text_langid_ngram" -> Oracles.textLangIdNgram,
     "text_bpe_tokens" -> Oracles.textBpeTokensTrained(),
     "bpe_train" -> Oracles.bpeTrain(),
+    "bpe_train_fast" -> Oracles.bpeTrain(),
     "dedup_simhash" -> Oracles.dedupSimhash,
     "dedup_clusters" -> Oracles.dedupClusters,
     "dedup_clusters_star" -> Oracles.dedupClusters,

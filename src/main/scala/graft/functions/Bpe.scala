@@ -72,23 +72,9 @@ final class BpeVocab(val merges: IndexedSeq[(String, String)])
         i += 1
       }
       if (best == Int.MaxValue) done = true
-      else syms = mergePass(syms, merges(best)._1, merges(best)._2)
+      else syms = BpeVocab.mergePass(syms, merges(best)._1, merges(best)._2)
     }
     syms.toSeq
-  }
-
-  /** One leftmost-first fold of merge (a, b) over a symbol sequence. */
-  private def mergePass(syms: Array[String], a: String,
-      b: String): Array[String] = {
-    val out = scala.collection.mutable.ArrayBuffer[String]()
-    var i = 0
-    while (i < syms.length) {
-      if (out.nonEmpty && out.last == a && syms(i) == b)
-        out(out.length - 1) = a + b
-      else out += syms(i)
-      i += 1
-    }
-    out.toArray
   }
 
   /** Total BPE token count of a text: pre-tokenize (lowercased with
@@ -105,6 +91,25 @@ final class BpeVocab(val merges: IndexedSeq[(String, String)])
 }
 
 object BpeVocab {
+
+  /** One leftmost-first, non-overlapping fold of merge (a, b) over a
+    * symbol sequence — the single merge semantics shared by the
+    * tokenizer above, the distributed trainer's codegen'd fold
+    * ([[graft.pipelines.BpeTrain]] `mergeFold`), and the driver-local
+    * trainer (`trainMergesFast`): one definition, three call sites,
+    * so the semantics cannot drift. */
+  private[graft] def mergePass(syms: Array[String], a: String,
+      b: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    var i = 0
+    while (i < syms.length) {
+      if (out.nonEmpty && out.last == a && syms(i) == b)
+        out(out.length - 1) = a + b
+      else out += syms(i)
+      i += 1
+    }
+    out.toArray
+  }
 
   /** Small well-formed demonstration vocabulary over common English
     * digraphs — rank order matters and chained merges (th→the, an→and,

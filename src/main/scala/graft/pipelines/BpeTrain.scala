@@ -119,15 +119,98 @@ object BpeTrain {
     merges.toSeq
   }
 
+  /** UTF-8 binary string ordering — what Spark's UTF8String comparator
+    * and DuckDB's VARCHAR ordering both implement (Scala's
+    * `String.compareTo` orders by UTF-16 code unit, which diverges on
+    * supplementary-vs-[U+E000,U+FFFF] comparisons). With TODAY'S
+    * pre-tokenizer merge symbols are always `[a-z0-9]+` runs, where
+    * every ordering coincides — this comparator exists so a byte-level
+    * or unicode-run pre-tokenizer swap can never silently fork the
+    * driver-local tie-break from the engines'. */
+  private def utf8Lt(x: String, y: String): Boolean = {
+    val a = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val b = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val d = (a(i) & 0xff) - (b(i) & 0xff)
+      if (d != 0) return d < 0
+      i += 1
+    }
+    a.length < b.length
+  }
+
+  /** [[trainMerges]] with the training loop on the DRIVER — the exact
+    * same greedy merges (identical pair counting, identical
+    * `(count desc, lhs asc, rhs asc)` tie-break in UTF-8 byte order,
+    * identical leftmost fold via the SHARED
+    * [[graft.functions.BpeVocab.mergePass]]), at a fraction of the job
+    * count: the distributed loop launches TWO Spark jobs per merge
+    * (pair-count + argmax collect, then the fold's checkpoint
+    * materialization — 2·numMerges jobs whose per-round data is
+    * corpus-size-INDEPENDENT anyway, since rounds run on the capped
+    * dictionary), where this launches ONE job total: the corpus-sized
+    * dictionary scan, whose ≤ `maxWordTypes` rows then train locally.
+    * The collect is bounded by construction (the [[wordDict]] head cap
+    * — the IVF-centroid collect pattern), so this is the deployment
+    * default for real vocabulary sizes; keep [[trainMerges]] when
+    * `maxWordTypes` is pushed so high the dictionary itself should
+    * never sit on one machine. Gated: `bpe_train_fast` passes the
+    * greedy DuckDB oracle that `bpe_train` passes, verbatim. */
+  def trainMergesFast(docs: DataFrame, numMerges: Int = DefaultMerges,
+      minCount: Long = DefaultMinCount,
+      maxWordTypes: Int = DefaultMaxWordTypes): Seq[(String, String, Long)] = {
+    require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
+    // split("") matches the distributed path's split(col("w"), "") —
+    // both are Java-regex splits, so symbol arrays agree byte-for-byte
+    var words: Array[(Array[String], Long)] =
+      wordDict(docs, minCount, maxWordTypes).collect()
+        .map(r => (r.getString(0).split(""), r.getLong(1)))
+    val merges = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+    var i = 0
+    while (i < numMerges) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      words.foreach { case (syms, cnt) =>
+        var j = 0
+        while (j < syms.length - 1) {
+          val k = (syms(j), syms(j + 1))
+          counts.update(k, counts.getOrElse(k, 0L) + cnt)
+          j += 1
+        }
+      }
+      require(counts.nonEmpty, s"corpus exhausted after ${merges.length} " +
+        s"merges; asked for $numMerges (see scaladoc)")
+      var best: ((String, String), Long) = null
+      counts.foreach { case e @ ((a, b), c) =>
+        if (best == null || c > best._2 || (c == best._2 &&
+            (utf8Lt(a, best._1._1) ||
+              (a == best._1._1 && utf8Lt(b, best._1._2))))) best = e
+      }
+      val ((a, b), c) = best
+      merges += ((a, b, c))
+      words = words.map { case (syms, cnt) =>
+        (graft.functions.BpeVocab.mergePass(syms, a, b), cnt)
+      }
+      i += 1
+    }
+    merges.toSeq
+  }
+
   /** The trained merge list as a gate-shaped DataFrame
     * `(rnk, lhs, rhs, pcnt)` — oracle-replayed stage-for-stage by
-    * [[graft.Oracles.bpeTrain]]. */
+    * [[graft.Oracles.bpeTrain]]. `fast = true` routes through
+    * [[trainMergesFast]] (same merges, one corpus job instead of two
+    * jobs per merge). */
   def merges(docs: DataFrame, numMerges: Int = DefaultMerges,
       minCount: Long = DefaultMinCount,
-      maxWordTypes: Int = DefaultMaxWordTypes): DataFrame = {
+      maxWordTypes: Int = DefaultMaxWordTypes,
+      fast: Boolean = false): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    trainMerges(docs, numMerges, minCount, maxWordTypes).zipWithIndex
+    val trained =
+      if (fast) trainMergesFast(docs, numMerges, minCount, maxWordTypes)
+      else trainMerges(docs, numMerges, minCount, maxWordTypes)
+    trained.zipWithIndex
       .map { case ((a, b, c), i) => (i + 1L, a, b, c) }
       .toDF("rnk", "lhs", "rhs", "pcnt")
   }

@@ -71,6 +71,27 @@ class BpeTrainSpec extends SparkSuite {
     assert(merges.map(m => (m._1, m._2)) == Seq(("b", "c")))
   }
 
+  test("trainMergesFast replays the distributed greedy exactly — " +
+      "textbook corpus, ties included") {
+    val fast = BpeTrain.trainMergesFast(corpus, numMerges = 4, minCount = 1)
+    assert(fast == BpeTrain.trainMerges(corpus, numMerges = 4, minCount = 1))
+    // the round-1 (e,s)/(s,t) tie resolves identically
+    assert(fast.head == (("e", "s", 9L)))
+  }
+
+  test("trainMergesFast exhaustion and merges(fast = true) gate shape") {
+    import spark.implicits._
+    val tiny = Seq((1L, "ab")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      BpeTrain.trainMergesFast(tiny, numMerges = 3, minCount = 1)
+    }
+    assert(e.getMessage.contains("exhausted"))
+    val df = BpeTrain.merges(corpus, numMerges = 3, minCount = 1,
+      fast = true).collect()
+    assert(df.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    assert(df.head.getString(1) == "e" && df.head.getString(2) == "s")
+  }
+
   test("trained vocab differs from Demo and drives the tokenizer") {
     val vocab = BpeTrain.trainedVocab(corpus, numMerges = 4, minCount = 1)
     assert(vocab.merges != BpeVocab.Demo.merges)
