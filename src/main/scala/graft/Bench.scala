@@ -144,11 +144,18 @@ object Bench {
         if (fam != "flat") GraphIO.evict(spark, sfDir, Seq(fam))
       }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Millisecond precision, locale-pinned: full-precision doubles made
+    // the stdout line ~2x longer than needed, and the driver's bounded
+    // tail capture has repeatedly truncated it (r10-r12 artifacts ship
+    // "parsed": null). ~15 digits per query never carried information —
+    // measurements swing far beyond a millisecond run to run.
+    def ms(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val failedJson = failed.sorted.map(n => s"\"$n\"").mkString("[", ",", "]")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"warmup_sec":$warmup,"failed":$failedJson,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"warmup_sec":${ms(warmup)},"failed":$failedJson,"sf":"$sfDir"}"""
     println(json)
     // Also land the full JSON on disk: stdout capture downstream keeps
     // only a bounded tail, which has repeatedly truncated the per-query
