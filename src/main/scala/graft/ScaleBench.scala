@@ -382,7 +382,16 @@ object ScaleBench {
     //  - "skewkernel" — the graph-kernel analogue: base vs UNIFORM
     //    reps× vs a skewed reps× order graph where one part absorbs
     //    ~10% of all lineitem partkeys — one authority holding ~4-5%
-    //    of all edges (hot-authority degree skew, VERDICT r10 item 3).
+    //    of all edges (hot-authority degree skew, VERDICT r10 item 3);
+    //  - "skewdedup" — the dedup/ANN analogue: base vs UNIFORM reps×
+    //    documents+embeddings vs a MASS-DUPLICATION twin where ~5% of
+    //    the whole corpus carries ONE document's text / ONE vector's
+    //    embedding — the hot-band-bucket / hot-IVF-cell stress
+    //    (VERDICT r12 item 4), plus an anchor-cap audit row for
+    //    semanticDuplicates on the skewed corpus;
+    //  - "incdelta" — O(delta) evidence for incremental cluster
+    //    maintenance: per-delta rebuild vs the persisted-index +
+    //    persisted-assignments path, on the skewdedup uniform corpus.
     val mode = if (args.length > 3) args(3) else "all"
     val order = if (mode.startsWith("seed:"))
       new scala.util.Random(mode.stripPrefix("seed:").toLong).shuffle(queries)
@@ -545,6 +554,172 @@ object ScaleBench {
           f""""base_first":$bf%.2f,"uniform_first":$uf%.2f,""" +
           f""""skew_first":$kf%.2f}""")
       }
+    } else if (mode == "skewdedup") {
+      // 100× DOCUMENT/EMBEDDING rung (VERDICT r12 item 4): the
+      // dedup/ANN families' scale-up + skew evidence — the banding
+      // analogue of skewkernel. Self-contained documents+embeddings
+      // corpora derived from baseDir (use sf0.01 so base×100 ≈ sf1):
+      // a UNIFORM reps× set (doc/vec ids shifted; text salted per
+      // replica so shingle/minhash work genuinely grows; vectors
+      // replicated as-is — cross-replica near-dups, the realistic
+      // hard case), and a MASS-DUPLICATION twin with identical row
+      // counts where every 20th base id — ~5% of the WHOLE corpus,
+      // across all replicas — carries ONE document's text / ONE
+      // vector's embedding: one hot LSH band bucket and one hot IVF
+      // cell. Claims under test: candidate generation stays banded
+      // (pair output grows with the true duplicate structure — the
+      // hot clique's pairs are real output, not join blow-up),
+      // cluster resolution stays O(log d) rounds under a 2,500-member
+      // clique, the semantic verdict output stays O(N) rows under a
+      // 2,500-member cell (the per-cell anchor cap — audited below),
+      // and the composed IVF ladder degrades gracefully when 5% of
+      // the corpus probes one cell.
+      val uniDir = s"$outDir-unidedup$reps"
+      val skewDir = s"$outDir-skewdedup$reps"
+      if (!new java.io.File(s"$skewDir/embeddings.parquet/_SUCCESS")
+          .exists()) {
+        val docs = spark.read.parquet(s"$baseDir/documents.parquet")
+        val emb = spark.read.parquet(s"$baseDir/embeddings.parquet")
+        // hot payloads: the minimum-id document/vector (deterministic)
+        val hotDoc = docs.orderBy(col("doc_id")).limit(1)
+          .select(col("text").as("hot_text"))
+        val hotVec = emb.orderBy(col("vec_id")).limit(1)
+          .select(col("embedding").as("hot_embedding"))
+        def repDocs = (0 until reps).map { r =>
+          docs.withColumn("doc_id", col("doc_id") + lit(r * Shift))
+            .withColumn("text", if (r == 0) col("text")
+              else concat(col("text"), lit(s" rep$r")))
+        }.reduce(_ unionAll _)
+        repDocs.write.mode("overwrite")
+          .parquet(s"$uniDir/documents.parquet")
+        // Shift is a multiple of 20, so `doc_id % 20 === 0` selects
+        // the SAME 5% of base ids in every replica — including id 0,
+        // whose text is the hot payload itself.
+        repDocs.crossJoin(broadcast(hotDoc))
+          .withColumn("text",
+            when(col("doc_id") % 20 === 0, col("hot_text"))
+              .otherwise(col("text")))
+          .drop("hot_text")
+          .write.mode("overwrite").parquet(s"$skewDir/documents.parquet")
+        def repEmb = (0 until reps).map { r =>
+          emb.withColumn("vec_id", col("vec_id") + lit(r * Shift))
+        }.reduce(_ unionAll _)
+        repEmb.write.mode("overwrite")
+          .parquet(s"$uniDir/embeddings.parquet")
+        repEmb.crossJoin(broadcast(hotVec))
+          .withColumn("embedding",
+            when(col("vec_id") % 20 === 0, col("hot_embedding"))
+              .otherwise(col("embedding")))
+          .drop("hot_embedding")
+          .write.mode("overwrite").parquet(s"$skewDir/embeddings.parquet")
+      }
+      val qmap = queries.toMap +
+        ("dedup_clusters" -> SparkEntry.queries("dedup_clusters"))
+      def timed(dir: String, name: String): (Double, Double) = {
+        def once(): Double = {
+          val t0 = System.nanoTime()
+          val df = qmap(name)(spark, dir)
+          try df.write.format("noop").mode("overwrite").save()
+          finally Checkpoints.releaseAll(df)
+          (System.nanoTime() - t0) / 1e9
+        }
+        (once(), once())
+      }
+      Seq("dedup_minhash_lsh", "dedup_clusters", "pipeline_near_dedup",
+        "dedup_semantic", "ann_topk_q8_ivf").foreach { name =>
+        val (bf, bw) = timed(baseDir, name)
+        val (uf, uw) = timed(uniDir, name) // uniform reps×
+        val (kf, kw) = timed(skewDir, name) // 5% mass duplication
+        println(f"""{"metric":"skewdedup","query":"$name",""" +
+          f""""base_warm":$bw%.2f,"uniform${reps}x_warm":$uw%.2f,""" +
+          f""""skew${reps}x_warm":$kw%.2f,""" +
+          f""""uniform_ratio":${uw / bw}%.2f,""" +
+          f""""skew_ratio":${kw / bw}%.2f,""" +
+          f""""base_first":$bf%.2f,"uniform_first":$uf%.2f,""" +
+          f""""skew_first":$kf%.2f}""")
+      }
+      // Anchor-cap audit on the skewed corpus: the semantic verdict
+      // must stay ONE ROW PER VECTOR (never O(dup²) pairs) with the
+      // hot cell's membership visible, and the beyond-cap population
+      // (vectors compared only against the cap anchors) made explicit
+      // — the cheap outside-view twin of the operator's own overflow
+      // warning.
+      val v = pipelines.Similarity.semanticDuplicates(
+        GraphIO.embeddings(spark, skewDir), 0.3, trainFraction = 0.1)
+        .persist()
+      val nRows = v.count()
+      val cells = v.groupBy(col("cid")).agg(count(lit(1)).as("n")).persist()
+      val maxCell = cells.agg(max(col("n"))).head.getLong(0)
+      val beyondCap = cells
+        .agg(sum(greatest(col("n") - lit(64), lit(0L)))).head.getLong(0)
+      val nDups = v.filter(!col("keep")).count()
+      cells.unpersist(false)
+      v.unpersist(false)
+      Checkpoints.releaseAll(v)
+      println(s"""{"metric":"skewdedup_semantic_audit","rows":$nRows,""" +
+        s""""max_cell":$maxCell,"beyond_cap":$beyondCap,"dups":$nDups}""")
+    } else if (mode == "incdelta") {
+      // O(delta) evidence for the incremental cluster-maintenance path
+      // (VERDICT r12 item 1's "Done" tail): against a big corpus —
+      // the skewdedup mode's uniform reps× documents, generated here
+      // if missing — compare (a) the from-scratch rebuild a deployment
+      // WITHOUT persisted state pays per delta (shingle + minhash +
+      // full CC over corpus ∪ delta) with (b) the true delta path
+      // (incrementalClustersIndexed over the PERSISTED band index and
+      // cluster assignments, both read back from parquet), for a
+      // base-corpus-sized delta. The once-per-corpus index build is
+      // timed too, so the break-even is explicit: persisted state pays
+      // for itself after build/(rebuild - delta) deltas.
+      val uniDir = s"$outDir-unidedup$reps"
+      if (!new java.io.File(s"$uniDir/documents.parquet/_SUCCESS")
+          .exists()) {
+        val docs = spark.read.parquet(s"$baseDir/documents.parquet")
+        (0 until reps).map { r =>
+          docs.withColumn("doc_id", col("doc_id") + lit(r * Shift))
+            .withColumn("text", if (r == 0) col("text")
+              else concat(col("text"), lit(s" rep$r")))
+        }.reduce(_ unionAll _)
+          .write.mode("overwrite").parquet(s"$uniDir/documents.parquet")
+      }
+      val corpus = GraphIO.documents(spark, uniDir)
+      // delta: the base corpus re-salted into a fresh id range
+      val delta = spark.read.parquet(s"$baseDir/documents.parquet")
+        .withColumn("doc_id", col("doc_id") + lit((reps + 100L) * Shift))
+        .withColumn("text", concat(col("text"), lit(" repdelta")))
+      val idxDir = s"$uniDir-bandidx"
+      val asgDir = s"$uniDir-clustersidx"
+      def timedJob(body: => Unit): Double = {
+        val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+      }
+      // once-per-corpus persisted halves (the band_index +
+      // clusters_index CLI verbs, timed as the amortized build cost)
+      val tBuild = timedJob {
+        pipelines.Dedup.bandTable(spark, corpus)
+          .write.mode("overwrite").parquet(idxDir)
+        operators.ConnectedComponents.clusters(
+            pipelines.Dedup.minhashLsh(spark, corpus, ordered = false))
+          .write.mode("overwrite").parquet(asgDir)
+      }
+      def rebuildOnce(): Double = timedJob {
+        val all = corpus.unionByName(delta)
+        val df = operators.ConnectedComponents.clusters(
+          pipelines.Dedup.minhashLsh(spark, all, ordered = false))
+        try df.write.format("noop").mode("overwrite").save()
+        finally Checkpoints.releaseAll(df)
+      }
+      def deltaOnce(): Double = timedJob {
+        val df = pipelines.Dedup.incrementalClustersIndexed(spark,
+          spark.read.parquet(idxDir), spark.read.parquet(asgDir), delta)
+        try df.write.format("noop").mode("overwrite").save()
+        finally Checkpoints.releaseAll(df)
+      }
+      rebuildOnce(); deltaOnce() // JIT/codegen warm pass each
+      val tRebuild = rebuildOnce()
+      val tDelta = deltaOnce()
+      println(f"""{"metric":"incdelta","reps":$reps,""" +
+        f""""index_build_sec":$tBuild%.2f,"rebuild_sec":$tRebuild%.2f,""" +
+        f""""delta_sec":$tDelta%.2f,""" +
+        f""""delta_vs_rebuild":${tDelta / tRebuild}%.3f}""")
     } else if (mode != "train") {
       def benchOrdered(dir: String): Map[String, Double] = benchDir(dir, order)
       val base = benchOrdered(baseDir)
@@ -560,7 +735,7 @@ object ScaleBench {
     }
 
     if (mode.startsWith("one:") || mode == "skewwin" ||
-        mode == "skewkernel") {
+        mode == "skewkernel" || mode == "skewdedup" || mode == "incdelta") {
       spark.stop(); return
     }
     // trainFraction evidence. The testdata embedding table (2k-20k
