@@ -391,6 +391,34 @@ class CatalystSpec extends SparkSuite {
     assert(got == want)
   }
 
+  test("ivfIndexCompact shuffles on vec_id only — the bandIndexCompact " +
+      "plan discipline on the embedding index") {
+    import spark.implicits._
+    // every vector has a stale gen-0 assignment; even ids also carry a
+    // superseding gen-1 row in a DIFFERENT cell (re-embedding moved it)
+    val idx = (1L to 40L).flatMap { v =>
+      val stale = Seq((v, v % 4, Array(v.toFloat, 1f), 1.0, 0L))
+      if (v % 2 == 0) stale :+ ((v, (v + 1) % 4, Array(v.toFloat, 2f), 2.0, 1L))
+      else stale
+    }.toDF("vec_id", "cid", "embedding", "nrm", "gen")
+    val compacted = graft.pipelines.Similarity.ivfIndexCompact(idx)
+    val plan = compacted.queryExecution.executedPlan.toString
+    plan.linesIterator.filter(_.contains("hashpartitioning")).foreach { l =>
+      assert(l.contains("vec_id") && !l.contains("gen"),
+        s"exchange not keyed on vec_id alone:\n$plan")
+    }
+    assert(!plan.contains("BroadcastNestedLoop") &&
+      !plan.contains("CartesianProduct"), s"nested loop in compact:\n$plan")
+    // semantics: latest generation per vector survives — including the
+    // cell REASSIGNMENT — and the gen column is dropped
+    val got = compacted.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getDouble(3))).toSet
+    val want = (1L to 40L).map { v =>
+      if (v % 2 == 0) (v, (v + 1) % 4, 2.0) else (v, v % 4, 1.0)
+    }.toSet
+    assert(got == want)
+  }
+
   test("contFromCounts plans one group-keyed sort — no histogram " +
       "self-join, group total from the whole-partition window") {
     import spark.implicits._
