@@ -803,6 +803,10 @@ object SparkEntry {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      // batch-oracle equality leans on the single-batch fold order
+      // (across batches the per-group (ts, event_id) sort is per-batch,
+      // not global) — same loud guard as stream_range_join/stream_dedup
+      requireSingleBatch(q, "stream_running_totals")
       s.table(name).orderBy(col("user_id"), col("event_id"))
     }),
     // CONCURRENT streaming drains: two structured-streaming queries —
@@ -837,6 +841,10 @@ object SparkEntry {
       // both live before either drains — genuinely concurrent
       qW.awaitTermination()
       qT.awaitTermination()
+      // the totals leg has stream_running_totals' single-batch
+      // fold-order dependence; the window leg is complete-mode
+      // (batch-count-insensitive), no guard needed there
+      requireSingleBatch(qT, "stream_two_drains/totals")
       val w = s.table(nameW).select(lit("window").as("drain"),
         concat(col("window.start").cast("long").cast("string"), lit("|"),
           col("event_type")).as("key"),
