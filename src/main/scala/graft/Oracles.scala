@@ -812,6 +812,22 @@ object Oracles {
        |FROM e ORDER BY event_type""".stripMargin
   }
 
+  /** Oracle twin of the `stream_percentiles_gk` gate: the GK estimate
+    * value is arrival-order dependent (no cross-engine replay), so the
+    * gate emits its ε-rank GUARANTEE check instead
+    * ([[graft.pipelines.Quantiles.approxRankAudit]]) and this oracle
+    * supplies the deterministic half — the (event_type × q) universe,
+    * each group's n, and the expected all-1 `within_eps` flags. A
+    * bound violation on the Spark side hash-mismatches. */
+  def eventsPercentilesGk(qs: Seq[Double]): String = {
+    val qList = qs.map(q => s"$q::DOUBLE").mkString(", ")
+    s"""SELECT event_type, q, count(*) AS n, 1 AS within_eps
+       |FROM events CROSS JOIN (SELECT unnest([$qList]) AS q) qq
+       |WHERE value IS NOT NULL
+       |GROUP BY event_type, q
+       |ORDER BY event_type, q""".stripMargin
+  }
+
   def textFingerprint: String =
     s"SELECT doc_id, ${GraftHash.duckdbSql("text")} AS fp " +
       "FROM documents ORDER BY doc_id"

@@ -983,6 +983,36 @@ object SparkEntry {
           when(col("err_max") <= lit(width / 2), 1).otherwise(0))
         .orderBy(col("event_type"))
     }),
+    // STREAMING percentiles, UNBOUNDED-DOMAIN twin — the quantile
+    // ladder's last rung: Spark's own Greenwald-Khanna summary
+    // (percentile_approx, a TypedImperativeAggregate) as the streaming
+    // state — O(1/ε·log εn) per group over ANY orderable domain, no
+    // schema knowledge needed (the fixed-bin sketch needs [lo, hi)).
+    // The GK estimate value is arrival-order dependent, so the gate
+    // emits the GUARANTEE instead: each drained estimate's true rank
+    // bracket is recomputed against the batch corpus
+    // (Quantiles.approxRankAudit) and checked against the ε bound; the
+    // DuckDB oracle supplies the (event_type × q) universe, n, and the
+    // expected all-1 flags, so a bound violation hash-mismatches.
+    "stream_percentiles_gk" -> ((s, dir) => {
+      val name = "graft_stream_pct_gk_gate"
+      val acc = 1000 // ε = 1/1000 → rank error ≤ n/1000 + 1
+      val qs = Seq(0.5, 0.9, 0.99)
+      val ev = GraphIO.eventsStream(s, dir)
+      s.catalog.dropTempView(name) // idempotent re-run in one session
+      val q = ev.filter(col("value").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(percentile_approx(col("value"), array(qs.map(lit): _*),
+          lit(acc)).as("est"))
+        .writeStream.outputMode("complete").format("memory").queryName(name)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val est = s.table(name).select(col("event_type"),
+        posexplode(col("est")).as(Seq("qi", "est")))
+      graft.pipelines.Quantiles.approxRankAudit(
+        GraphIO.events(s, dir), "event_type", col("value"), est, qs, acc)
+    }),
     // ---- retrieval: keyword, hybrid sparse+dense, inverted index ----
     "search_bm25" -> ((s, dir) =>
       Retrieval.bm25(GraphIO.documents(s, dir), SearchTerms)),
@@ -1096,6 +1126,8 @@ object SparkEntry {
     "stream_percentiles" -> Oracles.eventsPercentiles,
     "stream_percentiles_sketch" -> Oracles.eventsPercentilesSketch(
       PctSketchBins._1, PctSketchBins._2, PctSketchBins._3),
+    "stream_percentiles_gk" -> Oracles.eventsPercentilesGk(
+      Seq(0.5, 0.9, 0.99)),
     "text_fingerprint" -> Oracles.textFingerprint,
     "text_normalize" -> Oracles.textNormalize,
     "pipeline_clean_corpus" -> Oracles.pipelineCleanCorpus(),

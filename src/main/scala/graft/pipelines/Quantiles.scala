@@ -82,6 +82,51 @@ object Quantiles {
   def binMidpoint(bin: Column, lo: Double, width: Double): Column =
     lit(lo) + lit(width) * (bin.cast("double") + lit(0.5))
 
+  /** ε-rank-guarantee audit for approximate quantile estimates — the
+    * gate shape for Spark's own Greenwald-Khanna summary
+    * (`percentile_approx`), which completes the quantile ladder at the
+    * unbounded-domain end: exact histogram (state bounded by the value
+    * DOMAIN) → fixed-bin sketch (state O(nbins), needs `[lo, hi)`
+    * from schema knowledge) → GK (state O(1/ε·log εn), ANY orderable
+    * domain, no domain knowledge).
+    *
+    * The GK estimate VALUE is arrival-order dependent (legitimately so
+    * — any mergeable ε-summary is), so no cross-engine oracle can
+    * replay it. What IS deterministic is the GUARANTEE: the returned
+    * value's true rank lies within `n/accuracy + 1` of the target rank
+    * `⌈q·n⌉`. This audit recomputes each estimate's true rank bracket
+    * `[count(<est)+1, count(≤est)]` against the raw data in one
+    * broadcast join + hash aggregation and emits
+    * `(group, q, n, within_eps)` — a DuckDB oracle supplies the
+    * (group × q) universe, `n`, and the expected all-1 flags, so an
+    * ε-bound violation hash-mismatches the gate.
+    *
+    * `est` carries `(groupCol, qi, est)` with `qi` the 0-based index
+    * into `qs` (the `posexplode` of a `percentile_approx(value, qs)`
+    * array). Ties: the bracket is the estimate's full rank interval,
+    * so duplicate values cannot fail the check spuriously. */
+  def approxRankAudit(data: DataFrame, groupCol: String, value: Column,
+      est: DataFrame, qs: Seq[Double], accuracy: Int): DataFrame = {
+    require(accuracy >= 1, s"accuracy must be >= 1, got $accuracy")
+    val qArr = array(qs.map(lit): _*)
+    val rows = data.filter(value.isNotNull)
+      .select(col(groupCol).as("__g"), value.as("__v"))
+      .join(broadcast(est), col("__g") === col(groupCol))
+      .groupBy(col(groupCol), col("qi"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__v") < col("est"), 1L).otherwise(0L)).as("cnt_lt"),
+        sum(when(col("__v") <= col("est"), 1L).otherwise(0L)).as("cnt_le"))
+    val q = element_at(qArr, col("qi") + 1)
+    val target = ceil(q * col("n").cast("double")).cast("long")
+    val tol = (col("n") / lit(accuracy)).cast("long") + lit(1L)
+    // the estimate's rank interval [cnt_lt+1, cnt_le] must intersect
+    // [target - tol, target + tol]
+    rows.select(col(groupCol), q.as("q"), col("n"),
+        when(col("cnt_lt") + 1 <= target + tol &&
+          col("cnt_le") >= target - tol, 1).otherwise(0).as("within_eps"))
+      .orderBy(col(groupCol), col("q"))
+  }
+
   /** Interpolation half of [[contFromHistogram]], entered with an
     * ALREADY-COUNTED histogram `(group..., value, count)` — the shape a
     * streaming complete-mode aggregation drains (the bounded histogram

@@ -276,6 +276,43 @@ class PropertiesSpec extends SparkSuite {
     }
   }
 
+  test("approxRankAudit: GK estimates pass the eps bound on random " +
+      "corpora; a deliberately wrong estimate fails it") {
+    import spark.implicits._
+    val qs = Seq(0.5, 0.9, 0.99)
+    val acc = 1000
+    val genRows: Gen[List[(String, Double)]] = for {
+      m <- Gen.choose(20, 80)
+      rows <- Gen.listOfN(m, for {
+        g <- Gen.oneOf("a", "b")
+        v <- Gen.choose(-50000, 50000).map(_ / 7.0) // any-domain doubles
+      } yield (g, v))
+    } yield rows
+    (1 to 4).flatMap(i =>
+      genRows.apply(Gen.Parameters.default, Seed(900L + i))).foreach { rows =>
+      val data = rows.toDF("g", "v")
+      val est = data.groupBy(col("g"))
+        .agg(percentile_approx(col("v"), array(qs.map(lit): _*), lit(acc))
+          .as("est"))
+        .select(col("g"), posexplode(col("est")).as(Seq("qi", "est")))
+      val audit = graft.pipelines.Quantiles
+        .approxRankAudit(data, "g", col("v"), est, qs, acc)
+        .collect()
+      assert(audit.length == rows.map(_._1).distinct.size * qs.size)
+      assert(audit.forall(_.getInt(3) == 1),
+        s"bound violated: ${audit.mkString(",")}")
+      // sabotage: an estimate far beyond every value must FAIL the
+      // audit — the gate's oracle would hash-mismatch on this row
+      val bad = est.withColumn("est",
+        when(col("qi") === 0, lit(1e12)).otherwise(col("est")))
+      val sab = graft.pipelines.Quantiles
+        .approxRankAudit(data, "g", col("v"), bad, qs, acc)
+        .collect().filter(_.getDouble(1) == 0.5)
+      assert(sab.nonEmpty && sab.forall(_.getInt(3) == 0),
+        s"sabotaged estimate passed: ${sab.mkString(",")}")
+    }
+  }
+
   test("fixed-bin sketch percentiles stay within the documented width/2 " +
       "bound of the exact percentiles on random double corpora") {
     import spark.implicits._
