@@ -245,6 +245,11 @@ object SparkEntry {
     // — the gate IS the output-equality proof.
     "events_sessionize_salted" -> ((s, dir) =>
       EventPipelines.sessionizeSalted(GraphIO.events(s, dir))),
+    // Native session_window twin: the built-in gap-session operator,
+    // boundary-aligned (gap+1µs over integer-µs event times), gated on
+    // the UNCHANGED sessionize oracle — the gate IS the equality proof.
+    "events_sessionize_native" -> ((s, dir) =>
+      EventPipelines.sessionizeNativeExact(GraphIO.events(s, dir))),
     "events_window" -> ((s, dir) =>
       EventPipelines.windowedStatsBatch(GraphIO.events(s, dir))),
     "events_rollup" -> ((s, dir) =>
@@ -1092,6 +1097,7 @@ object SparkEntry {
     "hits_converged" -> Oracles.hitsConverged(numIter = 12),
     "salsa_converged" -> Oracles.salsaConverged(numIter = 13),
     "events_sessionize" -> Oracles.sessionize(),
+    "events_sessionize_native" -> Oracles.sessionize(),
     "events_sessionize_salted" -> Oracles.sessionize(),
     "events_window" -> Oracles.eventsWindow,
     "events_rollup" -> Oracles.eventsRollup,

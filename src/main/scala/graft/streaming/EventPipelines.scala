@@ -61,6 +61,43 @@ object EventPipelines {
       .orderBy(col("user_id"), col("sess"))
   }
 
+  /** [[sessionizeBatch]] via Spark's NATIVE `session_window` operator,
+    * BOUNDARY-ALIGNED so it passes the lag formulation's oracle
+    * VERBATIM — the exact twin of [[sessionizeNative]] (which keeps
+    * the operator's own strict-`< gap` boundary and is spec-gated
+    * against the batch twin off the boundary). Alignment:
+    * `session_window` merges on `next − last < gap` (an event at
+    * exactly `last + gap` starts a new session), the lag formulation
+    * on `next − last ≤ gap`; event times here are integer
+    * MICROSECONDS, so `< gap + 1µs ⟺ ≤ gap` and the native gap is
+    * `gapUs + 1` — equality becomes structural, not measure-zero.
+    *
+    * Scale shape: one shuffle on user_id, session merge inside the
+    * aggregation (Spark's UpdatingSessionsIterator), one
+    * session-count-sized ordinal window — vs the lag formulation's
+    * event-sized double window pass. Session end = last event + gap,
+    * so `dur_us = end − gap − start` recovers `max(e) − min(e)`. */
+  def sessionizeNativeExact(events: DataFrame,
+      gapUs: Long = 30L * 60 * 1000000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gapP1 = gapUs + 1
+    events
+      .select(col("user_id"),
+        timestamp_micros(expr("ts div 1000")).as("t"))
+      .groupBy(col("user_id"),
+        session_window(col("t"), s"$gapP1 microseconds"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("lo"),
+        (unix_micros(col("session_window.end")) - lit(gapP1)).as("hi"),
+        col("n_events"))
+      .withColumn("sess", row_number().over(Window.partitionBy(col("user_id"))
+        .orderBy(col("lo"))).cast("long"))
+      .select(col("user_id"), col("sess"), col("n_events"),
+        (col("hi") - col("lo")).as("dur_us"))
+      .orderBy(col("user_id"), col("sess"))
+  }
+
   /** SKEW-PROOF sessionization — identical output to
     * [[sessionizeBatch]] from two BOUNDED stages, for the corpus where
     * one giant user makes the per-user sort window a single hot
@@ -197,7 +234,10 @@ object EventPipelines {
     * predecessor merges in [[sessionizeBatch]] (`> gap` splits) but
     * splits here (native sessions merge only on strict overlap, and
     * `end = ts + gap` meets, not overlaps, the next window) — the two
-    * agree everywhere off that measure-zero boundary.
+    * agree everywhere off that measure-zero boundary. For structural
+    * equality, [[sessionizeNativeExact]] aligns the boundary with a
+    * `gap + 1µs` window and is gated on the lag formulation's oracle
+    * verbatim.
     *
     * Scale shape: Spark plans this as one shuffle on the grouping key
     * plus a per-partition merge of sorted session ranges — the same
