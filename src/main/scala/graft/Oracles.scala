@@ -1106,6 +1106,45 @@ object Oracles {
        |WHERE cc.id IS NULL OR cc.cluster_id = d.doc_id
        |ORDER BY d.doc_id""".stripMargin
 
+  /** Mirror of [[graft.pipelines.Dedup.canonicalByPriority]]: the
+    * per-cluster (prio desc, doc_id asc) survivor over the CC cluster
+    * graph, singletons included. The Spark side picks via a hash
+    * aggregate (lexicographic struct min); this replays the pick as a
+    * rank window — result-identical because the pick is a total order
+    * over exact integers, so the formulations cannot diverge. */
+  def dedupCanonicalPriority(prioSql: String): String =
+    s"""WITH RECURSIVE $ccCtes,
+       |m AS MATERIALIZED (
+       |  SELECT d.doc_id, d.source, CAST($prioSql AS INT) AS prio,
+       |         coalesce(cc.cluster_id, d.doc_id) AS cid
+       |  FROM documents d LEFT JOIN cc ON cc.id = d.doc_id),
+       |r AS (SELECT *,
+       |        row_number() OVER (PARTITION BY cid
+       |          ORDER BY prio DESC, doc_id) AS rn,
+       |        COUNT(*) OVER (PARTITION BY cid) AS n FROM m)
+       |SELECT doc_id AS keep_id, source, prio,
+       |       CAST(n - 1 AS BIGINT) AS n_dups_removed
+       |FROM r WHERE rn = 1 ORDER BY keep_id""".stripMargin
+
+  /** Mirror of [[graft.pipelines.Sampling.tokenBudgetPerGroup]] over
+    * the documents table: quality-first rank per source, integer
+    * running token total, maximal ≤-budget prefix. */
+  def sampleTokenBudget(budget: Long): String = {
+    val ord = s"PARTITION BY source ORDER BY m DESC, doc_id"
+    s"""WITH m AS MATERIALIZED (
+       |  SELECT source, doc_id, ${TF.sqlTokenCount("text")} AS n_toks,
+       |         ${TF.sqlQualityScore("text")} AS m FROM documents),
+       |r AS (SELECT source, doc_id, CAST(n_toks AS BIGINT) AS n_toks,
+       |        CAST(SUM(n_toks) OVER ($ord
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |          AS BIGINT) AS cum_toks,
+       |        CAST(row_number() OVER ($ord) AS BIGINT) AS rn
+       |      FROM m)
+       |SELECT source, doc_id, n_toks, cum_toks, rn
+       |FROM r WHERE cum_toks <= $budget
+       |ORDER BY source, rn""".stripMargin
+  }
+
   /** Folded MinHash signature per document (mirror of
     * [[graft.functions.MinHashAgg]]): sig = fold(0)((s,m) => (s*31+m)%P)
     * over the 16 per-slot minima. */

@@ -711,6 +711,22 @@ object SparkEntry {
     "sample_temperature" -> ((s, dir) =>
       Sampling.temperatureSample(s, GraphIO.documents(s, dir),
         "source", "doc_id", total = 200, alpha = 0.5)),
+    // Token-budget curation: per source, the maximal quality-first
+    // prefix whose running token total stays within the budget — the
+    // selection a mixture builder runs once per-source budgets are set.
+    "sample_token_budget" -> ((s, dir) =>
+      Sampling.tokenBudgetPerGroup(GraphIO.documents(s, dir), "source",
+        "doc_id", TF.qualityScore(col("text")),
+        TF.tokenCount(col("text")), budget = 1500L)),
+    // Cross-source canonical pick over near-dup clusters: per cluster
+    // keep the highest-priority source's member (doc_id tiebreak) —
+    // dedup across datasets with a trust order, as a map-side-collapsing
+    // hash aggregate (min over a (-prio, doc_id) struct), no per-cluster
+    // sort. Priority here derives from the source suffix (mod 5, so
+    // ties exercise the tiebreak); any integer expression works.
+    "dedup_canonical_priority" -> ((s, dir) =>
+      Dedup.canonicalByPriority(s, GraphIO.documents(s, dir),
+        substring(col("source"), 4, 16).cast("int") % 5)),
     // Count-Min point estimates over corpus tokens: probe terms plus
     // one absent probe (exercises the empty-cell → 0 path).
     "corpus_token_cms" -> ((s, dir) =>
@@ -1145,6 +1161,9 @@ object SparkEntry {
     "bpe_train_fast" -> Oracles.bpeTrain(),
     "dedup_simhash" -> Oracles.dedupSimhash,
     "dedup_clusters" -> Oracles.dedupClusters,
+    "dedup_canonical_priority" -> Oracles.dedupCanonicalPriority(
+      "CAST(substr(source, 4) AS INT) % 5"),
+    "sample_token_budget" -> Oracles.sampleTokenBudget(1500L),
     "dedup_clusters_star" -> Oracles.dedupClusters,
     "pipeline_near_dedup" -> Oracles.pipelineNearDedup,
     "dedup_minhash_lsh" -> Oracles.dedupMinHashLsh,

@@ -182,6 +182,38 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Cross-source CANONICAL selection over near-dup clusters — the
+    * curation twin of [[nearDedupCorpus]]: training pipelines dedup
+    * ACROSS datasets and keep, per duplicate cluster, the member from
+    * the most trusted source (wiki over CC over scrape), not the
+    * minimum id. `prio` is any caller-supplied integer priority
+    * expression over the document row (higher wins; ties break on
+    * doc_id asc, so the pick is total). Unpaired documents survive as
+    * their own singleton clusters.
+    *
+    * Scale shape: the per-cluster pick is a HASH AGGREGATE of
+    * `min(struct(-prio, doc_id, source))` — lexicographic struct min
+    * ≡ (prio desc, doc_id asc) argmin — so a mass-duplication cluster
+    * (the `skewdedup` stress) collapses map-side like every kernel hot
+    * key; no per-cluster sort or window anywhere. Output:
+    * `(keep_id, source, prio, n_dups_removed)` — the kept corpus. */
+  def canonicalByPriority(spark: SparkSession, docs: DataFrame,
+      prio: Column): DataFrame = {
+    val comp = graft.operators.ConnectedComponents
+      .run(minhashLsh(spark, docs, ordered = false))
+      .select(col("id").as("doc_id"), col("comp"))
+    docs.select(col("doc_id"), col("source"), prio.cast("int").as("prio"))
+      .join(comp, Seq("doc_id"), "left")
+      .select(coalesce(col("comp"), col("doc_id")).as("cid"),
+        col("doc_id"), col("source"), col("prio"))
+      .groupBy(col("cid"))
+      .agg(min(struct((-col("prio")).as("np"), col("doc_id"),
+        col("source"))).as("pick"), count(lit(1)).as("n"))
+      .select(col("pick.doc_id").as("keep_id"), col("pick.source").as("source"),
+        (-col("pick.np")).as("prio"), (col("n") - 1).as("n_dups_removed"))
+      .orderBy(col("keep_id"))
+  }
+
   /** 16-bit SimHash over whitespace tokens (with multiplicity): bit b of
     * the fingerprint is the sign of Σ_tokens (2·bit_b(hash(t)) − 1).
     * Exact integer arithmetic end-to-end. */

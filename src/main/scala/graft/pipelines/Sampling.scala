@@ -76,6 +76,45 @@ object Sampling {
     *
     * Scale shape: a per-row codegen'd key + one TakeOrderedAndProject
     * — no shuffle beyond the top-n. */
+  /** TOKEN-BUDGET curation — "the best `budget` tokens per source",
+    * the selection a mixture builder actually runs once per-source
+    * token budgets are decided: within each `group`, documents are
+    * ranked quality-first (caller-supplied `metric` desc, id asc
+    * tiebreak) and the kept set is the maximal ranked PREFIX whose
+    * running token total stays ≤ `budget` — a document that would
+    * cross the budget is dropped along with everything ranked below it
+    * (strict prefix, so the draw is deterministic and a single
+    * over-long top document yields an empty group rather than an
+    * over-budget one). Returns `(group, id, n_toks, cum_toks, rn)`.
+    *
+    * Scale shape: one shuffle keyed by the group column, one per-group
+    * sort carrying `(metric, id, n_toks)` — integer running sum, no
+    * second pass. Groups are mixture dimensions (bounded count); a
+    * pathologically hot group is one sort partition, the
+    * [[quotaPerGroup]] cost profile, and the salt-and-merge prefix-sum
+    * decomposition ([[graft.streaming.EventPipelines.sessionizeSalted]]
+    * pattern) is the documented twin if one group ever becomes
+    * event-scale. */
+  def tokenBudgetPerGroup(df: DataFrame, group: String, id: String,
+      metric: org.apache.spark.sql.Column,
+      tokens: org.apache.spark.sql.Column, budget: Long): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1, got $budget")
+    // rank over the PROJECTED metric column — the caller's expression
+    // references input columns the projection below drops
+    val w = Window.partitionBy(col(group)).orderBy(col("__m").desc, col(id))
+    df.select(col(group), col(id), tokens.cast("long").as("n_toks"),
+        metric.as("__m"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("cum_toks",
+        sum(col("n_toks")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      // token counts are ≥ 0 so the running total is monotone: this
+      // filter IS the maximal prefix — a later small doc can never
+      // sneak under a budget an earlier larger one crossed
+      .filter(col("cum_toks") <= budget)
+      .select(col(group), col(id), col("n_toks"), col("cum_toks"), col("rn"))
+      .orderBy(col(group), col("rn"))
+  }
+
   def weightedSample(spark: SparkSession, df: DataFrame, id: String,
       weight: org.apache.spark.sql.Column, n: Int,
       salt: String = "|wsample"): DataFrame = {
