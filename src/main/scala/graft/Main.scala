@@ -106,6 +106,8 @@ object Main {
       "search <in> <out> <terms,csv> [k] [emb.parquet probe_vec_id], " +
       "cms <in> <out> [value_col] <probes,csv>, " +
       "heavy <in> <out> [value_col] [k], " +
+      "canonical <in> <out> [prio_mod], " +
+      "token_budget <in> <out> [budget], " +
       "vocab <in> <out> [min_count] [max_size], " +
       "bpe_train <in> <out> [num_merges] [fast|dist], " +
       "clusters <emb> <out> [nlist], " +
@@ -599,6 +601,30 @@ object Main {
             col(arg(2, "text")), k = intArg(3, "64", "k"))
           .write.mode("overwrite").parquet(out)
         println(s"Heavy hitters written to $out")
+      case "canonical" =>
+        // Cross-source canonical dedup: per near-dup cluster keep the
+        // highest-priority source's doc (doc_id tiebreak):
+        //   canonical <docs.parquet> <out_dir> [prio_mod]
+        // Priority = numeric source suffix % prio_mod (0 disables the
+        // mod — raw suffix order); swap in any integer expression via
+        // the library API.
+        val (in, out) = pipelineIo(cmd, a)
+        val m = intArg(2, "5", "prio_mod")
+        val suffix = substring(col("source"), 4, 16).cast("int")
+        val prio = if (m > 0) suffix % m else suffix
+        Dedup.canonicalByPriority(spark, spark.read.parquet(in), prio)
+          .write.mode("overwrite").parquet(out)
+        println(s"Canonical survivors written to $out")
+      case "token_budget" =>
+        // Token-budget curation: best-quality prefix per source within
+        // a token budget: token_budget <docs.parquet> <out_dir> [budget]
+        val (in, out) = pipelineIo(cmd, a)
+        Sampling.tokenBudgetPerGroup(spark.read.parquet(in), "source",
+            "doc_id", functions.TextFunctions.qualityScore(col("text")),
+            functions.TextFunctions.tokenCount(col("text")),
+            budget = longArg(2, "1500", "budget"))
+          .write.mode("overwrite").parquet(out)
+        println(s"Token-budget survivors written to $out")
       case "quality_cut" =>
         // Dynamic quality curation, corpus-wide or per source:
         //   quality_cut <docs.parquet> <out_dir> [q] [by_source]

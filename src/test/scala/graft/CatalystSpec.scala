@@ -419,6 +419,31 @@ class CatalystSpec extends SparkSuite {
     assert(got == want)
   }
 
+  test("canonicalByPriority picks survivors with a partial hash " +
+      "aggregate — no per-cluster window or sort") {
+    import spark.implicits._
+    val docs = Seq((1L, "alpha beta gamma delta", "src0"),
+      (2L, "alpha beta gamma delta", "src1"),
+      (3L, "unrelated totally different words here", "src2"))
+      .toDF("doc_id", "text", "source")
+    val out = graft.pipelines.Dedup.canonicalByPriority(spark, docs,
+      substring(col("source"), 4, 16).cast("int") % 5)
+    val plan = out.queryExecution.executedPlan.toString
+    // the per-cluster argmin is the scaladoc's map-side-collapsing
+    // hash aggregate: a partial min over the (-prio, doc_id, source)
+    // struct must appear, and no Window may (the mass-dup cluster of
+    // the skewdedup stress would make a window's single sort partition
+    // the bottleneck)
+    assert(plan.contains("partial_min") || plan.contains("partial min"),
+      s"no partial struct-min aggregate:\n$plan")
+    // the connected-components engine sorts nothing per cluster either;
+    // the only Window allowed is none at all
+    assert(!plan.contains("Window"), s"window in canonical pick:\n$plan")
+    // semantics: priority wins over minimum id
+    val kept = out.collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    assert(kept.keySet == Set(2L, 3L) && kept(2L) == 1L)
+  }
+
   test("contFromCounts plans one group-keyed sort — no histogram " +
       "self-join, group total from the whole-partition window") {
     import spark.implicits._

@@ -115,6 +115,33 @@ class MainCliSpec extends SparkSuite {
     assert(e.getMessage.contains("empty"))
   }
 
+  test("canonical + token_budget verbs: curation outputs are well-formed") {
+    import spark.implicits._
+    val p = s"$tmp/cur_docs"
+    // docs 1/2/4 share text (one near-dup cluster); sources give doc 2
+    // the highest priority (src1 % 5 = 1 vs src0/src10 -> 0), so the
+    // cluster's survivor must be 2, not the minimum id
+    Seq((1L, "alpha beta gamma delta", "src0"),
+      (2L, "alpha beta gamma delta", "src1"),
+      (3L, "unrelated totally different words here", "src10"),
+      (4L, "alpha beta gamma delta", "src10"),
+      (5L, "more unrelated text entirely", "src0"))
+      .toDF("doc_id", "text", "source").write.mode("overwrite").parquet(p)
+    val outC = s"$tmp/canonical_out"
+    Main.run(spark, "canonical", Array(p, outC))
+    val kept = spark.read.parquet(outC).collect()
+      .map(r => (r.getLong(0), r.getLong(3))).toMap
+    assert(kept.keySet == Set(2L, 3L, 5L), s"survivors: $kept")
+    assert(kept(2L) == 2L) // two dups removed from the cluster
+    val outT = s"$tmp/token_budget_out"
+    Main.run(spark, "token_budget", Array(p, outT, "6"))
+    val tb = spark.read.parquet(outT)
+    // every kept row respects the budget; ranks start at 1 per source
+    assert(tb.filter(col("cum_toks") > 6).count() == 0)
+    assert(tb.filter(col("rn") === 1).count() ==
+      tb.select(col("source")).distinct().count())
+  }
+
   test("split verb: partitioned output is a disjoint total cover") {
     val out = s"$tmp/split_out"
     Main.run(spark, "split", Array(docsPath, out))
