@@ -278,6 +278,16 @@ object ScaleBench {
     // complete-mode histogram drain + interpolation: state bounded by
     // the cents domain however many events stream through
     "stream_percentiles" -> SparkEntry.queries("stream_percentiles"),
+    // round-13 operators: bounded-state + GK streaming quantiles, the
+    // native session_window twin, and the two curation selections
+    "stream_percentiles_sketch" ->
+      SparkEntry.queries("stream_percentiles_sketch"),
+    "stream_percentiles_gk" -> SparkEntry.queries("stream_percentiles_gk"),
+    "events_sessionize_native" ->
+      SparkEntry.queries("events_sessionize_native"),
+    "dedup_canonical_priority" ->
+      SparkEntry.queries("dedup_canonical_priority"),
+    "sample_token_budget" -> SparkEntry.queries("sample_token_budget"),
     // seeded-teleport kernel: same per-iteration shape as pagerank —
     // the ratio must match the kernel family's band
     "pagerank_personalized" -> ((s, dir) =>
@@ -626,7 +636,8 @@ object ScaleBench {
         (once(), once())
       }
       Seq("dedup_minhash_lsh", "dedup_clusters", "pipeline_near_dedup",
-        "dedup_semantic", "ann_topk_q8_ivf").foreach { name =>
+        "dedup_semantic", "ann_topk_q8_ivf",
+        "dedup_canonical_priority").foreach { name =>
         val (bf, bw) = timed(baseDir, name)
         val (uf, uw) = timed(uniDir, name) // uniform reps×
         val (kf, kw) = timed(skewDir, name) // 5% mass duplication
