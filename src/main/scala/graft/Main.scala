@@ -107,6 +107,7 @@ object Main {
       "cms <in> <out> [value_col] <probes,csv>, " +
       "heavy <in> <out> [value_col] [k], " +
       "canonical <in> <out> [prio_mod], " +
+      "canonical_indexed <docs> <clusters_index> <out> [prio_mod], " +
       "token_budget <in> <out> [budget], " +
       "vocab <in> <out> [min_count] [max_size], " +
       "bpe_train <in> <out> [num_merges] [fast|dist], " +
@@ -615,6 +616,25 @@ object Main {
         Dedup.canonicalByPriority(spark, spark.read.parquet(in), prio)
           .write.mode("overwrite").parquet(out)
         println(s"Canonical survivors written to $out")
+      case "canonical_indexed" =>
+        // Re-pick canonicals from a PERSISTED clusters_index — a trust
+        // policy change never re-runs the corpus dedup:
+        //   canonical_indexed <docs> <clusters_index> <out> [prio_mod]
+        if (a.length < 3) throw CliArgError(
+          "canonical_indexed needs <docs.parquet> <clusters_index> " +
+            "<out_dir> [prio_mod]")
+        val asg = spark.read.parquet(a(1))
+        if (!Set("doc_id", "cluster_id").subsetOf(asg.columns.toSet))
+          throw CliArgError(
+            s"canonical_indexed: ${a(1)} is not a clusters_index output " +
+              s"(columns ${asg.columns.mkString(",")}; expected " +
+              "doc_id,cluster_id[,n_members])")
+        val m2 = intArg(3, "5", "prio_mod")
+        val sfx = substring(col("source"), 4, 16).cast("int")
+        Dedup.canonicalByPriorityIndexed(spark.read.parquet(a(0)), asg,
+            if (m2 > 0) sfx % m2 else sfx)
+          .write.mode("overwrite").parquet(a(2))
+        println(s"Canonical survivors written to ${a(2)}")
       case "token_budget" =>
         // Token-budget curation: best-quality prefix per source within
         // a token budget: token_budget <docs.parquet> <out_dir> [budget]

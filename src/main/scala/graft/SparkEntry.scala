@@ -727,6 +727,20 @@ object SparkEntry {
     "dedup_canonical_priority" -> ((s, dir) =>
       Dedup.canonicalByPriority(s, GraphIO.documents(s, dir),
         substring(col("source"), 4, 16).cast("int") % 5)),
+    // Indexed twin: survivors re-picked from PERSISTED cluster
+    // assignments (a clusters_index output, round-tripped through
+    // parquet in-gate) — the trust-policy-change path, which re-picks
+    // canonicals WITHOUT re-running the corpus-sized dedup. Shares the
+    // from-scratch oracle verbatim.
+    "dedup_canonical_priority_indexed" -> ((s, dir) => {
+      val base = "target/graft-canidx-" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val docs = GraphIO.documents(s, dir)
+      ConnectedComponents.clusters(Dedup.minhashLsh(s, docs,
+          ordered = false))
+        .write.mode("overwrite").parquet(base)
+      Dedup.canonicalByPriorityIndexed(docs, s.read.parquet(base),
+        substring(col("source"), 4, 16).cast("int") % 5)
+    }),
     // Count-Min point estimates over corpus tokens: probe terms plus
     // one absent probe (exercises the empty-cell → 0 path).
     "corpus_token_cms" -> ((s, dir) =>
@@ -1162,6 +1176,8 @@ object SparkEntry {
     "dedup_simhash" -> Oracles.dedupSimhash,
     "dedup_clusters" -> Oracles.dedupClusters,
     "dedup_canonical_priority" -> Oracles.dedupCanonicalPriority(
+      "CAST(substr(source, 4) AS INT) % 5"),
+    "dedup_canonical_priority_indexed" -> Oracles.dedupCanonicalPriority(
       "CAST(substr(source, 4) AS INT) % 5"),
     "sample_token_budget" -> Oracles.sampleTokenBudget(1500L),
     "dedup_clusters_star" -> Oracles.dedupClusters,

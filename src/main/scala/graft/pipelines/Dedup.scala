@@ -198,13 +198,26 @@ object Dedup {
     * key; no per-cluster sort or window anywhere. Output:
     * `(keep_id, source, prio, n_dups_removed)` — the kept corpus. */
   def canonicalByPriority(spark: SparkSession, docs: DataFrame,
-      prio: Column): DataFrame = {
-    val comp = graft.operators.ConnectedComponents
-      .run(minhashLsh(spark, docs, ordered = false))
-      .select(col("id").as("doc_id"), col("comp"))
+      prio: Column): DataFrame =
+    canonicalByPriorityIndexed(docs,
+      graft.operators.ConnectedComponents
+        .run(minhashLsh(spark, docs, ordered = false))
+        .select(col("id").as("doc_id"), col("comp").as("cluster_id")),
+      prio)
+
+  /** [[canonicalByPriority]] against ALREADY-RESOLVED cluster
+    * assignments (`(doc_id, cluster_id, ...)` — a persisted
+    * `clusters_index` output read back from storage) — the deployment
+    * shape: the corpus-sized shingle/minhash/CC pass happened once at
+    * index build, and re-picking survivors under a NEW priority order
+    * (trust policies change more often than corpora) costs one join +
+    * one hash aggregation over the corpus, never a dedup re-run. */
+  def canonicalByPriorityIndexed(docs: DataFrame, assignments: DataFrame,
+      prio: Column): DataFrame =
     docs.select(col("doc_id"), col("source"), prio.cast("int").as("prio"))
-      .join(comp, Seq("doc_id"), "left")
-      .select(coalesce(col("comp"), col("doc_id")).as("cid"),
+      .join(assignments.select(col("doc_id"), col("cluster_id")),
+        Seq("doc_id"), "left")
+      .select(coalesce(col("cluster_id"), col("doc_id")).as("cid"),
         col("doc_id"), col("source"), col("prio"))
       .groupBy(col("cid"))
       .agg(min(struct((-col("prio")).as("np"), col("doc_id"),
@@ -212,7 +225,6 @@ object Dedup {
       .select(col("pick.doc_id").as("keep_id"), col("pick.source").as("source"),
         (-col("pick.np")).as("prio"), (col("n") - 1).as("n_dups_removed"))
       .orderBy(col("keep_id"))
-  }
 
   /** 16-bit SimHash over whitespace tokens (with multiplicity): bit b of
     * the fingerprint is the sign of Σ_tokens (2·bit_b(hash(t)) − 1).

@@ -142,6 +142,23 @@ class MainCliSpec extends SparkSuite {
       tb.select(col("source")).distinct().count())
   }
 
+  test("canonical_indexed verb: persisted-assignments path matches the " +
+    "in-run pick, and a non-index input fails fast") {
+    val p = s"$tmp/cur_docs" // fixture written by the canonical test
+    val clIdx = s"$tmp/cur_clusters_idx"
+    val outI = s"$tmp/canonical_idx_out"
+    Main.run(spark, "clusters_index", Array(p, clIdx))
+    Main.run(spark, "canonical_indexed", Array(p, clIdx, outI))
+    def rows(d: String) = spark.read.parquet(d).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getLong(3)))
+      .toSet
+    assert(rows(outI) == rows(s"$tmp/canonical_out"))
+    val e = intercept[Main.CliArgError] {
+      Main.run(spark, "canonical_indexed", Array(p, p, s"$tmp/can_x"))
+    }
+    assert(e.getMessage.contains("clusters_index"))
+  }
+
   test("split verb: partitioned output is a disjoint total cover") {
     val out = s"$tmp/split_out"
     Main.run(spark, "split", Array(docsPath, out))
