@@ -316,16 +316,28 @@ object Main {
         val versioned =
           if (idxDf.columns.contains("gen")) idxDf
           else idxDf.withColumn("gen", lit(0L))
+        // max(gen) over an EMPTY index aggregates to NULL — surface
+        // a CliArgError, not an opaque NPE (band_append discipline)
+        val maxRow = versioned.agg(max(col("gen"))).head
+        val maxGen = if (maxRow.isNullAt(0)) None else Some(maxRow.getLong(0))
         val gen =
-          if (a.length > 3) longArg(3, "1", "gen")
-          else {
-            // max(gen) over an EMPTY index aggregates to NULL — surface
-            // a CliArgError, not an opaque NPE (band_append discipline)
-            val maxRow = versioned.agg(max(col("gen"))).head
-            if (maxRow.isNullAt(0)) throw CliArgError(
+          if (a.length > 3) {
+            // an explicit gen must still respect the append contract:
+            // gen <= max(existing) would make ivf_compact keep stale
+            // rows or fail on duplicate max-gen rows (ADVICE r13)
+            val g = longArg(3, "1", "gen")
+            maxGen.foreach { m =>
+              if (g <= m) throw CliArgError(
+                s"ivf_append: gen $g is not strictly above the index's " +
+                  s"max generation $m — appends must use a fresh, higher " +
+                  "generation (compaction keeps the max-gen row per vec_id)")
+            }
+            g
+          } else maxGen match {
+            case Some(m) => m + 1
+            case None => throw CliArgError(
               s"ivf_append: index ${a(0)} is empty — build it with " +
-                "ivf_index first (or pass an explicit gen)")
-            maxRow.getLong(0) + 1
+                "ivf_index first")
           }
         Similarity.ivfIndexAppend(versioned,
             Similarity.ivfIndexEntries(spark.read.parquet(a(1)), cents, gen))
@@ -611,7 +623,7 @@ object Main {
         // the library API.
         val (in, out) = pipelineIo(cmd, a)
         val m = intArg(2, "5", "prio_mod")
-        val suffix = substring(col("source"), 4, 16).cast("int")
+        val suffix = expr("substring(source, 4)").cast("int")
         val prio = if (m > 0) suffix % m else suffix
         Dedup.canonicalByPriority(spark, spark.read.parquet(in), prio)
           .write.mode("overwrite").parquet(out)
@@ -630,7 +642,7 @@ object Main {
               s"(columns ${asg.columns.mkString(",")}; expected " +
               "doc_id,cluster_id[,n_members])")
         val m2 = intArg(3, "5", "prio_mod")
-        val sfx = substring(col("source"), 4, 16).cast("int")
+        val sfx = expr("substring(source, 4)").cast("int")
         Dedup.canonicalByPriorityIndexed(spark.read.parquet(a(0)), asg,
             if (m2 > 0) sfx % m2 else sfx)
           .write.mode("overwrite").parquet(a(2))

@@ -724,9 +724,16 @@ object SparkEntry {
     // hash aggregate (min over a (-prio, doc_id) struct), no per-cluster
     // sort. Priority here derives from the source suffix (mod 5, so
     // ties exercise the tiebreak); any integer expression works.
+    // Contract: sources are `src<digits>` — the UNBOUNDED substring
+    // from position 4 (matching the oracle's substr(source, 4) exactly;
+    // the old 16-char cap silently truncated longer suffixes, ADVICE
+    // r13) casts cleanly. A non-numeric suffix is null prio on the
+    // Spark side but a hard CAST error in DuckDB — outside the
+    // contract, the engines intentionally diverge loudly, not
+    // silently.
     "dedup_canonical_priority" -> ((s, dir) =>
       Dedup.canonicalByPriority(s, GraphIO.documents(s, dir),
-        substring(col("source"), 4, 16).cast("int") % 5)),
+        expr("substring(source, 4)").cast("int") % 5)),
     // Indexed twin: survivors re-picked from PERSISTED cluster
     // assignments (a clusters_index output, round-tripped through
     // parquet in-gate) — the trust-policy-change path, which re-picks
@@ -739,7 +746,7 @@ object SparkEntry {
           ordered = false))
         .write.mode("overwrite").parquet(base)
       Dedup.canonicalByPriorityIndexed(docs, s.read.parquet(base),
-        substring(col("source"), 4, 16).cast("int") % 5)
+        expr("substring(source, 4)").cast("int") % 5)
     }),
     // Count-Min point estimates over corpus tokens: probe terms plus
     // one absent probe (exercises the empty-cell → 0 path).
@@ -978,7 +985,11 @@ object SparkEntry {
       s.catalog.dropTempView(name) // idempotent re-run in one session
       val sketch =
         graft.functions.FixedBinHistogramAgg.asUdaf(lo, width, nbins)
-      val q = ev.filter(col("value").isNotNull)
+      // NaN filtered next to NULL on BOTH legs: the aggregator skips
+      // NaN (no meaningful bin), so the exact twin below must not count
+      // it either — and the DuckDB oracle's least/greatest clamp would
+      // place NaN differently anyway (ADVICE r13).
+      val q = ev.filter(col("value").isNotNull && !isnan(col("value")))
         .groupBy(col("event_type")).agg(sketch(col("value")).as("bins"))
         .writeStream.outputMode("complete").format("memory").queryName(name)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -996,7 +1007,7 @@ object SparkEntry {
       val est = graft.pipelines.Quantiles.contFromCounts(binned,
         Seq("event_type"), "m", "cnt", qs)
       val exactHist = GraphIO.events(s, dir)
-        .filter(col("value").isNotNull)
+        .filter(col("value").isNotNull && !isnan(col("value")))
         .groupBy(col("event_type"), col("value"))
         .agg(count(lit(1)).as("cnt"))
       val exact = graft.pipelines.Quantiles.contFromCounts(exactHist,

@@ -31,8 +31,16 @@ import org.apache.spark.sql.expressions.Aggregator
   * The buffer is a dense primitive array, so partial/merge is
   * algebraic (element-wise add): map-side combine ships `nbins` int64s
   * per (partition, group) however large the input — mergeable-sketch
-  * property, same contract as [[KmvAgg]]. Caller contract: inputs are
-  * non-null and non-NaN (filter upstream; NaN has no meaningful bin).
+  * property, same contract as [[KmvAgg]]. Nulls are the caller's to
+  * filter (Spark feeds the typed Aggregator unboxed doubles); NaN is
+  * handled HERE — skipped, never counted. NaN has no meaningful bin,
+  * and before r14 it fell through both clamp branches (NaN comparisons
+  * are false) into bin 0, silently shifting every quantile estimate
+  * low while the DuckDB oracle's least/greatest clamp sent the same
+  * value elsewhere — a silent cross-engine gate divergence (ADVICE
+  * r13). Skipping makes the sketch's row count the count of FINITE
+  * values, which is also what the gate's exact twin now counts (both
+  * legs filter `isnan` next to `isNotNull`).
   */
 class FixedBinHistogramAgg(lo: Double, width: Double, nbins: Int)
     extends Aggregator[Double, Array[Long], Array[Long]] {
@@ -42,6 +50,10 @@ class FixedBinHistogramAgg(lo: Double, width: Double, nbins: Int)
   override def zero: Array[Long] = new Array[Long](nbins)
 
   override def reduce(buf: Array[Long], v: Double): Array[Long] = {
+    // NaN is skipped, not binned (see class scaladoc): both clamp
+    // comparisons below are false for NaN, so without this guard it
+    // would silently land in bin 0.
+    if (v.isNaN) return buf
     // Same IEEE ops as the oracle's floor((v - lo) / width), clamped
     // into [0, nbins) — the cross-engine bin identity the gate's
     // DuckDB twin replays literally.

@@ -534,13 +534,32 @@ object Similarity {
     * vec_id-keyed max aggregation plus a co-keyed equi-join on vec_id
     * ONLY (reusing the aggregation's exchange; the generation equality
     * is a post-join filter), so compaction is a single co-partitioned
-    * pass over the index however large it grows. */
+    * pass over the index however large it grows.
+    *
+    * Contract enforcement (ADVICE r13): a violated append contract — a
+    * vec_id appended twice under ONE generation — used to survive
+    * compaction as duplicate (vec_id) rows and only surface downstream
+    * as duplicate probe candidates. Compaction now fails LOUDLY: a
+    * vec_id-partitioned window counts the rows tied at max generation
+    * (same exchange key as the join, so the plan discipline above is
+    * unchanged) and `raise_error` fires on any tie. */
   def ivfIndexCompact(index: DataFrame): DataFrame = {
     val latest = index.groupBy(col("vec_id"))
       .agg(max(col("gen")).as("max_gen"))
+    val ties = Window.partitionBy(col("vec_id"))
     index.join(latest, Seq("vec_id"))
       .filter(col("gen") === col("max_gen"))
-      .select(col("vec_id"), col("cid"), col("embedding"), col("nrm"))
+      .withColumn("__ties", count(lit(1)).over(ties))
+      // the check rides the cid projection so column pruning can never
+      // drop it (a bare assert_true column would be pruned away)
+      .select(col("vec_id"),
+        when(col("__ties") === 1, col("cid")).otherwise(raise_error(
+          concat(lit("ivfIndexCompact: vec_id "),
+            col("vec_id").cast("string"),
+            lit(" has multiple rows at its max generation — the append " +
+              "contract (one strictly increasing gen per re-ingested " +
+              "vec_id) was violated")))).as("cid"),
+        col("embedding"), col("nrm"))
   }
 
   /** SemDeDup-style semantic dedup: cluster the corpus with the IVF
