@@ -897,6 +897,43 @@ object SparkEntry {
         col("running_cents").as("n"), lit(0.0).as("v"))
       w.unionAll(t).orderBy(col("drain"), col("key"))
     }),
+    // CHECKPOINTED RESTART, running-totals fold: drain the first half
+    // of the events (by time) to a parquet sink with a
+    // checkpointLocation, STOP the query, land the second half as a new
+    // file, and resume with a brand-new query from the same checkpoint
+    // ([[graft.streaming.Restart.twoPhaseDrain]]). The restored
+    // accumulator state must continue the fold exactly where the
+    // one-shot drain would be — the gate hashes the combined sink
+    // against the UNCHANGED batch running-totals oracle, so a state
+    // round-trip error of even one cent fails. The time-ordered split
+    // keeps every per-user fold prefix in (ts, event_id) order across
+    // the phase boundary (each phase is asserted single-batch).
+    "stream_restart_totals" -> ((s, dir) =>
+      graft.streaming.Restart.twoPhaseDrain(s, GraphIO.events(s, dir),
+          "totals", dir,
+          src => EventPipelines.runningTotalsStream(s, src).toDF())
+        .orderBy(col("user_id"), col("event_id"))),
+    // CHECKPOINTED RESTART, sessionization: the harder restore — open
+    // sessions (start/last/count) and their event-time timeout
+    // deadlines live in the state store across the stop, and the
+    // restored WATERMARK gates which of them may flush. After the
+    // restart, phase-2 events must extend/close phase-1's open sessions
+    // exactly as a single drain would (time-ordered split: a session
+    // phase 1 timed out is one the single drain would have closed with
+    // identical content — any later event of that user lies beyond the
+    // phase-1 watermark, hence beyond the session's gap deadline).
+    // Shares the single-drain stream_sessionize oracle verbatim; ts is
+    // µs-floored before the stream like that gate.
+    "stream_restart_sessionize" -> ((s, dir) =>
+      graft.streaming.Restart.twoPhaseDrain(s,
+          GraphIO.events(s, dir)
+            .withColumn("ts", expr("ts div 1000 * 1000")),
+          "sessionize", dir,
+          src => EventPipelines.sessionizeStream(s, src,
+            watermarkDelay = "0 seconds").toDF())
+        .select(col("user_id"), col("n_events"),
+          expr("dur_ns div 1000").as("dur_us"))
+        .orderBy(col("user_id"), col("n_events"), col("dur_us"))),
     // STREAMING stream-stream interval join twin of events_range_join:
     // both sides watermarked, event-time-bounded join condition → Spark
     // derives a state-retention horizon for both buffers. The single
@@ -1243,6 +1280,11 @@ object SparkEntry {
     "stream_token_cms" -> Oracles.streamTokenCms,
     "stream_sessionize" -> Oracles.streamSessionize(),
     "stream_running_totals" -> Oracles.eventsRunningTotals(),
+    // restart gates share the single-drain oracles VERBATIM: state
+    // restore across a checkpointed restart must be indistinguishable
+    // from never having stopped
+    "stream_restart_totals" -> Oracles.eventsRunningTotals(),
+    "stream_restart_sessionize" -> Oracles.streamSessionize(),
     "stream_window" -> Oracles.streamWindow,
     "stream_two_drains" -> Oracles.streamTwoDrains(),
     "stream_range_join" -> Oracles.streamRangeJoin(),
