@@ -1849,6 +1849,94 @@ object Oracles {
        |ORDER BY rung""".stripMargin
   }
 
+  /** Mirror of [[graft.pipelines.Similarity.recallAuditAppended]]:
+    * centroids trained on the first half of the corpus (by vec_id)
+    * versus the full corpus, ALL vectors assigned against each set —
+    * the appended-then-compacted index is exactly "assign everything
+    * against the build-time centroids" because the two generations'
+    * vec_id ranges are disjoint and compaction keeps the latest row
+    * per vec_id. Probes, recall vs the exact rung, and the
+    * max/mean cell-imbalance rows are recomputed literally. */
+  def annRecallAuditAppended(nq: Int = 10, k: Int = 5, nlist: Int = 8,
+      nprobe: Int = 2, dim: Int = 64): String = {
+    val total = nq.toLong * k
+    // one Lloyd step from the shared seeds over `trainSrc`, ending in
+    // a centroid CTE named `centT` (the ivfTrainCtes shape with a
+    // parameterized training corpus)
+    def train(centT: String, a0T: String, trainSrc: String): String =
+      s"""$a0T AS MATERIALIZED (
+         |  SELECT vec_id, embedding, cid FROM (
+         |    SELECT b.vec_id, b.embedding, s.cid,
+         |           ROW_NUMBER() OVER (PARTITION BY b.vec_id
+         |             ORDER BY ${sqDistSql("b.embedding", "s.cvec")}, s.cid) AS rn
+         |    FROM $trainSrc b CROSS JOIN seeds s) WHERE rn = 1),
+         |$centT AS MATERIALIZED (
+         |  SELECT cid, list(round(m, 6) ORDER BY pos) AS cvec FROM (
+         |    SELECT cid, i AS pos, avg(CAST(embedding[i] AS DOUBLE)) AS m
+         |    FROM $a0T CROSS JOIN (SELECT unnest(generate_series(1, $dim)) AS i) ix
+         |    GROUP BY cid, i) GROUP BY cid)""".stripMargin
+    // full-corpus assignment against `centT`, ending in `a1T`
+    def assign(a1T: String, centT: String): String =
+      s"""$a1T AS MATERIALIZED (
+         |  SELECT vec_id, embedding, nrm, cid FROM (
+         |    SELECT b.vec_id, b.embedding, b.nrm, c.cid,
+         |           ROW_NUMBER() OVER (PARTITION BY b.vec_id
+         |             ORDER BY ${sqDistSql("b.embedding", "c.cvec")}, c.cid) AS rn
+         |    FROM abase b CROSS JOIN $centT c) WHERE rn = 1)""".stripMargin
+    // nprobe cell-probe + exact-cosine rerank, ending in `<out>_t`
+    def probe(out: String, centT: String, a1T: String): String =
+      s"""${out}_probes AS MATERIALIZED (
+         |  SELECT query_id, cid FROM (
+         |    SELECT b.vec_id AS query_id, c.cid,
+         |           ROW_NUMBER() OVER (PARTITION BY b.vec_id
+         |             ORDER BY ${sqDistSql("b.embedding", "c.cvec")}, c.cid) AS rn
+         |    FROM abase b CROSS JOIN $centT c WHERE b.vec_id < $nq) WHERE rn <= $nprobe),
+         |${out}_t AS MATERIALIZED (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |           ROW_NUMBER() OVER (PARTITION BY query_id
+         |             ORDER BY cos DESC, neighbor_id) AS rn
+         |    FROM (
+         |      SELECT p.query_id, a.vec_id AS neighbor_id,
+         |             ${dotSql("q.embedding", "a.embedding")} / (q.nrm * a.nrm) AS cos
+         |      FROM $a1T a JOIN ${out}_probes p
+         |        ON a.cid = p.cid AND a.vec_id <> p.query_id
+         |      JOIN abase q ON q.vec_id = p.query_id) s) WHERE rn <= $k)""".stripMargin
+    def recallRow(name: String): String =
+      s"""SELECT '$name' AS rung, CAST(COUNT(*) AS BIGINT) AS hits,
+         |       CAST($total AS BIGINT) AS total,
+         |       COUNT(*) / $total.0::DOUBLE AS recall
+         |FROM ivf_${name.stripPrefix("ivf_")}_t a JOIN exact_t e
+         |  ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id""".stripMargin
+    def cellRow(name: String, a1T: String): String =
+      s"""SELECT '$name' AS rung, CAST(MAX(cn) AS BIGINT) AS hits,
+         |       CAST(SUM(cn) AS BIGINT) AS total,
+         |       round(CAST(MAX(cn) AS DOUBLE) * $nlist.0::DOUBLE
+         |             / CAST(SUM(cn) AS DOUBLE), 6) AS recall
+         |FROM (SELECT cid, COUNT(*) AS cn FROM $a1T GROUP BY cid) t""".stripMargin
+    s"""WITH abase AS MATERIALIZED (
+       |  SELECT vec_id, embedding, ${normSql("embedding")} AS nrm
+       |  FROM embeddings),
+       |seeds AS MATERIALIZED (
+       |  SELECT vec_id AS cid, embedding AS cvec FROM abase
+       |  WHERE vec_id < $nlist),
+       |${train("cent_stale", "a0_s",
+          "(SELECT * FROM abase WHERE vec_id < (SELECT COUNT(*) // 2 FROM abase))")},
+       |${train("cent_fresh", "a0_f", "abase")},
+       |${assign("a1_appended", "cent_stale")},
+       |${assign("a1_fresh", "cent_fresh")},
+       |${probe("ivf_appended", "cent_stale", "a1_appended")},
+       |${probe("ivf_fresh", "cent_fresh", "a1_fresh")},
+       |exact_t AS MATERIALIZED (SELECT query_id, neighbor_id FROM (
+       |${annTopK(nq, k)}
+       |) x)
+       |${recallRow("ivf_appended")}
+       |UNION ALL ${recallRow("ivf_fresh")}
+       |UNION ALL ${cellRow("cells_appended", "a1_appended")}
+       |UNION ALL ${cellRow("cells_fresh", "a1_fresh")}
+       |ORDER BY rung""".stripMargin
+  }
+
   /** Frame-sampling fingerprints (mirror of
     * [[graft.pipelines.Multimodal.chunkFingerprints]]). */
   def multimodalChunks(frame: Int = 64): String =

@@ -549,6 +549,14 @@ object SparkEntry {
     // (the DuckDB twin recomputes each rung and intersects).
     "ann_recall_audit" -> ((s, dir) =>
       Similarity.recallAudit(GraphIO.embeddings(s, dir))),
+    // Recall DRIFT of the appended index (r13 missing #2): centroids
+    // trained when only the first half of the corpus existed, the rest
+    // appended against those pinned centroids through the real
+    // append+compact ops — recall@k and cell-occupancy imbalance (the
+    // documented rebuild trigger) side by side with the fresh rebuild,
+    // all four rows recomputed by the DuckDB twin.
+    "ann_recall_audit_appended" -> ((s, dir) =>
+      Similarity.recallAuditAppended(GraphIO.embeddings(s, dir))),
     // ---- multimodal plumbing ----
     "multimodal_meta" -> ((s, dir) =>
       Multimodal.metaQuery(s, GraphIO.documents(s, dir))),
@@ -1238,6 +1246,7 @@ object SparkEntry {
     "dedup_semantic" -> Oracles.dedupSemantic(0.3),
     "ann_topk" -> Oracles.annTopK(),
     "ann_recall_audit" -> Oracles.annRecallAudit(),
+    "ann_recall_audit_appended" -> Oracles.annRecallAuditAppended(),
     "ann_topk_ivf_persisted" -> Oracles.annTopKIvf(),
     "ann_topk_ivf_appended" -> Oracles.annTopKIvf(),
     "corpus_clusters" -> Oracles.corpusClusters(),

@@ -109,6 +109,81 @@ object Similarity {
     }.reduce(_ unionAll _).orderBy(col("rung"))
   }
 
+  /** Recall-DRIFT audit of the APPENDED IVF index — the accuracy half
+    * of the index lifecycle (`ann_topk_ivf_appended` proves probe
+    * PARITY with assign-from-scratch against the same centroids;
+    * [[recallAudit]] measures recall on a FRESH build only — neither
+    * answers "how much recall do stale centroids cost once the corpus
+    * has grown past the build", VERDICT r13 missing #2).
+    *
+    * Scenario replayed: the index is built when only the FIRST HALF of
+    * the corpus (by vec_id — arrival order) exists, so centroids train
+    * on that half; the second half is then APPENDED against those
+    * pinned build-time centroids ([[ivfIndexEntries]] gen 1 →
+    * [[ivfIndexAppend]] → [[ivfIndexCompact]] — the real lifecycle
+    * ops, not a shortcut) and the compacted index is probed. Side by
+    * side, the counterfactual rebuild: centroids trained on the full
+    * corpus, probed identically. Both recalls are measured against the
+    * exact rung, and both indexes report their CELL-OCCUPANCY
+    * IMBALANCE (max cell population / mean = total/nlist) — the cheap
+    * statistic a deployment monitors as its rebuild trigger: drifted
+    * centroids show up as cells absorbing the new mass
+    * (`Similarity.ivfIndexWrite`'s scaladoc caveat, now measured).
+    *
+    * Output rows (rung, hits, total, recall):
+    *  - `ivf_appended` / `ivf_fresh` — recall@k vs exact
+    *    (hits = |∩ exact top-k|, total = nq·k);
+    *  - `cells_appended` / `cells_fresh` — hits = max cell population,
+    *    total = index rows, recall = max/mean imbalance factor.
+    * Everything is deterministic, so the DuckDB twin recomputes all
+    * four rows bit-for-bit. */
+  def recallAuditAppended(emb: DataFrame, nq: Int = 10, k: Int = 5,
+      nlist: Int = 8, nprobe: Int = 2): DataFrame = {
+    val half = emb.count() / 2
+    val total = nq.toLong * k
+    val corpus = emb.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("nrm"))
+    // build-time centroids: trained when only the first half existed
+    val stale = ivfCentroids(corpus.filter(col("vec_id") < half), nlist)
+    val fresh = ivfCentroids(corpus, nlist)
+    // the genuine lifecycle path: gen-0 build over the first half,
+    // gen-1 append of the growth against the SAME pinned centroids,
+    // compaction to the probe layout
+    // each index feeds TWO branches (probe + cell stats): materialize
+    // so assignment+compaction run once, not once per branch
+    val appended = graft.Checkpoints.materialize(
+      ivfIndexCompact(ivfIndexAppend(
+        ivfIndexEntries(emb.filter(col("vec_id") < half), stale, 0L),
+        ivfIndexEntries(emb.filter(col("vec_id") >= half), stale, 1L))),
+      eager = false)
+    val freshIdx = graft.Checkpoints.materialize(
+      ivfIndexEntries(emb, fresh, 0L)
+        .select(col("vec_id"), col("cid"), col("embedding"), col("nrm")),
+      eager = false)
+    val qcorpus = corpus.filter(col("vec_id") < nq)
+    // nq·k rows, materialized once — feeds both recall branches
+    val exact = graft.Checkpoints.materialize(
+      annTopK(emb, nq, k).select(col("query_id"), col("neighbor_id")))
+    def recallRow(name: String, probe: DataFrame): DataFrame =
+      probe.select(col("query_id"), col("neighbor_id"))
+        .join(exact, Seq("query_id", "neighbor_id"))
+        .agg(count(lit(1)).as("hits"))
+        .select(lit(name).as("rung"), col("hits"), lit(total).as("total"),
+          (col("hits").cast("double") / lit(total.toDouble)).as("recall"))
+    def cellRow(name: String, idx: DataFrame): DataFrame =
+      idx.groupBy(col("cid")).agg(count(lit(1)).as("cn"))
+        .agg(max(col("cn")).as("hits"), sum(col("cn")).as("total"))
+        .select(lit(name).as("rung"), col("hits"), col("total"),
+          round(col("hits").cast("double") * lit(nlist.toDouble) /
+            col("total").cast("double"), 6).as("recall"))
+    recallRow("ivf_appended", ivfProbe(appended, stale, qcorpus, nq, k, nprobe))
+      .unionAll(recallRow("ivf_fresh",
+        ivfProbe(freshIdx, fresh, qcorpus, nq, k, nprobe)))
+      .unionAll(cellRow("cells_appended", appended))
+      .unionAll(cellRow("cells_fresh", freshIdx))
+      .orderBy(col("rung"))
+  }
+
   /** Default IVF cell count: `max(8, ⌈√N⌉)` from the corpus size — the
     * standard √N-scaled inverted-file sizing, and the measured optimum
     * of the assignment/pair cost bathtub (SCALING.md round 8): total
