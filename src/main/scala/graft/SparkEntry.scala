@@ -726,6 +726,16 @@ object SparkEntry {
       Sampling.tokenBudgetPerGroup(GraphIO.documents(s, dir), "source",
         "doc_id", TF.qualityScore(col("text")),
         TF.tokenCount(col("text")), budget = 1500L)),
+    // Skew-proof twin (r13 missing #3): the same selection from a
+    // range-partitioned distributed prefix scan — bounded per-task
+    // sorts however hot one source gets (a hash-salt cannot decompose
+    // a prefix sum; range slices preserve the global order). Gated on
+    // the UNCHANGED window-formulation oracle — the gate IS the
+    // output-equality proof.
+    "sample_token_budget_sliced" -> ((s, dir) =>
+      Sampling.tokenBudgetPerGroupSliced(GraphIO.documents(s, dir),
+        "source", "doc_id", TF.qualityScore(col("text")),
+        TF.tokenCount(col("text")), budget = 1500L)),
     // Cross-source canonical pick over near-dup clusters: per cluster
     // keep the highest-priority source's member (doc_id tiebreak) —
     // dedup across datasets with a trust order, as a map-side-collapsing
@@ -1236,6 +1246,7 @@ object SparkEntry {
     "dedup_canonical_priority_indexed" -> Oracles.dedupCanonicalPriority(
       "CAST(substr(source, 4) AS INT) % 5"),
     "sample_token_budget" -> Oracles.sampleTokenBudget(1500L),
+    "sample_token_budget_sliced" -> Oracles.sampleTokenBudget(1500L),
     "dedup_clusters_star" -> Oracles.dedupClusters,
     "pipeline_near_dedup" -> Oracles.pipelineNearDedup,
     "dedup_minhash_lsh" -> Oracles.dedupMinHashLsh,

@@ -685,6 +685,37 @@ class PipelinesSpec extends SparkSuite {
     assert(win.count(_._1 == "big") == 5 && win.count(_._1 == "small") == 4)
   }
 
+  test("tokenBudgetPerGroupSliced equals the window formulation when " +
+      "one hot group straddles many range slices") {
+    import spark.implicits._
+    // 'hot' holds ~90% of the rows, so with 5 slices it MUST span
+    // several range partitions — the cross-slice offset path is
+    // load-bearing, not a no-op; metric ties and tiny groups included
+    val d = ((1L to 450L).map(i => (i, "hot", (i % 13).toDouble, i % 9 + 1)) ++
+      (1000L to 1040L).map(i => (i, "cold", (i % 5).toDouble, i % 7 + 1)) ++
+      Seq((2000L, "one", 1.0, 3L)))
+      .toDF("doc_id", "source", "q", "toks").repartition(8)
+    for (budget <- Seq(5L, 100L, 100000L)) {
+      val win = graft.pipelines.Sampling
+        .tokenBudgetPerGroup(d, "source", "doc_id", col("q"), col("toks"),
+          budget).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4)))
+      val sli = graft.pipelines.Sampling
+        .tokenBudgetPerGroupSliced(d, "source", "doc_id", col("q"),
+          col("toks"), budget, slices = 5).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4)))
+      assert(win.toSeq == sli.toSeq, s"budget=$budget")
+    }
+    // the big-budget case must keep everything — guards against the
+    // decomposition silently dropping a slice
+    val all = graft.pipelines.Sampling
+      .tokenBudgetPerGroupSliced(d, "source", "doc_id", col("q"),
+        col("toks"), 100000L, slices = 5).count()
+    assert(all == 492L)
+  }
+
   test("topKPerGroup keeps the k best rows per group, id tiebreak") {
     import spark.implicits._
     val d = Seq((1L, "a", 0.9), (2L, "a", 0.5), (3L, "a", 0.7),
