@@ -144,28 +144,37 @@ object Bench {
         if (fam != "flat") GraphIO.evict(spark, sfDir, Seq(fam))
       }
     }
-    // Millisecond precision, locale-pinned: full-precision doubles made
-    // the stdout line ~2x longer than needed, and the driver's bounded
-    // tail capture has repeatedly truncated it (r10-r12 artifacts ship
-    // "parsed": null). ~15 digits per query never carried information —
-    // measurements swing far beyond a millisecond run to run.
     def ms(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val failedJson = failed.sorted.map(n => s"\"$n\"").mkString("[", ",", "]")
-    val json = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"warmup_sec":${ms(warmup)},"failed":$failedJson,"sf":"$sfDir"}"""
-    println(json)
-    // Also land the full JSON on disk: stdout capture downstream keeps
-    // only a bounded tail, which has repeatedly truncated the per-query
-    // map (~58 of 118 numbers missing from three rounds' artifacts).
+    val fullJson = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"warmup_sec":${ms(warmup)},"failed":$failedJson,"sf":"$sfDir"}"""
+    // The FULL per-query map goes to disk; stdout gets a SHORT line.
+    // Downstream stdout capture keeps only a bounded tail, and three
+    // rounds of driver artifacts shipped "parsed": null because the
+    // ~140-entry queries map overflowed it (r11-r13 verdicts). The
+    // short line is complete, parseable JSON — totals, failure list,
+    // the five slowest queries, and the path to the full map.
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_last.json")
-    try java.nio.file.Files.write(java.nio.file.Paths.get(out),
-      (json + "\n").getBytes("UTF-8"))
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] could not write $out: ${e.getMessage}")
-    }
+    val outPath = java.nio.file.Paths.get(out).toAbsolutePath
+    val wrote =
+      try { java.nio.file.Files.write(outPath,
+        (fullJson + "\n").getBytes("UTF-8")); true }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] could not write $out: ${e.getMessage}")
+        false
+      }
+    val top = results.toSeq.sortBy(-_._2).take(5)
+      .map { case (k, v) => s"\"" + k + "\":" + ms(v) }
+      .mkString("{", ",", "}")
+    // full map inline only as a fallback when the file write failed —
+    // better a truncated tail than no numbers at all
+    val line = if (wrote)
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$top,"n_queries":${results.size},"warmup_sec":${ms(warmup)},"failed":$failedJson,"sf":"$sfDir","full":"$outPath"}"""
+    else fullJson
+    println(line)
     spark.stop()
   }
 }

@@ -32,6 +32,35 @@ object ScaleBench {
   private val bandIndexCache =
     scala.collection.mutable.Map.empty[String, DataFrame]
 
+  /** Events-only uniform + hot-user-skewed reps× corpora (the skewwin
+    * shape), generated once per (outDir, reps) and shared by the
+    * skewwin and skewstream modes. */
+  private def ensureWinCorpora(spark: SparkSession, baseDir: String,
+      outDir: String, reps: Int): (String, String) = {
+    val uniDir = s"$outDir-uniwin$reps"
+    val skewDir = s"$outDir-skewwin$reps"
+    if (!new java.io.File(s"$skewDir/events.parquet/_SUCCESS").exists()) {
+      val ev = spark.read.parquet(s"$baseDir/events.parquet")
+      val hot = GraphIO.events(spark, baseDir).groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("user_id")).head().getLong(0)
+      println(s"[skewwin] hot user = $hot")
+      (0 until reps).map { r =>
+        ev.withColumn("user_id", col("user_id") + lit(r * Shift))
+          .withColumn("event_id", col("event_id") + lit(r * Shift))
+      }.reduce(_ unionAll _)
+        .write.mode("overwrite").parquet(s"$uniDir/events.parquet")
+      (0 until reps).map { r =>
+        ev.withColumn("user_id",
+            when(col("user_id") === hot, col("user_id"))
+              .otherwise(col("user_id") + lit(r * Shift)))
+          .withColumn("event_id", col("event_id") + lit(r * Shift))
+      }.reduce(_ unionAll _)
+        .write.mode("overwrite").parquet(s"$skewDir/events.parquet")
+    }
+    (uniDir, skewDir)
+  }
+
   private def replicate(spark: SparkSession, baseDir: String,
       outDir: String, reps: Int): Unit = {
     def scaled(table: String, keyCols: Seq[String]): DataFrame = {
@@ -288,6 +317,25 @@ object ScaleBench {
     "dedup_canonical_priority" ->
       SparkEntry.queries("dedup_canonical_priority"),
     "sample_token_budget" -> SparkEntry.queries("sample_token_budget"),
+    // ---- round-14 operators, each with its 10× one: row ----
+    // range-sliced prefix scan: two bounded shuffles + a broadcast
+    // offset join — the ratio must track the window twin's scan floor
+    "sample_token_budget_sliced" ->
+      SparkEntry.queries("sample_token_budget_sliced"),
+    // driver-local greedy BPE twin: ONE corpus job for the capped word
+    // dictionary + K driver rounds — the job-count claim at scale (the
+    // distributed trainer pays 2 corpus-touching jobs PER MERGE)
+    "bpe_train_fast" -> SparkEntry.queries("bpe_train_fast"),
+    // stale-centroid assignment + fresh rebuild + two probes + exact
+    // rung: the audit's cost must track the rungs it measures
+    "ann_recall_audit_appended" ->
+      SparkEntry.queries("ann_recall_audit_appended"),
+    // checkpointed two-phase drains: two state-store round-trips over
+    // half-corpus files — the restart overhead must stay ~flat vs the
+    // single-drain streaming twins
+    "stream_restart_totals" -> SparkEntry.queries("stream_restart_totals"),
+    "stream_restart_sessionize" ->
+      SparkEntry.queries("stream_restart_sessionize"),
     // seeded-teleport kernel: same per-iteration shape as pagerank —
     // the ratio must match the kernel family's band
     "pagerank_personalized" -> ((s, dir) =>
@@ -401,7 +449,17 @@ object ScaleBench {
     //    semanticDuplicates on the skewed corpus;
     //  - "incdelta" — O(delta) evidence for incremental cluster
     //    maintenance: per-delta rebuild vs the persisted-index +
-    //    persisted-assignments path, on the skewdedup uniform corpus.
+    //    persisted-assignments path, on the skewdedup uniform corpus;
+    //  - "skewbudget" — token-budget curation on base vs UNIFORM reps×
+    //    vs a skewed reps× corpus where HALF of all documents carry
+    //    ONE source value: the window formulation's one-giant-sort-
+    //    partition stress vs the range-sliced prefix scan (r14);
+    //  - "skewstream" — STREAMING STATE-BOUND evidence: the
+    //    watermarked drains over base / uniform reps× / hot-user
+    //    skewed reps× events admitted in TIME ORDER across ~16
+    //    micro-batches, recording max stateOperators.numRowsTotal —
+    //    state must track the watermark horizon, not stream length
+    //    (r14, VERDICT r13 missing #4).
     val mode = if (args.length > 3) args(3) else "all"
     val order = if (mode.startsWith("seed:"))
       new scala.util.Random(mode.stripPrefix("seed:").toLong).shuffle(queries)
@@ -440,27 +498,7 @@ object ScaleBench {
       // 32-core job-overhead floor (~0.6 s); the skew exposure needs
       // reps high enough that the hot user's single sort partition
       // dominates (reps=100 → 10M events, 1M on one user).
-      val uniDir = s"$outDir-uniwin$reps"
-      val skewDir = s"$outDir-skewwin$reps"
-      if (!new java.io.File(s"$skewDir/events.parquet/_SUCCESS").exists()) {
-        val ev = spark.read.parquet(s"$baseDir/events.parquet")
-        val hot = GraphIO.events(spark, baseDir).groupBy(col("user_id"))
-          .agg(count(lit(1)).as("n"))
-          .orderBy(col("n").desc, col("user_id")).head().getLong(0)
-        println(s"[skewwin] hot user = $hot")
-        (0 until reps).map { r =>
-          ev.withColumn("user_id", col("user_id") + lit(r * Shift))
-            .withColumn("event_id", col("event_id") + lit(r * Shift))
-        }.reduce(_ unionAll _)
-          .write.mode("overwrite").parquet(s"$uniDir/events.parquet")
-        (0 until reps).map { r =>
-          ev.withColumn("user_id",
-              when(col("user_id") === hot, col("user_id"))
-                .otherwise(col("user_id") + lit(r * Shift)))
-            .withColumn("event_id", col("event_id") + lit(r * Shift))
-        }.reduce(_ unionAll _)
-          .write.mode("overwrite").parquet(s"$skewDir/events.parquet")
-      }
+      val (uniDir, skewDir) = ensureWinCorpora(spark, baseDir, outDir, reps)
       val qmap = queries.toMap
       def timed(dir: String, name: String): (Double, Double) = {
         def once(): Double = {
@@ -731,6 +769,121 @@ object ScaleBench {
         f""""index_build_sec":$tBuild%.2f,"rebuild_sec":$tRebuild%.2f,""" +
         f""""delta_sec":$tDelta%.2f,""" +
         f""""delta_vs_rebuild":${tDelta / tRebuild}%.3f}""")
+    } else if (mode == "skewbudget") {
+      // HOT-GROUP curation evidence (r13 missing #3's "Done" tail):
+      // token-budget selection on base vs UNIFORM reps× documents vs a
+      // skewed reps× twin with identical row counts where HALF of all
+      // documents carry ONE source value — for the window formulation
+      // that source is a single sort partition holding half the
+      // corpus; the range-sliced prefix scan keeps every task bounded.
+      // Claim under test: sliced skew ≈ sliced uniform while the
+      // window's skew wall degrades toward its hot-partition sort.
+      val uniDir = s"$outDir-unidedup$reps" // shared with skewdedup/incdelta
+      val skewDir = s"$outDir-skewbudget$reps"
+      if (!new java.io.File(s"$uniDir/documents.parquet/_SUCCESS")
+          .exists()) {
+        val docs = spark.read.parquet(s"$baseDir/documents.parquet")
+        (0 until reps).map { r =>
+          docs.withColumn("doc_id", col("doc_id") + lit(r * Shift))
+            .withColumn("text", if (r == 0) col("text")
+              else concat(col("text"), lit(s" rep$r")))
+        }.reduce(_ unionAll _)
+          .write.mode("overwrite").parquet(s"$uniDir/documents.parquet")
+      }
+      if (!new java.io.File(s"$skewDir/documents.parquet/_SUCCESS")
+          .exists()) {
+        // Shift is even, so `doc_id % 2 = 0` marks the same half of
+        // every replica — one source ends up holding ~half the corpus
+        spark.read.parquet(s"$uniDir/documents.parquet")
+          .withColumn("source",
+            when(col("doc_id") % 2 === 0, lit("src0"))
+              .otherwise(col("source")))
+          .write.mode("overwrite").parquet(s"$skewDir/documents.parquet")
+      }
+      val qmap = queries.toMap
+      def timed(dir: String, name: String): (Double, Double) = {
+        def once(): Double = {
+          val t0 = System.nanoTime()
+          val df = qmap(name)(spark, dir)
+          try df.write.format("noop").mode("overwrite").save()
+          finally Checkpoints.releaseAll(df)
+          (System.nanoTime() - t0) / 1e9
+        }
+        (once(), once())
+      }
+      Seq("sample_token_budget", "sample_token_budget_sliced")
+        .foreach { name =>
+          val (bf, bw) = timed(baseDir, name)
+          val (uf, uw) = timed(uniDir, name) // uniform reps×
+          val (kf, kw) = timed(skewDir, name) // one half-corpus source
+          println(f"""{"metric":"skewbudget","query":"$name",""" +
+            f""""base_warm":$bw%.2f,"uniform${reps}x_warm":$uw%.2f,""" +
+            f""""skew${reps}x_warm":$kw%.2f,""" +
+            f""""uniform_ratio":${uw / bw}%.2f,""" +
+            f""""skew_ratio":${kw / bw}%.2f,""" +
+            f""""base_first":$bf%.2f,"uniform_first":$uf%.2f,""" +
+            f""""skew_first":$kf%.2f}""")
+        }
+    } else if (mode == "skewstream") {
+      // STREAMING STATE-BOUND evidence (VERDICT r13 missing #4): the
+      // watermarked drains over base / uniform reps× / hot-user skewed
+      // reps× events, admitted in TIME ORDER across ~16 micro-batches
+      // (maxFilesPerTrigger=1 over ts-range-partitioned files) so the
+      // watermark genuinely advances between batches and state
+      // eviction runs. Recorded per drain: wall, input rows, data
+      // batches, and max stateOperators.numRowsTotal — the claim is
+      // state bounded by the watermark horizon (open sessions / keys /
+      // buffered events inside it), NOT by stream length; on the skew
+      // corpus the hot user adds ONE session row, not reps× state.
+      val (uniDir, skewDir) = ensureWinCorpora(spark, baseDir, outDir, reps)
+      val nf = 16
+      def streamSrc(tag: String, dir: String): String = {
+        val out = s"$outDir-streamsrc$reps/$tag"
+        if (!new java.io.File(s"$out/_SUCCESS").exists())
+          GraphIO.events(spark, dir)
+            .repartitionByRange(nf, col("ts"))
+            .sortWithinPartitions(col("ts"))
+            .write.mode("overwrite").parquet(out)
+        out
+      }
+      val corpora = Seq("base" -> streamSrc("base", baseDir),
+        s"uniform${reps}x" -> streamSrc("uni", uniDir),
+        s"skew${reps}x" -> streamSrc("skew", skewDir))
+      def drainStats(src: String, mk: DataFrame => DataFrame)
+          : (Double, Long, Long, Long) = {
+        val schema = spark.read.parquet(src).schema
+        val stream = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(src)
+        val t0 = System.nanoTime()
+        val q = mk(stream).writeStream.outputMode("append").format("noop")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val wall = (System.nanoTime() - t0) / 1e9
+        val progs = q.recentProgress
+        (wall, progs.map(_.numInputRows).sum,
+          progs.flatMap(_.stateOperators.map(_.numRowsTotal))
+            .foldLeft(0L)(math.max),
+          progs.count(_.numInputRows > 0).toLong)
+      }
+      def asTs(df: DataFrame): DataFrame =
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val drains: Seq[(String, DataFrame => DataFrame)] = Seq(
+        "stream_sessionize" -> (src =>
+          streaming.EventPipelines.sessionizeStream(spark, src).toDF()),
+        "stream_dedup" -> (src =>
+          streaming.EventPipelines.streamingDedup(asTs(src))),
+        "stream_range_join" -> (src =>
+          streaming.EventPipelines.rangeJoinStream(asTs(src))))
+      drains.foreach { case (name, mk) =>
+        corpora.foreach { case (tag, src) =>
+          val (wall, in, st, nb) = drainStats(src, mk)
+          println(s"""{"metric":"skewstream","query":"$name",""" +
+            s""""corpus":"$tag",""" +
+            f""""wall_sec":$wall%.2f,"input_rows":$in,""" +
+            s""""max_state_rows":$st,"data_batches":$nb}""")
+        }
+      }
     } else if (mode != "train") {
       def benchOrdered(dir: String): Map[String, Double] = benchDir(dir, order)
       val base = benchOrdered(baseDir)
@@ -746,7 +899,8 @@ object ScaleBench {
     }
 
     if (mode.startsWith("one:") || mode == "skewwin" ||
-        mode == "skewkernel" || mode == "skewdedup" || mode == "incdelta") {
+        mode == "skewkernel" || mode == "skewdedup" || mode == "incdelta" ||
+        mode == "skewbudget" || mode == "skewstream") {
       spark.stop(); return
     }
     // trainFraction evidence. The testdata embedding table (2k-20k
