@@ -1004,7 +1004,13 @@ object Oracles {
     * candidate pairs: 16 hash slots over the 60-bit (h, h2) shingle
     * pair, 4 bands of 4 rows with the WIDE two-fold band signature,
     * same (a_j, b_j) constants as the Spark side ([[MinHashParams]]). */
-  private def minhashBandCtes: String = {
+  private def minhashBandCtes: String = minhashBandCtes("documents")
+
+  /** [[minhashBandCtes]] over a caller-named docs CTE/table (same
+    * (doc_id, text) contract as `documents`) — lets composed oracles
+    * (e.g. [[streamIngestCurate]]) run the band chain over a derived
+    * survivor set. */
+  private def minhashBandCtes(src: String): String = {
     val mins = MinHashParams.params.zipWithIndex.map { case ((a, b), j) =>
       s"MIN(($a * h + $b * h2) % ${MinHashParams.P}) AS m$j"
     }.mkString(", ")
@@ -1017,14 +1023,16 @@ object Oracles {
     }.mkString("\nUNION ALL ")
     s"""sh AS MATERIALIZED (
        |  SELECT DISTINCT doc_id, sh FROM (
-       |    SELECT doc_id, unnest(${TF.sqlShingles("text", 3)}) AS sh FROM documents) t),
+       |    SELECT doc_id, unnest(${TF.sqlShingles("text", 3)}) AS sh FROM $src) t),
        |hh AS MATERIALIZED (SELECT doc_id, ${GraftHash.duckdbSql("sh")} AS h, ${GraftHash.duckdbSql2("sh")} AS h2 FROM sh),
        |mh AS MATERIALIZED (SELECT doc_id, $mins FROM hh GROUP BY doc_id),
        |bands AS MATERIALIZED ($bandRows)""".stripMargin
   }
 
-  private def minhashPairCtes: String =
-    s"""$minhashBandCtes,
+  private def minhashPairCtes: String = minhashPairCtes("documents")
+
+  private def minhashPairCtes(src: String): String =
+    s"""${minhashBandCtes(src)},
        |pairs AS MATERIALIZED (
        |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
        |  FROM bands x JOIN bands y ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id)""".stripMargin
@@ -1070,8 +1078,10 @@ object Oracles {
   /** Shared recursive-CC CTE chain ending in `cc(id, cluster_id)` over
     * the MinHash/LSH pairs: every node collects the labels of
     * everything it can reach, then keeps the minimum. */
-  private def ccCtes: String =
-    s"""$minhashPairCtes,
+  private def ccCtes: String = ccCtes("documents")
+
+  private def ccCtes(src: String): String =
+    s"""${minhashPairCtes(src)},
        |e AS MATERIALIZED (
        |  SELECT a AS x, b AS y FROM pairs
        |  UNION ALL SELECT b, a FROM pairs),
@@ -1125,6 +1135,43 @@ object Oracles {
        |SELECT doc_id AS keep_id, source, prio,
        |       CAST(n - 1 AS BIGINT) AS n_dups_removed
        |FROM r WHERE rn = 1 ORDER BY keep_id""".stripMargin
+
+  /** Mirror of the `stream_ingest_curate` gate: ingest corpus =
+    * documents plus re-ingested copies (every `everyK`-th doc_id
+    * shifted by `reShift`, same text/source), streaming watermarked
+    * dedup keyed on NORMALIZED TEXT keeps the first arrival — the
+    * gate's in-stream arrival order is doc_id order and is ASSERTED
+    * in-gate, so the min-doc_id survivor per normalized-text class
+    * replayed here is exact — then the cross-source canonical pick
+    * runs over the surviving subset ([[dedupCanonicalPriority]]'s
+    * chain with `docs_s` as the corpus). */
+  def streamIngestCurate(prioSql: String, reShift: Long,
+      everyK: Int): String = {
+    val norm = TF.sqlNormalizeText("text")
+    s"""WITH RECURSIVE ingest AS MATERIALIZED (
+       |  SELECT doc_id, source, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + $reShift AS doc_id, source, text FROM documents
+       |  WHERE doc_id % $everyK = 0),
+       |docs_s AS MATERIALIZED (
+       |  SELECT doc_id, source, text FROM (
+       |    SELECT doc_id, source, text,
+       |           ROW_NUMBER() OVER (PARTITION BY $norm
+       |             ORDER BY doc_id) AS rn
+       |    FROM ingest) t WHERE rn = 1),
+       |${ccCtes("docs_s")},
+       |m AS MATERIALIZED (
+       |  SELECT d.doc_id, d.source, CAST($prioSql AS INT) AS prio,
+       |         coalesce(cc.cluster_id, d.doc_id) AS cid
+       |  FROM docs_s d LEFT JOIN cc ON cc.id = d.doc_id),
+       |r AS (SELECT *,
+       |        row_number() OVER (PARTITION BY cid
+       |          ORDER BY prio DESC, doc_id) AS rn,
+       |        COUNT(*) OVER (PARTITION BY cid) AS n FROM m)
+       |SELECT doc_id AS keep_id, source, prio,
+       |       CAST(n - 1 AS BIGINT) AS n_dups_removed
+       |FROM r WHERE rn = 1 ORDER BY keep_id""".stripMargin
+  }
 
   /** Mirror of [[graft.pipelines.Sampling.tokenBudgetPerGroup]] over
     * the documents table: quality-first rank per source, integer

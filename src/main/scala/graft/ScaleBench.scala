@@ -336,6 +336,9 @@ object ScaleBench {
     "stream_restart_totals" -> SparkEntry.queries("stream_restart_totals"),
     "stream_restart_sessionize" ->
       SparkEntry.queries("stream_restart_sessionize"),
+    // stream→curate composition: watermarked key-dedup drain + batch
+    // canonical pick — cost must track the dedup+canonical stages
+    "stream_ingest_curate" -> SparkEntry.queries("stream_ingest_curate"),
     // seeded-teleport kernel: same per-iteration shape as pagerank —
     // the ratio must match the kernel family's band
     "pagerank_personalized" -> ((s, dir) =>

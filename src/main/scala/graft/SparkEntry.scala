@@ -1114,6 +1114,68 @@ object SparkEntry {
       graft.pipelines.Quantiles.approxRankAudit(
         GraphIO.events(s, dir), "event_type", col("value"), est, qs, acc)
     }),
+    // STREAM → CURATE composition — the first end-to-end
+    // ingest-to-training-set path: a documents INGEST stream (the
+    // corpus plus re-ingested copies of every 3rd doc under shifted
+    // ids — re-crawls/duplicate submissions) flows through a
+    // WATERMARKED streaming dedup keyed on the normalized text (state
+    // = keys inside the horizon; at 100 TB key on the wide fingerprint
+    // instead of the text), and the deduplicated classes feed the
+    // BATCH near-dup canonical pick. The STREAM's contract is the
+    // KEY SET — each normalized-text class emitted exactly once within
+    // the horizon (asserted below; which payload row carries the key
+    // out is intra-batch arrival order, which is not a curation
+    // policy) — while SURVIVOR IDENTITY is materialized batch-side by
+    // the min-doc_id rule, exactly what the DuckDB oracle replays:
+    // min-id survivor per class, then the canonical chain over that
+    // subset.
+    "stream_ingest_curate" -> ((s, dir) => {
+      val name = "graft_stream_ingest_gate"
+      val reShift = 1000000000L
+      val docs = GraphIO.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("text"))
+      val ingest = docs.unionByName(
+        docs.filter(col("doc_id") % 3 === 0)
+          .withColumn("doc_id", col("doc_id") + lit(reShift)))
+      val srcDir = "target/graft-ingest-" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+      ingest.coalesce(1).write.mode("overwrite").parquet(srcDir)
+      val schema = s.read.parquet(srcDir).schema
+      s.catalog.dropTempView(name) // idempotent re-run in one session
+      val q = s.readStream.schema(schema).parquet(srcDir)
+        .withColumn("norm_text", TF.normalizeText(s, col("text")))
+        .withColumn("event_time", timestamp_micros(col("doc_id")))
+        .withWatermark("event_time", "1 hour")
+        .dropDuplicatesWithinWatermark("norm_text")
+        .writeStream.outputMode("append").format("memory").queryName(name)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      requireSingleBatch(q, "stream_ingest_curate")
+      val drainedKeys = s.table(name).select(col("norm_text"))
+      // per-class min-id survivors — the deterministic identity rule
+      val expected = ingest
+        .select(TF.normalizeText(s, col("text")).as("norm_text"),
+          col("doc_id"))
+        .groupBy(col("norm_text")).agg(min(col("doc_id")).as("doc_id"))
+      // the streaming dedup's contract, asserted loudly: the emitted
+      // key set IS the class set, each key exactly once (a dropped or
+      // duplicated key here means broken dedup state, not noise)
+      val extra = drainedKeys
+        .join(expected.select(col("norm_text")), Seq("norm_text"),
+          "left_anti").count()
+      val missing = expected.select(col("norm_text"))
+        .join(drainedKeys, Seq("norm_text"), "left_anti").count()
+      val dupEmits = drainedKeys.count() - expected.count()
+      require(extra == 0 && missing == 0 && dupEmits == 0,
+        s"stream_ingest_curate: streamed key set diverges from the " +
+          s"normalized-text classes ($extra unknown, $missing missing, " +
+          s"$dupEmits duplicate emissions) — streaming dedup state is " +
+          "broken; fix before trusting the oracle")
+      Dedup.canonicalByPriority(s,
+        ingest.join(expected.select(col("doc_id")), Seq("doc_id"))
+          .select(col("doc_id"), col("source"), col("text")),
+        expr("substring(source, 4)").cast("int") % 5)
+    }),
     // ---- retrieval: keyword, hybrid sparse+dense, inverted index ----
     "search_bm25" -> ((s, dir) =>
       Retrieval.bm25(GraphIO.documents(s, dir), SearchTerms)),
@@ -1243,6 +1305,9 @@ object SparkEntry {
     "dedup_clusters" -> Oracles.dedupClusters,
     "dedup_canonical_priority" -> Oracles.dedupCanonicalPriority(
       "CAST(substr(source, 4) AS INT) % 5"),
+    "stream_ingest_curate" -> Oracles.streamIngestCurate(
+      "CAST(substr(source, 4) AS INT) % 5", reShift = 1000000000L,
+      everyK = 3),
     "dedup_canonical_priority_indexed" -> Oracles.dedupCanonicalPriority(
       "CAST(substr(source, 4) AS INT) % 5"),
     "sample_token_budget" -> Oracles.sampleTokenBudget(1500L),
