@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked main's stdout/stderr through UNDECORATED instead of
+// routing them via sbt's logger: the logger prefixes every line with
+// `[info] `/`[error] `, which is exactly what kept the driver-side
+// bench parser from reading Bench's machine-readable JSON line four
+// rounds running (BENCH_r11-r14 all shipped "parsed": null with the
+// complete line sitting in the tail behind an `[info] ` prefix).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

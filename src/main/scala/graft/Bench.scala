@@ -106,7 +106,19 @@ object Bench {
       .config("spark.network.timeout", "600s")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: the per-query WARN spam (FunctionRegistry
+    // replacement notices, the by-construction-benign WindowExec
+    // single-partition warnings) flooded the driver's bounded stdout
+    // tail four rounds running and pushed the machine-readable JSON
+    // line out of it (VERDICT r14 wrong #1). Real failures still
+    // surface — per-query catch blocks print them explicitly.
+    spark.sparkContext.setLogLevel("ERROR")
+    // 1-minute loadavg at entry/exit: the bench artifact self-describes
+    // host quietness, so swing arbitration (r12-r14 all needed an
+    // essay) becomes a recorded field (VERDICT r14 next #7).
+    def loadavg(): Double = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    val loadStart = loadavg()
     val byFam = SparkEntry.queries.toSeq.groupBy { case (n, _) => family(n) }
     var warmup = 0.0
     var failed = List.empty[String]
@@ -150,7 +162,8 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val failedJson = failed.sorted.map(n => s"\"$n\"").mkString("[", ",", "]")
-    val fullJson = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"warmup_sec":${ms(warmup)},"failed":$failedJson,"sf":"$sfDir"}"""
+    val load = s""""loadavg_start":${ms(loadStart)},"loadavg_end":${ms(loadavg())}"""
+    val fullJson = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"warmup_sec":${ms(warmup)},"failed":$failedJson,$load,"sf":"$sfDir"}"""
     // The FULL per-query map goes to disk; stdout gets a SHORT line.
     // Downstream stdout capture keeps only a bounded tail, and three
     // rounds of driver artifacts shipped "parsed": null because the
@@ -169,12 +182,20 @@ object Bench {
     val top = results.toSeq.sortBy(-_._2).take(5)
       .map { case (k, v) => s"\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
+    // the path is interpolated into JSON: a quote/backslash in it must
+    // not produce an unparseable line — the one thing this line is for
+    val pathJson = outPath.toString
+      .replace("\\", "\\\\").replace("\"", "\\\"")
     // full map inline only as a fallback when the file write failed —
     // better a truncated tail than no numbers at all
     val line = if (wrote)
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$top,"n_queries":${results.size},"warmup_sec":${ms(warmup)},"failed":$failedJson,"sf":"$sfDir","full":"$outPath"}"""
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$top,"n_queries":${results.size},"warmup_sec":${ms(warmup)},"failed":$failedJson,$load,"sf":"$sfDir","full":"$pathJson"}"""
     else fullJson
-    println(line)
+    // stop FIRST, print LAST: nothing (shutdown log lines included) may
+    // land on stdout after the machine-readable line — paired with
+    // build.sbt's undecorated `run / outputStrategy`, the tail's final
+    // line IS the JSON (VERDICT r14 next #4).
     spark.stop()
+    println(line)
   }
 }

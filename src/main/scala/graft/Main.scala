@@ -309,6 +309,11 @@ object Main {
         //   ivf_append <index_dir> <emb.parquet> <out_dir> [gen]
         // gen defaults to (max existing generation) + 1; a plain
         // ivf_index output (no gen column) counts as generation 0.
+        // Contract enforcement costs one max(gen) aggregate over the
+        // index EVEN when an explicit gen is supplied (an append at or
+        // below max(gen) would silently corrupt compaction) — one
+        // column-pruned scan of the index, deliberately cheaper than
+        // the corruption it prevents.
         if (a.length < 3) throw CliArgError(
           "ivf_append needs <index_dir> <emb.parquet> <out_dir> [gen]")
         val idxDf = spark.read.parquet(s"${a(0)}/index.parquet")

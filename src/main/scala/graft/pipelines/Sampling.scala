@@ -145,14 +145,26 @@ object Sampling {
     * wherever the sampler cuts the ranges), so the gate runs against
     * the window formulation's oracle VERBATIM — the gate IS the
     * output-equality proof. `slices <= 0` derives the slice count from
-    * `spark.sql.shuffle.partitions`. */
+    * `spark.sql.shuffle.partitions` (falling back to
+    * `defaultParallelism` when that conf is non-numeric, e.g. "auto").
+    *
+    * Input contract: `df` must be DETERMINISTIC (re-evaluable to the
+    * same rows). The ranged frame feeds both the per-slice locals and
+    * the offset table; Catalyst's exchange reuse makes that one
+    * evaluation in practice, but a non-deterministic input (e.g. a
+    * fresh `rand()` column) could legally diverge between the two
+    * consumers and corrupt the offsets — materialize such inputs
+    * first. Every gate/CLI caller reads parquet, which is
+    * deterministic. */
   def tokenBudgetPerGroupSliced(df: DataFrame, group: String, id: String,
       metric: org.apache.spark.sql.Column,
       tokens: org.apache.spark.sql.Column, budget: Long,
       slices: Int = 0): DataFrame = {
     require(budget >= 1, s"budget must be >= 1, got $budget")
     val p = if (slices > 0) slices
-      else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+      else scala.util.Try(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
+        .getOrElse(df.sparkSession.sparkContext.defaultParallelism)
     val ranged = df
       .select(col(group), col(id), tokens.cast("long").as("n_toks"),
         metric.as("__m"))
