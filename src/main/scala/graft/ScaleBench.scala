@@ -842,11 +842,20 @@ object ScaleBench {
       val nf = 16
       def streamSrc(tag: String, dir: String): String = {
         val out = s"$outDir-streamsrc$reps/$tag"
-        if (!new java.io.File(s"$out/_SUCCESS").exists())
+        if (!new java.io.File(s"$out/_SUCCESS").exists()) {
           GraphIO.events(spark, dir)
-            .repartitionByRange(nf, col("ts"))
+            .repartitionByRange(nf, col("ts"), col("event_id"))
             .sortWithinPartitions(col("ts"))
             .write.mode("overwrite").parquet(out)
+          // one write job commits all 16 slices with ONE mtime; force
+          // range-ordered mtimes so FileStreamSource's oldest-first
+          // admission is deterministic time order, not tie-listing
+          // luck (ADVICE r14) — also asserted per batch in drainStats
+          graft.streaming.Restart.orderPartFileMtimes(
+            new java.io.File(out).listFiles().toSeq
+              .filter(f => f.isFile && f.getName.startsWith("part-")),
+            System.currentTimeMillis() - 2L * (nf + 2) * 2000L)
+        }
         out
       }
       val corpora = Seq("base" -> streamSrc("base", baseDir),
@@ -864,6 +873,15 @@ object ScaleBench {
         q.awaitTermination()
         val wall = (System.nanoTime() - t0) / 1e9
         val progs = q.recentProgress
+        // the state-bound claim needs genuinely time-ordered admission:
+        // assert it from the engine's own telemetry instead of trusting
+        // the mtime fix — per-data-batch max event time non-decreasing
+        val maxes = progs.filter(_.numInputRows > 0)
+          .flatMap(p => Option(p.eventTime.get("max")))
+        require(maxes.sameElements(maxes.sorted),
+          s"skewstream: per-batch eventTime.max not non-decreasing " +
+            s"(${maxes.mkString(", ")}) — admission was not time-ordered " +
+            "and max_state_rows evidence would be distorted")
         (wall, progs.map(_.numInputRows).sum,
           progs.flatMap(_.stateOperators.map(_.numRowsTotal))
             .foldLeft(0L)(math.max),

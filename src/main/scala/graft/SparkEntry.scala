@@ -923,9 +923,12 @@ object SparkEntry {
     // accumulator state must continue the fold exactly where the
     // one-shot drain would be — the gate hashes the combined sink
     // against the UNCHANGED batch running-totals oracle, so a state
-    // round-trip error of even one cent fails. The time-ordered split
-    // keeps every per-user fold prefix in (ts, event_id) order across
-    // the phase boundary (each phase is asserted single-batch).
+    // round-trip error of even one cent fails. Each phase is admitted
+    // as 4 time-ordered micro-batches (maxFilesPerTrigger=1 over
+    // (ts, event_id)-range slices), so the fold consumes every
+    // per-user sequence in exact (ts, event_id) order across BOTH
+    // batch and phase boundaries — the general resumed-drain shape,
+    // not the r14 one-batch-per-phase crutch.
     "stream_restart_totals" -> ((s, dir) =>
       graft.streaming.Restart.twoPhaseDrain(s, GraphIO.events(s, dir),
           "totals", dir,
@@ -936,10 +939,12 @@ object SparkEntry {
     // deadlines live in the state store across the stop, and the
     // restored WATERMARK gates which of them may flush. After the
     // restart, phase-2 events must extend/close phase-1's open sessions
-    // exactly as a single drain would (time-ordered split: a session
-    // phase 1 timed out is one the single drain would have closed with
-    // identical content — any later event of that user lies beyond the
-    // phase-1 watermark, hence beyond the session's gap deadline).
+    // exactly as a single drain would — and with 4 time-ordered
+    // micro-batches per phase, MID-DRAIN watermark advances flush
+    // sessions between batches too: a session any batch times out is
+    // one the single drain would have closed with identical content
+    // (any later event of that user lies beyond that batch's
+    // watermark, hence beyond the session's gap deadline).
     // Shares the single-drain stream_sessionize oracle verbatim; ts is
     // µs-floored before the stream like that gate.
     "stream_restart_sessionize" -> ((s, dir) =>
@@ -952,6 +957,32 @@ object SparkEntry {
         .select(col("user_id"), col("n_events"),
           expr("dur_ns div 1000").as("dur_us"))
         .orderBy(col("user_id"), col("n_events"), col("dur_us"))),
+    // CHECKPOINTED RESTART under CHANGED PARALLELISM: the one knob a
+    // deployment must not have to freeze across restarts. Spark pins
+    // the stateful operators' shuffle-partition count in the
+    // checkpoint's offset-log metadata and applies the CHECKPOINTED
+    // value on resume (`OffsetSeqMetadata.relevantSQLConfs`), so a
+    // restart under a resized session must WORK — this gate flips
+    // `spark.sql.shuffle.partitions` between the two drains and hashes
+    // the combined sink against the same never-stopped oracle. If the
+    // engine ever read the session value instead, phase 2 would route
+    // keys to partitions whose restored state lives elsewhere — lost
+    // accumulators, wrong totals, loud hash mismatch.
+    "stream_restart_repartitioned" -> ((s, dir) => {
+      val key = "spark.sql.shuffle.partitions"
+      val orig = s.conf.get(key)
+      val altered = (scala.util.Try(orig.toInt)
+        .getOrElse(s.sparkContext.defaultParallelism) * 2 + 1).toString
+      val out =
+        try graft.streaming.Restart.twoPhaseDrain(s, GraphIO.events(s, dir),
+          "repart", dir,
+          src => EventPipelines.runningTotalsStream(s, src).toDF(),
+          betweenPhases = sess => sess.conf.set(key, altered))
+        // restore BEFORE any action on `out`: the session serves every
+        // later gate in this JVM
+        finally s.conf.set(key, orig)
+      out.orderBy(col("user_id"), col("event_id"))
+    }),
     // STREAMING stream-stream interval join twin of events_range_join:
     // both sides watermarked, event-time-bounded join condition → Spark
     // derives a state-retention horizon for both buffers. The single
@@ -1370,6 +1401,9 @@ object SparkEntry {
     // from never having stopped
     "stream_restart_totals" -> Oracles.eventsRunningTotals(),
     "stream_restart_sessionize" -> Oracles.streamSessionize(),
+    // resized-session restart: state partitioning is pinned by the
+    // checkpoint, so the oracle is again the never-stopped fold
+    "stream_restart_repartitioned" -> Oracles.eventsRunningTotals(),
     "stream_window" -> Oracles.streamWindow,
     "stream_two_drains" -> Oracles.streamTwoDrains(),
     "stream_range_join" -> Oracles.streamRangeJoin(),

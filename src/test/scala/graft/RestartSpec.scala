@@ -34,9 +34,11 @@ class RestartSpec extends SparkSuite {
 
   test("restarted sessionizer extends a session left open at the stop — " +
       "the straddling session emerges merged, not split") {
+    // slicesPerPhase = 1: the 4-event fixture pins WHERE each event
+    // lands; the multi-batch admission path has its own test below
     val out = Restart.twoPhaseDrain(spark, events, "spec-sess", "spec",
         src => EventPipelines.sessionizeStream(spark, src,
-          watermarkDelay = "0 seconds").toDF())
+          watermarkDelay = "0 seconds").toDF(), slicesPerPhase = 1)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     // ONE u1 session covering all three events, 2600 s long: only
     // possible if phase 2 restored (start=+0, last=+1000, n=2) from the
@@ -48,11 +50,41 @@ class RestartSpec extends SparkSuite {
   test("restarted running-totals fold continues from the restored " +
       "accumulator") {
     val out = Restart.twoPhaseDrain(spark, events, "spec-tot", "spec",
-        src => EventPipelines.runningTotalsStream(spark, src).toDF())
+        src => EventPipelines.runningTotalsStream(spark, src).toDF(),
+        slicesPerPhase = 1)
       .collect().map(r => (r.getLong(1), r.getLong(2))).toMap
     // event 3 lands after the restart; its running total must include
     // phase 1's 1.25 + 2.50 — a fresh accumulator would emit 400
     assert(out == Map(1L -> 125L, 2L -> 375L, 3L -> 775L, 4L -> 800L), out)
+  }
+
+  test("multi-batch phases: 4 time-ordered micro-batches per phase, " +
+      "mid-drain watermark flushes, restart — output equals the " +
+      "never-stopped sessionization") {
+    import spark.implicits._
+    // u1-u3: one 16-event session each (600 s spacing < 1800 s gap);
+    // u4: an early 2-event session (flushed MID-PHASE-1 once the
+    // watermark passes its +2450 s deadline — a flush between batches,
+    // not at the stop) and a late 2-event session whose deadline
+    // outlives the stream (stays open, correctly absent). Both phases
+    // hold 17+ events, so every one of the 4 range slices is non-empty
+    // (twoPhaseDrain asserts one data batch per slice file).
+    val rows = (for {
+      u <- 1L to 3L; k <- 0L to 15L
+    } yield (u * 100 + k, u, T0 + k * 600 * S, "click", 1.0)) ++
+      Seq((401L, 4L, T0 + 50L * S, "click", 1.0),
+        (402L, 4L, T0 + 650L * S, "click", 1.0),
+        (403L, 4L, T0 + 12000L * S, "click", 1.0),
+        (404L, 4L, T0 + 12600L * S, "click", 1.0))
+    val ev = rows.toDF("event_id", "user_id", "ts", "event_type", "value")
+    val out = Restart.twoPhaseDrain(spark, ev, "spec-multi", "spec",
+        src => EventPipelines.sessionizeStream(spark, src,
+          watermarkDelay = "0 seconds").toDF())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // final watermark = +12600 s: u1-u3's deadline +10800 flushes, u4's
+    // late session (+14400) does not — same semantics as a single drain
+    assert(out == Set((1L, 16L, 9000L * S), (2L, 16L, 9000L * S),
+      (3L, 16L, 9000L * S), (4L, 2L, 600L * S)), out.mkString(", "))
   }
 
   test("without the shared checkpoint the source replays everything — " +
