@@ -109,6 +109,11 @@ object Main {
       "canonical <in> <out> [prio_mod], " +
       "canonical_indexed <docs> <clusters_index> <out> [prio_mod], " +
       "token_budget <in> <out> [budget], " +
+      "token_budget_sliced <in> <out> [budget] [slices], " +
+      "restart_totals <sf_dir> <out>, " +
+      "restart_sessionize <sf_dir> <out>, " +
+      "recall_audit_appended <emb> <out> [nq] [k] [nlist] [nprobe], " +
+      "ingest_curate <in> <out> [prio_mod], " +
       "vocab <in> <out> [min_count] [max_size], " +
       "bpe_train <in> <out> [num_merges] [fast|dist], " +
       "clusters <emb> <out> [nlist], " +
@@ -662,6 +667,99 @@ object Main {
             budget = longArg(2, "1500", "budget"))
           .write.mode("overwrite").parquet(out)
         println(s"Token-budget survivors written to $out")
+      case "token_budget_sliced" =>
+        // Skew-proof twin of token_budget (identical output, bounded
+        // partitions however hot a source — the range-sliced
+        // distributed prefix scan):
+        //   token_budget_sliced <docs.parquet> <out_dir> [budget] [slices]
+        // slices <= 0 derives the slice count from the session.
+        val (in, out) = pipelineIo(cmd, a)
+        Sampling.tokenBudgetPerGroupSliced(spark.read.parquet(in), "source",
+            "doc_id", functions.TextFunctions.qualityScore(col("text")),
+            functions.TextFunctions.tokenCount(col("text")),
+            budget = longArg(2, "1500", "budget"),
+            slices = intArg(3, "0", "slices"))
+          .write.mode("overwrite").parquet(out)
+        println(s"Token-budget survivors (sliced scan) written to $out")
+      case "restart_totals" | "restart_sessionize" =>
+        // Checkpointed two-phase restart drains (stop + resume from the
+        // checkpoint, multi-batch time-ordered admission per phase —
+        // [[graft.streaming.Restart.twoPhaseDrain]]):
+        //   restart_totals     <sf_dir> <out_dir>
+        //   restart_sessionize <sf_dir> <out_dir>
+        // <sf_dir> must contain events.parquet (ts is normalized to
+        // epoch-nanos by GraphIO.events whatever the file's unit).
+        if (a.length < 2) throw CliArgError(s"$cmd needs <sf_dir> <out_dir>")
+        val ev = GraphIO.events(spark, a(0))
+        val out =
+          if (cmd == "restart_totals")
+            graft.streaming.Restart.twoPhaseDrain(spark, ev,
+              "cli-totals", a(0),
+              src => graft.streaming.EventPipelines
+                .runningTotalsStream(spark, src, maxUser = Long.MaxValue)
+                .toDF())
+          else
+            graft.streaming.Restart.twoPhaseDrain(spark, ev,
+              "cli-sessionize", a(0),
+              src => graft.streaming.EventPipelines
+                .sessionizeStream(spark, src).toDF())
+        out.write.mode("overwrite").parquet(a(1))
+        println(s"Restart-drain output written to ${a(1)}")
+      case "recall_audit_appended" =>
+        // Recall-drift audit of the appended IVF lifecycle (build on the
+        // first half, append the growth against the pinned centroids,
+        // probe; fresh rebuild side by side, plus both indexes'
+        // cell-imbalance rebuild trigger):
+        //   recall_audit_appended <emb.parquet> <out_dir> [nq] [k] [nlist] [nprobe]
+        // nlist <= 0 derives the sqrt(N) cell count from the corpus.
+        val (in, out) = pipelineIo(cmd, a)
+        val emb = spark.read.parquet(in)
+        val nl = intArg(4, "0", "nlist")
+        Similarity.recallAuditAppended(emb,
+            nq = intArg(2, "10", "nq"), k = intArg(3, "5", "k"),
+            nlist = if (nl > 0) nl else Similarity.autoNlist(emb.count()),
+            nprobe = intArg(5, "2", "nprobe"))
+          .write.mode("overwrite").parquet(out)
+        println(s"Appended-IVF recall audit written to $out")
+      case "ingest_curate" =>
+        // Stream→curate composition: an AvailableNow drain dedups
+        // normalized text within the watermark horizon (streaming state
+        // bounded by the horizon's distinct classes), survivor identity
+        // is the batch-side min doc_id per class, and the survivors
+        // feed the cross-source canonical pick:
+        //   ingest_curate <docs.parquet> <out_dir> [prio_mod]
+        // prio follows the canonical verb's convention (numeric source
+        // suffix, optionally mod prio_mod).
+        val (in, out) = pipelineIo(cmd, a)
+        val name = "graft_cli_ingest"
+        val docs = spark.read.parquet(in)
+          .select(col("doc_id"), col("source"), col("text"))
+        spark.catalog.dropTempView(name) // idempotent re-run
+        val q = spark.readStream.schema(spark.read.parquet(in).schema)
+          .parquet(in)
+          .select(col("doc_id"), col("source"), col("text"))
+          .withColumn("norm_text",
+            functions.TextFunctions.normalizeText(spark, col("text")))
+          .withColumn("event_time", timestamp_micros(col("doc_id")))
+          .withWatermark("event_time", "1 hour")
+          .dropDuplicatesWithinWatermark("norm_text")
+          .writeStream.outputMode("append").format("memory").queryName(name)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val survivors = docs
+          .withColumn("norm_text",
+            functions.TextFunctions.normalizeText(spark, col("text")))
+          .join(spark.table(name).select(col("norm_text")).distinct(),
+            Seq("norm_text"))
+          .groupBy(col("norm_text")).agg(min(col("doc_id")).as("doc_id"))
+          .select(col("doc_id"))
+        val m = intArg(2, "5", "prio_mod")
+        val sfx = expr("substring(source, 4)").cast("int")
+        Dedup.canonicalByPriority(spark, docs.join(survivors, Seq("doc_id")),
+            if (m > 0) sfx % m else sfx)
+          .write.mode("overwrite").parquet(out)
+        println(s"Ingest-curated canonical survivors written to $out")
       case "quality_cut" =>
         // Dynamic quality curation, corpus-wide or per source:
         //   quality_cut <docs.parquet> <out_dir> [q] [by_source]

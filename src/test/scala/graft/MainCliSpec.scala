@@ -142,6 +142,91 @@ class MainCliSpec extends SparkSuite {
       tb.select(col("source")).distinct().count())
   }
 
+  test("token_budget_sliced verb: identical rows to the window " +
+    "formulation") {
+    import spark.implicits._
+    val p = s"$tmp/tbs_docs"
+    (1L to 40L)
+      .map(i => (i, ("word " * (i % 5 + 1).toInt) + s"doc$i", s"src${i % 3}"))
+      .toDF("doc_id", "text", "source").write.mode("overwrite").parquet(p)
+    Main.run(spark, "token_budget", Array(p, s"$tmp/tbs_w", "12"))
+    Main.run(spark, "token_budget_sliced", Array(p, s"$tmp/tbs_s", "12", "3"))
+    def rows(d: String) = spark.read.parquet(d).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("n_toks"), r.getAs[Long]("cum_toks"),
+        r.getAs[Long]("rn"))).toSet
+    val w = rows(s"$tmp/tbs_w")
+    assert(w.nonEmpty && rows(s"$tmp/tbs_s") == w)
+  }
+
+  test("restart verbs: checkpointed two-phase drains over an events " +
+    "table write the never-stopped results") {
+    import spark.implicits._
+    val sfDir = s"$tmp/sf_events"
+    val S = 1000000000L
+    val T0 = 1600000000L * S
+    // 3000 s spacing > the 30 min session gap: every event is its own
+    // session; the 1 h watermark delay flushes all but the tail ones.
+    // 40 unique (ts, event_id) keys → both phases fill their 4 range
+    // slices (twoPhaseDrain asserts one data batch per slice).
+    (for { u <- 1L to 4L; k <- 0L to 9L }
+      yield (u * 100 + k, u, T0 + (k * 3000L + u) * S, "click", 1.25))
+      .toDF("event_id", "user_id", "ts", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$sfDir/events.parquet")
+    Main.run(spark, "restart_totals", Array(sfDir, s"$tmp/rt_out"))
+    val tot = spark.read.parquet(s"$tmp/rt_out")
+    assert(tot.count() == 40) // the fold emits one row per event
+    // each user's final accumulator: 10 × 1.25 → 1250 exact cents,
+    // only possible if phase 2 resumed from phase 1's state
+    assert(tot.groupBy(col("user_id")).agg(max(col("running_cents")))
+      .collect().map(_.getLong(1)).toSet == Set(1250L))
+    Main.run(spark, "restart_sessionize", Array(sfDir, s"$tmp/rs_out"))
+    val sess = spark.read.parquet(s"$tmp/rs_out").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events"),
+        r.getAs[Long]("dur_ns")))
+    // single-event sessions (dur 0) flushed once the watermark passes
+    // their gap deadline; the per-user tail sessions stay open
+    assert(sess.nonEmpty && sess.forall(s => s._2 == 1L && s._3 == 0L))
+  }
+
+  test("recall_audit_appended verb: four audit rows, recalls and " +
+    "imbalance factors well-formed") {
+    val out = s"$tmp/recall_aud_out"
+    Main.run(spark, "recall_audit_appended",
+      Array(embPath, out, "3", "2", "4", "2"))
+    val got = spark.read.parquet(out).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toMap
+    assert(got.keySet == Set("ivf_appended", "ivf_fresh",
+      "cells_appended", "cells_fresh"))
+    Seq("ivf_appended", "ivf_fresh").foreach { k =>
+      val (hits, total, recall) = got(k)
+      assert(total == 6L && hits <= total && recall >= 0.0 && recall <= 1.0)
+    }
+    Seq("cells_appended", "cells_fresh").foreach { k =>
+      val (maxCell, total, imb) = got(k)
+      assert(maxCell <= total && imb >= 1.0) // max/mean is always >= 1
+    }
+  }
+
+  test("ingest_curate verb: streaming dedup classes + canonical pick") {
+    import spark.implicits._
+    val p = s"$tmp/ingest_docs"
+    // 1/2/4 are one normalized-text class (min-id survivor 1); 3 and 5
+    // are singleton classes — canonical pick then keeps one doc per
+    // near-dup cluster among {1, 3, 5}, which are all distinct texts
+    Seq((1L, "alpha beta gamma delta", "src0"),
+      (2L, "ALPHA  beta gamma   delta", "src1"),
+      (3L, "unrelated totally different words here", "src10"),
+      (4L, "alpha beta GAMMA delta", "src10"),
+      (5L, "more unrelated text entirely", "src0"))
+      .toDF("doc_id", "text", "source").write.mode("overwrite").parquet(p)
+    val out = s"$tmp/ingest_out"
+    Main.run(spark, "ingest_curate", Array(p, out))
+    val kept = spark.read.parquet(out).collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L, 5L), s"survivors: $kept")
+  }
+
   test("canonical_indexed verb: persisted-assignments path matches the " +
     "in-run pick, and a non-index input fails fast") {
     val p = s"$tmp/cur_docs" // fixture written by the canonical test
