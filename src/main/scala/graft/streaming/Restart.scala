@@ -33,10 +33,12 @@ import org.apache.spark.sql.streaming.Trigger
   *  4. a brand-new query object starts FROM THE SAME CHECKPOINT over
   *     the same directory and drains the phase-2 files: the
   *     file-source log must skip every already-processed file
-  *     (asserted: the two phases' input-row counts sum exactly to the
-  *     corpus — a replay or a drop fails loudly), the state store must
-  *     restore phase 1's open state, and the sink must append without
-  *     duplicating phase 1's commits.
+  *     (asserted against the CHECKPOINT'S OWN SOURCE LOG — each
+  *     phase's batches must have admitted exactly that phase's new
+  *     files, one per batch, in time order; a replay, drop, or
+  *     reorder fails loudly), the state store must restore phase 1's
+  *     open state, and the sink must append without duplicating
+  *     phase 1's commits.
   *
   * The combined sink contents are returned as a batch DataFrame, and
   * the restart gates hash them against the UNCHANGED single-drain
@@ -102,6 +104,32 @@ object Restart {
     Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty).toSeq
       .filter(f => f.isFile && f.getName.startsWith("part-"))
 
+  /** The checkpoint's FILE-SOURCE LOG, batch by batch: for each
+    * committed micro-batch, the file names the source admitted in it.
+    * This log IS the exactly-once contract (a restarted query admits
+    * exactly the files not yet logged), so the harness asserts against
+    * it directly — `numInputRows` is NOT usable for conservation:
+    * it measures post-pushdown scan output, and a pipeline filter
+    * pushed into the parquet scan (page-level skipping) legally
+    * reports far fewer rows than the file holds (measured: the
+    * running-totals drain's `user_id < 20` filter reported 80k of
+    * 501k phase rows on a 10× corpus while the log showed every file
+    * admitted exactly once). */
+  private def sourceLog(ckpt: String): Seq[(Long, Seq[String])] = {
+    val dir = new java.io.File(s"$ckpt/sources/0")
+    val PathRe = "\"path\":\"([^\"]+)\"".r
+    Option(dir.listFiles()).getOrElse(Array.empty).toSeq
+      .filter(f => f.isFile && f.getName.forall(_.isDigit))
+      .sortBy(_.getName.toLong)
+      .map { f =>
+        val src = scala.io.Source.fromFile(f, "UTF-8")
+        val content = try src.mkString finally src.close()
+        (f.getName.toLong, PathRe.findAllMatchIn(content)
+          .map(m => m.group(1).substring(m.group(1).lastIndexOf('/') + 1))
+          .toSeq)
+      }
+  }
+
   /** Run `pipeline` over the `events` corpus (ts = epoch-nanos BIGINT)
     * as two checkpointed `AvailableNow` drains with a query restart
     * between them (see object scaladoc), each phase admitted as
@@ -130,7 +158,7 @@ object Restart {
     // newest (default 7 days)
     var mtime = System.currentTimeMillis() -
       2L * (2 * slicesPerPhase + 2) * 2000L
-    def landPhase(half: DataFrame, mode: String): Int = {
+    def landPhase(half: DataFrame, mode: String): Seq[String] = {
       val before = partFiles(src).map(_.getName).toSet
       // (ts, event_id) range slices: unique keys, so the sampler can
       // always balance the ranges, and cross-slice order is the exact
@@ -142,13 +170,14 @@ object Restart {
       require(fresh.size == slicesPerPhase,
         s"restart[$tag]: phase landed ${fresh.size} files, wanted " +
           s"$slicesPerPhase — corpus too small for the multi-batch harness")
-      fresh.size
+      fresh.map(_.getName).sorted // mtime order == name order per phase
     }
     // parquet-read schema (not events.schema): the stream must see
     // exactly the nullability/typing the files round-trip to. Lazy —
     // first touched inside drainOnce, after phase 1's files landed.
     lazy val schema = spark.read.parquet(src).schema
-    def drainOnce(phase: String, nFiles: Int): Long = {
+    def drainOnce(phase: String, freshFiles: Seq[String]): Unit = {
+      val loggedBefore = sourceLog(ckpt).size
       // a NEW query object each time — phase 2 is a genuine restart
       // (fresh StreamExecution resuming from the checkpoint's offset
       // log, state store, and commit log), not a paused query
@@ -158,34 +187,39 @@ object Restart {
         .option("path", sink).option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
-      val data = q.recentProgress.filter(_.numInputRows > 0)
-      require(data.length == nFiles,
-        s"restart[$tag] $phase: expected $nFiles data micro-batches " +
-          s"(one per time-ordered file), saw ${data.length}")
-      // time-ordered admission, asserted from the engine's own telemetry:
-      // each data batch's max event time must be >= its predecessor's
-      // (only meaningful for watermarked pipelines, where eventTime.max
-      // is populated)
-      val maxes = data.flatMap(p => Option(p.eventTime.get("max")))
+      // the checkpoint's own file log is the ground truth for what this
+      // drain admitted: the restarted query must log EXACTLY this
+      // phase's new files (a replayed phase-1 file or a dropped slice
+      // shows up here before any sink hash could), one per micro-batch,
+      // in mtime (= time) order
+      val logged = sourceLog(ckpt).drop(loggedBefore)
+      require(logged.size == freshFiles.size,
+        s"restart[$tag] $phase: expected ${freshFiles.size} data " +
+          s"micro-batches (one per time-ordered file), saw " +
+          s"${logged.size} in the source log")
+      logged.foreach { case (b, ps) => require(ps.size == 1,
+        s"restart[$tag] $phase: batch $b admitted ${ps.size} files " +
+          "despite maxFilesPerTrigger=1") }
+      val admitted = logged.flatMap(_._2)
+      require(admitted == freshFiles,
+        s"restart[$tag] $phase: admitted ${admitted.mkString(", ")} but " +
+          s"this phase landed ${freshFiles.mkString(", ")} — a replay, " +
+          "drop, or out-of-order admission across the restart boundary")
+      // time-ordered admission cross-checked from the engine's
+      // telemetry where available (watermarked pipelines populate
+      // eventTime.max): per-batch max event time must be non-decreasing
+      val maxes = q.recentProgress
+        .flatMap(p => Option(p.eventTime.get("max")))
       require(maxes.sameElements(maxes.sorted),
         s"restart[$tag] $phase: per-batch eventTime.max not " +
           s"non-decreasing (${maxes.mkString(", ")}) — file admission " +
           "was not time-ordered")
-      data.map(_.numInputRows).sum
     }
-    val n1 = drainOnce("phase1",
-      landPhase(events.filter(col("ts") <= mid), "overwrite"))
+    drainOnce("phase1", landPhase(events.filter(col("ts") <= mid),
+      "overwrite"))
     betweenPhases(spark)
     // phase-2 arrival: the rest of the corpus lands as new files
-    val n2 = drainOnce("phase2",
-      landPhase(events.filter(col("ts") > mid), "append"))
-    val total = events.count()
-    // the checkpoint's file log must make the restarted query process
-    // EXACTLY the delta: a replay (n1+n2 > total) or a drop (< total)
-    // is a broken restart even if the sink rows happen to hash-match
-    require(n1 > 0 && n2 > 0 && n1 + n2 == total,
-      s"restart[$tag]: phase inputs $n1 + $n2 != corpus $total — the " +
-        "restarted query did not resume exactly after the checkpoint")
+    drainOnce("phase2", landPhase(events.filter(col("ts") > mid), "append"))
     spark.read.parquet(sink)
   }
 }

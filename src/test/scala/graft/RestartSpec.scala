@@ -88,7 +88,7 @@ class RestartSpec extends SparkSuite {
   }
 
   test("without the shared checkpoint the source replays everything — " +
-      "the signal the harness's input-count conservation guard catches") {
+      "the signal the harness's source-log conservation guard catches") {
     val ev = events
     val base = "target/graft-restart/spec-guard-spec"
     def rm(f: java.io.File): Unit = {
@@ -114,8 +114,9 @@ class RestartSpec extends SparkSuite {
     ev.filter(col("ts") > mid).coalesce(1)
       .write.mode("append").parquet(src)
     // fresh checkpoint → the file-source log is empty → ALL 4 rows are
-    // read again (2 + 4 > corpus 4): exactly the replay twoPhaseDrain's
-    // `n1 + n2 == total` conservation check turns into a loud failure
+    // read again (2 + 4 > corpus 4): exactly the replay that
+    // twoPhaseDrain's source-log check (phase-2 batches must admit
+    // ONLY phase-2's new files) turns into a loud failure
     assert(drain(s"$base/ckpt2", s"$base/sink2") == 4L)
   }
 }
