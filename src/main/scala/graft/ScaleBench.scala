@@ -796,12 +796,26 @@ object ScaleBench {
       val skewDir = s"$outDir-skewbudget$reps"
       if (!new java.io.File(s"$uniDir/documents.parquet/_SUCCESS")
           .exists()) {
-        val docs = spark.read.parquet(s"$baseDir/documents.parquet")
-        (0 until reps).map { r =>
-          docs.withColumn("doc_id", col("doc_id") + lit(r * Shift))
-            .withColumn("text", if (r == 0) col("text")
-              else concat(col("text"), lit(s" rep$r")))
-        }.reduce(_ unionAll _)
+        // explode-replication, NOT a reps-way unionAll: past a few
+        // hundred reps the union's plan size dominates generation; one
+        // projected explode stays linear however high the rung (the
+        // window-vs-sliced contrast needs a MULTI-MILLION-row hot
+        // group before the single-reducer sort is visible over the
+        // shared tokenize/quality scan). Content-identical to the
+        // unionAll form (same id shift, same " rep$r" salt), so the
+        // corpus stays shareable with skewdedup/incdelta. The input is
+        // repartitioned BEFORE the explode so the derived corpus lands
+        // as ~64 parquet files: a single-file multi-GB corpus would
+        // serialize the downstream scans onto 1-2 tasks and measure
+        // file layout, not the operators (a real 100 TB table is
+        // thousands of splits).
+        spark.read.parquet(s"$baseDir/documents.parquet")
+          .repartition(64, col("doc_id"))
+          .withColumn("r", explode(sequence(lit(0L), lit((reps - 1).toLong))))
+          .withColumn("doc_id", col("doc_id") + col("r") * lit(Shift))
+          .withColumn("text", when(col("r") === 0L, col("text"))
+            .otherwise(concat(col("text"), lit(" rep"), col("r"))))
+          .drop("r")
           .write.mode("overwrite").parquet(s"$uniDir/documents.parquet")
       }
       if (!new java.io.File(s"$skewDir/documents.parquet/_SUCCESS")
