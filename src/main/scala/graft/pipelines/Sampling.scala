@@ -148,14 +148,12 @@ object Sampling {
     * `spark.sql.shuffle.partitions` (falling back to
     * `defaultParallelism` when that conf is non-numeric, e.g. "auto").
     *
-    * Input contract: `df` must be DETERMINISTIC (re-evaluable to the
-    * same rows). The ranged frame feeds both the per-slice locals and
-    * the offset table; Catalyst's exchange reuse makes that one
-    * evaluation in practice, but a non-deterministic input (e.g. a
-    * fresh `rand()` column) could legally diverge between the two
-    * consumers and corrupt the offsets — materialize such inputs
-    * first. Every gate/CLI caller reads parquet, which is
-    * deterministic. */
+    * The per-slice locals are CHECKPOINT-MATERIALIZED before fan-out:
+    * the offset table and the final join both read the one evaluation
+    * (not two scans + two window sorts — measured 2.6× the window
+    * twin's wall before the fix), which also pins a single snapshot of
+    * a non-deterministic input so the offsets can never diverge from
+    * the rows they offset. */
   def tokenBudgetPerGroupSliced(df: DataFrame, group: String, id: String,
       metric: org.apache.spark.sql.Column,
       tokens: org.apache.spark.sql.Column, budget: Long,
@@ -176,10 +174,18 @@ object Sampling {
     // size — the balanced-sort property the whole decomposition buys
     val w1 = Window.partitionBy(col("slice"), col(group))
       .orderBy(col("__m").desc, col(id))
-    val local = ranged
+    // MATERIALIZED once: `local` feeds both the offset table and the
+    // final join — unmaterialized, the scan + metric/token expressions
+    // + per-slice window sort all run TWICE (exchange reuse dedupes
+    // only the range shuffle, not the window above it; measured 2.6×
+    // the window formulation's wall at a 20M-doc rung). The checkpoint
+    // also pins one evaluation, so a non-deterministic input cannot
+    // diverge between the two consumers. Callers release the blocks
+    // via Checkpoints.releaseAll on the returned frame's plan.
+    val local = graft.Checkpoints.materialize(ranged
       .withColumn("l_rn", row_number().over(w1).cast("long"))
       .withColumn("l_cum",
-        sum(col("n_toks")).over(w1.rowsBetween(Window.unboundedPreceding, 0)))
+        sum(col("n_toks")).over(w1.rowsBetween(Window.unboundedPreceding, 0))))
     val totals = local.groupBy(col("slice"), col(group))
       .agg(count(lit(1)).as("t_n"), sum(col("n_toks")).as("t_toks"))
     // slices × groups rows: the offset table is broadcast-sized by
