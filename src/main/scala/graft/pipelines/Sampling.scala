@@ -163,9 +163,17 @@ object Sampling {
       else scala.util.Try(
         df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
         .getOrElse(df.sparkSession.sparkContext.defaultParallelism)
-    val ranged = df
+    // The projection is MATERIALIZED before the range partitioning:
+    // `repartitionByRange` runs a sampling job over its child first, so
+    // an unmaterialized projection would evaluate the caller's metric
+    // and token expressions over the WHOLE corpus twice — at 100 TB
+    // that second pass is an entire extra corpus scan (measured: ~12 s
+    // of a 44 s wall at a 20M-doc rung). The checkpoint is released as
+    // soon as the per-slice locals (which subsume it) materialize.
+    val projected = graft.Checkpoints.materialize(df
       .select(col(group), col(id), tokens.cast("long").as("n_toks"),
-        metric.as("__m"))
+        metric.as("__m")))
+    val ranged = projected
       .repartitionByRange(p, col(group), col("__m").desc, col(id))
       // captured IN the range-partitioned stage, before any further
       // exchange can renumber the tasks
@@ -186,6 +194,10 @@ object Sampling {
       .withColumn("l_rn", row_number().over(w1).cast("long"))
       .withColumn("l_cum",
         sum(col("n_toks")).over(w1.rowsBetween(Window.unboundedPreceding, 0))))
+    // the locals subsume the projection — free its blocks now, not at
+    // ContextCleaner GC time (it no longer appears in the final plan,
+    // so the caller's releaseAll could never reach it)
+    graft.Checkpoints.release(projected)
     val totals = local.groupBy(col("slice"), col(group))
       .agg(count(lit(1)).as("t_n"), sum(col("n_toks")).as("t_toks"))
     // slices × groups rows: the offset table is broadcast-sized by
