@@ -18,6 +18,14 @@ run / fork := true
 // rounds running (BENCH_r11-r14 all shipped "parsed": null with the
 // complete line sitting in the tail behind an `[info] ` prefix).
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ...and drop sbt's `[success] Total time: …` epilogue, so the bench's
+// machine-readable line is the LAST stdout line of `sbt runMain
+// graft.Bench`, not the second-to-last.
+showSuccess := false
+// showSuccess is consumed by sbt's command engine, not by other
+// settings — exempt it from the unused-key lint so the warning itself
+// doesn't pollute the captured stdout it exists to clean.
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
