@@ -1,8 +1,8 @@
 package graft
 
 import graft.operators._
-import graft.pipelines.{Dedup, Packing, Retrieval, Sampling, Similarity,
-  Sketches, TextMetrics}
+import graft.pipelines.{Classify, Dedup, Packing, Retrieval, Sampling,
+  Similarity, Sketches, TextMetrics}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -12,7 +12,8 @@ import org.apache.spark.sql.functions._
   * the LLM-data-pipeline surface over parquet paths without sbt console:
   *
   * {{{
-  * runMain graft.Main dedup <docs.parquet> <out_dir> [exact|near|clean]
+  * runMain graft.Main dedup <docs.parquet> <out_dir> [exact|near|clean|spans|spans_clean] [k]
+  * runMain graft.Main classify <docs.parquet> <out_dir> [label_col] [train_pct]
   * runMain graft.Main ann <embeddings.parquet> <out_dir> [exact|lsh|ivf|q8|q8ivf] [nq] [k]
   * runMain graft.Main split <in.parquet> <out_dir> [id_col] [train‰ val‰ test‰]
   * runMain graft.Main shuffle <in.parquet> <out_dir> [id_col]
@@ -93,7 +94,8 @@ object Main {
       "pagerank_personalized <topic> [num_iter] [damping], " +
       "hits_converged [tol] [max_iter], salsa_converged [tol] [max_iter], " +
       "pagerank_converged [damping] [tol] [max_iter]; pipelines: " +
-      "dedup <in> <out> [exact|near|clean], " +
+      "dedup <in> <out> [exact|near|clean|spans|spans_clean] [k], " +
+      "classify <in> <out> [label_col] [train_pct], " +
       "ann <in> <out> [exact|lsh|ivf|q8|q8ivf|mrl] [nq] [k], " +
       "ivf_index <emb> <out> [nlist] [train_frac], " +
       "ivf_append <index_dir> <emb> <out_dir> [gen], " +
@@ -277,10 +279,26 @@ object Main {
           case "exact" => Dedup.exactByHash(spark, docs)
           case "near"  => Dedup.nearDedupCorpus(spark, docs)
           case "clean" => Dedup.cleanCorpus(spark, docs)
+          // exact-substring span dedup: the spans report, and the
+          // cleaner that cuts the duplicated spans out of the corpus;
+          // optional 4th arg is the minimum match length k in tokens
+          case "spans" =>
+            Dedup.dedupSpans(spark, docs, intArg(3, "5", "k"))
+          case "spans_clean" =>
+            Dedup.dedupSpansClean(spark, docs, intArg(3, "5", "k"))
           case m => throw CliArgError(s"Unknown dedup method: $m")
         }
         result.write.mode("overwrite").parquet(out)
         println(s"Dedup (${arg(2, "near")}) written to $out")
+      case "classify" =>
+        // Naive Bayes over the corpus's own labels:
+        //   classify <docs.parquet> <out_dir> [label_col] [train_pct]
+        val (in, out) = pipelineIo(cmd, a)
+        Classify.naiveBayes(spark, spark.read.parquet(in),
+            labelCol = arg(2, "lang"),
+            trainPct = intArg(3, "50", "train_pct"))
+          .write.mode("overwrite").parquet(out)
+        println(s"NB predictions (${arg(2, "lang")}) written to $out")
       case "ann" =>
         val (in, out) = pipelineIo(cmd, a)
         val strategy = arg(2, "q8ivf") match {

@@ -1289,6 +1289,127 @@ object Oracles {
        |SELECT p_hash, n_docs, n_occurrences, first_doc FROM h
        |WHERE n_docs >= $minDocs ORDER BY p_hash""".stripMargin
 
+  /** Shared CTE chain of the exact-substring span dedup (mirror of
+    * [[graft.pipelines.Dedup.dedupSpans]]'s stages): overlapping
+    * `k`-token grams with 0-based start positions, wide-hashed; grams
+    * in ≥ `minDocs` distinct docs; per-doc gaps-and-islands merge into
+    * `spans(doc_id, s0, s1)` — the lag-NULL first row falls to the
+    * ELSE 1 branch exactly as Spark's `when().otherwise(1)`. */
+  private def dedupSpanCtes(k: Int, minDocs: Int): String =
+    s"""t AS MATERIALIZED (
+       |  SELECT doc_id, ${TF.sqlShingles("text", k)} AS sh FROM documents),
+       |g AS MATERIALIZED (
+       |  SELECT doc_id, i - 1 AS pos, ${GraftHash.duckdbSqlWide("(sh)[i]")} AS gh
+       |  FROM (SELECT doc_id, sh,
+       |          unnest(range(1, coalesce(array_length(sh), 0) + 1)) AS i
+       |        FROM t)),
+       |d AS (SELECT gh FROM g GROUP BY gh
+       |      HAVING COUNT(DISTINCT doc_id) >= $minDocs),
+       |m AS (SELECT doc_id, pos FROM g WHERE gh IN (SELECT gh FROM d)),
+       |x AS (SELECT doc_id, pos,
+       |        CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= $k
+       |             THEN 0 ELSE 1 END AS brk FROM m),
+       |y AS (SELECT doc_id, pos,
+       |        SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+       |                       ROWS UNBOUNDED PRECEDING) AS span_id FROM x),
+       |spans AS MATERIALIZED (
+       |  SELECT doc_id, MIN(pos) AS s0, MAX(pos) + ${k - 1} AS s1,
+       |         COUNT(*) AS n_grams
+       |  FROM y GROUP BY doc_id, span_id)""".stripMargin
+
+  /** Mirror of [[graft.pipelines.Dedup.dedupSpans]]. */
+  def dedupSpans(k: Int = 5, minDocs: Int = 2): String =
+    s"""WITH ${dedupSpanCtes(k, minDocs)}
+       |SELECT doc_id, CAST(s0 AS BIGINT) AS span_start,
+       |       CAST(s1 AS BIGINT) AS span_end,
+       |       CAST(s1 - s0 + 1 AS BIGINT) AS span_tokens, n_grams
+       |FROM spans ORDER BY doc_id, span_start""".stripMargin
+
+  /** Mirror of [[graft.pipelines.Dedup.dedupSpansClean]]: tokens whose
+    * 0-based position falls inside any duplicated span are cut, the
+    * survivors rejoined in order; span-free (or token-free) documents
+    * pass through whole via the LEFT JOIN + coalesce. */
+  def dedupSpansClean(k: Int = 5, minDocs: Int = 2): String =
+    s"""WITH ${dedupSpanCtes(k, minDocs)},
+       |tok AS MATERIALIZED (
+       |  SELECT doc_id, ${TF.sqlTokens("text")} AS toks FROM documents),
+       |u AS (
+       |  SELECT doc_id, i - 1 AS pos, (toks)[i] AS w
+       |  FROM (SELECT doc_id, toks,
+       |          unnest(range(1, coalesce(array_length(toks), 0) + 1)) AS i
+       |        FROM tok)),
+       |kept AS (
+       |  SELECT u.doc_id, u.pos, u.w FROM u
+       |  WHERE NOT EXISTS (SELECT 1 FROM spans s
+       |                    WHERE s.doc_id = u.doc_id
+       |                      AND u.pos BETWEEN s.s0 AND s.s1)),
+       |agg AS (
+       |  SELECT doc_id,
+       |         array_to_string(array_agg(w ORDER BY pos), ' ') AS clean_text,
+       |         COUNT(*) AS n_kept FROM kept GROUP BY doc_id)
+       |SELECT tok.doc_id, coalesce(a.clean_text, '') AS clean_text,
+       |       CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_tokens_kept,
+       |       CAST(coalesce(array_length(tok.toks), 0) - coalesce(a.n_kept, 0)
+       |            AS BIGINT) AS n_tokens_cut
+       |FROM tok LEFT JOIN agg a ON tok.doc_id = a.doc_id
+       |ORDER BY tok.doc_id""".stripMargin
+
+  /** Mirror of [[graft.pipelines.Classify.naiveBayes]]: multinomial NB
+    * with add-one smoothing on the hash-gated train split, per-token
+    * log-likelihoods rounded to integer micro-nats BEFORE the exact
+    * int64 sum (the NLL idiom), argmax with the (score DESC, class ASC)
+    * tie order — predictions are bit-stable cross-engine. */
+  def classifyNaiveBayes(labelCol: String = "lang",
+      trainPct: Int = 50): String = {
+    val toks = TF.sqlTokens("text")
+    val h = GraftHash.duckdbSql("CAST(doc_id AS VARCHAR) || '|nbtrain'")
+    s"""WITH tr AS MATERIALIZED (
+       |  SELECT doc_id, $labelCol, text FROM documents
+       |  WHERE $h % 100 < $trainPct),
+       |te AS MATERIALIZED (
+       |  SELECT doc_id, $labelCol, text FROM documents
+       |  WHERE NOT ($h % 100 < $trainPct)),
+       |ttok AS MATERIALIZED (
+       |  SELECT $labelCol AS cls, unnest($toks) AS term FROM tr),
+       |cc AS MATERIALIZED (
+       |  SELECT cls, term, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM ttok GROUP BY cls, term),
+       |ct AS MATERIALIZED (
+       |  SELECT cls, CAST(count(*) AS BIGINT) AS tok_c FROM ttok GROUP BY cls),
+       |v AS (SELECT CAST(count(DISTINCT term) AS BIGINT) AS vsz FROM ttok),
+       |pri AS (
+       |  SELECT $labelCol AS cls,
+       |         CAST(round(ln(CAST(count(*) AS DOUBLE) /
+       |                       CAST((SELECT count(*) FROM tr) AS DOUBLE))
+       |                    * 1000000.0) AS BIGINT) AS prior_micro
+       |  FROM tr GROUP BY $labelCol),
+       |dt AS MATERIALIZED (
+       |  SELECT doc_id, true_label, term, CAST(count(*) AS BIGINT) AS n_occ
+       |  FROM (SELECT doc_id, $labelCol AS true_label, unnest($toks) AS term
+       |        FROM te)
+       |  GROUP BY doc_id, true_label, term),
+       |sc AS (
+       |  SELECT dt.doc_id, dt.true_label, ct.cls,
+       |         SUM(dt.n_occ *
+       |             CAST(round(ln(CAST(coalesce(cc.cnt, 0) + 1 AS DOUBLE) /
+       |                           CAST(ct.tok_c + v.vsz AS DOUBLE))
+       |                        * 1000000.0) AS BIGINT)) AS like_micro
+       |  FROM dt CROSS JOIN ct CROSS JOIN v
+       |  LEFT JOIN cc ON cc.cls = ct.cls AND cc.term = dt.term
+       |  GROUP BY dt.doc_id, dt.true_label, ct.cls),
+       |tot AS (
+       |  SELECT sc.doc_id, sc.true_label, sc.cls,
+       |         sc.like_micro + pri.prior_micro AS score_micro
+       |  FROM sc JOIN pri ON pri.cls = sc.cls),
+       |r AS (SELECT doc_id, true_label, cls, score_micro,
+       |        row_number() OVER (PARTITION BY doc_id
+       |                           ORDER BY score_micro DESC, cls) AS rn
+       |      FROM tot)
+       |SELECT doc_id, true_label AS $labelCol, cls AS pred_$labelCol,
+       |       round(CAST(score_micro AS DOUBLE) / 1000000.0, 6) AS score
+       |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin
+  }
+
   /** Mirror of [[graft.pipelines.TextMetrics.scrub]]. DuckDB's
     * regexp_replace needs the 'g' flag for the global semantics Spark's
     * has by default; the pattern must stay in the engine-portable regex

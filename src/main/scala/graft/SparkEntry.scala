@@ -2,8 +2,8 @@ package graft
 
 import graft.functions.{GraftHash, TextFunctions => TF}
 import graft.operators._
-import graft.pipelines.{Dedup, Multimodal, Packing, Retrieval, Sampling,
-  Similarity, Sketches, TextMetrics}
+import graft.pipelines.{Classify, Dedup, Multimodal, Packing, Retrieval,
+  Sampling, Similarity, Sketches, TextMetrics}
 import graft.streaming.EventPipelines
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -442,6 +442,13 @@ object SparkEntry {
       Dedup.ngramJaccard(GraphIO.documents(s, dir))),
     "dedup_passages" -> ((s, dir) =>
       Dedup.repeatedPassages(s, GraphIO.documents(s, dir))),
+    // exact-substring span dedup (Lee et al. 2021 shape): maximal
+    // cross-document duplicated ≥k-token spans, and the cleaner that
+    // cuts them
+    "dedup_spans" -> ((s, dir) =>
+      Dedup.dedupSpans(s, GraphIO.documents(s, dir))),
+    "dedup_spans_clean" -> ((s, dir) =>
+      Dedup.dedupSpansClean(s, GraphIO.documents(s, dir))),
     "dedup_embedding" -> ((s, dir) =>
       Similarity.nearDuplicates(GraphIO.embeddings(s, dir), 0.3)),
     // ---- similarity search ----
@@ -603,6 +610,14 @@ object SparkEntry {
     // common tokens in uncommon order (shuffled/stitched text).
     "text_bigram_nll" -> ((s, dir) =>
       TextMetrics.bigramNll(GraphIO.documents(s, dir))),
+    // Model-based filtering: multinomial NB trained on the hash-gated
+    // half of the corpus's own labels, scored on the held-out half —
+    // micro-nat-exact, so the PREDICTIONS are oracle-gated, not just
+    // the scores. Language axis + source/domain axis.
+    "classify_nb" -> ((s, dir) =>
+      Classify.naiveBayes(s, GraphIO.documents(s, dir), "lang")),
+    "classify_nb_source" -> ((s, dir) =>
+      Classify.naiveBayes(s, GraphIO.documents(s, dir), "source")),
     // Stratified curation: each source keeps its own best quantile.
     "sample_quality_cutoff_by_source" -> ((s, dir) =>
       TextMetrics.qualityCutoffBySource(GraphIO.documents(s, dir))),
@@ -1349,6 +1364,8 @@ object SparkEntry {
     "dedup_minhash_signature" -> Oracles.dedupMinHashSignature,
     "dedup_ngram_jaccard" -> Oracles.dedupNgramJaccard(),
     "dedup_passages" -> Oracles.dedupPassages(),
+    "dedup_spans" -> Oracles.dedupSpans(),
+    "dedup_spans_clean" -> Oracles.dedupSpansClean(),
     "dedup_embedding" -> Oracles.dedupEmbedding(0.3),
     "dedup_semantic" -> Oracles.dedupSemantic(0.3),
     "ann_topk" -> Oracles.annTopK(),
@@ -1385,6 +1402,8 @@ object SparkEntry {
     "sample_topk_quality_agg" -> Oracles.sampleTopkQuality(k = 10),
     "text_char_entropy" -> Oracles.textCharEntropy,
     "text_unigram_nll" -> Oracles.textUnigramNll,
+    "classify_nb" -> Oracles.classifyNaiveBayes("lang"),
+    "classify_nb_source" -> Oracles.classifyNaiveBayes("source"),
     "text_bigram_nll" -> Oracles.textBigramNll,
     "sample_quality_cutoff_by_source" ->
       Oracles.sampleQualityCutoffBySource(),

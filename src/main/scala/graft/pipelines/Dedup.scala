@@ -794,6 +794,108 @@ object Dedup {
       .orderBy(col("p_hash"))
   }
 
+  /** Exact-substring span dedup — the "remove any ≥k-token substring
+    * that repeats across documents" operator of suffix-array dedup
+    * (Lee et al. 2021, "Deduplicating Training Data Makes Language
+    * Models Better"), re-expressed as a distributed overlapping-k-gram
+    * pipeline: every overlapping `k`-token gram is wide-hashed; grams
+    * occurring in ≥ `minDocs` DISTINCT documents are duplicate
+    * evidence; per document, overlapping/adjacent duplicate gram
+    * starts merge into MAXIMAL spans. Output: one row per maximal
+    * span `(doc_id, span_start, span_end, span_tokens, n_grams)` —
+    * token indices 0-based inclusive — ordered by (doc_id,
+    * span_start). Downstream a cleaner cuts exactly those spans
+    * ([[dedupSpansClean]]).
+    *
+    * Differs from [[repeatedPassages]] (fixed NON-overlapping windows:
+    * alignment-sensitive, reports global passages): here grams
+    * overlap, so a duplicated region is detected at ANY alignment and
+    * reported per document as one maximal span — a duplicated region
+    * of m ≥ k tokens yields exactly one span of m tokens, not
+    * ⌊m/k⌋ aligned fragments.
+    *
+    * Scale shape: posexplode to one row per gram (rows ∝ corpus
+    * tokens), wide-hash to one int64 BEFORE the shuffle so the df
+    * aggregate moves 8-byte keys with map-side partial aggregation,
+    * one left-semi back-join (both sides hash-partitioned on the gram
+    * hash), then ONE per-document sort window for the classic
+    * gaps-and-islands merge (running state: a single lag value).
+    * Nothing is pairwise, nothing is collected; a book-length document
+    * is one sort partition — the same bound as every per-document
+    * window here. */
+  def dedupSpans(spark: SparkSession, docs: DataFrame, k: Int = 5,
+      minDocs: Int = 2): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    import org.apache.spark.sql.expressions.Window
+    val grams = docs
+      .select(col("doc_id"),
+        posexplode(TF.shingles(col("text"), k)).as(Seq("pos", "s")))
+      .select(col("doc_id"), col("pos"),
+        GraftHash.widePair(spark, col("s")).as("g"))
+    val dup = grams.groupBy(col("g"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select(col("g"))
+    val marks = grams.join(dup, Seq("g"), "left_semi")
+    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    marks
+      // gap > k starts a new span; the first row's NULL lag falls to
+      // otherwise(1) — identical CASE/NULL semantics in the oracle
+      .select(col("doc_id"), col("pos"),
+        when(col("pos") - lag(col("pos"), 1).over(byPos) <= k, lit(0))
+          .otherwise(lit(1)).as("brk"))
+      .select(col("doc_id"), col("pos"),
+        sum(col("brk")).over(
+          byPos.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("span_id"))
+      .groupBy(col("doc_id"), col("span_id"))
+      .agg(min(col("pos")).cast("long").as("span_start"),
+        (max(col("pos")) + lit(k - 1)).cast("long").as("span_end"),
+        count(lit(1)).as("n_grams"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + lit(1L)).as("span_tokens"),
+        col("n_grams"))
+      .orderBy(col("doc_id"), col("span_start"))
+  }
+
+  /** The cleaner over [[dedupSpans]]: per document, the tokens covered
+    * by any duplicated span are cut and the survivors rejoined —
+    * `(doc_id, clean_text, n_tokens_kept, n_tokens_cut)`. Documents
+    * with no duplicated span pass through whole (zero cut). A document
+    * that is ENTIRELY duplicated material survives as an empty
+    * clean_text row — dropping it is a downstream policy choice, not
+    * this operator's.
+    *
+    * Scale shape: [[dedupSpans]]'s stages, then the span list is
+    * collected PER DOCUMENT (`collect_list` over doc_id — bounded by
+    * that document's span count, never the corpus) and the cut is one
+    * codegen'd filter over the token array; one left join on doc_id
+    * attaches spans to the corpus. */
+  def dedupSpansClean(spark: SparkSession, docs: DataFrame, k: Int = 5,
+      minDocs: Int = 2): DataFrame = {
+    val spans = dedupSpans(spark, docs, k, minDocs)
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("span_start"), col("span_end")))
+        .as("spans"))
+    docs.join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"), TF.tokens(col("text")).as("toks"),
+        coalesce(col("spans"),
+          array().cast("array<struct<span_start:bigint,span_end:bigint>>"))
+          .as("spans"))
+      .select(col("doc_id"),
+        filter(col("toks"), (t, i) =>
+          !exists(col("spans"), sp =>
+            i.cast("long") >= sp("span_start") &&
+              i.cast("long") <= sp("span_end"))).as("kept"),
+        size(col("toks")).cast("long").as("n_tokens"))
+      .select(col("doc_id"), array_join(col("kept"), " ").as("clean_text"),
+        size(col("kept")).cast("long").as("n_tokens_kept"),
+        (col("n_tokens") - size(col("kept")).cast("long"))
+          .as("n_tokens_cut"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken's MOSS scheme):
     * hash every word `k`-gram, slide a window of `w` consecutive
     * hashes, select each window's minimum — with the (hash, pos) pair

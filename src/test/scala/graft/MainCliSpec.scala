@@ -39,6 +39,21 @@ class MainCliSpec extends SparkSuite {
     assert(got.columns.contains("doc_id") || got.columns.contains("keep_id"))
   }
 
+  test("dedup verb: spans + spans_clean methods cut the duplicated 4-gram") {
+    val outS = s"$tmp/dedup_spans_out"
+    Main.run(spark, "dedup", Array(docsPath, outS, "spans", "4"))
+    val spans = spark.read.parquet(outS).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // docs 1/2/4 are the identical 4-token text: one whole-doc span each
+    assert(spans.keySet == Set(1L, 2L, 4L), spans.toString)
+    assert(spans.values.forall(_ == (0L, 3L)), spans.toString)
+    val outC = s"$tmp/dedup_spans_clean_out"
+    Main.run(spark, "dedup", Array(docsPath, outC, "spans_clean", "4"))
+    val clean = spark.read.parquet(outC).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(3))).toMap
+    assert(clean(1L) == ("", 4L) && clean(3L)._2 == 0L, clean.toString)
+  }
+
   test("ann verb: exact strategy writes well-formed top-k") {
     val out = s"$tmp/ann_out"
     Main.run(spark, "ann", Array(embPath, out, "exact", "3", "2"))

@@ -1060,6 +1060,53 @@ class PipelinesSpec extends SparkSuite {
       .collect().isEmpty)
   }
 
+  test("dedupSpans: one maximal span per duplicated region, any alignment") {
+    // the 5-token region sits at offset 2 in doc 1 and offset 0 in
+    // doc 2 — the overlapping grams find it regardless of alignment
+    // (the contrast with repeatedPassages' fixed window grid) and the
+    // merge reports it as ONE maximal span of exactly 5 tokens
+    val d = docs(
+      (1L, "u1 u2 D1 D2 D3 D4 D5 u3 u4"),
+      (2L, "D1 D2 D3 D4 D5 w1 w2 w3"),
+      (3L, "z1 z2 z3 z4 z5 z6")) // unique: no spans
+    val got = Dedup.dedupSpans(spark, d, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (1L, 2L, 6L, 5L, 3L), // doc, start, end, tokens, grams
+      (2L, 0L, 4L, 5L, 3L)), got.mkString(","))
+  }
+
+  test("dedupSpans: regions separated by a unique gap stay separate spans") {
+    val d = docs(
+      (1L, "D1 D2 D3 q1 q2 q3 q4 q5 E1 E2 E3"),
+      (2L, "D1 D2 D3 r1 r2 r3 r4 r5 E1 E2 E3"))
+    val got = Dedup.dedupSpans(spark, d, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, 0L, 2L), (1L, 8L, 10L),
+      (2L, 0L, 2L), (2L, 8L, 10L)), got.mkString(","))
+  }
+
+  test("dedupSpansClean cuts exactly the duplicated spans; whole-dup doc -> empty") {
+    val d = docs(
+      (1L, "u1 u2 D1 D2 D3 D4 D5 u3 u4"),
+      (2L, "D1 D2 D3 D4 D5 w1 w2 w3"),
+      (3L, "z1 z2 z3 z4 z5 z6"))
+    val got = Dedup.dedupSpansClean(spark, d, k = 3).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got(1L) == ("u1 u2 u3 u4", 4L, 5L))
+    assert(got(2L) == ("w1 w2 w3", 3L, 5L))
+    assert(got(3L) == ("z1 z2 z3 z4 z5 z6", 6L, 0L))
+    // a document that is ENTIRELY duplicated material survives as an
+    // empty row (dropping is downstream policy, not this operator's)
+    val whole = docs((1L, "a b c"), (2L, "a b c"))
+    val w = Dedup.dedupSpansClean(spark, whole, k = 3).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(w(1L) == ("", 0L, 3L) && w(2L) == ("", 0L, 3L), w.toString)
+  }
+
   test("scrub handles patterns containing quotes and backslashes; oracle escapes them") {
     val d = docs((1L, "it's o'clock at 12 o'clock"), (2L, "no match here"))
     val got = TextMetrics.scrub(d, """o'\w+""", "[T]").collect()
