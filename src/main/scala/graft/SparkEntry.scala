@@ -4,7 +4,7 @@ import graft.functions.{GraftHash, TextFunctions => TF}
 import graft.operators._
 import graft.pipelines.{Classify, Dedup, Multimodal, Packing, Retrieval,
   Sampling, Similarity, Sketches, TextMetrics}
-import graft.streaming.EventPipelines
+import graft.streaming.{EventPipelines, Tws}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -844,6 +844,31 @@ object SparkEntry {
           expr("dur_ns div 1000").as("dur_us"))
         .orderBy(col("user_id"), col("n_events"), col("dur_us"))
     }),
+    // Arbitrary-state-API sessionization twin: the SAME session
+    // semantics on Spark 4's transformWithState (StatefulProcessor +
+    // explicit event-time timers) — which only runs on the RocksDB
+    // state store provider, so this gate simultaneously proves the
+    // drains are backend-portable (off-heap state, the 100 TB
+    // deployment default). Passes stream_sessionize's oracle
+    // UNCHANGED.
+    "stream_sessionize_tws" -> ((s, dir) => {
+      val name = "graft_stream_sessionize_tws_gate"
+      val ev = GraphIO.eventsStream(s, dir)
+        .withColumn("ts", expr("ts div 1000 * 1000"))
+      s.catalog.dropTempView(name) // idempotent re-run in one session
+      Tws.withRocksDbStateStore(s) {
+        val q = Tws.sessionizeStreamTws(s, ev, watermarkDelay = "0 seconds")
+          .toDF()
+          .writeStream.outputMode("append").format("memory").queryName(name)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      s.table(name)
+        .select(col("user_id"), col("n_events"),
+          expr("dur_ns div 1000").as("dur_us"))
+        .orderBy(col("user_id"), col("n_events"), col("dur_us"))
+    }),
     // STREAMING tumbling-window stats: watermark + hourly window in
     // complete mode (state = windows × types, bounded) drained
     // AvailableNow — the canonical streaming aggregation, gated
@@ -1414,6 +1439,7 @@ object SparkEntry {
     "corpus_token_cms" -> Oracles.corpusTokenCms(CmsProbes),
     "stream_token_cms" -> Oracles.streamTokenCms,
     "stream_sessionize" -> Oracles.streamSessionize(),
+    "stream_sessionize_tws" -> Oracles.streamSessionize(),
     "stream_running_totals" -> Oracles.eventsRunningTotals(),
     // restart gates share the single-drain oracles VERBATIM: state
     // restore across a checkpointed restart must be indistinguishable
