@@ -1294,8 +1294,13 @@ object Oracles {
     * `k`-token grams with 0-based start positions, wide-hashed; grams
     * in ≥ `minDocs` distinct docs; per-doc gaps-and-islands merge into
     * `spans(doc_id, s0, s1)` — the lag-NULL first row falls to the
-    * ELSE 1 branch exactly as Spark's `when().otherwise(1)`. */
-  private def dedupSpanCtes(k: Int, minDocs: Int): String =
+    * ELSE 1 branch exactly as Spark's `when().otherwise(1)`. With
+    * `minOcc` > 0 the evidence is TOTAL occurrences (within-doc
+    * repeats count), mirroring the Spark operator's `minOcc` mode. */
+  private def dedupSpanCtes(k: Int, minDocs: Int, minOcc: Int = 0): String = {
+    val having =
+      if (minOcc > 0) s"COUNT(*) >= $minOcc"
+      else s"COUNT(DISTINCT doc_id) >= $minDocs"
     s"""t AS MATERIALIZED (
        |  SELECT doc_id, ${TF.sqlShingles("text", k)} AS sh FROM documents),
        |g AS MATERIALIZED (
@@ -1304,7 +1309,7 @@ object Oracles {
        |          unnest(range(1, coalesce(array_length(sh), 0) + 1)) AS i
        |        FROM t)),
        |d AS (SELECT gh FROM g GROUP BY gh
-       |      HAVING COUNT(DISTINCT doc_id) >= $minDocs),
+       |      HAVING $having),
        |m AS (SELECT doc_id, pos FROM g WHERE gh IN (SELECT gh FROM d)),
        |x AS (SELECT doc_id, pos,
        |        CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= $k
@@ -1316,10 +1321,12 @@ object Oracles {
        |  SELECT doc_id, MIN(pos) AS s0, MAX(pos) + ${k - 1} AS s1,
        |         COUNT(*) AS n_grams
        |  FROM y GROUP BY doc_id, span_id)""".stripMargin
+  }
 
-  /** Mirror of [[graft.pipelines.Dedup.dedupSpans]]. */
-  def dedupSpans(k: Int = 5, minDocs: Int = 2): String =
-    s"""WITH ${dedupSpanCtes(k, minDocs)}
+  /** Mirror of [[graft.pipelines.Dedup.dedupSpans]] (`minOcc` > 0
+    * selects the total-occurrence evidence mode). */
+  def dedupSpans(k: Int = 5, minDocs: Int = 2, minOcc: Int = 0): String =
+    s"""WITH ${dedupSpanCtes(k, minDocs, minOcc)}
        |SELECT doc_id, CAST(s0 AS BIGINT) AS span_start,
        |       CAST(s1 AS BIGINT) AS span_end,
        |       CAST(s1 - s0 + 1 AS BIGINT) AS span_tokens, n_grams
@@ -1872,8 +1879,8 @@ object Oracles {
   /** Mirror of [[graft.pipelines.Similarity.annTopKMrl]]: prefix-
     * cosine candidates (DuckDB's 1-based inclusive list slice is
     * Spark's `slice(x, 1, dims)`) then the exact full-vector rerank. */
-  def annTopKMrl(nq: Int = 10, k: Int = 5, dims: Int = 16,
-      cand: Int = 20): String =
+  def annTopKMrl(nq: Int = 10, k: Int = 5, dims: Int = 32,
+      cand: Int = 150): String =
     s"""WITH base AS MATERIALIZED (
        |  SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM embeddings),
        |pref AS MATERIALIZED (

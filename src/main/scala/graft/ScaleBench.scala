@@ -344,6 +344,26 @@ object ScaleBench {
     // stream→curate composition: watermarked key-dedup drain + batch
     // canonical pick — cost must track the dedup+canonical stages
     "stream_ingest_curate" -> SparkEntry.queries("stream_ingest_curate"),
+    // ---- round-15/16 operators (landed after the r15 seed:67 sweep;
+    // VERDICT r15 missing #3), each with its 10× one: row ----
+    // exact-substring span dedup: posexplode to per-gram rows, 8-byte
+    // df agg, one semi join, per-doc gaps-and-islands window — the
+    // ratio must track the token-scan floor (the skew surface — a hot
+    // k-gram fanning out the semi join — is mode "skewspans")
+    "dedup_spans" -> SparkEntry.queries("dedup_spans"),
+    "dedup_spans_clean" -> SparkEntry.queries("dedup_spans_clean"),
+    // NB classifier: one tokenization pass builds the (cls, term)
+    // model table, scorer is one term-keyed equi-join + (doc, class)
+    // hash agg + per-doc top-1 — two corpus-linear passes total
+    "classify_nb" -> SparkEntry.queries("classify_nb"),
+    // transformWithState sessionizer on RocksDB: same state bound as
+    // the fMGWS twin (watermark-horizon users), plus the per-batch
+    // RocksDB open/commit overhead — the ratio must track the fMGWS
+    // drain's, not diverge with corpus size
+    "stream_sessionize_tws" -> SparkEntry.queries("stream_sessionize_tws"),
+    // RocksDB changelog-checkpointed restart: two drains + restore —
+    // fixed-cost-heavy like the other restart gates, ~flat ratio
+    "stream_restart_tws" -> SparkEntry.queries("stream_restart_tws"),
     // seeded-teleport kernel: same per-iteration shape as pagerank —
     // the ratio must match the kernel family's band
     "pagerank_personalized" -> ((s, dir) =>

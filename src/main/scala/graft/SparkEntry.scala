@@ -447,6 +447,8 @@ object SparkEntry {
     // cuts them
     "dedup_spans" -> ((s, dir) =>
       Dedup.dedupSpans(s, GraphIO.documents(s, dir))),
+    "dedup_spans_occ" -> ((s, dir) =>
+      Dedup.dedupSpans(s, GraphIO.documents(s, dir), minOcc = 2)),
     "dedup_spans_clean" -> ((s, dir) =>
       Dedup.dedupSpansClean(s, GraphIO.documents(s, dir))),
     "dedup_embedding" -> ((s, dir) =>
@@ -1023,6 +1025,49 @@ object SparkEntry {
         finally s.conf.set(key, orig)
       out.orderBy(col("user_id"), col("event_id"))
     }),
+    // CHECKPOINTED RESTART on the transformWithState/RocksDB path:
+    // the deployment-grade state backend's restart is where RocksDB
+    // CHANGELOG CHECKPOINTING actually differs from the HDFS-backed
+    // default — open sessions AND their registered event-time TIMERS
+    // must come back from the changelog across the stop, and phase-2
+    // events must extend/close them exactly as the never-stopped
+    // drain would. Same µs-floor, same unchanged single-drain
+    // stream_sessionize oracle as the fMGWS restart gate.
+    "stream_restart_tws" -> ((s, dir) =>
+      Tws.withRocksDbStateStore(s) {
+        graft.streaming.Restart.twoPhaseDrain(s,
+            GraphIO.events(s, dir)
+              .withColumn("ts", expr("ts div 1000 * 1000")),
+            "tws", dir,
+            src => Tws.sessionizeStreamTws(s, src,
+              watermarkDelay = "0 seconds").toDF())
+          .select(col("user_id"), col("n_events"),
+            expr("dur_ns div 1000").as("dur_us"))
+          .orderBy(col("user_id"), col("n_events"), col("dur_us"))
+      }),
+    // ...and the same restart under CHANGED PARALLELISM: RocksDB
+    // instances are per state-store partition, so the checkpoint-
+    // pinned partition count is what lets a resized session reopen
+    // the right RocksDB instances (timers included) on resume.
+    "stream_restart_tws_repartitioned" -> ((s, dir) => {
+      val key = "spark.sql.shuffle.partitions"
+      val orig = s.conf.get(key)
+      val altered = (scala.util.Try(orig.toInt)
+        .getOrElse(s.sparkContext.defaultParallelism) * 2 + 1).toString
+      val out =
+        try Tws.withRocksDbStateStore(s) {
+          graft.streaming.Restart.twoPhaseDrain(s,
+            GraphIO.events(s, dir)
+              .withColumn("ts", expr("ts div 1000 * 1000")),
+            "twsrepart", dir,
+            src => Tws.sessionizeStreamTws(s, src,
+              watermarkDelay = "0 seconds").toDF(),
+            betweenPhases = sess => sess.conf.set(key, altered))
+        } finally s.conf.set(key, orig)
+      out.select(col("user_id"), col("n_events"),
+          expr("dur_ns div 1000").as("dur_us"))
+        .orderBy(col("user_id"), col("n_events"), col("dur_us"))
+    }),
     // STREAMING stream-stream interval join twin of events_range_join:
     // both sides watermarked, event-time-bounded join condition → Spark
     // derives a state-retention horizon for both buffers. The single
@@ -1390,6 +1435,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> Oracles.dedupNgramJaccard(),
     "dedup_passages" -> Oracles.dedupPassages(),
     "dedup_spans" -> Oracles.dedupSpans(),
+    "dedup_spans_occ" -> Oracles.dedupSpans(minOcc = 2),
     "dedup_spans_clean" -> Oracles.dedupSpansClean(),
     "dedup_embedding" -> Oracles.dedupEmbedding(0.3),
     "dedup_semantic" -> Oracles.dedupSemantic(0.3),
@@ -1449,6 +1495,8 @@ object SparkEntry {
     // resized-session restart: state partitioning is pinned by the
     // checkpoint, so the oracle is again the never-stopped fold
     "stream_restart_repartitioned" -> Oracles.eventsRunningTotals(),
+    "stream_restart_tws" -> Oracles.streamSessionize(),
+    "stream_restart_tws_repartitioned" -> Oracles.streamSessionize(),
     "stream_window" -> Oracles.streamWindow,
     "stream_two_drains" -> Oracles.streamTwoDrains(),
     "stream_range_join" -> Oracles.streamRangeJoin(),

@@ -47,17 +47,28 @@ object Classify {
 
     val trainToks = train
       .select(col(labelCol).as("cls"), explode(TF.tokens(col("text"))).as("term"))
+    // ONE tokenization pass over the training corpus: the (cls, term)
+    // model table is eagerly materialized (O(vocab·classes), never
+    // O(corpus)), and class totals, vocabulary size, and the scorer
+    // all derive from it instead of re-scanning train (ADVICE r15:
+    // the unshared plans cost four corpus passes per call)
     val classCnt = trainToks.groupBy(col("cls"), col("term"))
       .agg(count(lit(1)).as("cnt"))
-    val classTot = trainToks.groupBy(col("cls"))
-      .agg(count(lit(1)).as("tok_c"))
-    // bounded scalars: vocabulary size and the training doc total
-    // (the kernels' A6 count() discipline — one aggregate each)
-    val vocab = trainToks.select(col("term")).distinct().count()
-    val nTrain = train.count()
-    val priors = train.groupBy(col(labelCol).as("cls"))
-      .agg(round(log(count(lit(1)).cast("double") / lit(nTrain.toDouble)) *
-        lit(1000000.0)).cast("long").as("prior_micro"))
+      .localCheckpoint(true)
+    val classTot = classCnt.groupBy(col("cls"))
+      .agg(sum(col("cnt")).as("tok_c"))
+    val vocab = classCnt.select(col("term")).distinct().count()
+    // per-class doc counts: one label-column-only scan, re-used for
+    // BOTH the training total and the priors (same round/log
+    // expression as before, so the micro-nat values are bit-identical)
+    val clsDocs = train.groupBy(col(labelCol).as("cls"))
+      .agg(count(lit(1)).as("n")).localCheckpoint(true)
+    val nTrain = clsDocs.agg(coalesce(sum(col("n")), lit(0L)))
+      .head().getLong(0)
+    val priors = clsDocs
+      .select(col("cls"),
+        round(log(col("n").cast("double") / lit(nTrain.toDouble)) *
+          lit(1000000.0)).cast("long").as("prior_micro"))
 
     val testToks = test
       .select(col("doc_id"), col(labelCol).as("true_label"),

@@ -814,6 +814,18 @@ object Dedup {
     * of m ≥ k tokens yields exactly one span of m tokens, not
     * ⌊m/k⌋ aligned fragments.
     *
+    * Two deliberate approximations vs true suffix-array dedup:
+    * (1) the default evidence is CROSS-DOCUMENT — `minDocs` counts
+    * DISTINCT doc_ids, so a substring repeated only WITHIN one
+    * document is not flagged (set `minOcc` > 0 to count TOTAL
+    * occurrences instead, which catches within-doc repeats — the
+    * boilerplate/chorus shape); (2) ADJACENT duplicate grams merge
+    * into one maximal span even when their duplicate evidence points
+    * at different source documents, so a merged span need not itself
+    * occur verbatim anywhere else — it is a union of overlapping
+    * duplicated k-grams, which is what the cleaner wants to cut
+    * anyway.
+    *
     * Scale shape: posexplode to one row per gram (rows ∝ corpus
     * tokens), wide-hash to one int64 BEFORE the shuffle so the df
     * aggregate moves 8-byte keys with map-side partial aggregation,
@@ -824,18 +836,23 @@ object Dedup {
     * is one sort partition — the same bound as every per-document
     * window here. */
   def dedupSpans(spark: SparkSession, docs: DataFrame, k: Int = 5,
-      minDocs: Int = 2): DataFrame = {
+      minDocs: Int = 2, minOcc: Int = 0): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    require(minOcc == 0 || minOcc >= 2,
+      s"minOcc must be 0 (off) or >= 2, got $minOcc")
     import org.apache.spark.sql.expressions.Window
     val grams = docs
       .select(col("doc_id"),
         posexplode(TF.shingles(col("text"), k)).as(Seq("pos", "s")))
       .select(col("doc_id"), col("pos"),
         GraftHash.widePair(spark, col("s")).as("g"))
-    val dup = grams.groupBy(col("g"))
-      .agg(countDistinct(col("doc_id")).as("nd"))
-      .filter(col("nd") >= minDocs)
+    val dup = (if (minOcc > 0)
+        grams.groupBy(col("g")).agg(count(lit(1)).as("nd"))
+          .filter(col("nd") >= minOcc)
+      else
+        grams.groupBy(col("g")).agg(countDistinct(col("doc_id")).as("nd"))
+          .filter(col("nd") >= minDocs))
       .select(col("g"))
     val marks = grams.join(dup, Seq("g"), "left_semi")
     val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
@@ -919,41 +936,73 @@ object Dedup {
   def winnow(spark: SparkSession, docs: DataFrame, k: Int = 3,
       w: Int = 4): DataFrame = winnowPacked(spark, docs, k, w, posBits = 20)
 
-  /** [[winnow]] with the position field width exposed so the overflow
-    * guard is testable without a million-token document. The packing
-    * `hash·2^posBits + pos` is only a total order while `pos <
-    * 2^posBits`; past that, position bits bleed into the hash field
-    * and corrupt fingerprints IDENTICALLY on both engines (the oracle
-    * mirrors the arithmetic), so the guard must fail loudly rather
-    * than let gates silently agree on garbage. A book-length document
-    * CAN exceed 2^20 k-grams at corpus scale. */
+  /** [[winnow]] with the position field width exposed so the
+    * chunking path is testable without a million-token document.
+    *
+    * The packing `hash·2^posBits + localPos` is only a total order
+    * while the packed position stays `< 2^posBits`, and a book-length
+    * document CAN exceed 2^20 k-grams at corpus scale — so the
+    * operator is made TOTAL by auto-chunking (r15 raised instead,
+    * which made it partial): documents are sliced into overlapping
+    * gram chunks of `C = 2^posBits` grams at window-start stride
+    * `S = C − w + 1`, every w-gram window lies wholly inside the ONE
+    * chunk that owns its start (`start div S`), and the min is packed
+    * with the CHUNK-LOCAL position. Local order equals global order
+    * within a chunk (a monotone shift), so the selected fingerprints
+    * are IDENTICALLY those of the unchunked computation — the
+    * winnowing guarantee, the deterministic earliest-position
+    * tiebreak, and the oracle's arithmetic are all preserved, and
+    * sub-2^posBits documents take the degenerate single-chunk path
+    * (chunk 0, local = global — byte-identical plan semantics to
+    * r14). Boundary grams are duplicated into the adjacent chunk's
+    * tail: (w−1)/S extra rows ≈ 0.0004% at the defaults.
+    *
+    * Spec: `PipelinesSpec` proves chunked(posBits=4) ==
+    * unchunked(posBits=20) on an over-limit doc; the guarantee
+    * property test runs unchanged. */
   private[graft] def winnowPacked(spark: SparkSession, docs: DataFrame,
       k: Int, w: Int, posBits: Int): DataFrame = {
     require(k > 0 && w > 0, s"need positive k and w, got k=$k w=$w")
     import org.apache.spark.sql.expressions.Window
     val posLimit = 1L << posBits
+    require(posLimit >= w,
+      s"posBits=$posBits gives $posLimit-gram chunks, smaller than w=$w")
+    val stride = posLimit - w + 1 // window starts owned per chunk
+    val span = posLimit           // grams a chunk carries (stride+w-1)
     val sh = docs.select(col("doc_id"),
       posexplode(TF.shingles(col("text"), k)).as(Seq("pos", "s")))
-    val packed = sh.select(col("doc_id"), col("pos").cast("long").as("pos"),
-      when(col("pos") >= lit(posLimit),
-        raise_error(concat(lit("winnow: doc_id "), col("doc_id"),
-          lit(s" has >= $posLimit k-grams; (hash,pos) packing would" +
-            " overflow — raise posBits or split the document")))
-          .cast("long"))
-        .otherwise(GraftHash.graftHash(spark, col("s")) * lit(posLimit) +
-          col("pos").cast("long")).as("p"))
-    val frame = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-      .rowsBetween(Window.currentRow, w - 1)
+    val chunked = sh
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        GraftHash.graftHash(spark, col("s")).as("h"))
+      // gram p feeds every chunk whose gram range [j·S, j·S+span−1]
+      // covers it — ≤ 2 chunks at the defaults (explode is a no-op
+      // single element for documents under `span` grams)
+      .select(col("doc_id"), col("pos"), col("h"),
+        explode(sequence(
+          when(col("pos") <= lit(span - 1), lit(0L))
+            .otherwise(expr(s"(pos - ${span - 1} + ${stride - 1}) div $stride")),
+          expr(s"pos div $stride"))).as("chunk"))
+      .select(col("doc_id"), col("pos"), col("chunk"),
+        (col("h") * lit(posLimit) +
+          (col("pos") - col("chunk") * lit(stride))).as("p"))
+    val frame = Window.partitionBy(col("doc_id"), col("chunk"))
+      .orderBy(col("pos")).rowsBetween(Window.currentRow, w - 1)
+    // short-doc rule only ever fires on single-chunk documents, where
+    // the per-doc count is exact (no boundary duplication below w grams)
     val all = Window.partitionBy(col("doc_id"))
-    packed
-      .select(col("doc_id"), col("pos"),
+    chunked
+      .select(col("doc_id"), col("pos"), col("chunk"),
         min(col("p")).over(frame).as("sel"),
         count(lit(1)).over(frame).as("wn"),
         count(lit(1)).over(all).as("total"))
-      // full windows only — except short documents, whose first (only)
-      // partial window stands in for the whole-document minimum
-      .filter(col("wn") === w || (col("total") < w && col("pos") === 0))
-      .select(col("doc_id"), (col("sel") % lit(posLimit)).as("pos"),
+      // full windows counted once, by their owning chunk — except
+      // short documents, whose first (only) partial window stands in
+      // for the whole-document minimum
+      .filter((col("wn") === w && col("chunk") === expr(s"pos div $stride"))
+        || (col("total") < w && col("pos") === 0))
+      .select(col("doc_id"),
+        (col("chunk") * lit(stride) + col("sel") % lit(posLimit))
+          .as("pos"),
         shiftright(col("sel"), posBits).as("fp_hash"))
       .distinct()
       .orderBy(col("doc_id"), col("pos"))

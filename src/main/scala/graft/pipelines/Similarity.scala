@@ -52,11 +52,20 @@ object Similarity {
     * IVF `nprobe` because the two knobs live on different scales
     * (buckets-of-2^Bits vs cells-of-nlist). `lshBits <= 0` derives the
     * bucket width from the corpus ([[HyperplaneLsh.autoBits]]);
-    * `mrlDims` is the matryoshka rung's prefix width. */
+    * `mrlDims`/`mrlCand` are the matryoshka rung's prefix width and
+    * rerank depth — defaulted to 32-of-64 dims and a 150-candidate
+    * pool (≈30·k) because the synthetic gate embeddings are NOT
+    * matryoshka-trained (energy is uniform across dimensions, so a
+    * narrow prefix ranks weakly — the r15 audit measured 0.38 recall
+    * at 16/20); truly MRL-trained embeddings concentrate energy in
+    * the prefix and would support much smaller settings, which is why
+    * both stay free knobs. Rerank depth costs `cand` full-vector
+    * reads per query — noise next to stage 1's prefix scan. */
   def ann(emb: DataFrame, strategy: AnnStrategy, nq: Int = 10, k: Int = 5,
       nlist: Int = 0, nprobe: Int = 2, cand: Int = 20,
       trainFraction: Double = 1.0, lshProbes: Int = 22,
-      lshBits: Int = HyperplaneLsh.Bits, mrlDims: Int = 16): DataFrame =
+      lshBits: Int = HyperplaneLsh.Bits, mrlDims: Int = 32,
+      mrlCand: Int = 150): DataFrame =
     strategy match {
       case AnnStrategy.Exact => annTopK(emb, nq, k)
       case AnnStrategy.Lsh => annTopKLsh(emb, nq, k, lshProbes, lshBits)
@@ -65,7 +74,7 @@ object Similarity {
       case AnnStrategy.Q8 => annTopKQ8(emb, nq, k, cand)
       case AnnStrategy.Q8Ivf =>
         annTopKQ8Ivf(emb, nq, k, nlist, nprobe, cand, trainFraction)
-      case AnnStrategy.Mrl => annTopKMrl(emb, nq, k, mrlDims, cand)
+      case AnnStrategy.Mrl => annTopKMrl(emb, nq, k, mrlDims, mrlCand)
     }
 
   /** Recall@k audit of the approximate ANN rungs against the exact rung
@@ -826,7 +835,7 @@ object Similarity {
     * tiebreaks, prefix cosine computed with the identical left-fold
     * dot/norm the DuckDB twin replays, 6-decimal final rounding. */
   def annTopKMrl(emb: DataFrame, nq: Int = 10, k: Int = 5,
-      dims: Int = 16, cand: Int = 20): DataFrame = {
+      dims: Int = 32, cand: Int = 150): DataFrame = {
     require(dims >= 1, s"dims must be >= 1, got $dims")
     val base = emb.select(col("vec_id"), col("embedding"),
       norm(col("embedding")).as("nrm"))

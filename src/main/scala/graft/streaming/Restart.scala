@@ -88,7 +88,13 @@ object Restart {
     * ordered admission" would otherwise hinge on directory-listing
     * luck (ADVICE r14). Part-file names embed the range-partition id,
     * and `repartitionByRange` assigns ascending key ranges to
-    * ascending partition ids, so name order IS range order. */
+    * ascending partition ids, so name order IS range order.
+    *
+    * ONLY meaningful for files from ONE write job: across separate
+    * writes every file is `part-00000-<uuid>…`, so name order is
+    * uuid-random — feeding two writes' files here is a coin flip on
+    * admission order (the r15 TwsSpec flake). For multi-write fixtures
+    * set each write group's mtimes explicitly instead. */
   def orderPartFileMtimes(files: Seq[java.io.File], startMs: Long): Long = {
     var t = startMs
     files.sortBy(_.getName).foreach { f =>

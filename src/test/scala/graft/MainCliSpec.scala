@@ -157,21 +157,23 @@ class MainCliSpec extends SparkSuite {
       tb.select(col("source")).distinct().count())
   }
 
-  test("token_budget_sliced verb: identical rows to the window " +
-    "formulation") {
+  test("token_budget default (sliced) and token_budget_window agree; " +
+    "the old token_budget_sliced alias still routes") {
     import spark.implicits._
     val p = s"$tmp/tbs_docs"
     (1L to 40L)
       .map(i => (i, ("word " * (i % 5 + 1).toInt) + s"doc$i", s"src${i % 3}"))
       .toDF("doc_id", "text", "source").write.mode("overwrite").parquet(p)
-    Main.run(spark, "token_budget", Array(p, s"$tmp/tbs_w", "12"))
-    Main.run(spark, "token_budget_sliced", Array(p, s"$tmp/tbs_s", "12", "3"))
+    Main.run(spark, "token_budget_window", Array(p, s"$tmp/tbs_w", "12"))
+    Main.run(spark, "token_budget", Array(p, s"$tmp/tbs_s", "12", "3"))
+    Main.run(spark, "token_budget_sliced", Array(p, s"$tmp/tbs_a", "12", "3"))
     def rows(d: String) = spark.read.parquet(d).collect()
       .map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"),
         r.getAs[Long]("n_toks"), r.getAs[Long]("cum_toks"),
         r.getAs[Long]("rn"))).toSet
     val w = rows(s"$tmp/tbs_w")
     assert(w.nonEmpty && rows(s"$tmp/tbs_s") == w)
+    assert(rows(s"$tmp/tbs_a") == w)
   }
 
   test("restart verbs: checkpointed two-phase drains over an events " +

@@ -833,25 +833,39 @@ class PipelinesSpec extends SparkSuite {
     assert(byDoc(1L).length < 9) // doc 1 has 9 shingles
   }
 
-  test("winnow: (hash,pos) packing overflow fails loudly, not silently") {
-    // The packed min is only a total order while pos < 2^posBits; past
-    // that, position bits bleed into the hash field and BOTH engines
-    // agree on the corrupted fingerprints — so the guard must raise.
-    // Tested at posBits=4 (limit 16 k-grams) to avoid a 2^20-token doc.
+  test("winnow: over-limit documents auto-chunk, and the chunked " +
+    "fingerprints equal the unchunked computation exactly") {
+    // The packed min is only a total order while the packed position
+    // stays < 2^posBits, so past that the operator slices the gram
+    // stream into overlapping chunks and packs CHUNK-LOCAL positions
+    // (r15 raised instead — partial, and a 100 TB corpus WILL contain
+    // million-token docs). Local order == global order within a
+    // chunk, so the selections must be IDENTICAL to the one-chunk
+    // computation. Tested at posBits=4 (16-gram chunks, stride 13)
+    // over docs well past the limit — multi-boundary, repeated-token,
+    // shared-substring, and short-doc shapes — against posBits=20
+    // (single-chunk at this size) as the reference.
     import spark.implicits._
-    val words = (0 until 20).map(i => s"w$i").mkString(" ")
-    val d = Seq((1L, words)).toDF("doc_id", "text")
-    val err = intercept[Exception] {
-      Dedup.winnowPacked(spark, d, k = 3, w = 4, posBits = 4).collect()
-    }
-    def messages(t: Throwable): Seq[String] =
-      Option(t).toSeq.flatMap(e =>
-        Option(e.getMessage).toSeq ++ messages(e.getCause))
-    assert(messages(err).exists(_.contains("packing would overflow")),
-      s"expected the winnow overflow guard, got: $err")
-    // within the limit the same doc fingerprints normally
-    val ok = Dedup.winnowPacked(spark, d, k = 3, w = 4, posBits = 20)
-    assert(ok.collect().nonEmpty)
+    val run = (0 until 8).map(i => s"s$i").mkString(" ")
+    val d = Seq(
+      (1L, (0 until 50).map(i => s"w$i").mkString(" ")),  // 3 chunks
+      (2L, (0 until 50).map(i => s"w${i % 7}").mkString(" ")), // ties
+      (3L, (0 until 30).map(i => s"a$i").mkString(" ") + " " + run),
+      (4L, run + " " + (0 until 30).map(i => s"b$i").mkString(" ")),
+      (5L, "one two three")) // short doc: single partial window
+      .toDF("doc_id", "text")
+    def rows(posBits: Int): Seq[(Long, Long, Long)] =
+      Dedup.winnowPacked(spark, d, k = 3, w = 4, posBits = posBits)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSeq
+    val chunkedFp = rows(4)
+    assert(chunkedFp == rows(20),
+      "chunked selections must equal the unchunked computation")
+    // the winnowing guarantee survives chunking: docs 3 and 4 share
+    // an 8-token run (>= w + k - 1 = 6) -> a shared fingerprint hash
+    val h3 = chunkedFp.filter(_._1 == 3L).map(_._3).toSet
+    val h4 = chunkedFp.filter(_._1 == 4L).map(_._3).toSet
+    assert((h3 & h4).nonEmpty, "guarantee lost across chunk boundaries")
   }
 
   test("charEntropy: closed forms; uniform > skewed > constant") {
@@ -1085,6 +1099,21 @@ class PipelinesSpec extends SparkSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(got.toSeq == Seq((1L, 0L, 2L), (1L, 8L, 10L),
       (2L, 0L, 2L), (2L, 8L, 10L)), got.mkString(","))
+  }
+
+  test("dedupSpans minOcc: within-doc repeats flagged by the " +
+    "occurrence mode, invisible to the distinct-doc mode") {
+    // the 3-gram "C1 C2 C3" repeats twice WITHIN doc 1 only —
+    // suffix-array dedup removes those too; minDocs (distinct docs)
+    // cannot see it, minOcc (total occurrences) can
+    val d = docs(
+      (1L, "C1 C2 C3 x1 x2 x3 C1 C2 C3"),
+      (2L, "y1 y2 y3 y4 y5 y6"))
+    assert(Dedup.dedupSpans(spark, d, k = 3).collect().isEmpty)
+    val got = Dedup.dedupSpans(spark, d, k = 3, minOcc = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((1L, 0L, 2L, 3L), (1L, 6L, 8L, 3L)),
+      got.mkString(","))
   }
 
   test("dedupSpansClean cuts exactly the duplicated spans; whole-dup doc -> empty") {

@@ -1,6 +1,6 @@
 package graft
 
-import graft.streaming.{EventPipelines, Restart, Tws}
+import graft.streaming.{EventPipelines, Tws}
 import org.apache.spark.sql.streaming.Trigger
 import java.nio.file.Files
 
@@ -64,16 +64,26 @@ class TwsSpec extends SparkSuite {
     val dir = Files.createTempDirectory("graft-tws-mb").toFile
     dir.deleteOnExit()
     val p = dir.getAbsolutePath
+    def parts(): Set[java.io.File] =
+      Option(new java.io.File(p).listFiles()).get.toSeq
+        .filter(f => f.isFile && f.getName.startsWith("part-")).toSet
+    // FileStreamSource admits oldest-mtime first, so write order must
+    // be pinned by EXPLICIT per-write-group mtimes. (The r15 version
+    // fed both writes' files to orderPartFileMtimes, which sorts by
+    // NAME — but each coalesce(1) write emits part-00000-<uuid>, so
+    // cross-write name order is uuid-random: ~1 in 2 runs admitted f2
+    // first, its 120-min event advanced the watermark, f1's rows were
+    // dropped as late, and the test failed. That was the full-suite
+    // flake; name order is only meaningful WITHIN one write job.)
     f1.toDF("user_id", "ts", "event_id")
       .coalesce(1).write.mode("overwrite").parquet(p)
+    val f1Parts = parts()
     f2.toDF("user_id", "ts", "event_id")
       .coalesce(1).write.mode("append").parquet(p)
-    // strictly increasing mtimes in name order = write order, so the
-    // file source admits f1 before f2 (ADVICE r14 tie rule)
-    val parts = Option(new java.io.File(p).listFiles()).get.toSeq
-      .filter(f => f.isFile && f.getName.startsWith("part-"))
-      .sortBy(_.lastModified())
-    Restart.orderPartFileMtimes(parts, System.currentTimeMillis() - 600000)
+    val f2Parts = parts() -- f1Parts
+    val t0 = System.currentTimeMillis() - 600000
+    f1Parts.foreach(f => require(f.setLastModified(t0)))
+    f2Parts.foreach(f => require(f.setLastModified(t0 + 2000)))
 
     drain(p, "graft_tws_mb", maxFilesPerTrigger = Some(1))
     val got = spark.sql("SELECT * FROM graft_tws_mb").collect()
@@ -96,5 +106,40 @@ class TwsSpec extends SparkSuite {
     val fm = spark.sql("SELECT * FROM graft_tws_mb_fmgws").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(fm == got, s"fMGWS $fm != TWS $got")
+  }
+
+  test("flake repro (r15): admitting the late file FIRST drops the " +
+    "early file's rows as late — the exact failure the uuid-random " +
+    "cross-write name order produced ~1 in 2 full-suite runs") {
+    import spark.implicits._
+    val m = 60L * 1000L * MsNs
+    val b = 1700000000L * 1000000000L
+    val f1 = Seq((1L, b, 10L), (1L, b + m, 11L), (2L, b, 20L))
+    val f2 = Seq((1L, b + 2 * m, 12L), (3L, b + 120 * m, 30L))
+    val dir = Files.createTempDirectory("graft-tws-repro").toFile
+    dir.deleteOnExit()
+    val p = dir.getAbsolutePath
+    def parts(): Set[java.io.File] =
+      Option(new java.io.File(p).listFiles()).get.toSeq
+        .filter(f => f.isFile && f.getName.startsWith("part-")).toSet
+    f1.toDF("user_id", "ts", "event_id")
+      .coalesce(1).write.mode("overwrite").parquet(p)
+    val f1Parts = parts()
+    f2.toDF("user_id", "ts", "event_id")
+      .coalesce(1).write.mode("append").parquet(p)
+    val f2Parts = parts() -- f1Parts
+    // REVERSED mtimes: f2 (late events) admitted before f1
+    val t0 = System.currentTimeMillis() - 600000
+    f2Parts.foreach(f => require(f.setLastModified(t0)))
+    f1Parts.foreach(f => require(f.setLastModified(t0 + 2000)))
+    drain(p, "graft_tws_repro", maxFilesPerTrigger = Some(1))
+    val got = spark.sql("SELECT * FROM graft_tws_repro").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // f2's 120-min event advances the watermark before f1 is read, so
+    // every f1 row is late-dropped: user 2 never appears and user 1's
+    // 3-event merged session is impossible
+    assert(!got.exists(_._1 == 2L), s"user 2 should be late-dropped: $got")
+    assert(!got.contains((1L, 3L, 2 * m)),
+      s"merged session impossible under reversed admission: $got")
   }
 }
