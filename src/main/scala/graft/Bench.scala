@@ -123,6 +123,7 @@ object Bench {
     var warmup = 0.0
     var failed = List.empty[String]
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val cold = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     familyOrder.foreach { fam =>
       val qs = byFam.getOrElse(fam, Nil)
       if (qs.nonEmpty) {
@@ -131,26 +132,42 @@ object Bench {
         warmup += (System.nanoTime() - w0) / 1e9
         // Within a family, run in name order (stable across rounds).
         qs.sortBy(_._1).foreach { case (name, fn) =>
-          val t0 = System.nanoTime()
-          // noop sink, not count(): under count Catalyst prunes computed
-          // columns on projection-shaped queries (a text_normalize count
-          // never runs the NFC expression), which under-measures them.
-          // The noop write evaluates every output column of every row.
-          var df: org.apache.spark.sql.DataFrame = null
-          try {
-            df = fn(spark, sfDir)
-            df.write.format("noop").mode("overwrite").save()
-          } catch { case e: Throwable =>
-            failed ::= name
-            System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          } finally {
-            // The sink consumed (or abandoned) the result; its final
-            // per-query score checkpoints (1-2 |V| vectors each) are
-            // dead — release them even on failure instead of letting
-            // ~60 queries' worth wait on GC-timed ContextCleaner sweeps.
-            if (df != null) Checkpoints.releaseAll(df)
+          // Two passes, WARM recorded (BenchOne's pattern, adopted for
+          // the suite after the r16 artifact shipped cold-pass numbers
+          // 1.5-2.9x above the r14 bands on unchanged code — per-query
+          // codegen/JIT compilation is a one-time JVM cost, not an
+          // engine property, and a judge isolation run proved the warm
+          // number is the stable, cross-round-comparable one). The
+          // first pass's time is kept as the query's `cold` entry so
+          // the compile overhead stays visible without polluting the
+          // headline map.
+          def once(): Double = {
+            val t0 = System.nanoTime()
+            // noop sink, not count(): under count Catalyst prunes
+            // computed columns on projection-shaped queries (a
+            // text_normalize count never runs the NFC expression),
+            // which under-measures them. The noop write evaluates
+            // every output column of every row.
+            var df: org.apache.spark.sql.DataFrame = null
+            try {
+              df = fn(spark, sfDir)
+              df.write.format("noop").mode("overwrite").save()
+            } catch { case e: Throwable =>
+              if (!failed.contains(name)) failed ::= name
+              System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            } finally {
+              // The sink consumed (or abandoned) the result; its final
+              // per-query score checkpoints (1-2 |V| vectors each) are
+              // dead — release them even on failure instead of letting
+              // ~60 queries' worth wait on GC-timed ContextCleaner
+              // sweeps (and so pass 1's dead blocks can't distort
+              // pass 2's timing).
+              if (df != null) Checkpoints.releaseAll(df)
+            }
+            (System.nanoTime() - t0) / 1e9
           }
-          results(name) = (System.nanoTime() - t0) / 1e9
+          cold(name) = once()
+          results(name) = once()
         }
         // This family's persisted graph is done — drop its blocks now.
         if (fam != "flat") GraphIO.evict(spark, sfDir, Seq(fam))
@@ -160,10 +177,13 @@ object Bench {
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
+    val qsCold = cold.map { case (k, v) => s"\"" + k + "\":" + ms(v) }
+      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    val coldTotal = if (cold.nonEmpty) cold.values.sum else 0.0
     val failedJson = failed.sorted.map(n => s"\"$n\"").mkString("[", ",", "]")
     val load = s""""loadavg_start":${ms(loadStart)},"loadavg_end":${ms(loadavg())}"""
-    val fullJson = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"warmup_sec":${ms(warmup)},"failed":$failedJson,$load,"sf":"$sfDir"}"""
+    val fullJson = s"""{"metric":"total","value":${ms(total)},"unit":"sec","pass":"warm","queries":$qs,"cold_total_sec":${ms(coldTotal)},"queries_cold":$qsCold,"warmup_sec":${ms(warmup)},"failed":$failedJson,$load,"sf":"$sfDir"}"""
     // The FULL per-query map goes to disk; stdout gets a SHORT line.
     // Downstream stdout capture keeps only a bounded tail, and three
     // rounds of driver artifacts shipped "parsed": null because the
@@ -189,7 +209,7 @@ object Bench {
     // full map inline only as a fallback when the file write failed —
     // better a truncated tail than no numbers at all
     val line = if (wrote)
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$top,"n_queries":${results.size},"warmup_sec":${ms(warmup)},"failed":$failedJson,$load,"sf":"$sfDir","full":"$pathJson"}"""
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","pass":"warm","queries":$top,"n_queries":${results.size},"cold_total_sec":${ms(coldTotal)},"warmup_sec":${ms(warmup)},"failed":$failedJson,$load,"sf":"$sfDir","full":"$pathJson"}"""
     else fullJson
     // stop FIRST, print LAST: nothing (shutdown log lines included) may
     // land on stdout after the machine-readable line — paired with

@@ -12,7 +12,7 @@ import org.apache.spark.sql.functions._
   * the LLM-data-pipeline surface over parquet paths without sbt console:
   *
   * {{{
-  * runMain graft.Main dedup <docs.parquet> <out_dir> [exact|near|clean|spans|spans_clean] [k]
+  * runMain graft.Main dedup <docs.parquet> <out_dir> [exact|near|clean|spans|spans_occ|spans_clean] [k]
   * runMain graft.Main classify <docs.parquet> <out_dir> [label_col] [train_pct]
   * runMain graft.Main ann <embeddings.parquet> <out_dir> [exact|lsh|ivf|q8|q8ivf] [nq] [k]
   * runMain graft.Main split <in.parquet> <out_dir> [id_col] [train‰ val‰ test‰]
@@ -94,7 +94,7 @@ object Main {
       "pagerank_personalized <topic> [num_iter] [damping], " +
       "hits_converged [tol] [max_iter], salsa_converged [tol] [max_iter], " +
       "pagerank_converged [damping] [tol] [max_iter]; pipelines: " +
-      "dedup <in> <out> [exact|near|clean|spans|spans_clean] [k], " +
+      "dedup <in> <out> [exact|near|clean|spans|spans_occ|spans_clean] [k], " +
       "classify <in> <out> [label_col] [train_pct], " +
       "ann <in> <out> [exact|lsh|ivf|q8|q8ivf|mrl] [nq] [k], " +
       "ivf_index <emb> <out> [nlist] [train_frac], " +
@@ -747,7 +747,7 @@ object Main {
         Similarity.recallAuditAppended(emb,
             nq = intArg(2, "10", "nq"), k = intArg(3, "5", "k"),
             nlist = if (nl > 0) nl else Similarity.autoNlist(emb.count()),
-            nprobe = intArg(5, "2", "nprobe"))
+            nprobe = intArg(5, "3", "nprobe"))
           .write.mode("overwrite").parquet(out)
         println(s"Appended-IVF recall audit written to $out")
       case "ingest_curate" =>

@@ -519,6 +519,26 @@ object Oracles {
        |FROM events WHERE user_id < $maxUser
        |ORDER BY user_id, event_id""".stripMargin
 
+  /** Never-stopped twin of the CHANGED-OPERATOR restart gate
+    * (`stream_restart_evolved`): the running-totals fold over phase-1
+    * events (at or before the corpus's mid timestamp — the same
+    * `lo + (hi-lo)/2` integer split [[graft.streaming.Restart
+    * .twoPhaseDrain]] uses, in epoch nanos) plus only the EVEN
+    * event_ids of phase 2, accumulated in the same per-user
+    * (ts, event_id) order. */
+  def eventsRunningTotalsEvolved(maxUser: Long = 20): String =
+    s"""WITH bounds AS (
+       |  SELECT min(epoch_ns(ts)) AS lo, max(epoch_ns(ts)) AS hi
+       |  FROM events),
+       |kept AS (
+       |  SELECT user_id, ts, event_id, value FROM events, bounds
+       |  WHERE user_id < $maxUser
+       |    AND (epoch_ns(ts) <= lo + (hi - lo) // 2 OR event_id % 2 = 0))
+       |SELECT user_id, event_id,
+       |       CAST(round(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 100.0::DOUBLE) AS BIGINT) AS running_cents
+       |FROM kept ORDER BY user_id, event_id""".stripMargin
+
   /** Mirror of [[graft.streaming.EventPipelines.activeTime]]: the
     * interval-union sweep as a lead window over epoch-ns integers. */
   def eventsActiveTime(windowNs: Long = 30L * 60 * 1000000000L): String =
@@ -1637,7 +1657,7 @@ object Oracles {
     * [[graft.pipelines.Similarity.annTopKIvf]]): [[ivfCtes]] +
     * nprobe cell-probe search, exact cosine rerank. */
   def annTopKIvf(nq: Int = 10, k: Int = 5, nlist: Int = 8,
-      nprobe: Int = 2, dim: Int = 64): String =
+      nprobe: Int = 4, dim: Int = 64): String =
     s"""WITH ${ivfCtes(nlist, dim)},
        |probes AS MATERIALIZED (
        |  SELECT query_id, cid FROM (
@@ -1947,7 +1967,7 @@ object Oracles {
     * sample — the full 100 TB configuration (cell probe + int8 +
     * sampled training) in one oracle. */
   def annTopKQ8Ivf(nq: Int = 10, k: Int = 5, nlist: Int = 8,
-      nprobe: Int = 2, cand: Int = 20, dim: Int = 64,
+      nprobe: Int = 4, cand: Int = 20, dim: Int = 64,
       trainPermille: Int = 1000): String = {
     val intdot = "list_reduce(list_prepend(0::BIGINT, " +
       "list_transform(list_zip(c.q, qq.q), z -> z[1] * z[2])), (a, x) -> a + x)"
@@ -2033,7 +2053,7 @@ object Oracles {
     * per vec_id. Probes, recall vs the exact rung, and the
     * max/mean cell-imbalance rows are recomputed literally. */
   def annRecallAuditAppended(nq: Int = 10, k: Int = 5, nlist: Int = 8,
-      nprobe: Int = 2, dim: Int = 64): String = {
+      nprobe: Int = 4, dim: Int = 64): String = {
     val total = nq.toLong * k
     // one Lloyd step from the shared seeds over `trainSrc`, ending in
     // a centroid CTE named `centT` (the ivfTrainCtes shape with a
@@ -2676,29 +2696,65 @@ object Oracles {
        |FROM m GROUP BY doc_id, chunk ORDER BY doc_id, chunk""".stripMargin
   }
 
-  /** Mirror of [[graft.pipelines.Dedup.winnow]]: packed
-    * `hash·2²⁰ + pos` k-gram keys, per-window minima over
-    * `ROWS BETWEEN CURRENT ROW AND w-1 FOLLOWING`, full windows only
-    * (short documents keep their first partial window), distinct. */
-  def dedupWinnow(k: Int, w: Int): String = {
+  /** The chunked winnow chain shared by [[dedupWinnow]] and
+    * [[corpusQuoteMatrix]], ending in CTE `wm` — a faithful mirror of
+    * [[graft.pipelines.Dedup.winnowPacked]] at the public posBits=20:
+    * per-doc gram `total` taken BEFORE the chunk explode, each gram
+    * fanned into every 2²⁰-gram chunk (stride 2²⁰−w+1) whose range
+    * covers it, packed `hash·2²⁰ + chunkLocalPos` keys, per-(doc,
+    * chunk) window minima. Sub-2²⁰-gram documents (every gate corpus)
+    * take the degenerate single-chunk path — chunk 0, local = global —
+    * so the arithmetic reduces to the historical unchunked packing;
+    * over-limit documents now mirror Spark's chunking instead of
+    * bleeding position bits into the hash field (ADVICE r16). */
+  private def winnowChunkedCtes(k: Int, w: Int): String = {
     val sh = TF.sqlShingles("text", k)
     val h = GraftHash.duckdbSql("s")
+    val lim = 1048576L // 2^posBits at the public posBits = 20
+    val stride = lim - w + 1 // window starts owned per chunk
+    val span = lim           // grams a chunk carries
     s"""WITH sh AS MATERIALIZED (
        |  SELECT doc_id,
        |         unnest(generate_series(0, coalesce(array_length(sh), 0) - 1)) AS pos,
        |         unnest(sh) AS s
        |  FROM (SELECT doc_id, $sh AS sh FROM documents) d),
-       |p AS (SELECT doc_id, pos, ($h * 1048576 + pos) AS pk FROM sh),
+       |p AS (SELECT doc_id, pos, ($h) AS hh,
+       |             count(*) OVER (PARTITION BY doc_id) AS total FROM sh),
+       |ch AS (
+       |  SELECT doc_id, pos, hh, total,
+       |         unnest(generate_series(
+       |           CASE WHEN pos <= ${span - 1} THEN 0
+       |                ELSE (pos - ${span - 1} + ${stride - 1}) // $stride END,
+       |           pos // $stride)) AS chunk
+       |  FROM p),
+       |pk AS (SELECT doc_id, pos, chunk, total,
+       |              (hh * $lim + (pos - chunk * $stride)) AS pk FROM ch),
        |wm AS (
-       |  SELECT doc_id, pos,
-       |         min(pk) OVER (PARTITION BY doc_id ORDER BY pos
+       |  SELECT doc_id, pos, chunk, total,
+       |         min(pk) OVER (PARTITION BY doc_id, chunk ORDER BY pos
        |           ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS sel,
-       |         count(*) OVER (PARTITION BY doc_id ORDER BY pos
-       |           ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS wn,
-       |         count(*) OVER (PARTITION BY doc_id) AS total
-       |  FROM p)
-       |SELECT DISTINCT doc_id, sel % 1048576 AS pos, sel >> 20 AS fp_hash
-       |FROM wm WHERE wn = $w OR (total < $w AND pos = 0)
+       |         count(*) OVER (PARTITION BY doc_id, chunk ORDER BY pos
+       |           ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS wn
+       |  FROM pk)""".stripMargin
+  }
+
+  /** The winnow chain's selection filter: full windows counted once,
+    * by their owning chunk, except sub-w-gram documents whose first
+    * (only) partial window stands in for the whole-document minimum. */
+  private def winnowKeep(w: Int): String = {
+    val stride = 1048576L - w + 1
+    s"(wn = $w AND chunk = pos // $stride) OR (total < $w AND pos = 0)"
+  }
+
+  /** Mirror of [[graft.pipelines.Dedup.winnow]]: chunked packed-key
+    * winnowing ([[winnowChunkedCtes]]), global position recovered as
+    * `chunk·stride + sel % 2²⁰`, distinct. */
+  def dedupWinnow(k: Int, w: Int): String = {
+    val stride = 1048576L - w + 1
+    s"""${winnowChunkedCtes(k, w)}
+       |SELECT DISTINCT doc_id, chunk * $stride + sel % 1048576 AS pos,
+       |       sel >> 20 AS fp_hash
+       |FROM wm WHERE ${winnowKeep(w)}
        |ORDER BY doc_id, pos""".stripMargin
   }
 
@@ -2723,25 +2779,10 @@ object Oracles {
     * per-pair shared-fingerprint counts. */
   def corpusQuoteMatrix(k: Int = 3, w: Int = 4,
       maxSources: Int = 16): String = {
-    val sh = TF.sqlShingles("text", k)
-    val h = GraftHash.duckdbSql("s")
-    s"""WITH shg AS MATERIALIZED (
-       |  SELECT doc_id,
-       |         unnest(generate_series(0, coalesce(array_length(sh), 0) - 1)) AS pos,
-       |         unnest(sh) AS s
-       |  FROM (SELECT doc_id, $sh AS sh FROM documents) d),
-       |p AS (SELECT doc_id, pos, ($h * 1048576 + pos) AS pk FROM shg),
-       |wm AS (
-       |  SELECT doc_id, pos,
-       |         min(pk) OVER (PARTITION BY doc_id ORDER BY pos
-       |           ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS sel,
-       |         count(*) OVER (PARTITION BY doc_id ORDER BY pos
-       |           ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS wn,
-       |         count(*) OVER (PARTITION BY doc_id) AS total
-       |  FROM p),
+    s"""${winnowChunkedCtes(k, w)},
        |fpd AS (
        |  SELECT DISTINCT doc_id, sel >> 20 AS fp_hash
-       |  FROM wm WHERE wn = $w OR (total < $w AND pos = 0)),
+       |  FROM wm WHERE ${winnowKeep(w)}),
        |fps AS MATERIALIZED (
        |  SELECT DISTINCT source, fp_hash
        |  FROM fpd JOIN documents USING (doc_id)),

@@ -493,7 +493,16 @@ object ScaleBench {
     //  - "recalldrift" — appended-IVF recall drift at scale: derived
     //    autoNlist, the appended half distributionally shifted (5%
     //    mass on one hot vector), appended vs fresh recall + cell
-    //    imbalance (r15, VERDICT r14 missing #2).
+    //    imbalance (r15, VERDICT r14 missing #2);
+    //  - "skewspans" — the span-dedup skew twin (VERDICT r16 wrong
+    //    #2): base vs UNIFORM reps× documents vs a HOT-K-GRAM twin
+    //    where a fixed stopword run is prepended to every 2nd
+    //    document — ~50% of the corpus sharing a handful of hot gram
+    //    keys, the df-aggregate / semi-join fan-out stress;
+    //  - "winnowbook" — the chunked-winnow path on genuinely
+    //    over-limit documents (>2^20 grams each, 2 chunks/doc): base
+    //    vs 10× docs of the same length — the ratio must track the
+    //    token-scan floor (r16 made winnow total; this measures it).
     val mode = if (args.length > 3) args(3) else "all"
     val order = if (mode.startsWith("seed:"))
       new scala.util.Random(mode.stripPrefix("seed:").toLong).shuffle(queries)
@@ -741,6 +750,131 @@ object ScaleBench {
       Checkpoints.releaseAll(v)
       println(s"""{"metric":"skewdedup_semantic_audit","rows":$nRows,""" +
         s""""max_cell":$maxCell,"beyond_cap":$beyondCap,"dups":$nDups}""")
+    } else if (mode == "skewspans") {
+      // HOT-K-GRAM skew twin for the exact-substring span-dedup family
+      // (the skew surface ScaleBench.queries' comment names): the
+      // operator's only skew exposures are (a) the k-gram df aggregate
+      // — a handful of gram keys carrying corpus-scale counts, which
+      // map-side partial aggregation must absorb — and (b) the
+      // left-semi back-join fanning those grams' OCCURRENCE rows (one
+      // row per occurrence, never pairwise). Uniform twin: reps× docs,
+      // text salted per replica (shared with skewdedup). Skew twin:
+      // SAME row counts, but a fixed 50-token stopword run (a 5-word
+      // cycle → 5 distinct hot 5-gram keys, each ~9×/doc) is PREPENDED
+      // to every 2nd document — ~50% of the corpus funneling into 5
+      // gram keys. Claim: skew_ratio tracks uniform_ratio (both the
+      // token-scan floor) and the spans output stays ~1 merged span
+      // per hot document (gaps-and-islands, not per-gram rows).
+      val uniDir = s"$outDir-unidedup$reps" // shared with skewdedup
+      val hotDir = s"$outDir-hotspans$reps"
+      if (!new java.io.File(s"$uniDir/documents.parquet/_SUCCESS")
+          .exists()) {
+        val docs = spark.read.parquet(s"$baseDir/documents.parquet")
+        (0 until reps).map { r =>
+          docs.withColumn("doc_id", col("doc_id") + lit(r * Shift))
+            .withColumn("text", if (r == 0) col("text")
+              else concat(col("text"), lit(s" rep$r")))
+        }.reduce(_ unionAll _)
+          .write.mode("overwrite").parquet(s"$uniDir/documents.parquet")
+      }
+      if (!new java.io.File(s"$hotDir/documents.parquet/_SUCCESS")
+          .exists()) {
+        val run = Seq.fill(10)("the of and to in").mkString(" ")
+        spark.read.parquet(s"$uniDir/documents.parquet")
+          .withColumn("text", when(col("doc_id") % 2 === 0,
+              concat(lit(run + " "), col("text")))
+            .otherwise(col("text")))
+          .write.mode("overwrite").parquet(s"$hotDir/documents.parquet")
+      }
+      val qmap = queries.toMap
+      def timed(dir: String, name: String): (Double, Double) = {
+        def once(): Double = {
+          val t0 = System.nanoTime()
+          val df = qmap(name)(spark, dir)
+          try df.write.format("noop").mode("overwrite").save()
+          finally Checkpoints.releaseAll(df)
+          (System.nanoTime() - t0) / 1e9
+        }
+        (once(), once())
+      }
+      Seq("dedup_spans", "dedup_spans_clean").foreach { name =>
+        val (bf, bw) = timed(baseDir, name)
+        val (uf, uw) = timed(uniDir, name) // uniform reps×
+        val (kf, kw) = timed(hotDir, name) // hot-gram 50% twin
+        println(f"""{"metric":"skewspans","query":"$name",""" +
+          f""""base_warm":$bw%.2f,"uniform${reps}x_warm":$uw%.2f,""" +
+          f""""skew${reps}x_warm":$kw%.2f,""" +
+          f""""uniform_ratio":${uw / bw}%.2f,""" +
+          f""""skew_ratio":${kw / bw}%.2f,""" +
+          f""""base_first":$bf%.2f,"uniform_first":$uf%.2f,""" +
+          f""""skew_first":$kf%.2f}""")
+      }
+      // Output-shape audit on the hot corpus: the hot documents'
+      // stopword-run grams must merge to ONE leading span per document
+      // (gaps-and-islands), so total span rows stay O(docs), and the
+      // occurrence-mode (minOcc) variant — strictly cheaper count(*)
+      // agg — must hold the same shape.
+      val spans = pipelines.Dedup.dedupSpans(spark,
+        GraphIO.documents(spark, hotDir)).persist()
+      val nSpans = spans.count()
+      val nDocs = spark.read.parquet(s"$hotDir/documents.parquet").count()
+      val maxPerDoc = spans.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n")).agg(max(col("n"))).head.getLong(0)
+      spans.unpersist(false)
+      Checkpoints.releaseAll(spans)
+      println(s"""{"metric":"skewspans_audit","docs":$nDocs,""" +
+        s""""span_rows":$nSpans,"max_spans_per_doc":$maxPerDoc}""")
+    } else if (mode == "winnowbook") {
+      // BOOK-LENGTH winnow evidence (VERDICT r16 next #7): r16's
+      // auto-chunking made winnow TOTAL for documents over 2^20 grams
+      // — proof-tested at posBits=4, never RUN at real book length.
+      // Corpus: deterministic pseudo-random token streams (pure
+      // (doc_id, position) arithmetic — no RNG, rebuild-stable) of
+      // 2^20 + 250k grams per document, so every document genuinely
+      // crosses the chunk limit (2 chunks, boundary grams duplicated
+      // into the neighbor's tail). Base 4 docs vs 40 docs of the SAME
+      // length: per-document window state is constant, so the
+      // expected warm ratio is the token-scan floor.
+      val nGrams = (1 << 20) + 250000
+      val nTok = nGrams + 2L // k = 3 grams per doc = nTok - k + 1
+      def bookCorpus(nDocs: Int, dir: String): Unit =
+        if (!new java.io.File(s"$dir/documents.parquet/_SUCCESS")
+            .exists()) {
+          spark.range(nDocs).select(col("id").as("doc_id"),
+            array_join(transform(sequence(lit(0L), lit(nTok - 1)),
+              i => concat(lit("w"), pmod(i * lit(2654435761L) +
+                col("id") * lit(7919L), lit(4999L)))), " ").as("text"))
+            .repartition(math.min(nDocs, cpus.toInt))
+            .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+        }
+      val b1 = s"$outDir-book1"
+      val b10 = s"$outDir-book10"
+      bookCorpus(4, b1)
+      bookCorpus(40, b10)
+      def timedW(dir: String): (Double, Double) = {
+        def once(): Double = {
+          val t0 = System.nanoTime()
+          val df = pipelines.Dedup.winnow(spark,
+            spark.read.parquet(s"$dir/documents.parquet"))
+          try df.write.format("noop").mode("overwrite").save()
+          finally Checkpoints.releaseAll(df)
+          (System.nanoTime() - t0) / 1e9
+        }
+        (once(), once())
+      }
+      val (bf, bw) = timedW(b1)
+      val (gf, gw) = timedW(b10)
+      // density sanity: winnow selects ~2/(w+1) of grams; a chunking
+      // bug (double-counted boundaries, dropped owners) shows up here
+      // before any ratio could
+      val fps = pipelines.Dedup.winnow(spark,
+        spark.read.parquet(s"$b1/documents.parquet")).count()
+      println(f"""{"metric":"winnowbook","grams_per_doc":$nGrams,""" +
+        f""""docs_base":4,"docs_big":40,""" +
+        f""""base_warm":$bw%.2f,"big_warm":$gw%.2f,""" +
+        f""""ratio":${gw / bw}%.2f,""" +
+        f""""base_first":$bf%.2f,"big_first":$gf%.2f,""" +
+        f""""base_fingerprints":$fps}""")
     } else if (mode == "incdelta") {
       // O(delta) evidence for the incremental cluster-maintenance path
       // (VERDICT r12 item 1's "Done" tail): against a big corpus —

@@ -976,6 +976,28 @@ object SparkEntry {
           "totals", dir,
           src => EventPipelines.runningTotalsStream(s, src).toDF())
         .orderBy(col("user_id"), col("event_id"))),
+    // CHECKPOINTED RESTART across a CHANGED OPERATOR (VERDICT r16 next
+    // #8) — the remaining deployment shape: code EVOLVES between the
+    // stop and the resume. Structured Streaming's recovery semantics
+    // allow stateless filters/projections to change UPSTREAM of an
+    // unchanged stateful operator (the checkpoint pins the stateful-
+    // operator layout and state schema, not the stateless prefix); the
+    // gate deploys exactly that change — phase 2 restarts the
+    // running-totals fold from phase 1's checkpoint with an
+    // `event_id % 2 = 0` filter newly added upstream. The restored
+    // accumulators must CONTINUE over the filtered phase-2 sequence:
+    // the oracle folds phase-1 events (ts <= the corpus mid-split)
+    // unfiltered and phase-2 events filtered, in the same per-user
+    // (ts, event_id) order — a skipped odd event that still bumped a
+    // total, or a restart that silently rebuilt state from scratch,
+    // is a loud hash mismatch.
+    "stream_restart_evolved" -> ((s, dir) =>
+      graft.streaming.Restart.twoPhaseDrain(s, GraphIO.events(s, dir),
+          "evolved", dir,
+          src => EventPipelines.runningTotalsStream(s, src).toDF(),
+          pipeline2 = Some(src => EventPipelines.runningTotalsStream(s,
+            src.filter(col("event_id") % 2 === 0)).toDF()))
+        .orderBy(col("user_id"), col("event_id"))),
     // CHECKPOINTED RESTART, sessionization: the harder restore — open
     // sessions (start/last/count) and their event-time timeout
     // deadlines live in the state store across the stop, and the
@@ -1487,6 +1509,7 @@ object SparkEntry {
     "stream_sessionize" -> Oracles.streamSessionize(),
     "stream_sessionize_tws" -> Oracles.streamSessionize(),
     "stream_running_totals" -> Oracles.eventsRunningTotals(),
+    "stream_restart_evolved" -> Oracles.eventsRunningTotalsEvolved(),
     // restart gates share the single-drain oracles VERBATIM: state
     // restore across a checkpointed restart must be indistinguishable
     // from never having stopped

@@ -971,30 +971,35 @@ object Dedup {
     val span = posLimit           // grams a chunk carries (stride+w-1)
     val sh = docs.select(col("doc_id"),
       posexplode(TF.shingles(col("text"), k)).as(Seq("pos", "s")))
+    // `total` is the per-document GRAM count, taken BEFORE the chunk
+    // explode: post-explode rows carry boundary duplicates, so a count
+    // over them could reach w on a sub-w-gram document whenever
+    // posLimit < 2w-2 (chunks short enough that most grams straddle a
+    // boundary), silently disabling BOTH the full-window rule and the
+    // short-doc fallback — zero fingerprints for a document the
+    // guarantee covers (ADVICE r16).
+    val all = Window.partitionBy(col("doc_id"))
     val chunked = sh
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
-        GraftHash.graftHash(spark, col("s")).as("h"))
+        GraftHash.graftHash(spark, col("s")).as("h"),
+        count(lit(1)).over(all).as("total"))
       // gram p feeds every chunk whose gram range [j·S, j·S+span−1]
       // covers it — ≤ 2 chunks at the defaults (explode is a no-op
       // single element for documents under `span` grams)
-      .select(col("doc_id"), col("pos"), col("h"),
+      .select(col("doc_id"), col("pos"), col("h"), col("total"),
         explode(sequence(
           when(col("pos") <= lit(span - 1), lit(0L))
             .otherwise(expr(s"(pos - ${span - 1} + ${stride - 1}) div $stride")),
           expr(s"pos div $stride"))).as("chunk"))
-      .select(col("doc_id"), col("pos"), col("chunk"),
+      .select(col("doc_id"), col("pos"), col("chunk"), col("total"),
         (col("h") * lit(posLimit) +
           (col("pos") - col("chunk") * lit(stride))).as("p"))
     val frame = Window.partitionBy(col("doc_id"), col("chunk"))
       .orderBy(col("pos")).rowsBetween(Window.currentRow, w - 1)
-    // short-doc rule only ever fires on single-chunk documents, where
-    // the per-doc count is exact (no boundary duplication below w grams)
-    val all = Window.partitionBy(col("doc_id"))
     chunked
-      .select(col("doc_id"), col("pos"), col("chunk"),
+      .select(col("doc_id"), col("pos"), col("chunk"), col("total"),
         min(col("p")).over(frame).as("sel"),
-        count(lit(1)).over(frame).as("wn"),
-        count(lit(1)).over(all).as("total"))
+        count(lit(1)).over(frame).as("wn"))
       // full windows counted once, by their owning chunk — except
       // short documents, whose first (only) partial window stands in
       // for the whole-document minimum

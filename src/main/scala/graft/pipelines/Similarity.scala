@@ -46,26 +46,34 @@ object Similarity {
     * call-site drift). Parameters not used by a strategy are ignored:
     * `nlist`/`nprobe`/`trainFraction` drive the IVF variants, `cand` the
     * quantized rerank width. Output shape is identical across
-    * strategies: `(query_id, rn, neighbor_id, cosine)`. `lshProbes` is
+    * strategies: `(query_id, rn, neighbor_id, cosine)`. `nprobe`
+    * defaults to 4 (r17, was 2): the recall audit measured the IVF
+    * rungs at 0.84-0.88 under the ladder's ≥0.9 floor, and 4-of-8
+    * cells lifts both to 0.92 at 2× stage-1 cost on the gate corpus —
+    * at deployment `nlist = autoNlist(N) ∝ √N`, so the probed
+    * fraction 4/√N still vanishes with scale. `lshProbes` is
     * the multi-probe width of the LSH rung (buckets probed per table:
     * own + margin-ranked 1-/2-bit flips); it is separate from the
     * IVF `nprobe` because the two knobs live on different scales
     * (buckets-of-2^Bits vs cells-of-nlist). `lshBits <= 0` derives the
     * bucket width from the corpus ([[HyperplaneLsh.autoBits]]);
     * `mrlDims`/`mrlCand` are the matryoshka rung's prefix width and
-    * rerank depth — defaulted to 32-of-64 dims and a 150-candidate
-    * pool (≈30·k) because the synthetic gate embeddings are NOT
-    * matryoshka-trained (energy is uniform across dimensions, so a
-    * narrow prefix ranks weakly — the r15 audit measured 0.38 recall
-    * at 16/20); truly MRL-trained embeddings concentrate energy in
-    * the prefix and would support much smaller settings, which is why
-    * both stay free knobs. Rerank depth costs `cand` full-vector
-    * reads per query — noise next to stage 1's prefix scan. */
+    * rerank depth — defaulted to 32-of-64 dims and a 30·k candidate
+    * pool (`mrlCand <= 0` derives it, so the knob self-scales with
+    * the ask instead of silently starving a larger k) because the
+    * synthetic gate embeddings are NOT matryoshka-trained (energy is
+    * uniform across dimensions, so a narrow prefix ranks weakly — the
+    * r15 audit measured 0.38 recall at 16 dims / 20 candidates; the
+    * r16 defaults measure 0.98 at sf0.01); truly MRL-trained
+    * embeddings concentrate energy in the prefix and would support
+    * much smaller settings, which is why both stay free knobs. Rerank
+    * depth costs `cand` full-vector reads per query — noise next to
+    * stage 1's prefix scan. */
   def ann(emb: DataFrame, strategy: AnnStrategy, nq: Int = 10, k: Int = 5,
-      nlist: Int = 0, nprobe: Int = 2, cand: Int = 20,
+      nlist: Int = 0, nprobe: Int = 4, cand: Int = 20,
       trainFraction: Double = 1.0, lshProbes: Int = 22,
       lshBits: Int = HyperplaneLsh.Bits, mrlDims: Int = 32,
-      mrlCand: Int = 150): DataFrame =
+      mrlCand: Int = 0): DataFrame =
     strategy match {
       case AnnStrategy.Exact => annTopK(emb, nq, k)
       case AnnStrategy.Lsh => annTopKLsh(emb, nq, k, lshProbes, lshBits)
@@ -74,7 +82,8 @@ object Similarity {
       case AnnStrategy.Q8 => annTopKQ8(emb, nq, k, cand)
       case AnnStrategy.Q8Ivf =>
         annTopKQ8Ivf(emb, nq, k, nlist, nprobe, cand, trainFraction)
-      case AnnStrategy.Mrl => annTopKMrl(emb, nq, k, mrlDims, mrlCand)
+      case AnnStrategy.Mrl => annTopKMrl(emb, nq, k, mrlDims,
+        if (mrlCand > 0) mrlCand else 30 * k)
     }
 
   /** Recall@k audit of the approximate ANN rungs against the exact rung
@@ -147,7 +156,7 @@ object Similarity {
     * Everything is deterministic, so the DuckDB twin recomputes all
     * four rows bit-for-bit. */
   def recallAuditAppended(emb: DataFrame, nq: Int = 10, k: Int = 5,
-      nlist: Int = 8, nprobe: Int = 2): DataFrame = {
+      nlist: Int = 8, nprobe: Int = 4): DataFrame = {
     val half = emb.count() / 2
     val total = nq.toLong * k
     val corpus = emb.select(col("vec_id"), col("embedding"),
@@ -500,7 +509,7 @@ object Similarity {
     * hash-gated sample instead of the full corpus — the index/search
     * stages are unchanged (see [[ivfCentroids]]). */
   def annTopKIvf(emb: DataFrame, nq: Int = 10, k: Int = 5,
-      nlist: Int = 0, nprobe: Int = 2,
+      nlist: Int = 0, nprobe: Int = 4,
       trainFraction: Double = 1.0): DataFrame = {
     val corpus = emb.select(col("vec_id"), col("embedding"),
       norm(col("embedding")).as("nrm"))
@@ -562,7 +571,7 @@ object Similarity {
     * `ann_topk_ivf_persisted` gate proves (it shares `ann_topk_ivf`'s
     * oracle verbatim). */
   def annTopKIvfPersisted(spark: SparkSession, dir: String, emb: DataFrame,
-      nq: Int = 10, k: Int = 5, nprobe: Int = 2): DataFrame = {
+      nq: Int = 10, k: Int = 5, nprobe: Int = 4): DataFrame = {
     val cents = spark.read.parquet(s"$dir/centroids.parquet")
     val indexed = spark.read.parquet(s"$dir/index.parquet")
     val qcorpus = emb.filter(col("vec_id") < nq)
@@ -887,7 +896,7 @@ object Similarity {
     * `trainFraction` < 1 so centroid training runs on a deterministic
     * hash-gated sample (see [[ivfCentroids]]). */
   def annTopKQ8Ivf(emb: DataFrame, nq: Int = 10, k: Int = 5,
-      nlist: Int = 0, nprobe: Int = 2, cand: Int = 20,
+      nlist: Int = 0, nprobe: Int = 4, cand: Int = 20,
       trainFraction: Double = 1.0): DataFrame = {
     val corpus = emb.select(col("vec_id"), col("embedding"),
       norm(col("embedding")).as("nrm"))
@@ -967,8 +976,15 @@ object HyperplaneLsh {
     * width from the corpus instead ([[autoBits]]) — a FIXED width lets
     * buckets grow linearly with the corpus and the candidate set with
     * them, the same quiet quadratic the IVF family's `autoNlist`
-    * exists to prevent. */
-  val Bits = 6
+    * exists to prevent.
+    *
+    * 5 (r17, was 6): at width 6 the full 22-probe expansion measured
+    * recall@5 = 0.88 on the gate corpus — under the ladder's ≥0.9
+    * floor (VERDICT r16 next #5). One fewer plane doubles expected
+    * bucket population (probes clamp 22→16, scored set ~1.45×) and
+    * measures 0.94; the scale path is untouched because [[autoBits]]
+    * derives width from the corpus, not from this pin. */
+  val Bits = 5
   /** Hard ceiling on derivable widths: plane indices stay disjoint
     * across tables (the weight stride) and probe masks stay in int64. */
   val MaxBits = 24

@@ -145,11 +145,18 @@ object Restart {
     * idempotent re-run). `betweenPhases` runs after the phase-1 query
     * terminates and before phase 2's files land — the hook for
     * perturbing session state (e.g. `spark.sql.shuffle.partitions`)
-    * across the restart boundary. */
+    * across the restart boundary. `pipeline2`, when set, is the
+    * pipeline the RESTARTED query runs instead of `pipeline` — the
+    * hook for restarting across a CHANGED OPERATOR (deploying evolved
+    * code against an existing checkpoint). Spark's recovery rules
+    * scope what may change: stateless filters/projections upstream of
+    * an unchanged stateful operator are allowed; the stateful
+    * operator layout and state schema are pinned by the checkpoint. */
   def twoPhaseDrain(spark: SparkSession, events: DataFrame, tag: String,
       dir: String, pipeline: DataFrame => DataFrame,
       slicesPerPhase: Int = 4,
-      betweenPhases: SparkSession => Unit = _ => ()): DataFrame = {
+      betweenPhases: SparkSession => Unit = _ => (),
+      pipeline2: Option[DataFrame => DataFrame] = None): DataFrame = {
     val safe = dir.replaceAll("[^a-zA-Z0-9]", "_")
     val base = s"target/graft-restart/$tag-$safe"
     rmRf(new java.io.File(base))
@@ -182,12 +189,13 @@ object Restart {
     // exactly the nullability/typing the files round-trip to. Lazy —
     // first touched inside drainOnce, after phase 1's files landed.
     lazy val schema = spark.read.parquet(src).schema
-    def drainOnce(phase: String, freshFiles: Seq[String]): Unit = {
+    def drainOnce(phase: String, freshFiles: Seq[String],
+        pipe: DataFrame => DataFrame): Unit = {
       val loggedBefore = sourceLog(ckpt).size
       // a NEW query object each time — phase 2 is a genuine restart
       // (fresh StreamExecution resuming from the checkpoint's offset
       // log, state store, and commit log), not a paused query
-      val q = pipeline(spark.readStream.schema(schema)
+      val q = pipe(spark.readStream.schema(schema)
           .option("maxFilesPerTrigger", 1).parquet(src))
         .writeStream.outputMode("append").format("parquet")
         .option("path", sink).option("checkpointLocation", ckpt)
@@ -222,10 +230,12 @@ object Restart {
           "was not time-ordered")
     }
     drainOnce("phase1", landPhase(events.filter(col("ts") <= mid),
-      "overwrite"))
+      "overwrite"), pipeline)
     betweenPhases(spark)
-    // phase-2 arrival: the rest of the corpus lands as new files
-    drainOnce("phase2", landPhase(events.filter(col("ts") > mid), "append"))
+    // phase-2 arrival: the rest of the corpus lands as new files; the
+    // restarted query runs the (possibly evolved) phase-2 pipeline
+    drainOnce("phase2", landPhase(events.filter(col("ts") > mid), "append"),
+      pipeline2.getOrElse(pipeline))
     spark.read.parquet(sink)
   }
 }

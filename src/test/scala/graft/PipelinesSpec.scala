@@ -234,10 +234,11 @@ class PipelinesSpec extends SparkSuite {
     assert(HyperplaneLsh.autoBits(64L * 256) == 8)
     assert(HyperplaneLsh.autoBits(100) == 2) // clamped floor
     assert(HyperplaneLsh.autoBits(Long.MaxValue) == HyperplaneLsh.MaxBits)
-    // widening draws DISJOINT extra planes: plane (t, j<6) unchanged
+    // widening draws DISJOINT extra planes: plane (t, j<Bits) unchanged
     for (t <- 0 until HyperplaneLsh.Tables; j <- 0 until HyperplaneLsh.Bits)
       assert(HyperplaneLsh.weight(t, j, 0) ==
-        ((((t.toLong * 6 + j) * 64) * 2654435761L) % 1000003L) - 501001L)
+        ((((t.toLong * HyperplaneLsh.Bits + j) * 64) * 2654435761L)
+          % 1000003L) - 501001L)
     val extra = (for (t <- 0 until HyperplaneLsh.Tables;
       j <- HyperplaneLsh.Bits until 10) yield (t, j)).map {
       case (t, j) => (0 until 4).map(k => HyperplaneLsh.weight(t, j, k)) }
@@ -866,6 +867,26 @@ class PipelinesSpec extends SparkSuite {
     val h3 = chunkedFp.filter(_._1 == 3L).map(_._3).toSet
     val h4 = chunkedFp.filter(_._1 == 4L).map(_._3).toSet
     assert((h3 & h4).nonEmpty, "guarantee lost across chunk boundaries")
+  }
+
+  test("winnow: sub-w-gram documents fingerprint even when chunks are " +
+    "barely wider than the window (total counted pre-explode)") {
+    // ADVICE r16: with w <= posLimit <= 2w-3, a short document's
+    // boundary-duplicated rows used to inflate a post-explode per-doc
+    // count(*) to >= w, so neither the full-window rule nor the
+    // short-doc fallback fired — zero fingerprints for a document the
+    // guarantee covers. `total` now counts the PRE-explode gram rows.
+    // posBits=2 -> 4-gram chunks, stride 1, w=4: a 3-gram doc (5
+    // tokens at k=3) explodes to 6 chunk rows (>= w) but must still
+    // emit exactly its whole-document minimum.
+    import spark.implicits._
+    val d = Seq((1L, "one two three four five")).toDF("doc_id", "text")
+    val got = Dedup.winnowPacked(spark, d, k = 3, w = 4, posBits = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val ref = Dedup.winnowPacked(spark, d, k = 3, w = 4, posBits = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got.length == 1, s"short doc must emit 1 fingerprint, got $got")
+    assert(got == ref, "short-doc fingerprint must match the unchunked run")
   }
 
   test("charEntropy: closed forms; uniform > skewed > constant") {
