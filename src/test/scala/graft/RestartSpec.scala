@@ -87,6 +87,37 @@ class RestartSpec extends SparkSuite {
       (3L, 16L, 9000L * S), (4L, 2L, 600L * S)), out.mkString(", "))
   }
 
+  test("restart across an INCOMPATIBLE change — the stateful operator " +
+      "itself swapped between phases — is refused loudly, not silently " +
+      "recomputed") {
+    // The accepted evolution shape (stateless filter deployed upstream
+    // of an unchanged stateful fold) is gate-proven by
+    // stream_restart_evolved; this is the documented-behavior OTHER
+    // side: phase 2 resumes the checkpoint with a DIFFERENT stateful
+    // operator (running-totals fold -> sessionizer, GroupState[Double]
+    // -> GroupState[SessionState]). Spark pins the stateful operator's
+    // state schema in the checkpoint and must refuse the mismatch —
+    // a silent rebuild-from-scratch here would be data corruption in
+    // deployment, so the contract worth a regression test is "this
+    // fails, and fails before emitting output".
+    val ex = intercept[Exception] {
+      Restart.twoPhaseDrain(spark, events, "spec-evolve-bad", "spec",
+        src => EventPipelines.runningTotalsStream(spark, src).toDF(),
+        slicesPerPhase = 1,
+        pipeline2 = Some(src => EventPipelines.sessionizeStream(spark, src,
+          watermarkDelay = "0 seconds").toDF()))
+    }
+    // The refusal must be the state layer's schema/compat check (or the
+    // harness's own conservation guard tripping on the aborted phase),
+    // not an incidental NPE: require a recognizably stateful message
+    // somewhere in the cause chain.
+    val msgs = Iterator.iterate(ex: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+      .mkString(" | ").toLowerCase
+    assert(msgs.contains("state") || msgs.contains("schema") ||
+      msgs.contains("compat"), s"unexpected failure shape: $msgs")
+  }
+
   test("without the shared checkpoint the source replays everything — " +
       "the signal the harness's source-log conservation guard catches") {
     val ev = events
