@@ -148,7 +148,7 @@ object Bench {
           // as the min of two samples, is also the more stable
           // cross-round statistic. Both raw passes are kept in the
           // artifact (`queries_p1`/`queries_p2`) so nothing is hidden.
-          def once(): Double = {
+          def once(): (Double, Boolean) = {
             val t0 = System.nanoTime()
             // noop sink, not count(): under count Catalyst prunes
             // computed columns on projection-shaped queries (a
@@ -156,10 +156,12 @@ object Bench {
             // which under-measures them. The noop write evaluates
             // every output column of every row.
             var df: org.apache.spark.sql.DataFrame = null
+            var ok = true
             try {
               df = fn(spark, sfDir)
               df.write.format("noop").mode("overwrite").save()
             } catch { case e: Throwable =>
+              ok = false
               if (!failed.contains(name)) failed ::= name
               System.err.println(s"[bench] $name failed: ${e.getMessage}")
             } finally {
@@ -171,13 +173,21 @@ object Bench {
               // pass 2's timing).
               if (df != null) Checkpoints.releaseAll(df)
             }
-            (System.nanoTime() - t0) / 1e9
+            ((System.nanoTime() - t0) / 1e9, ok)
           }
-          val p1 = once()
-          val p2 = once()
+          val (p1, ok1) = once()
+          val (p2, ok2) = once()
           cold(name) = p1
           pass2(name) = p2
-          results(name) = math.min(p1, p2)
+          // min over the SUCCESSFUL passes only: a pass that failed
+          // fast must not stand in as the query's score when the other
+          // pass completed (the query is in `failed` either way when
+          // any pass threw, so a both-failed min is visibly flagged).
+          results(name) = (ok1, ok2) match {
+            case (true, false) => p1
+            case (false, true) => p2
+            case _ => math.min(p1, p2)
+          }
         }
         // This family's persisted graph is done — drop its blocks now.
         if (fam != "flat") GraphIO.evict(spark, sfDir, Seq(fam))

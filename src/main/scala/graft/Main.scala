@@ -747,7 +747,7 @@ object Main {
         Similarity.recallAuditAppended(emb,
             nq = intArg(2, "10", "nq"), k = intArg(3, "5", "k"),
             nlist = if (nl > 0) nl else Similarity.autoNlist(emb.count()),
-            nprobe = intArg(5, "3", "nprobe"))
+            nprobe = intArg(5, "4", "nprobe"))
           .write.mode("overwrite").parquet(out)
         println(s"Appended-IVF recall audit written to $out")
       case "ingest_curate" =>

@@ -401,6 +401,24 @@ object ScaleBench {
       pipelines.Images.resizedRoundTrip(s, GraphIO.documents(s, dir),
         factor = 2)))
 
+  /** Time ONE evaluation of `df` through the noop sink (evaluates every
+    * output column of every row — `count()` would let Catalyst prune
+    * unreferenced Window/projection work), releasing the result's
+    * checkpoints before returning so accumulated dead blocks can't
+    * distort the next measurement. The single measurement protocol
+    * every evidence mode shares (and the per-pass shape of `Bench`). */
+  private def timeNoop(df: => DataFrame): Double = {
+    val t0 = System.nanoTime()
+    val d = df
+    try d.write.format("noop").mode("overwrite").save()
+    finally Checkpoints.releaseAll(d)
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Two back-to-back [[timeNoop]] passes — (first, warm). */
+  private def timedTwice(df: => DataFrame): (Double, Double) =
+    (timeNoop(df), timeNoop(df))
+
   def main(args: Array[String]): Unit = {
     val baseDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val outDir = if (args.length > 1) args(1) else "target/sf1-derived"
@@ -433,17 +451,7 @@ object ScaleBench {
       GraphIO.eventGraph(spark, dir).edges.count()
       Hits.run(GraphIO.orderGraph(spark, dir), numIter = 1).auths.count()
       val r = qs.map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        // noop sink, not count(): under count Catalyst prunes unreferenced
-        // Window/projection work (pack_sequences would time an empty plan)
-        val df = fn(spark, dir)
-        try df.write.format("noop").mode("overwrite").save()
-        finally
-          // Release the query's checkpoints before timing the next one —
-          // same lifecycle as Bench/Verify, so accumulated dead blocks
-          // can't distort the very scale ratios this evidence exists for.
-          Checkpoints.releaseAll(df)
-        val dt = (System.nanoTime() - t0) / 1e9
+        val dt = timeNoop(fn(spark, dir))
         println(f"[scale] $dir $name $dt%.2f s")
         name -> dt
       }.toMap
@@ -516,17 +524,9 @@ object ScaleBench {
         GraphIO.orderGraph(spark, dir).edges.count()
         GraphIO.eventGraph(spark, dir).edges.count()
         Hits.run(GraphIO.orderGraph(spark, dir), numIter = 1).auths.count()
-        def once(): Double = {
-          val t0 = System.nanoTime()
-          val df = fn(spark, dir)
-          try df.write.format("noop").mode("overwrite").save()
-          finally Checkpoints.releaseAll(df)
-          (System.nanoTime() - t0) / 1e9
-        }
-        val first = once()
-        val second = once()
+        val passes = timedTwice(fn(spark, dir))
         GraphIO.evict(spark, dir)
-        (first, second)
+        passes
       }
       val (bf, bw) = timed(baseDir)
       val (gf, gw) = timed(outDir)
@@ -543,16 +543,8 @@ object ScaleBench {
       // dominates (reps=100 → 10M events, 1M on one user).
       val (uniDir, skewDir) = ensureWinCorpora(spark, baseDir, outDir, reps)
       val qmap = queries.toMap
-      def timed(dir: String, name: String): (Double, Double) = {
-        def once(): Double = {
-          val t0 = System.nanoTime()
-          val df = qmap(name)(spark, dir)
-          try df.write.format("noop").mode("overwrite").save()
-          finally Checkpoints.releaseAll(df)
-          (System.nanoTime() - t0) / 1e9
-        }
-        (once(), once())
-      }
+      def timed(dir: String, name: String): (Double, Double) =
+        timedTwice(qmap(name)(spark, dir))
       Seq("events_sessionize", "events_sessionize_salted", "events_window",
         "events_running_totals_all")
         .foreach { name =>
@@ -614,16 +606,8 @@ object ScaleBench {
           .write.mode("overwrite").parquet(s"$skewDir/lineitem.parquet")
       }
       val qmap = queries.toMap
-      def timed(dir: String, name: String): (Double, Double) = {
-        def once(): Double = {
-          val t0 = System.nanoTime()
-          val df = qmap(name)(spark, dir)
-          try df.write.format("noop").mode("overwrite").save()
-          finally Checkpoints.releaseAll(df)
-          (System.nanoTime() - t0) / 1e9
-        }
-        (once(), once())
-      }
+      def timed(dir: String, name: String): (Double, Double) =
+        timedTwice(qmap(name)(spark, dir))
       Seq("graph_degrees", "hits_base", "salsa_iterative").foreach { name =>
         val (bf, bw) = timed(baseDir, name)
         val (uf, uw) = timed(uniDir, name) // uniform reps×
@@ -706,16 +690,8 @@ object ScaleBench {
       }
       val qmap = queries.toMap +
         ("dedup_clusters" -> SparkEntry.queries("dedup_clusters"))
-      def timed(dir: String, name: String): (Double, Double) = {
-        def once(): Double = {
-          val t0 = System.nanoTime()
-          val df = qmap(name)(spark, dir)
-          try df.write.format("noop").mode("overwrite").save()
-          finally Checkpoints.releaseAll(df)
-          (System.nanoTime() - t0) / 1e9
-        }
-        (once(), once())
-      }
+      def timed(dir: String, name: String): (Double, Double) =
+        timedTwice(qmap(name)(spark, dir))
       Seq("dedup_minhash_lsh", "dedup_clusters", "pipeline_near_dedup",
         "dedup_semantic", "ann_topk_q8_ivf",
         "dedup_canonical_priority").foreach { name =>
@@ -787,16 +763,8 @@ object ScaleBench {
           .write.mode("overwrite").parquet(s"$hotDir/documents.parquet")
       }
       val qmap = queries.toMap
-      def timed(dir: String, name: String): (Double, Double) = {
-        def once(): Double = {
-          val t0 = System.nanoTime()
-          val df = qmap(name)(spark, dir)
-          try df.write.format("noop").mode("overwrite").save()
-          finally Checkpoints.releaseAll(df)
-          (System.nanoTime() - t0) / 1e9
-        }
-        (once(), once())
-      }
+      def timed(dir: String, name: String): (Double, Double) =
+        timedTwice(qmap(name)(spark, dir))
       Seq("dedup_spans", "dedup_spans_clean").foreach { name =>
         val (bf, bw) = timed(baseDir, name)
         val (uf, uw) = timed(uniDir, name) // uniform reps×
@@ -851,17 +819,9 @@ object ScaleBench {
       val b10 = s"$outDir-book10"
       bookCorpus(4, b1)
       bookCorpus(40, b10)
-      def timedW(dir: String): (Double, Double) = {
-        def once(): Double = {
-          val t0 = System.nanoTime()
-          val df = pipelines.Dedup.winnow(spark,
-            spark.read.parquet(s"$dir/documents.parquet"))
-          try df.write.format("noop").mode("overwrite").save()
-          finally Checkpoints.releaseAll(df)
-          (System.nanoTime() - t0) / 1e9
-        }
-        (once(), once())
-      }
+      def timedW(dir: String): (Double, Double) =
+        timedTwice(pipelines.Dedup.winnow(spark,
+          spark.read.parquet(s"$dir/documents.parquet")))
       val (bf, bw) = timedW(b1)
       val (gf, gw) = timedW(b10)
       // density sanity: winnow selects ~2/(w+1) of grams; a chunking
@@ -917,19 +877,13 @@ object ScaleBench {
             pipelines.Dedup.minhashLsh(spark, corpus, ordered = false))
           .write.mode("overwrite").parquet(asgDir)
       }
-      def rebuildOnce(): Double = timedJob {
-        val all = corpus.unionByName(delta)
-        val df = operators.ConnectedComponents.clusters(
-          pipelines.Dedup.minhashLsh(spark, all, ordered = false))
-        try df.write.format("noop").mode("overwrite").save()
-        finally Checkpoints.releaseAll(df)
-      }
-      def deltaOnce(): Double = timedJob {
-        val df = pipelines.Dedup.incrementalClustersIndexed(spark,
-          spark.read.parquet(idxDir), spark.read.parquet(asgDir), delta)
-        try df.write.format("noop").mode("overwrite").save()
-        finally Checkpoints.releaseAll(df)
-      }
+      def rebuildOnce(): Double = timeNoop(
+        operators.ConnectedComponents.clusters(
+          pipelines.Dedup.minhashLsh(spark, corpus.unionByName(delta),
+            ordered = false)))
+      def deltaOnce(): Double = timeNoop(
+        pipelines.Dedup.incrementalClustersIndexed(spark,
+          spark.read.parquet(idxDir), spark.read.parquet(asgDir), delta))
       rebuildOnce(); deltaOnce() // JIT/codegen warm pass each
       val tRebuild = rebuildOnce()
       val tDelta = deltaOnce()
@@ -983,16 +937,8 @@ object ScaleBench {
           .write.mode("overwrite").parquet(s"$skewDir/documents.parquet")
       }
       val qmap = queries.toMap
-      def timed(dir: String, name: String): (Double, Double) = {
-        def once(): Double = {
-          val t0 = System.nanoTime()
-          val df = qmap(name)(spark, dir)
-          try df.write.format("noop").mode("overwrite").save()
-          finally Checkpoints.releaseAll(df)
-          (System.nanoTime() - t0) / 1e9
-        }
-        (once(), once())
-      }
+      def timed(dir: String, name: String): (Double, Double) =
+        timedTwice(qmap(name)(spark, dir))
       Seq("sample_token_budget", "sample_token_budget_sliced")
         .foreach { name =>
           val (bf, bw) = timed(baseDir, name)
@@ -1242,12 +1188,8 @@ object ScaleBench {
         .select(col("vec_id"), col("embedding"),
           pipelines.Similarity.norm(col("embedding")).as("nrm"))
     }
-    def trainTime(corpus: DataFrame, frac: Double): Double = {
-      val t0 = System.nanoTime()
-      pipelines.Similarity.ivfCentroids(corpus, 8, frac)
-        .write.format("noop").mode("overwrite").save()
-      (System.nanoTime() - t0) / 1e9
-    }
+    def trainTime(corpus: DataFrame, frac: Double): Double =
+      timeNoop(pipelines.Similarity.ivfCentroids(corpus, 8, frac))
     val small = corpusTimes(1).persist()
     val big = corpusTimes(50).persist()
     small.count(); big.count() // materialize: time training, not the scan
