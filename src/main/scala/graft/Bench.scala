@@ -119,12 +119,39 @@ object Bench {
     def loadavg(): Double = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
     val loadStart = loadavg()
+    def ms(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val byFam = SparkEntry.queries.toSeq.groupBy { case (n, _) => family(n) }
     var warmup = 0.0
     var failed = List.empty[String]
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val cold = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val pass2 = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_last.json")
+    val outPath = java.nio.file.Paths.get(out).toAbsolutePath
+    def artifactJson(complete: Boolean): String = {
+      def m(kv: collection.Map[String, Double]): String =
+        kv.map { case (k, v) => s"\"" + k + "\":" + ms(v) }
+          .mkString("{", ",", "}")
+      val total = if (results.nonEmpty) results.values.sum else 0.0
+      val coldTotal = if (cold.nonEmpty) cold.values.sum else 0.0
+      val failedJson =
+        failed.sorted.map(n => s"\"$n\"").mkString("[", ",", "]")
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","pass":"min","complete":$complete,"queries":${m(results)},"cold_total_sec":${ms(coldTotal)},"queries_p1":${m(cold)},"queries_p2":${m(pass2)},"warmup_sec":${ms(warmup)},"failed":$failedJson,"loadavg_start":${ms(loadStart)},"loadavg_end":${ms(loadavg())},"sf":"$sfDir"}"""
+    }
+    // The artifact is (re)written after every family, flagged
+    // complete:false until the final write: with two timed passes per
+    // query a full suite run is long enough that an external kill
+    // (driver timeout, host reclaim) mid-run is a real failure mode —
+    // a partial-but-parseable per-query map beats losing the round's
+    // numbers entirely.
+    def writeArtifact(complete: Boolean): Boolean =
+      try { java.nio.file.Files.write(outPath,
+        (artifactJson(complete) + "\n").getBytes("UTF-8")); true }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] could not write $out: ${e.getMessage}")
+        false
+      }
     familyOrder.foreach { fam =>
       val qs = byFam.getOrElse(fam, Nil)
       if (qs.nonEmpty) {
@@ -191,36 +218,20 @@ object Bench {
         }
         // This family's persisted graph is done — drop its blocks now.
         if (fam != "flat") GraphIO.evict(spark, sfDir, Seq(fam))
+        writeArtifact(complete = false)
       }
     }
-    def ms(v: Double): String =
-      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + ms(v) }
-      .mkString("{", ",", "}")
-    val qsCold = cold.map { case (k, v) => s"\"" + k + "\":" + ms(v) }
-      .mkString("{", ",", "}")
-    val qsP2 = pass2.map { case (k, v) => s"\"" + k + "\":" + ms(v) }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val coldTotal = if (cold.nonEmpty) cold.values.sum else 0.0
     val failedJson = failed.sorted.map(n => s"\"$n\"").mkString("[", ",", "]")
     val load = s""""loadavg_start":${ms(loadStart)},"loadavg_end":${ms(loadavg())}"""
-    val fullJson = s"""{"metric":"total","value":${ms(total)},"unit":"sec","pass":"min","queries":$qs,"cold_total_sec":${ms(coldTotal)},"queries_p1":$qsCold,"queries_p2":$qsP2,"warmup_sec":${ms(warmup)},"failed":$failedJson,$load,"sf":"$sfDir"}"""
     // The FULL per-query map goes to disk; stdout gets a SHORT line.
     // Downstream stdout capture keeps only a bounded tail, and three
     // rounds of driver artifacts shipped "parsed": null because the
     // ~140-entry queries map overflowed it (r11-r13 verdicts). The
     // short line is complete, parseable JSON — totals, failure list,
     // the five slowest queries, and the path to the full map.
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_last.json")
-    val outPath = java.nio.file.Paths.get(out).toAbsolutePath
-    val wrote =
-      try { java.nio.file.Files.write(outPath,
-        (fullJson + "\n").getBytes("UTF-8")); true }
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] could not write $out: ${e.getMessage}")
-        false
-      }
+    val wrote = writeArtifact(complete = true)
     val top = results.toSeq.sortBy(-_._2).take(5)
       .map { case (k, v) => s"\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
@@ -232,7 +243,7 @@ object Bench {
     // better a truncated tail than no numbers at all
     val line = if (wrote)
       s"""{"metric":"total","value":${ms(total)},"unit":"sec","pass":"min","queries":$top,"n_queries":${results.size},"cold_total_sec":${ms(coldTotal)},"warmup_sec":${ms(warmup)},"failed":$failedJson,$load,"sf":"$sfDir","full":"$pathJson"}"""
-    else fullJson
+    else artifactJson(complete = true)
     // stop FIRST, print LAST: nothing (shutdown log lines included) may
     // land on stdout after the machine-readable line — paired with
     // build.sbt's undecorated `run / outputStrategy`, the tail's final
