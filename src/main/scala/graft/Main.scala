@@ -90,7 +90,7 @@ object Main {
       "topic_exclusive_hits query_dependent_hits base_salsa base_salsa_2 " +
       "weighted_salsa random_teleport_salsa topic_specific_salsa " +
       "query_dependent_salsa list_topics draw_graph " +
-      "pagerank [num_iter] [damping], " +
+      "pagerank [num_iter] [damping], triangles [nodes_csv] [edges_csv], " +
       "pagerank_personalized <topic> [num_iter] [damping], " +
       "hits_converged [tol] [max_iter], salsa_converged [tol] [max_iter], " +
       "pagerank_converged [damping] [tol] [max_iter]; pipelines: " +
@@ -190,6 +190,19 @@ object Main {
         RankOutput.topK(p, 10).collect()
           .foreach(row => println(s"('${row.getString(0)}', ${row.getDouble(1)})"))
         println("Scores written under outputs/PageRank/")
+      case "triangles" =>
+        // Structural-signal extension (not a reference script): per-node
+        // triangle counts + clustering coefficients over the undirected
+        // simple projection; same graph-loading CLI shape as the kernels.
+        val g = load(arg(0, DefaultNodes), arg(1, DefaultEdges))
+        val t = Triangles.perNode(g.edges)
+        RankOutput.writeScoresText(
+          t.select(col("id"), col("triangles").cast("double").as("score")),
+          "outputs/Triangles/counts.txt")
+        println("Top 10 triangle counts:")
+        t.orderBy(col("triangles").desc, col("id")).limit(10).collect()
+          .foreach(row => println(s"('${row.getString(0)}', ${row.getLong(1)})"))
+        println("Counts written under outputs/Triangles/")
       case "pagerank_personalized" =>
         // Personalized variant: teleport to a topic seed set — same CLI
         // shape as topic_specific_hits.

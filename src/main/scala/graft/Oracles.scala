@@ -449,6 +449,42 @@ object Oracles {
        |UNION ALL SELECT 'in' AS kind, dst AS id, COUNT(*) AS degree FROM edges GROUP BY dst
        |ORDER BY kind, id""".stripMargin
 
+  /** Per-node triangle counts + local clustering coefficient, twin of
+    * [[graft.operators.Triangles.perNode]]. The oracle enumerates each
+    * triangle once at its id-lowest corner (Spark orients by (degree,
+    * id) instead — a pure performance choice; the triangle SET is
+    * order-independent). `2t/(d(d-1))` is exact-integer double
+    * division on both engines, so round-9 values match bitwise. */
+  def triangles: String =
+    s"""WITH $edgesCte,
+       |und AS MATERIALIZED (
+       |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |  FROM edges WHERE src <> dst
+       |),
+       |deg AS MATERIALIZED (
+       |  SELECT id, COUNT(*) AS deg
+       |  FROM (SELECT a AS id FROM und UNION ALL SELECT b FROM und) u
+       |  GROUP BY id
+       |),
+       |tri AS (
+       |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+       |  FROM und e1
+       |  JOIN und e2 ON e2.a = e1.a AND e2.b > e1.b
+       |  JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b
+       |),
+       |cnt AS (
+       |  SELECT id, COUNT(*) AS t
+       |  FROM (SELECT x AS id FROM tri UNION ALL SELECT y FROM tri
+       |        UNION ALL SELECT z FROM tri) r
+       |  GROUP BY id
+       |)
+       |SELECT d.id, COALESCE(c.t, 0)::BIGINT AS triangles,
+       |       round(CASE WHEN d.deg >= 2
+       |         THEN (2 * COALESCE(c.t, 0))::DOUBLE / (d.deg * (d.deg - 1))::DOUBLE
+       |         ELSE 0.0::DOUBLE END, 9) AS clustering
+       |FROM deg d LEFT JOIN cnt c ON c.id = d.id
+       |ORDER BY d.id""".stripMargin
+
   /** Top-10 simplified-SALSA authorities: exercises the top-k path with a
     * deterministic (exact-rational score, id-tiebreak) ordering. */
   def rankTopK(k: Int = 10): String =

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Degrees, Hits, Salsa}
+import graft.operators.{Degrees, Hits, Salsa, Triangles}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -114,6 +114,10 @@ object ScaleBench {
     }),
     "hits_base" -> ((s, dir) =>
       Hits.run(GraphIO.orderGraph(s, dir)).auths),
+    // degree-oriented wedge join: the structural-analytics scale risk is
+    // the wedge fan-out, bounded O(√m) per node by the orientation
+    "graph_triangles" -> ((s, dir) =>
+      Triangles.perNode(GraphIO.orderGraph(s, dir).edges)),
     "hits_teleport" -> ((s, dir) =>
       Hits.runTeleport(GraphIO.orderGraph(s, dir)).auths),
     "salsa_iterative" -> ((s, dir) =>
@@ -477,6 +481,10 @@ object ScaleBench {
     //    reps× vs a skewed reps× order graph where one part absorbs
     //    ~10% of all lineitem partkeys — one authority holding ~4-5%
     //    of all edges (hot-authority degree skew, VERDICT r10 item 3);
+    //  - "skewtri" — the same three corpora, triangle counting alone:
+    //    the hot authority is where an UNORIENTED wedge join emits
+    //    O(d²) hub rows; the degree orientation must hold
+    //    skew_ratio ≈ uniform_ratio (r17);
     //  - "skewdedup" — the dedup/ANN analogue: base vs UNIFORM reps×
     //    documents+embeddings vs a MASS-DUPLICATION twin where ~5% of
     //    the whole corpus carries ONE document's text / ONE vector's
@@ -559,7 +567,7 @@ object ScaleBench {
             f""""base_first":$bf%.2f,"uniform_first":$uf%.2f,""" +
             f""""skew_first":$kf%.2f}""")
         }
-    } else if (mode == "skewkernel") {
+    } else if (mode == "skewkernel" || mode == "skewtri") {
       // 100× ORDER-GRAPH rung (VERDICT r10 item 3 / r11 item 4): the
       // kernel family's scale-up + skew evidence, the graph analogue of
       // skewwin. Self-contained orders+lineitem corpora derived from
@@ -608,7 +616,14 @@ object ScaleBench {
       val qmap = queries.toMap
       def timed(dir: String, name: String): (Double, Double) =
         timedTwice(qmap(name)(spark, dir))
-      Seq("graph_degrees", "hits_base", "salsa_iterative").foreach { name =>
+      // "skewtri" reuses the exact same corpora for the triangle
+      // operator alone: the hot authority (~4-5% of all edges on one
+      // node) is the shape where an unoriented wedge join would emit
+      // O(d²) rows from the hub — the degree orientation must keep
+      // skew_ratio ≈ uniform_ratio.
+      val kernelQs = if (mode == "skewtri") Seq("graph_triangles")
+        else Seq("graph_degrees", "hits_base", "salsa_iterative")
+      kernelQs.foreach { name =>
         val (bf, bw) = timed(baseDir, name)
         val (uf, uw) = timed(uniDir, name) // uniform reps×
         val (kf, kw) = timed(skewDir, name) // one hot authority
@@ -621,7 +636,7 @@ object ScaleBench {
         // ratios were never affected).
         GraphIO.evict(spark, baseDir)
         GraphIO.evict(spark, uniDir); GraphIO.evict(spark, skewDir)
-        println(f"""{"metric":"skewkernel","query":"$name",""" +
+        println(f"""{"metric":"$mode","query":"$name",""" +
           f""""base_warm":$bw%.2f,"uniform${reps}x_warm":$uw%.2f,""" +
           f""""skew${reps}x_warm":$kw%.2f,""" +
           f""""uniform_ratio":${uw / bw}%.2f,""" +
@@ -1167,7 +1182,8 @@ object ScaleBench {
     }
 
     if (mode.startsWith("one:") || mode == "skewwin" ||
-        mode == "skewkernel" || mode == "skewdedup" || mode == "incdelta" ||
+        mode == "skewkernel" || mode == "skewtri" ||
+        mode == "skewdedup" || mode == "incdelta" ||
         mode == "skewbudget" || mode == "skewstream") {
       spark.stop(); return
     }

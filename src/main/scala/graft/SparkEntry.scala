@@ -157,6 +157,12 @@ object SparkEntry {
           col("in_degree").as("degree")))
         .orderBy(col("kind"), col("id"))
     }),
+    // Beyond-reference structural signal: per-node triangle counts +
+    // local clustering coefficient via the degree-oriented wedge join
+    // (hub skew bounded by construction — see `Triangles` scaladoc).
+    "graph_triangles" -> ((s, dir) =>
+      Triangles.perNode(GraphIO.orderGraph(s, dir).edges)
+        .orderBy(col("id"))),
     "rank_topk" -> ((s, dir) => {
       val auths = Salsa.runSimplified(GraphIO.orderGraph(s, dir).edges).auths
       RankOutput.topK(auths, 10)
@@ -1382,6 +1388,7 @@ object SparkEntry {
     "salsa_query_dependent" -> Oracles.salsaQueryDependent(Topic),
     "topics_list" -> Oracles.topicsList,
     "graph_degrees" -> Oracles.degrees,
+    "graph_triangles" -> Oracles.triangles,
     "rank_topk" -> Oracles.rankTopK(),
     "sample_hash" -> Oracles.sampleHash(),
     "render_model" -> Oracles.renderModel(),

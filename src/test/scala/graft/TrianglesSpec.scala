@@ -1,0 +1,90 @@
+package graft
+
+import graft.operators.Triangles
+
+class TrianglesSpec extends SparkSuite {
+
+  private def edges(rows: (String, String)*) = {
+    import spark.implicits._
+    rows.map { case (s, d) => (s, d, 1.0) }.toDF("src", "dst", "weight")
+  }
+
+  private def result(df: org.apache.spark.sql.DataFrame) =
+    Triangles.perNode(df).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+
+  /** Reference implementation: brute-force triangle enumeration over the
+    * collected undirected simple edge set. */
+  private def brute(rows: Seq[(String, String)])
+      : Map[String, (Long, Double)] = {
+    val und = rows.collect { case (s, d) if s != d =>
+      if (s < d) (s, d) else (d, s)
+    }.distinct
+    val adj = (und ++ und.map(_.swap)).groupBy(_._1)
+      .map { case (k, v) => k -> v.map(_._2).toSet }
+    val nodes = adj.keys.toSeq.sorted
+    nodes.map { n =>
+      val nbrs = adj(n)
+      val t = nbrs.toSeq.combinations(2)
+        .count { case Seq(x, y) => adj(x).contains(y) }
+      val d = nbrs.size
+      val cc = if (d >= 2) BigDecimal(2.0 * t / (d.toDouble * (d - 1)))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble else 0.0
+      n -> ((t.toLong, cc))
+    }.toMap
+  }
+
+  test("K4: every node in 3 triangles, clustering 1.0") {
+    val k4 = for {
+      Seq(a, b) <- Seq("a", "b", "c", "d").combinations(2).toSeq
+    } yield (a, b)
+    val got = result(edges(k4: _*))
+    assert(got == Map("a" -> ((3L, 1.0)), "b" -> ((3L, 1.0)),
+      "c" -> ((3L, 1.0)), "d" -> ((3L, 1.0))))
+  }
+
+  test("triangle-free path: zero counts, zero clustering, all nodes kept") {
+    val got = result(edges(("a", "b"), ("b", "c"), ("c", "d")))
+    assert(got == Map("a" -> ((0L, 0.0)), "b" -> ((0L, 0.0)),
+      "c" -> ((0L, 0.0)), "d" -> ((0L, 0.0))))
+  }
+
+  test("self-loops, parallel and reversed duplicates do not change counts") {
+    val clean = result(edges(("a", "b"), ("b", "c"), ("a", "c")))
+    val noisy = result(edges(("a", "b"), ("b", "a"), ("a", "b"),
+      ("b", "c"), ("a", "c"), ("c", "a"), ("a", "a"), ("b", "b")))
+    assert(clean == Map("a" -> ((1L, 1.0)), "b" -> ((1L, 1.0)),
+      "c" -> ((1L, 1.0))))
+    assert(noisy == clean)
+  }
+
+  test("hub star plus one rim edge: only the closed wedge counts") {
+    // Hub h fans out to 6 leaves; a single rim edge closes one triangle.
+    // The degree orientation sends every spoke leaf->hub, so the hub
+    // emits NO wedges — the skew defense the operator exists for.
+    val spokes = (1 to 6).map(i => (s"l$i", "h"))
+    val got = result(edges(spokes :+ (("l1", "l2")): _*))
+    assert(got("h") == ((1L, BigDecimal(2.0 / 30)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    assert(got("l1") == ((1L, 1.0)) && got("l2") == ((1L, 1.0)))
+    assert((3 to 6).forall(i => got(s"l$i") == ((0L, 0.0))))
+  }
+
+  test("random graphs match brute-force enumeration") {
+    val rnd = new scala.util.Random(17)
+    (0 until 3).foreach { _ =>
+      val rows = (0 until 120).map(_ =>
+        (s"n${rnd.nextInt(25)}", s"n${rnd.nextInt(25)}"))
+      assert(result(edges(rows: _*)) == brute(rows))
+    }
+  }
+
+  test("triangle total is invariant to input partitioning") {
+    val rows = (0 until 80).map { i =>
+      (s"n${i % 13}", s"n${(i * 7 + 3) % 13}")
+    }
+    val base = result(edges(rows: _*))
+    val repart = result(edges(rows: _*).repartition(7))
+    assert(repart == base)
+  }
+}
