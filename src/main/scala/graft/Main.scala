@@ -91,6 +91,7 @@ object Main {
       "weighted_salsa random_teleport_salsa topic_specific_salsa " +
       "query_dependent_salsa list_topics draw_graph " +
       "pagerank [num_iter] [damping], triangles [nodes_csv] [edges_csv], " +
+      "link_predict [k] [nodes_csv] [edges_csv], " +
       "pagerank_personalized <topic> [num_iter] [damping], " +
       "hits_converged [tol] [max_iter], salsa_converged [tol] [max_iter], " +
       "pagerank_converged [damping] [tol] [max_iter]; pipelines: " +
@@ -203,6 +204,16 @@ object Main {
         t.orderBy(col("triangles").desc, col("id")).limit(10).collect()
           .foreach(row => println(s"('${row.getString(0)}', ${row.getLong(1)})"))
         println("Counts written under outputs/Triangles/")
+      case "link_predict" =>
+        // Companion structural extension to `triangles`: top-k missing
+        // links by common-neighbor / Adamic-Adar evidence.
+        val g = load(arg(1, DefaultNodes), arg(2, DefaultEdges))
+        val k = intArg(0, "20", "k")
+        println(s"Top $k link-prediction candidates " +
+          "(src, dst, common_neighbors, adamic_adar):")
+        LinkPredict.topCandidates(g.edges, k).collect().foreach(r =>
+          println(s"('${r.getString(0)}', '${r.getString(1)}', " +
+            s"${r.getLong(2)}, ${r.getDouble(3)})"))
       case "pagerank_personalized" =>
         // Personalized variant: teleport to a topic seed set — same CLI
         // shape as topic_specific_hits.

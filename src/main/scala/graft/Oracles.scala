@@ -485,6 +485,46 @@ object Oracles {
        |FROM deg d LEFT JOIN cnt c ON c.id = d.id
        |ORDER BY d.id""".stripMargin
 
+  /** Top-k link-prediction candidates, twin of
+    * [[graft.operators.LinkPredict.topCandidates]]: common-neighbor
+    * count + Adamic-Adar through centers of degree ≤ `maxCenterDegree`,
+    * non-adjacent pairs only, (count desc, rounded score desc, ids)
+    * ordering. `1/ln(dc)` terms are bit-identical across engines;
+    * the sum is rounded to `digits` like the kernel score gates. */
+  def linkPredict(k: Int = 20, maxCenterDegree: Long = 64,
+      digits: Int = 6): String =
+    s"""WITH $edgesCte,
+       |und AS MATERIALIZED (
+       |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |  FROM edges WHERE src <> dst
+       |),
+       |deg AS MATERIALIZED (
+       |  SELECT id, COUNT(*) AS deg
+       |  FROM (SELECT a AS id FROM und UNION ALL SELECT b FROM und) u
+       |  GROUP BY id
+       |),
+       |adj AS MATERIALIZED (
+       |  SELECT t.c, t.n, d.deg AS dc
+       |  FROM (SELECT a AS c, b AS n FROM und
+       |        UNION ALL SELECT b AS c, a AS n FROM und) t
+       |  JOIN deg d ON d.id = t.c
+       |  WHERE d.deg <= $maxCenterDegree
+       |),
+       |scored AS (
+       |  SELECT a1.n AS src, a2.n AS dst, COUNT(*) AS common_neighbors,
+       |         SUM(1.0::DOUBLE / ln(a1.dc::DOUBLE)) AS aa
+       |  FROM adj a1 JOIN adj a2 ON a2.c = a1.c AND a2.n > a1.n
+       |  GROUP BY a1.n, a2.n
+       |)
+       |SELECT s.src, s.dst, s.common_neighbors,
+       |       round(s.aa, $digits) AS adamic_adar
+       |FROM scored s
+       |WHERE NOT EXISTS (SELECT 1 FROM und
+       |                  WHERE und.a = s.src AND und.b = s.dst)
+       |ORDER BY s.common_neighbors DESC, round(s.aa, $digits) DESC,
+       |         s.src, s.dst
+       |LIMIT $k""".stripMargin
+
   /** Top-10 simplified-SALSA authorities: exercises the top-k path with a
     * deterministic (exact-rational score, id-tiebreak) ordering. */
   def rankTopK(k: Int = 10): String =

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Degrees, Hits, Salsa, Triangles}
+import graft.operators.{Degrees, Hits, LinkPredict, Salsa, Triangles}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -118,6 +118,10 @@ object ScaleBench {
     // the wedge fan-out, bounded O(√m) per node by the orientation
     "graph_triangles" -> ((s, dir) =>
       Triangles.perNode(GraphIO.orderGraph(s, dir).edges)),
+    // wedge-pair scoring: the center-degree cap is the declared bound on
+    // the inherently quadratic pair surface
+    "graph_link_predict" -> ((s, dir) =>
+      LinkPredict.topCandidates(GraphIO.orderGraph(s, dir).edges)),
     "hits_teleport" -> ((s, dir) =>
       Hits.runTeleport(GraphIO.orderGraph(s, dir)).auths),
     "salsa_iterative" -> ((s, dir) =>

@@ -163,6 +163,11 @@ object SparkEntry {
     "graph_triangles" -> ((s, dir) =>
       Triangles.perNode(GraphIO.orderGraph(s, dir).edges)
         .orderBy(col("id"))),
+    // Link-prediction features: top-20 non-adjacent pairs by
+    // common-neighbor/Adamic-Adar evidence (center-degree cap 64 — the
+    // quadratic-surface contract, see `LinkPredict` scaladoc).
+    "graph_link_predict" -> ((s, dir) =>
+      LinkPredict.topCandidates(GraphIO.orderGraph(s, dir).edges)),
     "rank_topk" -> ((s, dir) => {
       val auths = Salsa.runSimplified(GraphIO.orderGraph(s, dir).edges).auths
       RankOutput.topK(auths, 10)
@@ -1389,6 +1394,7 @@ object SparkEntry {
     "topics_list" -> Oracles.topicsList,
     "graph_degrees" -> Oracles.degrees,
     "graph_triangles" -> Oracles.triangles,
+    "graph_link_predict" -> Oracles.linkPredict(),
     "rank_topk" -> Oracles.rankTopK(),
     "sample_hash" -> Oracles.sampleHash(),
     "render_model" -> Oracles.renderModel(),

@@ -1,0 +1,88 @@
+package graft
+
+import graft.operators.LinkPredict
+
+class LinkPredictSpec extends SparkSuite {
+
+  private def edges(rows: (String, String)*) = {
+    import spark.implicits._
+    rows.map { case (s, d) => (s, d, 1.0) }.toDF("src", "dst", "weight")
+  }
+
+  private def top(df: org.apache.spark.sql.DataFrame, k: Int = 20,
+      cap: Long = 64) =
+    LinkPredict.topCandidates(df, k, cap).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+
+  /** Brute-force twin: all wedge pairs through capped centers, adjacency
+    * excluded, same rounding and ordering. */
+  private def brute(rows: Seq[(String, String)], cap: Long)
+      : Seq[(String, String, Long, Double)] = {
+    val und = rows.collect { case (s, d) if s != d =>
+      if (s < d) (s, d) else (d, s)
+    }.distinct
+    val adj = (und ++ und.map(_.swap)).groupBy(_._1)
+      .map { case (n, v) => n -> v.map(_._2).toSet }
+    val undSet = und.toSet
+    val cand = adj.toSeq.filter(_._2.size <= cap).flatMap { case (c, nbrs) =>
+      nbrs.toSeq.sorted.combinations(2).map { case Seq(x, y) =>
+        ((x, y), 1.0 / math.log(adj(c).size.toDouble))
+      }
+    }
+    cand.groupBy(_._1).toSeq
+      .collect { case ((x, y), terms) if !undSet.contains((x, y)) =>
+        val aa = BigDecimal(terms.map(_._2).sum)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (x, y, terms.size.toLong, aa)
+      }
+      .sortBy { case (x, y, cn, aa) => (-cn, -aa, x, y) }
+  }
+
+  test("square with one diagonal: the other diagonal is the top candidate") {
+    // Cycle a-b-c-d plus diagonal a-c: candidate {b,d} has common
+    // neighbors a (deg 3) and c (deg 3); adjacent pairs are excluded.
+    val got = top(edges(("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"),
+      ("a", "c")))
+    val aa = BigDecimal(2.0 / math.log(3.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.toSeq == Seq(("b", "d", 2L, aa)))
+  }
+
+  test("already-adjacent pairs never appear") {
+    val got = top(edges(("a", "b"), ("b", "c"), ("a", "c")))
+    assert(got.isEmpty) // every 2-hop pair is also an edge
+  }
+
+  test("center-degree cap removes hub-mediated pairs only") {
+    // Hub h connects l1..l5 (deg 5); side chain l1-m-l2 (m deg 2).
+    // {h,m} is mediated by l1 AND l2 (both deg 2); leaf pairs only by h.
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val g = edges((1 to 5).map(i => (s"l$i", "h")) ++
+      Seq(("l1", "m"), ("m", "l2")): _*)
+    val capped = top(g, cap = 4) // hub excluded as a CENTER
+    assert(capped.toSeq == Seq(
+      ("h", "m", 2L, r6(2.0 / math.log(2.0))),
+      ("l1", "l2", 1L, r6(1.0 / math.log(2.0)))))
+    val full = top(g, cap = 64)
+    // hub admitted: l1-l2 gains h as a second mediator; the other
+    // C(5,2)-1 = 9 leaf pairs appear with one
+    assert(full.length == 11)
+    assert(full(0) == (("h", "m", 2L, r6(2.0 / math.log(2.0)))))
+    assert(full(1) == (("l1", "l2", 2L,
+      r6(1.0 / math.log(5.0) + 1.0 / math.log(2.0)))))
+  }
+
+  test("random graphs match brute force (both cap regimes)") {
+    val rnd = new scala.util.Random(29)
+    (0 until 3).foreach { _ =>
+      val rows = (0 until 90).map(_ =>
+        (s"n${rnd.nextInt(20)}", s"n${rnd.nextInt(20)}"))
+      Seq(3L, 64L).foreach { cap =>
+        val want = brute(rows, cap).take(20)
+        assert(top(edges(rows: _*), 20, cap).toSeq == want,
+          s"cap=$cap")
+      }
+    }
+  }
+}
