@@ -92,6 +92,7 @@ object Main {
       "query_dependent_salsa list_topics draw_graph " +
       "pagerank [num_iter] [damping], triangles [nodes_csv] [edges_csv], " +
       "link_predict [k] [nodes_csv] [edges_csv], " +
+      "label_prop [iters] [nodes_csv] [edges_csv], " +
       "pagerank_personalized <topic> [num_iter] [damping], " +
       "hits_converged [tol] [max_iter], salsa_converged [tol] [max_iter], " +
       "pagerank_converged [damping] [tol] [max_iter]; pipelines: " +
@@ -214,6 +215,21 @@ object Main {
         LinkPredict.topCandidates(g.edges, k).collect().foreach(r =>
           println(s"('${r.getString(0)}', '${r.getString(1)}', " +
             s"${r.getLong(2)}, ${r.getDouble(3)})"))
+      case "label_prop" =>
+        // Third structural extension: spread a hash-gated 30% of the
+        // node file's labels to the rest by clamped deterministic
+        // majority (see `LabelProp`); prints the final label histogram.
+        val g = load(arg(1, DefaultNodes), arg(2, DefaultEdges))
+        val iters = intArg(0, "4", "iters")
+        val seedsDf = g.nodes
+          .filter(graft.functions.GraftHash.graftHash(spark, col("id"))
+            % 100 < 30)
+          .select(col("id"), col("label"))
+        println(s"Label counts after $iters rounds:")
+        LabelProp.run(spark, g.edges, seedsDf, iters)
+          .groupBy(coalesce(col("label"), lit("unlabeled")).as("label"))
+          .count().orderBy(col("label")).collect()
+          .foreach(r => println(s"('${r.getString(0)}', ${r.getLong(1)})"))
       case "pagerank_personalized" =>
         // Personalized variant: teleport to a topic seed set — same CLI
         // shape as topic_specific_hits.

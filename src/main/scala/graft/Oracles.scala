@@ -525,6 +525,55 @@ object Oracles {
        |         s.src, s.dst
        |LIMIT $k""".stripMargin
 
+  /** Semi-supervised label propagation, twin of
+    * [[graft.operators.LabelProp.run]] as wired by the
+    * `graph_label_prop` gate: hash-gated seeds (graft_hash % 100 <
+    * `seedPct`) carrying the node's own label, `iters` synchronous
+    * rounds unrolled as CTEs, clamped seeds, (count desc, label asc)
+    * deterministic majority. All counts are exact integers — no
+    * floating point anywhere in the parity surface. */
+  def labelProp(iters: Int = 4, seedPct: Int = 30): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""votes$i AS (
+         |  SELECT e.id, l.label, COUNT(*) AS c
+         |  FROM sym e JOIN lab${i - 1} l ON l.id = e.src
+         |  WHERE l.label IS NOT NULL GROUP BY e.id, l.label
+         |),
+         |best$i AS (
+         |  SELECT id, label AS vote FROM (
+         |    SELECT id, label,
+         |           ROW_NUMBER() OVER (PARTITION BY id
+         |                              ORDER BY c DESC, label) AS rn
+         |    FROM votes$i) t
+         |  WHERE rn = 1
+         |),
+         |lab$i AS MATERIALIZED (
+         |  SELECT l.id, COALESCE(l.label, b.vote) AS label
+         |  FROM lab${i - 1} l LEFT JOIN best$i b ON b.id = l.id
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $edgesCte,
+       |$nodesCte,
+       |und AS MATERIALIZED (
+       |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |  FROM edges WHERE src <> dst
+       |),
+       |sym AS MATERIALIZED (
+       |  SELECT a AS src, b AS id FROM und
+       |  UNION ALL SELECT b AS src, a AS id FROM und
+       |),
+       |lab0 AS MATERIALIZED (
+       |  SELECT u.id,
+       |         CASE WHEN ${GraftHash.duckdbSql("u.id")} % 100 < $seedPct
+       |              THEN n.label END AS label
+       |  FROM (SELECT DISTINCT id FROM sym) u
+       |  JOIN nodes n ON n.id = u.id
+       |),
+       |$rounds
+       |SELECT id, COALESCE(label, 'unlabeled') AS label FROM lab$iters
+       |ORDER BY id""".stripMargin
+  }
+
   /** Top-10 simplified-SALSA authorities: exercises the top-k path with a
     * deterministic (exact-rational score, id-tiebreak) ordering. */
   def rankTopK(k: Int = 10): String =

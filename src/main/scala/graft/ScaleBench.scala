@@ -1,6 +1,8 @@
 package graft
 
-import graft.operators.{Degrees, Hits, LinkPredict, Salsa, Triangles}
+import graft.functions.GraftHash
+import graft.operators.{Degrees, Hits, LabelProp, LinkPredict, Salsa,
+  Triangles}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -122,6 +124,15 @@ object ScaleBench {
     // the inherently quadratic pair surface
     "graph_link_predict" -> ((s, dir) =>
       LinkPredict.topCandidates(GraphIO.orderGraph(s, dir).edges)),
+    // per-round edge⋈label join + (node,label) partial agg — the gate's
+    // exact seed rule so the measured shape matches the verified one
+    "graph_label_prop" -> ((s, dir) => {
+      val g = GraphIO.orderGraph(s, dir)
+      val seeds = g.nodes
+        .filter(GraftHash.graftHash(s, col("id")) % 100 < 30)
+        .select(col("id"), col("label"))
+      LabelProp.run(s, g.edges, seeds, 4)
+    }),
     "hits_teleport" -> ((s, dir) =>
       Hits.runTeleport(GraphIO.orderGraph(s, dir)).auths),
     "salsa_iterative" -> ((s, dir) =>

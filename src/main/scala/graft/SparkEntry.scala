@@ -163,6 +163,19 @@ object SparkEntry {
     "graph_triangles" -> ((s, dir) =>
       Triangles.perNode(GraphIO.orderGraph(s, dir).edges)
         .orderBy(col("id"))),
+    // Semi-supervised label propagation: hash-gated 30% seeds carry
+    // their node label, 4 clamped synchronous majority rounds (the
+    // quality/domain-label spreading primitive — see `LabelProp`).
+    "graph_label_prop" -> ((s, dir) => {
+      val g = GraphIO.orderGraph(s, dir)
+      val seeds = g.nodes
+        .filter(GraftHash.graftHash(s, col("id")) % 100 < 30)
+        .select(col("id"), col("label"))
+      LabelProp.run(s, g.edges, seeds, 4)
+        .select(col("id"),
+          coalesce(col("label"), lit("unlabeled")).as("label"))
+        .orderBy(col("id"))
+    }),
     // Link-prediction features: top-20 non-adjacent pairs by
     // common-neighbor/Adamic-Adar evidence (center-degree cap 64 — the
     // quadratic-surface contract, see `LinkPredict` scaladoc).
@@ -1395,6 +1408,7 @@ object SparkEntry {
     "graph_degrees" -> Oracles.degrees,
     "graph_triangles" -> Oracles.triangles,
     "graph_link_predict" -> Oracles.linkPredict(),
+    "graph_label_prop" -> Oracles.labelProp(),
     "rank_topk" -> Oracles.rankTopK(),
     "sample_hash" -> Oracles.sampleHash(),
     "render_model" -> Oracles.renderModel(),
