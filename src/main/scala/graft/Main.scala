@@ -93,6 +93,7 @@ object Main {
       "pagerank [num_iter] [damping], triangles [nodes_csv] [edges_csv], " +
       "link_predict [k] [nodes_csv] [edges_csv], " +
       "label_prop [iters] [nodes_csv] [edges_csv], " +
+      "kcore [k] [nodes_csv] [edges_csv], " +
       "pagerank_personalized <topic> [num_iter] [damping], " +
       "hits_converged [tol] [max_iter], salsa_converged [tol] [max_iter], " +
       "pagerank_converged [damping] [tol] [max_iter]; pipelines: " +
@@ -230,6 +231,16 @@ object Main {
           .groupBy(coalesce(col("label"), lit("unlabeled")).as("label"))
           .count().orderBy(col("label")).collect()
           .foreach(r => println(s"('${r.getString(0)}', ${r.getLong(1)})"))
+      case "kcore" =>
+        // Fourth structural extension: density-tier membership by
+        // synchronous peel (see `KCore`); prints core size + max degree.
+        val g = load(arg(1, DefaultNodes), arg(2, DefaultEdges))
+        val k = intArg(0, "3", "k")
+        val core = KCore.run(g.edges, k)
+        val stats = core.agg(count(lit(1)), max(col("core_degree"))).head()
+        println(s"$k-core: ${stats.getLong(0)} nodes, " +
+          s"max within-core degree ${if (stats.isNullAt(1)) 0
+            else stats.getLong(1)}")
       case "pagerank_personalized" =>
         // Personalized variant: teleport to a topic seed set — same CLI
         // shape as topic_specific_hits.

@@ -574,6 +574,41 @@ object Oracles {
        |ORDER BY id""".stripMargin
   }
 
+  /** k-core membership + within-core degree, twin of
+    * [[graft.operators.KCore.run]]. Peeling is monotone, so the oracle
+    * unrolls `rounds` fixed iterations (extra rounds past the fixed
+    * point are identities) — exact equality with Spark's fixpoint loop
+    * as long as that loop converges within the same bound, which the
+    * operator enforces with a loud failure. Integer-only parity
+    * surface. */
+  def kCore(k: Int = 3, rounds: Int = 24): String = {
+    val steps = (1 to rounds).map { i =>
+      s"""keep$i AS MATERIALIZED (
+         |  SELECT id FROM (
+         |    SELECT id, COUNT(*) AS deg
+         |    FROM (SELECT a AS id FROM e${i - 1}
+         |          UNION ALL SELECT b FROM e${i - 1}) u
+         |    GROUP BY id) d
+         |  WHERE deg >= $k
+         |),
+         |e$i AS MATERIALIZED (
+         |  SELECT a, b FROM e${i - 1}
+         |  WHERE a IN (SELECT id FROM keep$i)
+         |    AND b IN (SELECT id FROM keep$i)
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $edgesCte,
+       |e0 AS MATERIALIZED (
+       |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |  FROM edges WHERE src <> dst
+       |),
+       |$steps
+       |SELECT id, COUNT(*) AS core_degree
+       |FROM (SELECT a AS id FROM e$rounds UNION ALL SELECT b FROM e$rounds) u
+       |GROUP BY id
+       |ORDER BY id""".stripMargin
+  }
+
   /** Top-10 simplified-SALSA authorities: exercises the top-k path with a
     * deterministic (exact-rational score, id-tiebreak) ordering. */
   def rankTopK(k: Int = 10): String =

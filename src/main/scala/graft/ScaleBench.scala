@@ -1,8 +1,8 @@
 package graft
 
 import graft.functions.GraftHash
-import graft.operators.{Degrees, Hits, LabelProp, LinkPredict, Salsa,
-  Triangles}
+import graft.operators.{Degrees, Hits, KCore, LabelProp, LinkPredict,
+  Salsa, Triangles}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -124,6 +124,10 @@ object ScaleBench {
     // the inherently quadratic pair surface
     "graph_link_predict" -> ((s, dir) =>
       LinkPredict.topCandidates(GraphIO.orderGraph(s, dir).edges)),
+    // per-round degree agg + two semi-joins on a monotonically
+    // shrinking edge list
+    "graph_kcore" -> ((s, dir) =>
+      KCore.run(GraphIO.orderGraph(s, dir).edges, 3)),
     // per-round edge⋈label join + (node,label) partial agg — the gate's
     // exact seed rule so the measured shape matches the verified one
     "graph_label_prop" -> ((s, dir) => {

@@ -176,6 +176,11 @@ object SparkEntry {
           coalesce(col("label"), lit("unlabeled")).as("label"))
         .orderBy(col("id"))
     }),
+    // k-core density tier: synchronous peel to the 3-core fixed point
+    // (the "train on the dense core" sampling primitive — see `KCore`).
+    "graph_kcore" -> ((s, dir) =>
+      KCore.run(GraphIO.orderGraph(s, dir).edges, 3)
+        .orderBy(col("id"))),
     // Link-prediction features: top-20 non-adjacent pairs by
     // common-neighbor/Adamic-Adar evidence (center-degree cap 64 — the
     // quadratic-surface contract, see `LinkPredict` scaladoc).
@@ -1409,6 +1414,7 @@ object SparkEntry {
     "graph_triangles" -> Oracles.triangles,
     "graph_link_predict" -> Oracles.linkPredict(),
     "graph_label_prop" -> Oracles.labelProp(),
+    "graph_kcore" -> Oracles.kCore(),
     "rank_topk" -> Oracles.rankTopK(),
     "sample_hash" -> Oracles.sampleHash(),
     "render_model" -> Oracles.renderModel(),

@@ -1,0 +1,65 @@
+package graft.operators
+
+import graft.Checkpoints
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** k-core decomposition over the undirected simple projection:
+  * the maximal induced subgraph in which every node has degree ≥ k,
+  * found by synchronous peeling (drop all nodes of current degree < k,
+  * recompute, repeat to the fixed point).
+  *
+  * Fourth of the structural family ([[Triangles]], [[LinkPredict]],
+  * [[LabelProp]]): core membership is the standard density tier for
+  * graph sampling ("train on the 3-core"), spam-tail removal, and as a
+  * cheap importance floor before the expensive kernels run.
+  *
+  * Parity shape: peeling is MONOTONE — once the edge set stops
+  * shrinking, further rounds are identities. A SQL oracle therefore
+  * unrolls a GENEROUS fixed round count and equals the Spark fixed
+  * point exactly whenever convergence happens within the unroll; the
+  * operator enforces that contract by failing loudly if `maxRounds` is
+  * reached without convergence (a silent partial peel would
+  * hash-mismatch the oracle in a way that looks like an engine bug).
+  *
+  * Scale shape per round: one partial-aggregating degree count plus two
+  * left-semi joins of the edge list against the surviving-node set —
+  * all equi-joins on node keys, no windows, no sorts; the edge list
+  * shrinks monotonically and is checkpointed per round with the
+  * superseded generation released, the kernel discipline. Convergence
+  * is detected by edge-count equality, one cheap `count()` per round on
+  * an already-materialized frame.
+  */
+object KCore {
+
+  /** Nodes of the k-core with their within-core degree:
+    * `(id, core_degree)`, empty when the k-core is empty. */
+  def run(edges: DataFrame, k: Int, maxRounds: Int = 24): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    require(maxRounds >= 1, s"need maxRounds >= 1, got $maxRounds")
+    def degrees(e: DataFrame): DataFrame =
+      e.select(col("a").as("id")).unionAll(e.select(col("b").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("deg"))
+    var e = Checkpoints.materialize(Triangles.undirected(edges))
+    var n = e.count()
+    var converged = n == 0L
+    var round = 0
+    while (!converged && round < maxRounds) {
+      val keep = degrees(e).where(col("deg") >= k).select(col("id"))
+      val next = Checkpoints.materialize(
+        e.join(keep.withColumnRenamed("id", "a"), Seq("a"), "left_semi")
+          .join(keep.withColumnRenamed("id", "b"), Seq("b"), "left_semi")
+          .select(col("a"), col("b")))
+      val m = next.count()
+      converged = m == n
+      if (converged) Checkpoints.release(next)
+      else { Checkpoints.release(e); e = next; n = m }
+      round += 1
+    }
+    require(converged || n == 0L,
+      s"k-core peel did not converge within $maxRounds rounds " +
+        "(raise maxRounds; the SQL oracle unrolls the same bound)")
+    degrees(e)
+      .select(col("id"), col("deg").as("core_degree"))
+  }
+}
