@@ -61,6 +61,17 @@ class KCoreSpec extends SparkSuite {
     assert(ex.getMessage.contains("did not converge"))
   }
 
+  test("cores nest: the (k+1)-core's nodes are a subset of the k-core's") {
+    val rnd = new scala.util.Random(59)
+    val rows = (0 until 140).map(_ =>
+      (s"n${rnd.nextInt(26)}", s"n${rnd.nextInt(26)}"))
+    val e = edges(rows: _*)
+    val byK = (1 to 5).map(k => k -> run(e, k).keySet)
+    byK.sliding(2).foreach { case Seq((k, lo), (_, hi)) =>
+      assert(hi.subsetOf(lo), s"${k + 1}-core ⊄ $k-core")
+    }
+  }
+
   test("random graphs match the sequential peel (k = 2, 3, 4)") {
     val rnd = new scala.util.Random(53)
     (0 until 3).foreach { _ =>

@@ -74,6 +74,23 @@ class LabelPropSpec extends SparkSuite {
     assert(got == Map("a" -> "L", "b" -> "L", "u" -> null, "v" -> null))
   }
 
+  test("the labeled set grows monotonically with iteration depth") {
+    // In this semantics every assigned label freezes (coalesce keeps
+    // the old value, votes only fill nulls), so coverage is monotone —
+    // this pins that contract against a future "re-vote" regression.
+    val rnd = new scala.util.Random(47)
+    val rows = (0 until 120).map(_ =>
+      (s"n${rnd.nextInt(25)}", s"n${rnd.nextInt(25)}"))
+    val ids = rows.flatMap(t => Seq(t._1, t._2)).distinct
+    val seed = ids.take(3).map(id => id -> s"L${id.length}")
+    val e = edges(rows: _*); val s = seeds(seed: _*)
+    val covered = (0 to 4).map(k =>
+      run(e, s, k).collect { case (id, l) if l != null => id }.toSet)
+    covered.sliding(2).foreach { case Seq(lo, hi) =>
+      assert(lo.subsetOf(hi))
+    }
+  }
+
   test("random graphs match the brute-force reference") {
     val rnd = new scala.util.Random(41)
     (0 until 3).foreach { _ =>

@@ -73,6 +73,22 @@ class LinkPredictSpec extends SparkSuite {
       r6(1.0 / math.log(5.0) + 1.0 / math.log(2.0)))))
   }
 
+  test("raising the center cap never loses evidence: counts are monotone") {
+    val rnd = new scala.util.Random(31)
+    val rows = (0 until 100).map(_ =>
+      (s"n${rnd.nextInt(18)}", s"n${rnd.nextInt(18)}"))
+    val e = edges(rows: _*)
+    // compare FULL candidate maps (k large enough to keep everything)
+    def all(cap: Long) = top(e, 10000, cap)
+      .map(t => (t._1, t._2) -> t._3).toMap
+    val caps = Seq(2L, 4L, 8L, 64L).map(all)
+    caps.sliding(2).foreach { case Seq(lo, hi) =>
+      lo.foreach { case (pair, cn) =>
+        assert(hi.getOrElse(pair, 0L) >= cn, s"pair $pair lost evidence")
+      }
+    }
+  }
+
   test("random graphs match brute force (both cap regimes)") {
     val rnd = new scala.util.Random(29)
     (0 until 3).foreach { _ =>
