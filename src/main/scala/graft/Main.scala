@@ -198,13 +198,18 @@ object Main {
         // triangle counts + clustering coefficients over the undirected
         // simple projection; same graph-loading CLI shape as the kernels.
         val g = load(arg(0, DefaultNodes), arg(1, DefaultEdges))
-        val t = Triangles.perNode(g.edges)
+        // materialize once: the text sink and the top-10 print are two
+        // actions, and the wedge joins dominate the verb's cost
+        val plan = Triangles.perNode(g.edges)
+        val t = Checkpoints.materialize(plan)
+        Checkpoints.releaseAll(plan) // inner und/oriented blocks; t stands alone
         RankOutput.writeScoresText(
           t.select(col("id"), col("triangles").cast("double").as("score")),
           "outputs/Triangles/counts.txt")
         println("Top 10 triangle counts:")
         t.orderBy(col("triangles").desc, col("id")).limit(10).collect()
           .foreach(row => println(s"('${row.getString(0)}', ${row.getLong(1)})"))
+        Checkpoints.release(t)
         println("Counts written under outputs/Triangles/")
       case "link_predict" =>
         // Companion structural extension to `triangles`: top-k missing

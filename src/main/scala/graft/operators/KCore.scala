@@ -37,29 +37,34 @@ object KCore {
   def run(edges: DataFrame, k: Int, maxRounds: Int = 24): DataFrame = {
     require(k >= 1, s"need k >= 1, got $k")
     require(maxRounds >= 1, s"need maxRounds >= 1, got $maxRounds")
-    def degrees(e: DataFrame): DataFrame =
-      e.select(col("a").as("id")).unionAll(e.select(col("b").as("id")))
-        .groupBy("id").agg(count(lit(1)).as("deg"))
     var e = Checkpoints.materialize(Triangles.undirected(edges))
     var n = e.count()
+    // `rounds` counts SHRINKING rounds only: the pass that observes
+    // `m == n` certifies convergence without consuming budget, so a
+    // peel of exactly `maxRounds` shrinks succeeds — the same graphs
+    // the oracle's `maxRounds`-deep unroll resolves (an unroll round
+    // past the fixed point is an identity; an off-by-one here would
+    // fail graphs the oracle handles).
+    var rounds = 0
     var converged = n == 0L
-    var round = 0
-    while (!converged && round < maxRounds) {
-      val keep = degrees(e).where(col("deg") >= k).select(col("id"))
+    while (!converged) {
+      val keep = Triangles.degrees(e).where(col("deg") >= k)
+        .select(col("id"))
       val next = Checkpoints.materialize(
         e.join(keep.withColumnRenamed("id", "a"), Seq("a"), "left_semi")
           .join(keep.withColumnRenamed("id", "b"), Seq("b"), "left_semi")
           .select(col("a"), col("b")))
       val m = next.count()
-      converged = m == n
-      if (converged) Checkpoints.release(next)
-      else { Checkpoints.release(e); e = next; n = m }
-      round += 1
+      if (m == n) { converged = true; Checkpoints.release(next) }
+      else {
+        require(rounds < maxRounds,
+          s"k-core peel did not converge within $maxRounds shrinking " +
+            "rounds (raise maxRounds; the SQL oracle unrolls the same " +
+            "bound)")
+        Checkpoints.release(e); e = next; n = m; rounds += 1
+      }
     }
-    require(converged || n == 0L,
-      s"k-core peel did not converge within $maxRounds rounds " +
-        "(raise maxRounds; the SQL oracle unrolls the same bound)")
-    degrees(e)
+    Triangles.degrees(e)
       .select(col("id"), col("deg").as("core_degree"))
   }
 }

@@ -46,6 +46,7 @@ object LabelProp {
     val nbrs = Checkpoints.materialize(
       und.select(col("a").as("src"), col("b").as("id"))
         .unionAll(und.select(col("b").as("src"), col("a").as("id"))))
+    Checkpoints.release(und) // nbrs is materialized; und has no other use
     val nodes = nbrs.select(col("id")).distinct()
     var lab = Checkpoints.materialize(
       nodes.join(seeds, Seq("id"), "left")
@@ -53,7 +54,12 @@ object LabelProp {
     val byVotes = Window.partitionBy(col("id"))
       .orderBy(col("c").desc, col("label"))
     (0 until iters).foreach { _ =>
+      // Votes only matter for still-unlabeled destinations (clamping
+      // discards the rest), so gate the aggregate's input on them — the
+      // per-round work shrinks as coverage grows, same output.
       val votes = nbrs
+        .join(lab.where(col("label").isNull).select(col("id")),
+          Seq("id"), "left_semi")
         .join(lab.where(col("label").isNotNull)
           .select(col("id").as("src"), col("label")), Seq("src"))
         .groupBy(col("id"), col("label"))
@@ -68,6 +74,10 @@ object LabelProp {
       Checkpoints.release(lab)
       lab = next
     }
+    // lab is itself a checkpoint, so the caller's releaseAll on the
+    // result can never reach nbrs — free it here (the kernel
+    // discipline: no block set may outlive its last consumer).
+    Checkpoints.release(nbrs)
     lab
   }
 }

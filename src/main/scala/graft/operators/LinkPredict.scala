@@ -41,9 +41,7 @@ object LinkPredict {
   def topCandidates(edges: DataFrame, k: Int = 20,
       maxCenterDegree: Long = 64, digits: Int = 6): DataFrame = {
     val und = Checkpoints.materialize(Triangles.undirected(edges))
-    val deg = und.select(col("a").as("id"))
-      .unionAll(und.select(col("b").as("id")))
-      .groupBy("id").agg(count(lit(1)).as("deg"))
+    val deg = Triangles.degrees(und)
 
     // Symmetric adjacency restricted to capped centers; dc rides along
     // so the Adamic-Adar term needs no later join back to degrees.

@@ -43,6 +43,15 @@ object Triangles {
       .where(col("a") =!= col("b"))
       .distinct()
 
+  /** Undirected degree of every endpoint of an `(a, b)` edge frame:
+    * `(id, deg)` — one partial-aggregating hash agg over both endpoint
+    * columns. Shared by the whole structural family ([[Triangles]],
+    * [[LinkPredict]], [[KCore]]). */
+  def degrees(und: DataFrame): DataFrame =
+    und.select(col("a").as("id"))
+      .unionAll(und.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+
   /** Per-node triangle participation over the [[undirected]] projection:
     * `(id, triangles, clustering)` for every node with at least one
     * undirected edge, where `clustering` is the local clustering
@@ -56,9 +65,7 @@ object Triangles {
     * the consumed result, like the iterative kernels. */
   def perNode(edges: DataFrame, digits: Int = 9): DataFrame = {
     val und = Checkpoints.materialize(undirected(edges))
-    val deg = und.select(col("a").as("id"))
-      .unionAll(und.select(col("b").as("id")))
-      .groupBy("id").agg(count(lit(1)).as("deg"))
+    val deg = degrees(und)
 
     // Orient each edge from its lower (deg, id) endpoint; carry the
     // destination's degree so wedge pairs can be ordered by the SAME
