@@ -464,6 +464,27 @@ class CatalystSpec extends SparkSuite {
     assert(got("a") == 1.0 && got("b") == 5.0)
   }
 
+  test("structural-quartet plans: equi-joins only, no cartesian surface") {
+    // The scaladoc claims (degree orientation bounds the wedge join;
+    // the center cap bounds pairs) only matter if the PLANS stay
+    // equi-join-shaped: any BNLJ/CartesianProduct would mean a join
+    // lost its keys and the O(d^2)/O(sum C(d,2)) math went quadratic
+    // in a different way. Assert it on the executed plans.
+    import graft.operators.{LinkPredict, Triangles}
+    import org.apache.spark.sql.functions.col
+    val e = graph(Seq(("a", "b", 1.0), ("b", "c", 1.0), ("a", "c", 1.0),
+      ("c", "d", 1.0))).edges
+    Seq(
+      "triangles" -> Triangles.perNode(e),
+      "link_predict" -> LinkPredict.topCandidates(e)
+    ).foreach { case (name, df) =>
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"$name:\n$plan")
+      assert(!plan.contains("CartesianProduct"), s"$name:\n$plan")
+      Checkpoints.releaseAll(df)
+    }
+  }
+
   test("MinHashAgg merge combines partial buffers slot-wise") {
     val b1 = MinHashAgg.reduce(MinHashAgg.zero, (42L, 19L))
     val b2 = MinHashAgg.reduce(MinHashAgg.zero, (7L, 3L))
