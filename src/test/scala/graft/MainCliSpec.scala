@@ -279,6 +279,31 @@ class MainCliSpec extends SparkSuite {
     assert(got.columns.toSet == Set("doc_id", "text", "sort_key"))
   }
 
+  test("structural verbs (triangles/link_predict/label_prop/kcore) run " +
+    "over reference-layout CSVs") {
+    val nodes = s"$tmp/tri_nodes.csv"
+    val edges = s"$tmp/tri_edges.csv"
+    // triangle a-b-c plus pendant d: 1 triangle, d peels out of the
+    // 2-core, {x,d} pairs are the link candidates through a and c
+    java.nio.file.Files.write(java.nio.file.Paths.get(nodes),
+      ("id:ID,names,size:int,labels:LABEL,rho:double\n" +
+        "a,a,1,t,0.5\nb,b,1,t,0.5\nc,c,1,x,0.5\nd,d,1,x,0.5\n").getBytes)
+    java.nio.file.Files.write(java.nio.file.Paths.get(edges),
+      ("src:START_ID,dst:END_ID,mrho:double\n" +
+        "a,b,1.0\nb,c,1.0\nc,a,1.0\na,d,1.0\n").getBytes)
+    Main.run(spark, "triangles", Array(nodes, edges))
+    val sink = new java.io.File("outputs/Triangles/counts.txt")
+    assert(sink.isDirectory, s"expected sink dir $sink")
+    val part = sink.listFiles.filter(_.getName.startsWith("part-")).head
+    assert(scala.io.Source.fromFile(part).getLines().size == 4)
+    Main.run(spark, "link_predict", Array("5", nodes, edges))
+    Main.run(spark, "label_prop", Array("2", nodes, edges))
+    Main.run(spark, "kcore", Array("2", nodes, edges))
+    intercept[Main.CliArgError] {
+      Main.run(spark, "kcore", Array("not_a_number", nodes, edges))
+    }
+  }
+
   test("pagerank verb runs the kernel over reference-layout CSVs") {
     val nodes = s"$tmp/nodes.csv"
     val edges = s"$tmp/edges.csv"
