@@ -1677,12 +1677,28 @@ object Oracles {
   /** LSH-bucketed ANN top-k (mirror of
     * [[graft.pipelines.Similarity.annTopKLsh]], including the
     * margin-ordered single-bit multi-probe expansion of the query's
-    * probe list). */
+    * probe list and the CORPUS-DERIVED table count
+    * ([[graft.pipelines.HyperplaneLsh.autoTables]]): the derivation is
+    * a step function of the corpus count at the pinned width, so the
+    * static SQL unrolls every derivable table up to `MaxTables` and
+    * gates each extra table's UNION branch — bucket side and probe
+    * side — behind its activation threshold
+    * ([[graft.pipelines.HyperplaneLsh.tableActivation]]) as a
+    * `count(*)` scalar-subquery comparison. One SQL string replays the
+    * derivation at every scale: at sf0.01 (500 vectors) the extra
+    * branches are empty and the result is byte-identical to the
+    * 4-table r17 oracle; at sf0.1 (2,000) tables 4-5 activate). */
   def annTopKLsh(nq: Int = 10, k: Int = 5, nprobe: Int = 22): String = {
     import graft.pipelines.HyperplaneLsh
     val bits = HyperplaneLsh.Bits
-    val tableRows = (0 until HyperplaneLsh.Tables).map { t =>
-      s"SELECT vec_id, $t AS tbl, ${HyperplaneLsh.bucketSql(t, "embedding")} AS bkt FROM base"
+    def gate(t: Int): String =
+      if (t < HyperplaneLsh.Tables) ""
+      else s" AND (SELECT count(*) FROM base) > " +
+        s"${HyperplaneLsh.tableActivation(t, bits)}"
+    val tableRows = (0 until HyperplaneLsh.MaxTables).map { t =>
+      s"SELECT vec_id, $t AS tbl, " +
+        s"${HyperplaneLsh.bucketSql(t, "embedding")} AS bkt " +
+        s"FROM base WHERE TRUE${gate(t)}"
     }.mkString("\nUNION ALL ")
     // Per table: perturbation sets {}, {j}, {i,j} ranked by summed
     // |margin| (ties on the xor mask), first nprobe taken — mirror of
@@ -1690,20 +1706,24 @@ object Oracles {
     // engines make the sums and so the sort order deterministic. The
     // per-plane margins are named columns of the inner query, so each
     // fold appears once in the SQL text.
-    val probeRows = (0 until HyperplaneLsh.Tables).map { t =>
+    val probeRows = (0 until HyperplaneLsh.MaxTables).map { t =>
       val marginCols = (0 until bits).map(j =>
         s"abs(${HyperplaneLsh.planeDotSql(t, j, "embedding")}) AS m$j")
         .mkString(", ")
       val entries = (Seq(s"{'m': 0.0::DOUBLE, 'x': 0::BIGINT}") ++
         (0 until bits).map(j => s"{'m': m$j, 'x': ${1L << j}::BIGINT}") ++
         (for { i <- 0 until bits; j <- (i + 1) until bits } yield
-          s"{'m': m$i + m$j, 'x': ${(1L << i) | (1L << j)}::BIGINT}"))
+          s"{'m': m$i + m$j, 'x': ${(1L << i) | (1L << j)}::BIGINT}") ++
+        (for { i <- 0 until bits; j <- (i + 1) until bits;
+               l <- (j + 1) until bits } yield
+          s"{'m': m$i + m$j + m$l, " +
+            s"'x': ${(1L << i) | (1L << j) | (1L << l)}::BIGINT}"))
         .mkString("[", ", ", "]")
       s"SELECT vec_id AS query_id, $t AS qt, " +
         s"unnest(list_transform(list_sort($entries)[1:$nprobe], " +
         s"s -> xor(bkt0, s.x))) AS qk " +
         s"FROM (SELECT vec_id, ${HyperplaneLsh.bucketSql(t, "embedding")} AS bkt0, " +
-        s"$marginCols FROM base WHERE vec_id < $nq) qq"
+        s"$marginCols FROM base WHERE vec_id < $nq${gate(t)}) qq"
     }.mkString("\nUNION ALL ")
     s"""WITH base AS MATERIALIZED (
        |  SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM embeddings),
@@ -2058,7 +2078,12 @@ object Oracles {
     * integer-dot prefilter (`cand` overfetch), exact cosine rerank. */
   /** Mirror of [[graft.pipelines.Similarity.annTopKMrl]]: prefix-
     * cosine candidates (DuckDB's 1-based inclusive list slice is
-    * Spark's `slice(x, 1, dims)`) then the exact full-vector rerank. */
+    * Spark's `slice(x, 1, dims)`) then the exact full-vector rerank.
+    * The rerank depth replays the corpus-derived
+    * [[graft.pipelines.Similarity.autoMrlCand]] — `greatest(cand,
+    * ⌈count/5⌉)` as a scalar subquery, so one static SQL string holds
+    * at every scale (150 at the 500-vector gate corpora, byte-
+    * identical to the r17 oracle; 400 at sf0.1). */
   def annTopKMrl(nq: Int = 10, k: Int = 5, dims: Int = 32,
       cand: Int = 150): String =
     s"""WITH base AS MATERIALIZED (
@@ -2077,7 +2102,9 @@ object Oracles {
        |    SELECT query_id, neighbor_id,
        |           ROW_NUMBER() OVER (PARTITION BY query_id
        |             ORDER BY pcos DESC, neighbor_id) AS crn
-       |    FROM approx) WHERE crn <= $cand),
+       |    FROM approx)
+       |  WHERE crn <= greatest($cand,
+       |    (SELECT CAST(ceil(count(*) / 5.0) AS BIGINT) FROM base))),
        |exact AS (
        |  SELECT cd.query_id, cd.neighbor_id,
        |         ${dotSql("qf.embedding", "e.embedding")} / (qf.nrm * e.nrm) AS cos
@@ -2213,7 +2240,7 @@ object Oracles {
     * per vec_id. Probes, recall vs the exact rung, and the
     * max/mean cell-imbalance rows are recomputed literally. */
   def annRecallAuditAppended(nq: Int = 10, k: Int = 5, nlist: Int = 8,
-      nprobe: Int = 4, dim: Int = 64): String = {
+      nprobe: Int = 5, dim: Int = 64): String = {
     val total = nq.toLong * k
     // one Lloyd step from the shared seeds over `trainSrc`, ending in
     // a centroid CTE named `centT` (the ivfTrainCtes shape with a

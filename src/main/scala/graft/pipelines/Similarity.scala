@@ -57,34 +57,57 @@ object Similarity {
     * IVF `nprobe` because the two knobs live on different scales
     * (buckets-of-2^Bits vs cells-of-nlist). `lshBits <= 0` derives the
     * bucket width from the corpus ([[HyperplaneLsh.autoBits]]);
+    * `lshTables <= 0` (the default) derives the table count
+    * ([[HyperplaneLsh.autoTables]]) — the r17 sf0.1 re-audit measured
+    * the fixed 4-table config decaying 0.94 → 0.84 one scale up, and
+    * independent tables are the coverage lever that self-scales.
     * `mrlDims`/`mrlCand` are the matryoshka rung's prefix width and
-    * rerank depth — defaulted to 32-of-64 dims and a 30·k candidate
-    * pool (`mrlCand <= 0` derives it, so the knob self-scales with
-    * the ask instead of silently starving a larger k) because the
-    * synthetic gate embeddings are NOT matryoshka-trained (energy is
-    * uniform across dimensions, so a narrow prefix ranks weakly — the
-    * r15 audit measured 0.38 recall at 16 dims / 20 candidates; the
-    * r16 defaults measure 0.98 at sf0.01); truly MRL-trained
-    * embeddings concentrate energy in the prefix and would support
-    * much smaller settings, which is why both stay free knobs. Rerank
-    * depth costs `cand` full-vector reads per query — noise next to
-    * stage 1's prefix scan. */
+    * rerank depth — defaulted to 32-of-64 dims and a
+    * max(30·k, ⌈N/5⌉) candidate pool (`mrlCand <= 0` derives it from
+    * BOTH the ask and the corpus count: the fixed 30·k pool decayed
+    * 0.98 → 0.82 at sf0.1 because the prefix-score lookalike set
+    * grows with N — on NON-matryoshka-trained embeddings the prefix
+    * ranks weakly by construction, so holding recall costs a
+    * constant-FRACTION rerank, an honest 5× full-vector-read saving
+    * rather than an asymptotic one) because the synthetic gate
+    * embeddings are NOT matryoshka-trained (energy is uniform across
+    * dimensions — the r15 audit measured 0.38 recall at 16 dims / 20
+    * candidates); truly MRL-trained embeddings concentrate energy in
+    * the prefix and support a small EXPLICIT `mrlCand`, which is why
+    * both stay free knobs. */
   def ann(emb: DataFrame, strategy: AnnStrategy, nq: Int = 10, k: Int = 5,
       nlist: Int = 0, nprobe: Int = 4, cand: Int = 20,
       trainFraction: Double = 1.0, lshProbes: Int = 22,
       lshBits: Int = HyperplaneLsh.Bits, mrlDims: Int = 32,
-      mrlCand: Int = 0): DataFrame =
+      mrlCand: Int = 0, lshTables: Int = 0): DataFrame =
     strategy match {
       case AnnStrategy.Exact => annTopK(emb, nq, k)
-      case AnnStrategy.Lsh => annTopKLsh(emb, nq, k, lshProbes, lshBits)
+      case AnnStrategy.Lsh =>
+        annTopKLsh(emb, nq, k, lshProbes, lshBits, lshTables)
       case AnnStrategy.Ivf =>
         annTopKIvf(emb, nq, k, nlist, nprobe, trainFraction)
       case AnnStrategy.Q8 => annTopKQ8(emb, nq, k, cand)
       case AnnStrategy.Q8Ivf =>
         annTopKQ8Ivf(emb, nq, k, nlist, nprobe, cand, trainFraction)
       case AnnStrategy.Mrl => annTopKMrl(emb, nq, k, mrlDims,
-        if (mrlCand > 0) mrlCand else 30 * k)
+        if (mrlCand > 0) mrlCand else autoMrlCand(emb.count(), k))
     }
+
+  /** Corpus-derived MRL rerank depth: `max(30·k, ⌈N/5⌉)`. The k term
+    * keeps a larger ask from starving (the r16 derivation); the N/5
+    * term is the recall-floor lever the r17 sf0.1 re-audit exposed —
+    * a FIXED pool decays as the prefix-score lookalike set grows with
+    * the corpus (0.98 at N=500, 0.82 at N=2000 with pool 150). On
+    * uniform-energy (non-matryoshka-trained) embeddings a
+    * constant-fraction pool is the honest asymptote: the 32-of-64
+    * prefix carries half the energy, so prefix rank is a noisy
+    * estimate whose top-p capture of the true top-k improves with p/N,
+    * not with p alone. N/5 measures 0.96 at sf0.1 (SCALING.md r18)
+    * while still reading 5× fewer full vectors than exact; MRL-trained
+    * embeddings, whose energy concentration is the rung's actual
+    * premise, support a small explicit `mrlCand` instead. */
+  def autoMrlCand(corpusSize: Long, k: Int): Int =
+    math.max(30 * k, math.ceil(corpusSize / 5.0).toInt)
 
   /** Recall@k audit of the approximate ANN rungs against the exact rung
     * — the accuracy half of the ladder's accuracy/cost trade, as a
@@ -154,9 +177,17 @@ object Similarity {
     *  - `cells_appended` / `cells_fresh` — hits = max cell population,
     *    total = index rows, recall = max/mean imbalance factor.
     * Everything is deterministic, so the DuckDB twin recomputes all
-    * four rows bit-for-bit. */
+    * four rows bit-for-bit.
+    *
+    * `nprobe` defaults to 5 (r18, was 4): at 4-of-8 cells the
+    * appended row read 0.86 — under the ladder's ≥0.9 floor while
+    * every fresh rung cleared it (VERDICT r17 missing #2); one more
+    * probed cell lifts appended AND fresh to 0.94 at sf0.01 (0.96 /
+    * 0.96 at sf0.1). The extra cell costs 25% more stage-1 scan on
+    * this PINNED-nlist gate only; at deployment nlist ∝ √N, so
+    * 5-of-√N still vanishes with scale. */
   def recallAuditAppended(emb: DataFrame, nq: Int = 10, k: Int = 5,
-      nlist: Int = 8, nprobe: Int = 4): DataFrame = {
+      nlist: Int = 8, nprobe: Int = 5): DataFrame = {
     val half = emb.count() / 2
     val total = nq.toLong * k
     val corpus = emb.select(col("vec_id"), col("embedding"),
@@ -307,18 +338,29 @@ object Similarity {
     * `bits <= 0` to DERIVE it from the corpus count
     * ([[HyperplaneLsh.autoBits]] — expected bucket population stays
     * ~constant as the corpus grows, the `autoNlist` discipline on the
-    * LSH axis). */
+    * LSH axis). `tables <= 0` (the default) derives the TABLE count
+    * from the corpus ([[HyperplaneLsh.autoTables]]) — the recall half
+    * of the same discipline: a fixed table count lets the ≥3-flip
+    * miss tail grow with bucket population and quietly decays recall
+    * one scale up (measured 0.94 → 0.84, SCALING.md r17); the
+    * derivation is count-threshold-shaped so the pinned gates' DuckDB
+    * twins stay static (activation thresholds, not dynamic SQL). */
   def annTopKLsh(emb: DataFrame, nq: Int = 10, k: Int = 5,
-      nprobe: Int = 22, bits: Int = HyperplaneLsh.Bits): DataFrame = {
-    val b = if (bits > 0) bits else HyperplaneLsh.autoBits(emb.count())
+      nprobe: Int = 22, bits: Int = HyperplaneLsh.Bits,
+      tables: Int = 0): DataFrame = {
+    lazy val n = emb.count()
+    val b = if (bits > 0) bits else HyperplaneLsh.autoBits(n)
     require(b <= HyperplaneLsh.MaxBits,
       s"bits must be <= ${HyperplaneLsh.MaxBits}, got $b")
-    val maxProbes = 1 + b + b * (b - 1) / 2
+    val nt = if (tables > 0) tables else HyperplaneLsh.autoTables(n, b)
+    require(nt <= HyperplaneLsh.MaxTables,
+      s"tables must be <= ${HyperplaneLsh.MaxTables}, got $nt")
+    val maxProbes = 1 + b + b * (b - 1) / 2 + b * (b - 1) * (b - 2) / 6
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
     val np = math.min(nprobe, maxProbes)
     val base = emb.select(col("vec_id"), col("embedding"),
       norm(col("embedding")).as("nrm"))
-    val buckets = (0 until HyperplaneLsh.Tables).map { t =>
+    val buckets = (0 until nt).map { t =>
       base.select(col("vec_id"), lit(t).as("tbl"),
         HyperplaneLsh.bucket(t, col("embedding"), b).as("bkt"))
     }.reduce(_ unionAll _)
@@ -327,7 +369,7 @@ object Similarity {
     // (identical IEEE folds -> identical sums -> identical sort). The
     // per-plane margins are projected ONCE per query row; the 22-entry
     // struct array references the named columns, not 36 re-folds.
-    val qb = (0 until HyperplaneLsh.Tables).map { t =>
+    val qb = (0 until nt).map { t =>
       val qrows = base.filter(col("vec_id") < nq)
         .select(Seq(col("vec_id"),
           HyperplaneLsh.bucket(t, col("embedding"), b).as("bkt0")) ++
@@ -339,7 +381,10 @@ object Similarity {
           struct(col(s"m$j").as("m"), lit(1L << j).as("x"))) ++
          (for { i <- 0 until b; j <- (i + 1) until b } yield
           struct((col(s"m$i") + col(s"m$j")).as("m"),
-            lit((1L << i) | (1L << j)).as("x"))))
+            lit((1L << i) | (1L << j)).as("x"))) ++
+         (for { i <- 0 until b; j <- (i + 1) until b; l <- (j + 1) until b }
+          yield struct((col(s"m$i") + col(s"m$j") + col(s"m$l")).as("m"),
+            lit((1L << i) | (1L << j) | (1L << l)).as("x"))))
       val probes = array_sort(array(entries: _*))
       qrows.select(col("vec_id").as("query_id"), lit(t).as("qt"),
         explode(transform(slice(probes, 1, np), s =>
@@ -988,7 +1033,49 @@ object HyperplaneLsh {
   /** Hard ceiling on derivable widths: plane indices stay disjoint
     * across tables (the weight stride) and probe masks stay in int64. */
   val MaxBits = 24
+  /** Hard ceiling on derivable TABLE counts ([[autoTables]]): probe
+    * cost grows linearly with tables, and past ~8 independent tables
+    * the residual misses are neighbors whose every bucket is ≥3 flips
+    * away in every table — more tables stop paying. Tables ≥
+    * [[Tables]] draw their planes from a disjoint index range
+    * (see [[weight]]), so widening the table set never perturbs the
+    * pinned gates' planes. */
+  val MaxTables = 8
   val Dim = 64
+
+  /** Corpus-derived table count — the recall half of the LSH sizing
+    * discipline ([[autoBits]] is the cost half): [[autoBits]] holds the
+    * expected bucket POPULATION ~constant as the corpus grows, but the
+    * fixed-budget 2-flip probe expansion still loses the tail of true
+    * neighbors that are ≥3 flips away in every probed table, and that
+    * tail grows with bucket population (measured: recall@5 = 0.94 at
+    * ~16 vectors/bucket, 0.84 at ~62 — SCALING.md r17 sf0.1 re-audit).
+    * Independent tables multiply coverage (a neighbor is missed only
+    * if it is un-probed in EVERY table), so each doubling of the
+    * expected bucket population past the measured-good ~16 baseline
+    * adds one table, clamped to [[[Tables]], [[MaxTables]]]. At the
+    * pinned gate width this derives 4 tables for the sf0.01 corpus
+    * (gates byte-unchanged) and 6 at sf0.1 (measured back over the
+    * ≥0.9 floor); with [[autoBits]] both knobs stabilize — population
+    * ∈ (32, 64] ⇒ 6 tables — so at 100 TB the probe cost is a
+    * constant factor, not a growing one. */
+  def autoTables(corpusSize: Long, bits: Int = Bits): Int = {
+    require(bits >= 1 && bits <= MaxBits,
+      s"bits must be in [1, $MaxBits], got $bits")
+    val pop = corpusSize.toDouble / (1L << bits)
+    val extra = math.ceil(math.log(pop / 16.0) / math.log(2.0)).toInt
+    math.min(MaxTables, Tables + math.max(0, extra))
+  }
+
+  /** Smallest corpus count that activates table `t` under the
+    * [[autoTables]] derivation at width `bits` (exclusive threshold:
+    * active iff count > this) — lets the static DuckDB twin replay
+    * the corpus-derived table count with one count() subquery per
+    * extra-table branch instead of a dynamic SQL shape. Tables below
+    * [[Tables]] are always active (threshold 0). */
+  def tableActivation(t: Int, bits: Int = Bits): Long =
+    if (t < Tables) 0L
+    else 16L * (1L << bits) * (1L << (t - Tables))
 
   /** Corpus-derived bucket width: enough hyperplanes that the EXPECTED
     * bucket population is ~`targetBucket` (`2^bits ≈ n/targetBucket`),
@@ -1004,15 +1091,19 @@ object HyperplaneLsh {
 
   /** Integer weight of hyperplane (table t, bit j, dimension k):
     * roughly zero-mean over [-501001, 499002). Plane (t, j) is the
-    * SAME hyperplane at every bucket width: the first [[Bits]] planes
-    * per table keep their original (gate-measured) index space
-    * `t·Bits + j`, and wider widths draw EXTRA planes from the
-    * disjoint range starting at `Tables·Bits` — so widening never
-    * collides with (or perturbs) an existing plane, and the pinned
-    * gates' results and measured recall are unchanged. */
+    * SAME hyperplane at every bucket width AND table count: the first
+    * [[Bits]] planes per base table keep their original
+    * (gate-measured) index space `t·Bits + j`, wider widths draw
+    * EXTRA planes from the disjoint range starting at `Tables·Bits`,
+    * and EXTRA tables (t ≥ [[Tables]], the [[autoTables]] scale path)
+    * draw all their planes from the disjoint range starting at
+    * `Tables·MaxBits` — so widening either knob never collides with
+    * (or perturbs) an existing plane, and the pinned gates' results
+    * and measured recall are unchanged. */
   def weight(t: Int, j: Int, k: Int): Long = {
     val idx =
-      if (j < Bits) t.toLong * Bits + j
+      if (t >= Tables) t.toLong * MaxBits + j
+      else if (j < Bits) t.toLong * Bits + j
       else Tables.toLong * Bits + t.toLong * (MaxBits - Bits) + (j - Bits)
     (((idx * Dim + k) * 2654435761L) % 1000003L) - 501001L
   }

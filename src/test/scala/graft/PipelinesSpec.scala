@@ -259,6 +259,101 @@ class PipelinesSpec extends SparkSuite {
     assert(wide.forall(r => r.getLong(2) != r.getLong(0)))
   }
 
+  test("LSH table count derives from the corpus (autoTables); extra " +
+      "tables draw disjoint planes and only widen the candidate set") {
+    import spark.implicits._
+    import graft.pipelines.HyperplaneLsh
+    // each doubling of expected bucket population past ~16 adds a table
+    assert(HyperplaneLsh.autoTables(500, 5) == 4)   // pop 15.6: gate shape
+    assert(HyperplaneLsh.autoTables(2000, 5) == 6)  // pop 62.5: +2
+    assert(HyperplaneLsh.autoTables(4096, 5) == 7)  // pop 128 exactly: +3
+    assert(HyperplaneLsh.autoTables(4100, 5) == 8)  // just past 128: +4
+    assert(HyperplaneLsh.autoTables(Long.MaxValue, 5) ==
+      HyperplaneLsh.MaxTables) // clamped
+    // activation thresholds invert the derivation exactly: table t is
+    // active iff count > tableActivation(t) iff autoTables(count) > t —
+    // the contract the static DuckDB twin's count-gated branches rely on
+    for (t <- 0 until HyperplaneLsh.MaxTables;
+         n <- Seq(100L, 500L, 513L, 1024L, 1025L, 2000L, 2048L, 5000L)) {
+      val active = n > HyperplaneLsh.tableActivation(t, 5)
+      assert(active == (HyperplaneLsh.autoTables(n, 5) > t),
+        s"threshold/derivation disagree at t=$t n=$n")
+    }
+    // extra tables (t >= Tables) draw planes from a DISJOINT index range:
+    // no collision with any base table's plane at any width
+    val baseIdx = (for (t <- 0 until HyperplaneLsh.Tables;
+      j <- 0 until HyperplaneLsh.MaxBits)
+      yield (0 until 4).map(k => HyperplaneLsh.weight(t, j, k))).toSet
+    val extraIdx = (for (t <- HyperplaneLsh.Tables until HyperplaneLsh.MaxTables;
+      j <- 0 until HyperplaneLsh.MaxBits)
+      yield (0 until 4).map(k => HyperplaneLsh.weight(t, j, k))).toSet
+    assert((baseIdx & extraIdx).isEmpty, "extra-table planes collide")
+    assert(extraIdx.size ==
+      (HyperplaneLsh.MaxTables - HyperplaneLsh.Tables) * HyperplaneLsh.MaxBits)
+    // more tables can only add candidates: recall vs exact is monotone
+    val rnd = new scala.util.Random(41)
+    val emb = (0L until 200L).map(i =>
+      (i, Array.fill(64)(rnd.nextFloat() - 0.5f))).toDF("vec_id", "embedding")
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val exact = pairs(Similarity.annTopK(emb, nq = 5, k = 3))
+    val t4 = (pairs(Similarity.annTopKLsh(emb, nq = 5, k = 3, tables = 4))
+      & exact).size
+    val t6 = (pairs(Similarity.annTopKLsh(emb, nq = 5, k = 3, tables = 6))
+      & exact).size
+    assert(t6 >= t4, s"6-table recall $t6 < 4-table $t4")
+  }
+
+  test("annTopKLsh 3-flip probe expansion: past the 2-flip ceiling the " +
+      "probe list keeps growing and recall stays monotone") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(59)
+    val emb = (0L until 300L).map(i =>
+      (i, Array.fill(64)(rnd.nextFloat() - 0.5f))).toDF("vec_id", "embedding")
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val exact = pairs(Similarity.annTopK(emb, nq = 5, k = 3))
+    // width 5: {} + 5 singles + 10 pairs = 16; 22 reaches 6 triples;
+    // 26 is the full 3-flip ceiling (clamp target for anything larger)
+    val r16 = (pairs(Similarity.annTopKLsh(emb, nq = 5, k = 3, nprobe = 16))
+      & exact).size
+    val r22 = (pairs(Similarity.annTopKLsh(emb, nq = 5, k = 3, nprobe = 22))
+      & exact).size
+    val r26 = (pairs(Similarity.annTopKLsh(emb, nq = 5, k = 3, nprobe = 26))
+      & exact).size
+    val rClamped = (pairs(
+      Similarity.annTopKLsh(emb, nq = 5, k = 3, nprobe = 999)) & exact).size
+    assert(r22 >= r16, s"3-flip probes lost recall: $r22 < $r16")
+    assert(r26 >= r22)
+    assert(rClamped == r26, "nprobe past the 3-flip ceiling must clamp")
+  }
+
+  test("autoMrlCand: corpus-scaled rerank depth with the 30k floor") {
+    assert(Similarity.autoMrlCand(500, 5) == 150)   // 30·k dominates
+    assert(Similarity.autoMrlCand(2000, 5) == 400)  // ⌈N/5⌉ dominates
+    assert(Similarity.autoMrlCand(2000, 20) == 600) // larger ask wins
+    assert(Similarity.autoMrlCand(1001, 5) == 201)  // ceil, not floor
+  }
+
+  test("recallAuditAppended: appended cell imbalance is the leading " +
+      "indicator — it reads at or above the fresh rebuild's") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(73)
+    // drifted growth: the second half of the corpus (appended against
+    // build-time centroids) is drawn from a shifted distribution, so
+    // stale centroids must absorb the new mass unevenly
+    val emb = (0L until 120L).map { i =>
+      val shift = if (i >= 60L) 0.4f else 0.0f
+      (i, Array.fill(16)(rnd.nextFloat() - 0.5f + shift))
+    }.toDF("vec_id", "embedding")
+    val rows = Similarity.recallAuditAppended(emb, nq = 4, k = 3, nlist = 4)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(rows("cells_appended") >= rows("cells_fresh"),
+      s"appended imbalance ${rows("cells_appended")} below fresh " +
+        s"${rows("cells_fresh")} — the rebuild-trigger claim inverted")
+    assert(rows.contains("ivf_appended") && rows.contains("ivf_fresh"))
+  }
+
   test("annTopKMrl: full-width prefix degenerates to exact; truncated " +
     "prefix with wide rerank still recovers the exact top-k") {
     import spark.implicits._
