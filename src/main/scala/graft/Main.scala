@@ -94,6 +94,11 @@ object Main {
       "link_predict [k] [nodes_csv] [edges_csv], " +
       "label_prop [iters] [nodes_csv] [edges_csv], " +
       "kcore [k] [nodes_csv] [edges_csv], " +
+      "structural_index <out_dir> [nodes_csv] [edges_csv], " +
+      "triangles_indexed <index_dir>, " +
+      "link_predict_indexed <index_dir> [k], " +
+      "kcore_indexed <index_dir> [k], " +
+      "label_prop_indexed <index_dir> [iters] [nodes_csv], " +
       "pagerank_personalized <topic> [num_iter] [damping], " +
       "hits_converged [tol] [max_iter], salsa_converged [tol] [max_iter], " +
       "pagerank_converged [damping] [tol] [max_iter]; pipelines: " +
@@ -218,7 +223,13 @@ object Main {
         val k = intArg(0, "20", "k")
         println(s"Top $k link-prediction candidates " +
           "(src, dst, common_neighbors, adamic_adar):")
-        LinkPredict.topCandidates(g.edges, k).collect().foreach(r =>
+        val lpPlan = LinkPredict.topCandidates(g.edges, k)
+        val lpRows = lpPlan.collect()
+        // und/adj checkpoints are consumed once the collect returns —
+        // release them so a long-lived session (MainCliSpec, a driver
+        // reusing run) doesn't accumulate superseded blocks (ADVICE r17)
+        Checkpoints.releaseAll(lpPlan)
+        lpRows.foreach(r =>
           println(s"('${r.getString(0)}', '${r.getString(1)}', " +
             s"${r.getLong(2)}, ${r.getDouble(3)})"))
       case "label_prop" =>
@@ -232,9 +243,12 @@ object Main {
             % 100 < 30)
           .select(col("id"), col("label"))
         println(s"Label counts after $iters rounds:")
-        LabelProp.run(spark, g.edges, seedsDf, iters)
+        val lpropPlan = LabelProp.run(spark, g.edges, seedsDf, iters)
           .groupBy(coalesce(col("label"), lit("unlabeled")).as("label"))
-          .count().orderBy(col("label")).collect()
+          .count().orderBy(col("label"))
+        val lpropRows = lpropPlan.collect()
+        Checkpoints.releaseAll(lpropPlan) // final label vector (ADVICE r17)
+        lpropRows
           .foreach(r => println(s"('${r.getString(0)}', ${r.getLong(1)})"))
       case "kcore" =>
         // Fourth structural extension: density-tier membership by
@@ -243,9 +257,80 @@ object Main {
         val k = intArg(0, "3", "k")
         val core = KCore.run(g.edges, k)
         val stats = core.agg(count(lit(1)), max(col("core_degree"))).head()
+        Checkpoints.releaseAll(core) // peeled edge list (ADVICE r17)
         println(s"$k-core: ${stats.getLong(0)} nodes, " +
           s"max within-core degree ${if (stats.isNullAt(1)) 0
             else stats.getLong(1)}")
+      case "structural_index" =>
+        // Build-once half of the structural lifecycle: persist the
+        // undirected simple projection + endpoint degrees the whole
+        // structural family starts from, so an analysis session pays
+        // the corpus-scale distinct-shuffle ONCE (the band_index /
+        // ivf_index pattern):
+        //   structural_index <out_dir> [nodes_csv] [edges_csv]
+        if (a.isEmpty)
+          throw CliArgError(s"$cmd requires an output directory")
+        val g = load(arg(1, DefaultNodes), arg(2, DefaultEdges))
+        StructuralIndex.write(g.edges, a(0))
+        println(s"Structural index written to ${a(0)}")
+      case "triangles_indexed" =>
+        // `triangles` over a persisted structural index — no rebuild.
+        if (a.isEmpty) throw CliArgError(s"$cmd requires an index dir")
+        val plan = Triangles.perNodeOn(
+          StructuralIndex.undirected(spark, a(0)),
+          StructuralIndex.degrees(spark, a(0)))
+        val t = Checkpoints.materialize(plan)
+        Checkpoints.releaseAll(plan)
+        RankOutput.writeScoresText(
+          t.select(col("id"), col("triangles").cast("double").as("score")),
+          "outputs/Triangles/counts.txt")
+        println("Top 10 triangle counts:")
+        t.orderBy(col("triangles").desc, col("id")).limit(10).collect()
+          .foreach(row => println(s"('${row.getString(0)}', ${row.getLong(1)})"))
+        Checkpoints.release(t)
+        println("Counts written under outputs/Triangles/")
+      case "link_predict_indexed" =>
+        // `link_predict` over a persisted structural index.
+        if (a.isEmpty) throw CliArgError(s"$cmd requires an index dir")
+        val k = intArg(1, "20", "k")
+        println(s"Top $k link-prediction candidates " +
+          "(src, dst, common_neighbors, adamic_adar):")
+        val plan = LinkPredict.topCandidatesOn(
+          StructuralIndex.undirected(spark, a(0)),
+          StructuralIndex.degrees(spark, a(0)), k)
+        val rows = plan.collect()
+        Checkpoints.releaseAll(plan)
+        rows.foreach(r =>
+          println(s"('${r.getString(0)}', '${r.getString(1)}', " +
+            s"${r.getLong(2)}, ${r.getDouble(3)})"))
+      case "kcore_indexed" =>
+        // `kcore` over a persisted structural index.
+        if (a.isEmpty) throw CliArgError(s"$cmd requires an index dir")
+        val k = intArg(1, "3", "k")
+        val core = KCore.runOn(StructuralIndex.undirected(spark, a(0)), k)
+        val stats = core.agg(count(lit(1)), max(col("core_degree"))).head()
+        Checkpoints.releaseAll(core)
+        println(s"$k-core: ${stats.getLong(0)} nodes, " +
+          s"max within-core degree ${if (stats.isNullAt(1)) 0
+            else stats.getLong(1)}")
+      case "label_prop_indexed" =>
+        // `label_prop` over a persisted structural index; seeds still
+        // come from the node file (labels are not part of the index).
+        if (a.isEmpty) throw CliArgError(s"$cmd requires an index dir")
+        val iters = intArg(1, "4", "iters")
+        val nodes = GraphIO.readNodesCsv(spark, arg(2, DefaultNodes))
+        val seedsDf = nodes
+          .filter(graft.functions.GraftHash.graftHash(spark, col("id"))
+            % 100 < 30)
+          .select(col("id"), col("label"))
+        println(s"Label counts after $iters rounds:")
+        val plan = LabelProp.runOn(spark,
+            StructuralIndex.undirected(spark, a(0)), seedsDf, iters)
+          .groupBy(coalesce(col("label"), lit("unlabeled")).as("label"))
+          .count().orderBy(col("label"))
+        val rows = plan.collect()
+        Checkpoints.releaseAll(plan)
+        rows.foreach(r => println(s"('${r.getString(0)}', ${r.getLong(1)})"))
       case "pagerank_personalized" =>
         // Personalized variant: teleport to a topic seed set — same CLI
         // shape as topic_specific_hits.

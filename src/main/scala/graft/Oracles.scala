@@ -563,11 +563,17 @@ object Oracles {
        |  UNION ALL SELECT b AS src, a AS id FROM und
        |),
        |lab0 AS MATERIALIZED (
+       |  -- LEFT join (ADVICE r17): the operator keeps every edge
+       |  -- endpoint and emits it 'unlabeled' when the node table has
+       |  -- no row for it; an INNER join only matched because the gate's
+       |  -- nodes CTE is itself edge-derived, and would silently drop
+       |  -- such a node on a real node table, masquerading as an engine
+       |  -- row-count bug
        |  SELECT u.id,
        |         CASE WHEN ${GraftHash.duckdbSql("u.id")} % 100 < $seedPct
        |              THEN n.label END AS label
        |  FROM (SELECT DISTINCT id FROM sym) u
-       |  JOIN nodes n ON n.id = u.id
+       |  LEFT JOIN nodes n ON n.id = u.id
        |),
        |$rounds
        |SELECT id, COALESCE(label, 'unlabeled') AS label FROM lab$iters

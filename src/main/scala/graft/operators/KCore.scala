@@ -34,10 +34,18 @@ object KCore {
 
   /** Nodes of the k-core with their within-core degree:
     * `(id, core_degree)`, empty when the k-core is empty. */
-  def run(edges: DataFrame, k: Int, maxRounds: Int = 24): DataFrame = {
+  def run(edges: DataFrame, k: Int, maxRounds: Int = 24): DataFrame =
+    runOn(Triangles.undirected(edges), k, maxRounds)
+
+  /** [[run]] over an already-built undirected projection (the
+    * persisted [[StructuralIndex]] or any `(a, b)` simple edge set —
+    * the peel materializes its own working copy, so the input may be
+    * a lazy plan). Bit-equal to the from-scratch path; the
+    * `*_indexed` gate shares its oracle verbatim. */
+  def runOn(und: DataFrame, k: Int, maxRounds: Int = 24): DataFrame = {
     require(k >= 1, s"need k >= 1, got $k")
     require(maxRounds >= 1, s"need maxRounds >= 1, got $maxRounds")
-    var e = Checkpoints.materialize(Triangles.undirected(edges))
+    var e = Checkpoints.materialize(und.select(col("a"), col("b")))
     var n = e.count()
     // `rounds` counts SHRINKING rounds only: the pass that observes
     // `m == n` certifies convergence without consuming budget, so a

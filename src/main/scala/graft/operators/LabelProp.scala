@@ -39,9 +39,18 @@ object LabelProp {
     * synchronous rounds; returns `(id, label)` for every node of the
     * undirected simple projection, label null if never reached. */
   def run(spark: SparkSession, edges: DataFrame, seeds: DataFrame,
+      iters: Int): DataFrame =
+    runOn(spark, Triangles.undirected(edges), seeds, iters)
+
+  /** [[run]] over an already-built undirected projection (the
+    * persisted [[StructuralIndex]] or any `(a, b)` simple edge set —
+    * the symmetric neighbor list is materialized internally, so the
+    * input may be a lazy plan). Bit-equal to the from-scratch path;
+    * the `*_indexed` gate shares its oracle verbatim. */
+  def runOn(spark: SparkSession, undIn: DataFrame, seeds: DataFrame,
       iters: Int): DataFrame = {
     require(iters >= 0, s"need iters >= 0, got $iters")
-    val und = Checkpoints.materialize(Triangles.undirected(edges))
+    val und = Checkpoints.materialize(undIn)
     // symmetric neighbor list: votes flow both ways across each edge
     val nbrs = Checkpoints.materialize(
       und.select(col("a").as("src"), col("b").as("id"))

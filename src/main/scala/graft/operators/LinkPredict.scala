@@ -41,8 +41,18 @@ object LinkPredict {
   def topCandidates(edges: DataFrame, k: Int = 20,
       maxCenterDegree: Long = 64, digits: Int = 6): DataFrame = {
     val und = Checkpoints.materialize(Triangles.undirected(edges))
-    val deg = Triangles.degrees(und)
+    topCandidatesOn(und, Triangles.degrees(und), k, maxCenterDegree, digits)
+  }
 
+  /** [[topCandidates]] over an already-built projection (the persisted
+    * [[StructuralIndex]] or any stable `(a, b)` / `(id, deg)` pair).
+    * Caller contract as [[Triangles.perNodeOn]]: `und` cheap to
+    * re-scan (it feeds the adjacency build and the final
+    * already-an-edge anti-join), `deg` exactly
+    * [[Triangles.degrees]](und). Bit-equal to the from-scratch path —
+    * the `*_indexed` gate shares its oracle verbatim. */
+  def topCandidatesOn(und: DataFrame, deg: DataFrame, k: Int = 20,
+      maxCenterDegree: Long = 64, digits: Int = 6): DataFrame = {
     // Symmetric adjacency restricted to capped centers; dc rides along
     // so the Adamic-Adar term needs no later join back to degrees.
     val adj = Checkpoints.materialize(

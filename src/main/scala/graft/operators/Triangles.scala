@@ -65,8 +65,20 @@ object Triangles {
     * the consumed result, like the iterative kernels. */
   def perNode(edges: DataFrame, digits: Int = 9): DataFrame = {
     val und = Checkpoints.materialize(undirected(edges))
-    val deg = degrees(und)
+    perNodeOn(und, degrees(und), digits)
+  }
 
+  /** [[perNode]] over an ALREADY-BUILT projection — the persisted
+    * structural index ([[StructuralIndex]]) or any stable `(a, b)` /
+    * `(id, deg)` pair. Caller contract: `und` must be cheap to
+    * re-scan (a checkpoint or a parquet read — it feeds the degree
+    * joins and the orientation), and `deg` must be EXACTLY
+    * [[degrees]] of `und` (the clustering denominator and the
+    * orientation order both read it). Bit-equal to [[perNode]]: ids
+    * and integer degrees round-trip parquet exactly, so the
+    * `*_indexed` gate shares the from-scratch oracle verbatim. */
+  def perNodeOn(und: DataFrame, deg: DataFrame,
+      digits: Int = 9): DataFrame = {
     // Orient each edge from its lower (deg, id) endpoint; carry the
     // destination's degree so wedge pairs can be ordered by the SAME
     // total order without re-joining degrees.

@@ -302,6 +302,22 @@ class MainCliSpec extends SparkSuite {
     intercept[Main.CliArgError] {
       Main.run(spark, "kcore", Array("not_a_number", nodes, edges))
     }
+    // persisted-projection lifecycle: build once, every indexed verb
+    // consumes it (no rebuild); missing index dir arg fails loudly
+    val idx = s"$tmp/struct_idx"
+    Main.run(spark, "structural_index", Array(idx, nodes, edges))
+    assert(new java.io.File(s"$idx/undirected.parquet").isDirectory)
+    assert(new java.io.File(s"$idx/degrees.parquet").isDirectory)
+    Main.run(spark, "triangles_indexed", Array(idx))
+    Main.run(spark, "link_predict_indexed", Array(idx, "5"))
+    Main.run(spark, "kcore_indexed", Array(idx, "2"))
+    Main.run(spark, "label_prop_indexed", Array(idx, "2", nodes))
+    intercept[Main.CliArgError] {
+      Main.run(spark, "structural_index", Array.empty[String])
+    }
+    intercept[Main.CliArgError] {
+      Main.run(spark, "triangles_indexed", Array.empty[String])
+    }
   }
 
   test("pagerank verb runs the kernel over reference-layout CSVs") {

@@ -1,0 +1,79 @@
+package graft
+
+import graft.operators.{KCore, LabelProp, LinkPredict, StructuralIndex,
+  Triangles}
+import org.apache.spark.sql.functions.col
+
+/** The persisted structural projection must be a drop-in for the
+  * recomputed one: every `*On` entry point over a written-and-read-back
+  * index returns EXACTLY the from-scratch operator's rows — the same
+  * bit-equality contract the `*_indexed` gates prove against the
+  * shared DuckDB oracles. */
+class StructuralIndexSpec extends SparkSuite {
+
+  private def edges(rows: (String, String)*) = {
+    import spark.implicits._
+    rows.map { case (s, d) => (s, d, 1.0) }.toDF("src", "dst", "weight")
+  }
+
+  // two triangles sharing an edge, a pendant, a duplicate + a reversed
+  // duplicate + a self-loop (the projection must collapse all three)
+  private val g = edges(("a", "b"), ("b", "c"), ("c", "a"), ("b", "d"),
+    ("d", "c"), ("e", "a"), ("b", "a"), ("a", "b"), ("c", "c"))
+
+  private def idxDir(name: String): String = {
+    val d = java.nio.file.Files
+      .createTempDirectory(s"graft-structidx-$name").toString
+    StructuralIndex.write(g, d)
+    d
+  }
+
+  test("write persists the canonical projection; read round-trips it") {
+    val dir = idxDir("rt")
+    val und = StructuralIndex.undirected(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(und == Set(("a", "b"), ("b", "c"), ("a", "c"), ("b", "d"),
+      ("c", "d"), ("a", "e")))
+    val deg = StructuralIndex.degrees(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(deg == Map("a" -> 3L, "b" -> 3L, "c" -> 3L, "d" -> 2L, "e" -> 1L))
+  }
+
+  test("perNodeOn over the index equals perNode from scratch") {
+    val dir = idxDir("tri")
+    val direct = Triangles.perNode(g).orderBy(col("id")).collect().toSeq
+    val indexed = Triangles.perNodeOn(StructuralIndex.undirected(spark, dir),
+      StructuralIndex.degrees(spark, dir)).orderBy(col("id")).collect().toSeq
+    assert(indexed == direct)
+  }
+
+  test("topCandidatesOn over the index equals topCandidates from scratch") {
+    val dir = idxDir("lp")
+    val direct = LinkPredict.topCandidates(g, k = 10).collect().toSeq
+    val indexed = LinkPredict.topCandidatesOn(
+      StructuralIndex.undirected(spark, dir),
+      StructuralIndex.degrees(spark, dir), k = 10).collect().toSeq
+    assert(indexed == direct)
+  }
+
+  test("runOn (k-core) over the index equals run from scratch") {
+    val dir = idxDir("kc")
+    val direct = KCore.run(g, 2).orderBy(col("id")).collect().toSeq
+    val indexed = KCore.runOn(StructuralIndex.undirected(spark, dir), 2)
+      .orderBy(col("id")).collect().toSeq
+    assert(indexed == direct)
+    assert(direct.map(_.getString(0)).toSet == Set("a", "b", "c", "d"))
+  }
+
+  test("runOn (label prop) over the index equals run from scratch") {
+    import spark.implicits._
+    val dir = idxDir("lab")
+    val seeds = Seq(("a", "x"), ("d", "y")).toDF("id", "label")
+    val direct = LabelProp.run(spark, g, seeds, 2)
+      .orderBy(col("id")).collect().toSeq
+    val indexed = LabelProp.runOn(spark,
+        StructuralIndex.undirected(spark, dir), seeds, 2)
+      .orderBy(col("id")).collect().toSeq
+    assert(indexed == direct)
+  }
+}
