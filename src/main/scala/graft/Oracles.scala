@@ -485,6 +485,85 @@ object Oracles {
        |FROM deg d LEFT JOIN cnt c ON c.id = d.id
        |ORDER BY d.id""".stripMargin
 
+  /** Weighted triangle strength, twin of
+    * [[graft.operators.Triangles.perNodeWeighted]]: the weighted
+    * projection sums each endpoint pair's directed-edge weights in
+    * MICRO-UNIT INTEGERS (the clusterReport discipline — integer sums
+    * are addend-order-free, so the cross-engine surface stays exact
+    * until one final division), triangles enumerated once each via the
+    * a<b ordered three-way self-join (same set as Spark's
+    * degree-oriented enumeration — triangle identity is the node
+    * set), per-node count + strength aggregated from the exploded
+    * corners. */
+  def trianglesWeighted(digits: Int = 6): String =
+    s"""WITH $edgesCte,
+       |undw AS MATERIALIZED (
+       |  SELECT least(src, dst) AS a, greatest(src, dst) AS b,
+       |         SUM(CAST(round(w * 1000000.0::DOUBLE) AS BIGINT)) AS wt
+       |  FROM edges WHERE src <> dst GROUP BY 1, 2
+       |),
+       |deg AS MATERIALIZED (
+       |  SELECT id, COUNT(*) AS deg
+       |  FROM (SELECT a AS id FROM undw UNION ALL SELECT b FROM undw) u
+       |  GROUP BY id
+       |),
+       |tri AS (
+       |  SELECT e1.a AS x, e1.b AS y, e2.b AS z,
+       |         e1.wt + e2.wt + e3.wt AS twt
+       |  FROM undw e1
+       |  JOIN undw e2 ON e2.a = e1.a AND e2.b > e1.b
+       |  JOIN undw e3 ON e3.a = e1.b AND e3.b = e2.b
+       |),
+       |cnt AS (
+       |  SELECT id, COUNT(*) AS t, SUM(twt) AS s
+       |  FROM (SELECT x AS id, twt FROM tri UNION ALL SELECT y, twt FROM tri
+       |        UNION ALL SELECT z, twt FROM tri) r
+       |  GROUP BY id
+       |)
+       |SELECT d.id, COALESCE(c.t, 0)::BIGINT AS triangles,
+       |       round(COALESCE(c.s, 0)::DOUBLE / 1000000.0::DOUBLE, $digits)
+       |         AS strength
+       |FROM deg d LEFT JOIN cnt c ON c.id = d.id
+       |ORDER BY d.id""".stripMargin
+
+  /** Weighted k-core, twin of [[graft.operators.KCore.runWeighted]]:
+    * the [[kCore]] unroll with the COUNT aggregate swapped for the
+    * micro-unit integer strength SUM and the threshold in micro-units
+    * — monotone peel, so extra unrolled rounds past the fixed point
+    * are identities. */
+  def kCoreWeighted(minStrength: Double = 300000.0,
+      rounds: Int = 24): String = {
+    val kMicro = math.round(minStrength * 1e6)
+    val steps = (1 to rounds).map { i =>
+      s"""keep$i AS MATERIALIZED (
+         |  SELECT id FROM (
+         |    SELECT id, SUM(wt) AS wd
+         |    FROM (SELECT a AS id, wt FROM e${i - 1}
+         |          UNION ALL SELECT b, wt FROM e${i - 1}) u
+         |    GROUP BY id) d
+         |  WHERE wd >= $kMicro
+         |),
+         |e$i AS MATERIALIZED (
+         |  SELECT a, b, wt FROM e${i - 1}
+         |  WHERE a IN (SELECT id FROM keep$i)
+         |    AND b IN (SELECT id FROM keep$i)
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $edgesCte,
+       |e0 AS MATERIALIZED (
+       |  SELECT least(src, dst) AS a, greatest(src, dst) AS b,
+       |         SUM(CAST(round(w * 1000000.0::DOUBLE) AS BIGINT)) AS wt
+       |  FROM edges WHERE src <> dst GROUP BY 1, 2
+       |),
+       |$steps
+       |SELECT id,
+       |       round(SUM(wt)::DOUBLE / 1000000.0::DOUBLE, 6) AS core_strength
+       |FROM (SELECT a AS id, wt FROM e$rounds
+       |      UNION ALL SELECT b, wt FROM e$rounds) u
+       |GROUP BY id
+       |ORDER BY id""".stripMargin
+  }
+
   /** Top-k link-prediction candidates, twin of
     * [[graft.operators.LinkPredict.topCandidates]]: common-neighbor
     * count + Adamic-Adar through centers of degree ≤ `maxCenterDegree`,

@@ -197,6 +197,20 @@ object SparkEntry {
     "graph_kcore" -> ((s, dir) =>
       KCore.run(GraphIO.orderGraph(s, dir).edges, 3)
         .orderBy(col("id"))),
+    // WEIGHTED structural variants (r18): the same wedge join / peel
+    // with the aggregate swapped to the micro-unit-exact edge-weight
+    // sum — composable with the weighted HITS/SALSA gates, which
+    // consume the same weights. Threshold 300k sits between the
+    // weighted-degree median (~520k) and p10 (~235k) on the order
+    // graph at every SF (the distribution is scale-stable), so the
+    // peel is non-trivial and converges in ≤3 rounds — far inside the
+    // oracle's 24-round unroll.
+    "graph_triangles_weighted" -> ((s, dir) =>
+      Triangles.perNodeWeighted(GraphIO.orderGraph(s, dir).edges)
+        .orderBy(col("id"))),
+    "graph_kcore_weighted" -> ((s, dir) =>
+      KCore.runWeighted(GraphIO.orderGraph(s, dir).edges, 300000.0)
+        .orderBy(col("id"))),
     // Link-prediction features: top-20 non-adjacent pairs by
     // common-neighbor/Adamic-Adar evidence (center-degree cap 64 — the
     // quadratic-surface contract, see `LinkPredict` scaladoc).
@@ -1468,6 +1482,8 @@ object SparkEntry {
     // The *_indexed gates share the from-scratch oracles VERBATIM —
     // that sharing IS the lifecycle proof (persisted projection ==
     // recomputed projection, bit for bit).
+    "graph_triangles_weighted" -> Oracles.trianglesWeighted(),
+    "graph_kcore_weighted" -> Oracles.kCoreWeighted(),
     "graph_triangles_indexed" -> Oracles.triangles,
     "graph_link_predict_indexed" -> Oracles.linkPredict(),
     "graph_label_prop_indexed" -> Oracles.labelProp(),

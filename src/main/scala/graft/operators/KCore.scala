@@ -75,4 +75,53 @@ object KCore {
     Triangles.degrees(e)
       .select(col("id"), col("deg").as("core_degree"))
   }
+
+  /** WEIGHTED k-core: peel by weighted degree (strength = Σ incident
+    * edge weights) instead of edge count — the "train on the
+    * high-engagement core" variant, composable with the weighted
+    * kernels that consume the same edge weights. A node survives while
+    * its within-core strength ≥ `minStrength`; returns
+    * `(id, core_strength)` (strength rounded to 6 decimals from the
+    * exact micro-unit sum — see [[Triangles.undirectedWeighted]]).
+    * Same monotone-peel parity contract and per-round scale shape as
+    * [[run]]: the aggregate swaps from COUNT to an integer SUM,
+    * nothing else moves. */
+  def runWeighted(edges: DataFrame, minStrength: Double,
+      maxRounds: Int = 24): DataFrame =
+    runWeightedOn(Triangles.undirectedWeighted(edges), minStrength,
+      maxRounds)
+
+  /** [[runWeighted]] over an already-built weighted projection
+    * `(a, b, wt)` (micro-unit weights). */
+  def runWeightedOn(undW: DataFrame, minStrength: Double,
+      maxRounds: Int = 24): DataFrame = {
+    require(minStrength > 0, s"need minStrength > 0, got $minStrength")
+    require(maxRounds >= 1, s"need maxRounds >= 1, got $maxRounds")
+    val kMicro = math.round(minStrength * 1e6)
+    var e = Checkpoints.materialize(
+      undW.select(col("a"), col("b"), col("wt")))
+    var n = e.count()
+    var rounds = 0
+    var converged = n == 0L
+    while (!converged) {
+      val keep = Triangles.weightedDegrees(e).where(col("wd") >= kMicro)
+        .select(col("id"))
+      val next = Checkpoints.materialize(
+        e.join(keep.withColumnRenamed("id", "a"), Seq("a"), "left_semi")
+          .join(keep.withColumnRenamed("id", "b"), Seq("b"), "left_semi")
+          .select(col("a"), col("b"), col("wt")))
+      val m = next.count()
+      if (m == n) { converged = true; Checkpoints.release(next) }
+      else {
+        require(rounds < maxRounds,
+          s"weighted k-core peel did not converge within $maxRounds " +
+            "shrinking rounds (raise maxRounds; the SQL oracle unrolls " +
+            "the same bound)")
+        Checkpoints.release(e); e = next; n = m; rounds += 1
+      }
+    }
+    Triangles.weightedDegrees(e)
+      .select(col("id"),
+        round(col("wd").cast("double") / lit(1e6), 6).as("core_strength"))
+  }
 }

@@ -52,6 +52,32 @@ object Triangles {
       .unionAll(und.select(col("b").as("id")))
       .groupBy("id").agg(count(lit(1)).as("deg"))
 
+  /** Weighted canonical projection: `(a, b, wt)` with `a < b`,
+    * self-loops dropped, and `wt` the MICRO-UNIT INTEGER sum of every
+    * directed edge's weight between the endpoints (both directions,
+    * parallel edges included — the natural strength of the collapsed
+    * undirected edge). Integer micro-units because the strength later
+    * crosses aggregation boundaries (per-node sums over triangles /
+    * incident edges) where a double sum's addend order would differ
+    * between engines; longs sum exactly in any order, the repo's
+    * micro-unit discipline ([[graft.pipelines.Similarity.clusterReport]]).
+    * Same shuffle shape as [[undirected]] — the `distinct` becomes a
+    * hash agg on the identical key. */
+  def undirectedWeighted(edges: DataFrame): DataFrame =
+    edges.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"),
+        round(col("weight") * lit(1e6)).cast("long").as("wt"))
+      .where(col("a") =!= col("b"))
+      .groupBy(col("a"), col("b")).agg(sum(col("wt")).as("wt"))
+
+  /** Weighted endpoint degree (strength) of an `(a, b, wt)` frame:
+    * `(id, wd)` in micro-units — the weighted twin of [[degrees]],
+    * shared with [[KCore.runWeightedOn]]. */
+  def weightedDegrees(undW: DataFrame): DataFrame =
+    undW.select(col("a").as("id"), col("wt"))
+      .unionAll(undW.select(col("b").as("id"), col("wt")))
+      .groupBy("id").agg(sum(col("wt")).as("wd"))
+
   /** Per-node triangle participation over the [[undirected]] projection:
     * `(id, triangles, clustering)` for every node with at least one
     * undirected edge, where `clustering` is the local clustering
@@ -114,5 +140,60 @@ object Triangles {
             (lit(2L) * coalesce(col("t"), lit(0L))).cast("double") /
               (col("deg") * (col("deg") - lit(1L))).cast("double"))
           .otherwise(lit(0.0)), digits).as("clustering"))
+  }
+
+  /** Weighted triangle strength per node: `(id, triangles, strength)`
+    * for every node of the projection, where `strength` is the sum
+    * over the node's triangles of the three edge weights
+    * (micro-unit-exact until the final division — see
+    * [[undirectedWeighted]]), rounded to `digits`. The count column is
+    * a free cross-check against [[perNode]] (identical topology).
+    *
+    * Same degree-oriented wedge join as [[perNode]] — the orientation
+    * order is the UNWEIGHTED (degree, id) total order, so the O(√m)
+    * out-degree bound and the hubs-consume-wedges property carry over
+    * verbatim; weights just ride the oriented edges (one long per row)
+    * and meet at the closing join. Makes the structural family
+    * composable with the weighted HITS/SALSA gates, which consume the
+    * same edge weights. */
+  def perNodeWeighted(edges: DataFrame, digits: Int = 6): DataFrame = {
+    val undW = Checkpoints.materialize(undirectedWeighted(edges))
+    perNodeWeightedOn(undW, degrees(undW), digits)
+  }
+
+  /** [[perNodeWeighted]] over an already-built weighted projection —
+    * caller contract as [[perNodeOn]] (`undW` stable `(a, b, wt)`,
+    * `deg` exactly [[degrees]] of it). */
+  def perNodeWeightedOn(undW: DataFrame, deg: DataFrame,
+      digits: Int = 6): DataFrame = {
+    val withDeg = undW
+      .join(deg.select(col("id").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("id").as("b"), col("deg").as("db")), Seq("b"))
+    val lowFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val oriented = Checkpoints.materialize(withDeg.select(
+      when(lowFirst, col("a")).otherwise(col("b")).as("u"),
+      when(lowFirst, col("b")).otherwise(col("a")).as("v"),
+      when(lowFirst, col("db")).otherwise(col("da")).as("dv"),
+      col("wt")))
+    val wedges = oriented
+      .join(oriented.select(col("u"), col("v").as("w"), col("dv").as("dw"),
+        col("wt").as("wt2")), Seq("u"))
+      .where(col("dv") < col("dw") ||
+        (col("dv") === col("dw") && col("v") < col("w")))
+    val tri = wedges
+      .join(oriented.select(col("u").as("v"), col("v").as("w"),
+        col("wt").as("wt3")), Seq("v", "w"))
+      .select(col("u"), col("v"), col("w"),
+        (col("wt") + col("wt2") + col("wt3")).as("twt"))
+    val counts = tri
+      .select(explode(array(col("u"), col("v"), col("w"))).as("id"),
+        col("twt"))
+      .groupBy("id").agg(count(lit(1)).as("t"), sum(col("twt")).as("s"))
+    deg.join(counts, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("t"), lit(0L)).as("triangles"),
+        round(coalesce(col("s"), lit(0L)).cast("double") / lit(1e6),
+          digits).as("strength"))
   }
 }

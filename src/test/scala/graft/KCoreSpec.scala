@@ -82,4 +82,49 @@ class KCoreSpec extends SparkSuite {
       }
     }
   }
+
+  test("weighted peel matches a sequential weighted peel; unit weights " +
+      "degenerate to the unweighted core") {
+    import spark.implicits._
+    // unit weights on a SIMPLE graph (no parallel/reversed duplicates —
+    // the weighted projection SUMS parallel weights while the
+    // unweighted one collapses them, so degeneracy needs simplicity):
+    // surviving nodes and strengths equal run(k)'s core_degree
+    val rows = (0 until 110).map { i =>
+      (s"n${i % 17}", s"n${(i * 5 + 2) % 17}")
+    }.map { case (s, d) => if (s < d) (s, d) else (d, s) }
+      .distinct.filter { case (s, d) => s != d }
+    val unit = KCore.runWeighted(edges(rows: _*), 2.0).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(unit.view.mapValues(_.toLong).toMap == run(edges(rows: _*), 2))
+    // fractional weights vs a sequential micro-unit peel
+    val rnd = new scala.util.Random(67)
+    val wrows = (0 until 100).map(_ =>
+      (s"n${rnd.nextInt(15)}", s"n${rnd.nextInt(15)}",
+        math.rint(rnd.nextDouble() * 500) / 100.0))
+    val thr = 6.0
+    val got = KCore.runWeighted(wrows.toDF("src", "dst", "weight"), thr)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    var undW = wrows.collect { case (s, d, w) if s != d =>
+      (if (s < d) (s, d) else (d, s)) -> math.round(w * 1e6)
+    }.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sum }.toSeq
+    val kMicro = math.round(thr * 1e6)
+    var changed = true
+    while (changed) {
+      val wd = (undW.map { case ((a, _), w) => a -> w } ++
+        undW.map { case ((_, b), w) => b -> w })
+        .groupBy(_._1).map { case (id, o) => id -> o.map(_._2).sum }
+      val keep = wd.filter(_._2 >= kMicro).keySet
+      val next = undW.filter { case ((a, b), _) => keep(a) && keep(b) }
+      changed = next.size != undW.size
+      undW = next
+    }
+    val expected = (undW.map { case ((a, _), w) => a -> w } ++
+      undW.map { case ((_, b), w) => b -> w })
+      .groupBy(_._1).map { case (id, o) => id -> o.map(_._2).sum / 1e6 }
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (n, s) =>
+      assert(math.abs(got(n) - s) < 1e-6, s"strength mismatch at $n")
+    }
+  }
 }

@@ -87,4 +87,40 @@ class TrianglesSpec extends SparkSuite {
     val repart = result(edges(rows: _*).repartition(7))
     assert(repart == base)
   }
+
+  test("weighted strength: counts match perNode; strength matches " +
+      "brute-force sums; parallel/reversed weights combine") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val rows = (0 until 120).map(_ =>
+      (s"n${rnd.nextInt(20)}", s"n${rnd.nextInt(20)}",
+        math.rint(rnd.nextDouble() * 1000) / 100.0)) // 2-decimal weights
+    val df = rows.toDF("src", "dst", "weight")
+    val got = Triangles.perNodeWeighted(df).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // counts must equal the unweighted operator's (identical topology)
+    val counts = Triangles.perNode(df).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.view.mapValues(_._1).toMap == counts)
+    // brute force: collapsed undirected weights (sum both directions +
+    // parallels), then per-node sums of the three edge weights over
+    // every triangle containing the node
+    val undW = rows.collect { case (s, d, w) if s != d =>
+      (if (s < d) (s, d) else (d, s)) -> math.round(w * 1e6)
+    }.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sum }
+    val adj = (undW.keys.toSeq ++ undW.keys.toSeq.map(_.swap))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    def w(x: String, y: String) = undW(if (x < y) (x, y) else (y, x))
+    val expected = adj.keys.map { n =>
+      val tris = adj(n).toSeq.sorted.combinations(2).collect {
+        case Seq(x, y) if adj(x).contains(y) => w(n, x) + w(n, y) + w(x, y)
+      }.toSeq
+      n -> ((tris.size.toLong, BigDecimal(tris.sum) / BigDecimal(1000000)))
+    }.toMap
+    expected.foreach { case (n, (t, s)) =>
+      assert(got(n)._1 == t, s"count mismatch at $n")
+      assert(math.abs(got(n)._2 - s.toDouble) < 1e-6,
+        s"strength mismatch at $n: ${got(n)._2} vs $s")
+    }
+  }
 }
