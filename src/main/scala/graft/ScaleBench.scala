@@ -442,6 +442,41 @@ object ScaleBench {
   private def timedTwice(df: => DataFrame): (Double, Double) =
     (timeNoop(df), timeNoop(df))
 
+  /** Derive a reps× orders+lineitem corpus under `dir` (key-shifted
+    * replicas — nodes/edges genuinely grow reps×). `hotTenths` tenths
+    * of all lineitem rows (by `l_orderkey % 10`) remap their partkey
+    * to the base corpus's hottest part instead of shifting: 0 = the
+    * uniform corpus, 1 = the skewkernel hot-authority twin (~4-5% of
+    * all edges on one node), 4 = the hub-star twin (~40% of directed
+    * order→part edges on one node — the skewstruct stress). Shift is
+    * a multiple of 10, so the `% 10` gate picks the same orders in
+    * every replica. Idempotent per dir (cached on _SUCCESS). */
+  private def ensureOrderCorpus(spark: SparkSession, baseDir: String,
+      dir: String, reps: Int, hotTenths: Int): Unit = {
+    if (new java.io.File(s"$dir/lineitem.parquet/_SUCCESS").exists()) return
+    val orders = spark.read.parquet(s"$baseDir/orders.parquet")
+    val li = spark.read.parquet(s"$baseDir/lineitem.parquet")
+    (0 until reps).map { r =>
+      orders.withColumn("o_orderkey", col("o_orderkey") + lit(r * Shift))
+        .withColumn("o_custkey", col("o_custkey") + lit(r * Shift))
+    }.reduce(_ unionAll _)
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val remap: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      if (hotTenths <= 0) identity
+      else {
+        val hot = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("l_partkey")).head().getLong(0)
+        println(s"[${dir.split('/').last}] hot part = $hot")
+        shifted => when(col("l_orderkey") % 10 < hotTenths, lit(hot))
+          .otherwise(shifted)
+      }
+    (0 until reps).map { r =>
+      li.withColumn("l_orderkey", col("l_orderkey") + lit(r * Shift))
+        .withColumn("l_partkey", remap(col("l_partkey") + lit(r * Shift)))
+    }.reduce(_ unionAll _)
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+  }
+
   def main(args: Array[String]): Unit = {
     val baseDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val outDir = if (args.length > 1) args(1) else "target/sf1-derived"
@@ -504,6 +539,11 @@ object ScaleBench {
     //    the hot authority is where an UNORIENTED wedge join emits
     //    O(d²) hub rows; the degree orientation must hold
     //    skew_ratio ≈ uniform_ratio (r17);
+    //  - "skewstruct" — label-prop + k-core on base vs uniform reps×
+    //    vs a HUB-STAR twin (one part in 40% of lineitem rows — 4× the
+    //    skewkernel hot mass), plus a HOT-LABEL seed-set twist for
+    //    label-prop (50% of seeds one label, uniform corpus both
+    //    sides); the r18 twins for the rest of the structural family;
     //  - "skewdedup" — the dedup/ANN analogue: base vs UNIFORM reps×
     //    documents+embeddings vs a MASS-DUPLICATION twin where ~5% of
     //    the whole corpus carries ONE document's text / ONE vector's
@@ -604,34 +644,8 @@ object ScaleBench {
       // sort over the hot key's edge list.
       val uniDir = s"$outDir-unikernel$reps"
       val skewDir = s"$outDir-skewkernel$reps"
-      if (!new java.io.File(s"$skewDir/lineitem.parquet/_SUCCESS").exists()) {
-        val orders = spark.read.parquet(s"$baseDir/orders.parquet")
-        val li = spark.read.parquet(s"$baseDir/lineitem.parquet")
-        val hot = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("n"))
-          .orderBy(col("n").desc, col("l_partkey")).head().getLong(0)
-        println(s"[skewkernel] hot part = $hot")
-        def repOrders(out: String): Unit =
-          (0 until reps).map { r =>
-            orders.withColumn("o_orderkey", col("o_orderkey") + lit(r * Shift))
-              .withColumn("o_custkey", col("o_custkey") + lit(r * Shift))
-          }.reduce(_ unionAll _)
-            .write.mode("overwrite").parquet(s"$out/orders.parquet")
-        repOrders(uniDir); repOrders(skewDir)
-        (0 until reps).map { r =>
-          li.withColumn("l_orderkey", col("l_orderkey") + lit(r * Shift))
-            .withColumn("l_partkey", col("l_partkey") + lit(r * Shift))
-        }.reduce(_ unionAll _)
-          .write.mode("overwrite").parquet(s"$uniDir/lineitem.parquet")
-        (0 until reps).map { r =>
-          li.withColumn("l_orderkey", col("l_orderkey") + lit(r * Shift))
-            // every 10th order's rows funnel into the ONE unshifted hot
-            // part; everything else scales uniformly
-            .withColumn("l_partkey",
-              when(col("l_orderkey") % 10 === 0, lit(hot))
-                .otherwise(col("l_partkey") + lit(r * Shift)))
-        }.reduce(_ unionAll _)
-          .write.mode("overwrite").parquet(s"$skewDir/lineitem.parquet")
-      }
+      ensureOrderCorpus(spark, baseDir, uniDir, reps, hotTenths = 0)
+      ensureOrderCorpus(spark, baseDir, skewDir, reps, hotTenths = 1)
       val qmap = queries.toMap
       def timed(dir: String, name: String): (Double, Double) =
         timedTwice(qmap(name)(spark, dir))
@@ -663,6 +677,67 @@ object ScaleBench {
           f""""base_first":$bf%.2f,"uniform_first":$uf%.2f,""" +
           f""""skew_first":$kf%.2f}""")
       }
+    } else if (mode == "skewstruct") {
+      // Skew twins for the REST of the structural family (VERDICT r17
+      // next #4) — skewtri covered triangles; this covers label
+      // propagation and k-core on the surfaces the verdict named:
+      //  - HUB-STAR corpus: one part absorbs 40% of all lineitem rows
+      //    (4× the skewkernel twin's hot mass) — the peel's per-round
+      //    degree aggregate and both left-semi joins, and label-prop's
+      //    vote aggregate, all key on that one node. Design claim:
+      //    every one of those is a partial-aggregating hash agg or a
+      //    co-keyed semi-join (never a sort or window over the hot
+      //    key's edge list), so skew_ratio ≈ uniform_ratio.
+      //  - HOT-LABEL seed set (query-side twist, uniform corpus): 50%
+      //    of label-prop's seeds carry ONE label — the vote
+      //    aggregate's (node, label) key space collapses toward a
+      //    single label. Keys stay per-node, so the hot label never
+      //    becomes one reduce key; expectation hot ≈ normal.
+      val uniDir = s"$outDir-unikernel$reps"
+      val hubDir = s"$outDir-hubstar$reps"
+      ensureOrderCorpus(spark, baseDir, uniDir, reps, hotTenths = 0)
+      ensureOrderCorpus(spark, baseDir, hubDir, reps, hotTenths = 4)
+      val qmap = queries.toMap
+      def timed(dir: String, name: String): (Double, Double) =
+        timedTwice(qmap(name)(spark, dir))
+      Seq("graph_label_prop", "graph_kcore").foreach { name =>
+        val (bf, bw) = timed(baseDir, name)
+        val (uf, uw) = timed(uniDir, name) // uniform reps×
+        val (kf, kw) = timed(hubDir, name) // 40%-of-edges hub
+        GraphIO.evict(spark, baseDir)
+        GraphIO.evict(spark, uniDir); GraphIO.evict(spark, hubDir)
+        println(f"""{"metric":"skewstruct","query":"$name",""" +
+          f""""base_warm":$bw%.2f,"uniform${reps}x_warm":$uw%.2f,""" +
+          f""""hub${reps}x_warm":$kw%.2f,""" +
+          f""""uniform_ratio":${uw / bw}%.2f,""" +
+          f""""skew_ratio":${kw / bw}%.2f,""" +
+          f""""base_first":$bf%.2f,"uniform_first":$uf%.2f,""" +
+          f""""hub_first":$kf%.2f}""")
+      }
+      // hot-label twist: same uniform corpus, same seed POPULATION
+      // (hash-gated 30%), only the carried label changes — a fair
+      // same-cost comparison isolating label distribution.
+      def labelProp(hotLabel: Boolean): DataFrame = {
+        val g = GraphIO.orderGraph(spark, uniDir)
+        val gated = g.nodes
+          .filter(GraftHash.graftHash(spark, col("id")) % 100 < 30)
+        val seeds =
+          if (!hotLabel) gated.select(col("id"), col("label"))
+          else gated.select(col("id"),
+            when(GraftHash.graftHash(spark,
+              concat(col("id"), lit("|hotlab"))) % 2 === 0, lit("hot"))
+              .otherwise(col("label")).as("label"))
+        LabelProp.run(spark, g.edges, seeds, 4)
+          .select(col("id"),
+            coalesce(col("label"), lit("unlabeled")).as("label"))
+      }
+      val (nf, nw) = timedTwice(labelProp(hotLabel = false))
+      val (hf, hw) = timedTwice(labelProp(hotLabel = true))
+      GraphIO.evict(spark, uniDir)
+      println(f"""{"metric":"skewstruct","query":"label_prop_hotlabel",""" +
+        f""""uniform${reps}x_warm":$nw%.2f,"hotlabel${reps}x_warm":$hw%.2f,""" +
+        f""""skew_ratio":${hw / nw}%.2f,""" +
+        f""""uniform_first":$nf%.2f,"hotlabel_first":$hf%.2f}""")
     } else if (mode == "skewdedup") {
       // 100× DOCUMENT/EMBEDDING rung (VERDICT r12 item 4): the
       // dedup/ANN families' scale-up + skew evidence — the banding
@@ -1202,6 +1277,7 @@ object ScaleBench {
 
     if (mode.startsWith("one:") || mode == "skewwin" ||
         mode == "skewkernel" || mode == "skewtri" ||
+        mode == "skewstruct" ||
         mode == "skewdedup" || mode == "incdelta" ||
         mode == "skewbudget" || mode == "skewstream") {
       spark.stop(); return
