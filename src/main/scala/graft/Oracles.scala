@@ -611,10 +611,15 @@ object Oracles {
     * rounds unrolled as CTEs, clamped seeds, (count desc, label asc)
     * deterministic majority. All counts are exact integers — no
     * floating point anywhere in the parity surface. */
-  def labelProp(iters: Int = 4, seedPct: Int = 30): String = {
+  def labelProp(iters: Int = 4, seedPct: Int = 30,
+      weighted: Boolean = false): String = {
+    // weighted: each neighbor's vote is its undirected edge strength
+    // (micro-unit integer — [[trianglesWeighted]]'s projection) instead
+    // of 1; same unroll, the aggregate swaps COUNT for SUM(wt)
+    val voteAgg = if (weighted) "SUM(e.wt)" else "COUNT(*)"
     val rounds = (1 to iters).map { i =>
       s"""votes$i AS (
-         |  SELECT e.id, l.label, COUNT(*) AS c
+         |  SELECT e.id, l.label, $voteAgg AS c
          |  FROM sym e JOIN lab${i - 1} l ON l.id = e.src
          |  WHERE l.label IS NOT NULL GROUP BY e.id, l.label
          |),
@@ -631,15 +636,24 @@ object Oracles {
          |  FROM lab${i - 1} l LEFT JOIN best$i b ON b.id = l.id
          |)""".stripMargin
     }.mkString(",\n")
+    val undCte = if (!weighted)
+      s"""und AS MATERIALIZED (
+         |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b,
+         |         1::BIGINT AS wt
+         |  FROM edges WHERE src <> dst
+         |)""".stripMargin
+    else
+      s"""und AS MATERIALIZED (
+         |  SELECT least(src, dst) AS a, greatest(src, dst) AS b,
+         |         SUM(CAST(round(w * 1000000.0::DOUBLE) AS BIGINT)) AS wt
+         |  FROM edges WHERE src <> dst GROUP BY 1, 2
+         |)""".stripMargin
     s"""WITH $edgesCte,
        |$nodesCte,
-       |und AS MATERIALIZED (
-       |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
-       |  FROM edges WHERE src <> dst
-       |),
+       |$undCte,
        |sym AS MATERIALIZED (
-       |  SELECT a AS src, b AS id FROM und
-       |  UNION ALL SELECT b AS src, a AS id FROM und
+       |  SELECT a AS src, b AS id, wt FROM und
+       |  UNION ALL SELECT b AS src, a AS id, wt FROM und
        |),
        |lab0 AS MATERIALIZED (
        |  -- LEFT join (ADVICE r17): the operator keeps every edge

@@ -211,6 +211,19 @@ object SparkEntry {
     "graph_kcore_weighted" -> ((s, dir) =>
       KCore.runWeighted(GraphIO.orderGraph(s, dir).edges, 300000.0)
         .orderBy(col("id"))),
+    // weighted majority: a high-engagement neighbor outvotes many weak
+    // ones — votes are integer micro-unit edge strengths, so every
+    // round is exactly replayed by the unrolled twin
+    "graph_label_prop_weighted" -> ((s, dir) => {
+      val g = GraphIO.orderGraph(s, dir)
+      val seeds = g.nodes
+        .filter(GraftHash.graftHash(s, col("id")) % 100 < 30)
+        .select(col("id"), col("label"))
+      LabelProp.runWeighted(s, g.edges, seeds, 4)
+        .select(col("id"),
+          coalesce(col("label"), lit("unlabeled")).as("label"))
+        .orderBy(col("id"))
+    }),
     // Link-prediction features: top-20 non-adjacent pairs by
     // common-neighbor/Adamic-Adar evidence (center-degree cap 64 — the
     // quadratic-surface contract, see `LinkPredict` scaladoc).
@@ -1484,6 +1497,7 @@ object SparkEntry {
     // recomputed projection, bit for bit).
     "graph_triangles_weighted" -> Oracles.trianglesWeighted(),
     "graph_kcore_weighted" -> Oracles.kCoreWeighted(),
+    "graph_label_prop_weighted" -> Oracles.labelProp(weighted = true),
     "graph_triangles_indexed" -> Oracles.triangles,
     "graph_link_predict_indexed" -> Oracles.linkPredict(),
     "graph_label_prop_indexed" -> Oracles.labelProp(),

@@ -42,19 +42,53 @@ object LabelProp {
       iters: Int): DataFrame =
     runOn(spark, Triangles.undirected(edges), seeds, iters)
 
+  /** WEIGHTED label propagation: each labeled neighbor's vote counts
+    * its undirected edge STRENGTH (micro-unit integer sum of the
+    * directed weights between the endpoints —
+    * [[Triangles.undirectedWeighted]]) instead of 1, so a
+    * high-engagement neighbor outvotes many weak ones — the natural
+    * pairing with the weighted kernels, and the variant a curation
+    * pipeline wants when edge weight IS the trust signal (citation
+    * count, co-click mass). Ties break (weight desc, label asc) —
+    * total and deterministic like [[run]], and the vote sums are
+    * integer-exact, so the unrolled SQL twin reproduces every round
+    * bit-for-bit. Same per-iteration scale shape as [[run]]: the
+    * aggregate swaps COUNT for an integer SUM, keys unchanged. */
+  def runWeighted(spark: SparkSession, edges: DataFrame, seeds: DataFrame,
+      iters: Int): DataFrame =
+    runWeightedOn(spark, Triangles.undirectedWeighted(edges), seeds, iters)
+
+  /** [[runWeighted]] over an already-built weighted projection
+    * `(a, b, wt)` (micro-unit weights — the persisted
+    * [[StructuralIndex]] does not carry it; derive via
+    * [[Triangles.undirectedWeighted]] or persist your own). */
+  def runWeightedOn(spark: SparkSession, undIn: DataFrame,
+      seeds: DataFrame, iters: Int): DataFrame =
+    propagate(spark, undIn, seeds, iters, weighted = true)
+
   /** [[run]] over an already-built undirected projection (the
     * persisted [[StructuralIndex]] or any `(a, b)` simple edge set —
     * the symmetric neighbor list is materialized internally, so the
     * input may be a lazy plan). Bit-equal to the from-scratch path;
     * the `*_indexed` gate shares its oracle verbatim. */
   def runOn(spark: SparkSession, undIn: DataFrame, seeds: DataFrame,
-      iters: Int): DataFrame = {
+      iters: Int): DataFrame =
+    propagate(spark, undIn, seeds, iters, weighted = false)
+
+  /** Shared propagation loop: the weighted and unweighted variants
+    * differ ONLY in the vote each neighbor casts (its edge strength vs
+    * the literal 1 — an integer SUM either way, so the unweighted path
+    * is byte-identical to the original COUNT formulation). */
+  private def propagate(spark: SparkSession, undIn: DataFrame,
+      seeds: DataFrame, iters: Int, weighted: Boolean): DataFrame = {
     require(iters >= 0, s"need iters >= 0, got $iters")
     val und = Checkpoints.materialize(undIn)
+    val vote = if (weighted) col("wt") else lit(1L)
     // symmetric neighbor list: votes flow both ways across each edge
     val nbrs = Checkpoints.materialize(
-      und.select(col("a").as("src"), col("b").as("id"))
-        .unionAll(und.select(col("b").as("src"), col("a").as("id"))))
+      und.select(col("a").as("src"), col("b").as("id"), vote.as("wt"))
+        .unionAll(
+          und.select(col("b").as("src"), col("a").as("id"), vote.as("wt"))))
     Checkpoints.release(und) // nbrs is materialized; und has no other use
     val nodes = nbrs.select(col("id")).distinct()
     var lab = Checkpoints.materialize(
@@ -72,7 +106,7 @@ object LabelProp {
         .join(lab.where(col("label").isNotNull)
           .select(col("id").as("src"), col("label")), Seq("src"))
         .groupBy(col("id"), col("label"))
-        .agg(count(lit(1)).as("c"))
+        .agg(sum(col("wt")).as("c"))
       val best = votes
         .select(col("id"), col("label"), row_number().over(byVotes).as("rn"))
         .where(col("rn") === 1)

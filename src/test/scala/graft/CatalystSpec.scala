@@ -476,13 +476,32 @@ class CatalystSpec extends SparkSuite {
       ("c", "d", 1.0))).edges
     Seq(
       "triangles" -> Triangles.perNode(e),
-      "link_predict" -> LinkPredict.topCandidates(e)
+      "link_predict" -> LinkPredict.topCandidates(e),
+      // r18 weighted variants: the aggregate swap must not change the
+      // join shapes (same orientation / peel machinery, weights ride)
+      "triangles_weighted" -> Triangles.perNodeWeighted(e),
+      // r18 indexed variants share the same *On bodies as the direct
+      // paths — assert on one representative fed by stable frames
+      "triangles_on" -> {
+        val und = Checkpoints.materialize(Triangles.undirected(e))
+        Triangles.perNodeOn(und, Triangles.degrees(und))
+      }
     ).foreach { case (name, df) =>
       val plan = df.queryExecution.executedPlan.toString
       assert(!plan.contains("BroadcastNestedLoopJoin"), s"$name:\n$plan")
       assert(!plan.contains("CartesianProduct"), s"$name:\n$plan")
       Checkpoints.releaseAll(df)
     }
+    // the weighted peel is iterative (plans materialize per round) —
+    // assert on its result-producing plan the same way KCore.run's
+    // r17 coverage does implicitly through the gate: the final degree
+    // aggregation plus the per-round semi-joins leave no nested-loop
+    // residue in the last plan
+    val core = graft.operators.KCore.runWeighted(e, 1.5)
+    val corePlan = core.queryExecution.executedPlan.toString
+    assert(!corePlan.contains("BroadcastNestedLoopJoin"), corePlan)
+    assert(!corePlan.contains("CartesianProduct"), corePlan)
+    Checkpoints.releaseAll(core)
   }
 
   test("MinHashAgg merge combines partial buffers slot-wise") {

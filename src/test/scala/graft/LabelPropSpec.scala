@@ -106,4 +106,36 @@ class LabelPropSpec extends SparkSuite {
       }
     }
   }
+
+  test("weighted votes: one strong neighbor outvotes two weak ones; " +
+      "unit weights reproduce the unweighted result") {
+    import spark.implicits._
+    // u has three labeled neighbors: x (label B, weight 5.0) and
+    // y, z (label A, weight 1.0 each). Unweighted majority: A (2 votes
+    // to 1); weighted majority: B (5.0 to 2.0).
+    val e = Seq(("u", "x", 5.0), ("u", "y", 1.0), ("u", "z", 1.0))
+      .toDF("src", "dst", "weight")
+    val s = seeds(("x", "B"), ("y", "A"), ("z", "A"))
+    val unweighted = run(e, s, 1)
+    assert(unweighted("u") == "A")
+    val weighted = LabelProp.runWeighted(spark, e, s, 1).collect()
+      .map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    assert(weighted("u") == "B",
+      s"strong neighbor lost the weighted vote: $weighted")
+    // unit weights on a simple graph: weighted == unweighted verbatim
+    val rnd = new scala.util.Random(83)
+    val rows = (0 until 90).map(_ =>
+      (s"n${rnd.nextInt(20)}", s"n${rnd.nextInt(20)}"))
+      .map { case (a, b) => if (a < b) (a, b) else (b, a) }
+      .distinct.filter { case (a, b) => a != b }
+    val ids = rows.flatMap(t => Seq(t._1, t._2)).distinct
+    val seed = ids.filter(_.hashCode % 3 == 0).map(id => id -> s"L${id.length}")
+    val eu = edges(rows: _*)
+    val su = seeds(seed: _*)
+    val w = LabelProp.runWeighted(spark, eu, su, 3).collect()
+      .map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    assert(w == run(eu, su, 3))
+  }
 }
