@@ -485,6 +485,36 @@ object Oracles {
        |FROM deg d LEFT JOIN cnt c ON c.id = d.id
        |ORDER BY d.id""".stripMargin
 
+  /** DOULION approximate triangle count, twin of
+    * [[graft.operators.Triangles.approxCount]]: the identical
+    * hash-gated edge sample (graft_hash coin — same subgraph on both
+    * engines), triangles counted once each via the a<b ordered
+    * three-way self-join, scaled by (1000/p)³. */
+  def trianglesApprox(pPermille: Int = 250): String = {
+    val coin = GraftHash.duckdbSql("a || '|' || b || '|trisample'")
+    val scale = 1000.0 / pPermille
+    s"""WITH $edgesCte,
+       |und AS MATERIALIZED (
+       |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |  FROM edges WHERE src <> dst
+       |),
+       |samp AS MATERIALIZED (
+       |  SELECT a, b FROM und WHERE $coin % 1000 < $pPermille
+       |),
+       |t AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS sampled_triangles
+       |  FROM samp e1
+       |  JOIN samp e2 ON e2.a = e1.a AND e2.b > e1.b
+       |  JOIN samp e3 ON e3.a = e1.b AND e3.b = e2.b
+       |)
+       |SELECT $pPermille AS p_permille,
+       |       (SELECT CAST(COUNT(*) AS BIGINT) FROM samp) AS sampled_edges,
+       |       sampled_triangles,
+       |       round(sampled_triangles::DOUBLE * ${scale * scale * scale},
+       |             6) AS triangles_est
+       |FROM t""".stripMargin
+  }
+
   /** Weighted triangle strength, twin of
     * [[graft.operators.Triangles.perNodeWeighted]]: the weighted
     * projection sums each endpoint pair's directed-edge weights in
@@ -571,8 +601,8 @@ object Oracles {
     * ordering. `1/ln(dc)` terms are bit-identical across engines;
     * the sum is rounded to `digits` like the kernel score gates. */
   def linkPredict(k: Int = 20, maxCenterDegree: Long = 64,
-      digits: Int = 6): String =
-    s"""WITH $edgesCte,
+      digits: Int = 6, graph: String = edgesCte): String =
+    s"""WITH $graph,
        |und AS MATERIALIZED (
        |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
        |  FROM edges WHERE src <> dst
@@ -680,7 +710,8 @@ object Oracles {
     * as long as that loop converges within the same bound, which the
     * operator enforces with a loud failure. Integer-only parity
     * surface. */
-  def kCore(k: Int = 3, rounds: Int = 24): String = {
+  def kCore(k: Int = 3, rounds: Int = 24,
+      graph: String = edgesCte): String = {
     val steps = (1 to rounds).map { i =>
       s"""keep$i AS MATERIALIZED (
          |  SELECT id FROM (
@@ -696,7 +727,7 @@ object Oracles {
          |    AND b IN (SELECT id FROM keep$i)
          |)""".stripMargin
     }.mkString(",\n")
-    s"""WITH $edgesCte,
+    s"""WITH $graph,
        |e0 AS MATERIALIZED (
        |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
        |  FROM edges WHERE src <> dst

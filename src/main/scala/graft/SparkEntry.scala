@@ -211,6 +211,24 @@ object SparkEntry {
     "graph_kcore_weighted" -> ((s, dir) =>
       KCore.runWeighted(GraphIO.orderGraph(s, dir).edges, 300000.0)
         .orderBy(col("id"))),
+    // DOULION sampled triangle count — the family's cheap 100 TB rung
+    // (the ANN ladder philosophy applied to triangles): hash-gated
+    // quarter-sample of the undirected edges, wedge work ~p², count
+    // scaled by (1000/p)³; the twin replays the identical subgraph.
+    "graph_triangles_approx" -> ((s, dir) =>
+      Triangles.approxCount(GraphIO.orderGraph(s, dir).edges)),
+    // Structural family on the EVENT graph — the natural skew gate:
+    // its authorities ('e' event-type nodes) hold hot-key in-degrees
+    // by construction. Triangles are degenerate there (bipartite ⇒
+    // none), but link prediction IS the textbook co-engagement
+    // recommender (event types sharing many users — hot-type centers
+    // are excluded by the degree cap, users are the wedge centers),
+    // and the k-core is the engagement tier.
+    "evt_graph_link_predict" -> ((s, dir) =>
+      LinkPredict.topCandidates(GraphIO.eventGraph(s, dir).edges)),
+    "evt_graph_kcore" -> ((s, dir) =>
+      KCore.run(GraphIO.eventGraph(s, dir).edges, 3)
+        .orderBy(col("id"))),
     // weighted majority: a high-engagement neighbor outvotes many weak
     // ones — votes are integer micro-unit edge strengths, so every
     // round is exactly replayed by the unrolled twin
@@ -1498,6 +1516,10 @@ object SparkEntry {
     "graph_triangles_weighted" -> Oracles.trianglesWeighted(),
     "graph_kcore_weighted" -> Oracles.kCoreWeighted(),
     "graph_label_prop_weighted" -> Oracles.labelProp(weighted = true),
+    "graph_triangles_approx" -> Oracles.trianglesApprox(),
+    "evt_graph_link_predict" ->
+      Oracles.linkPredict(graph = Oracles.eventGraphCtes),
+    "evt_graph_kcore" -> Oracles.kCore(graph = Oracles.eventGraphCtes),
     "graph_triangles_indexed" -> Oracles.triangles,
     "graph_link_predict_indexed" -> Oracles.linkPredict(),
     "graph_label_prop_indexed" -> Oracles.labelProp(),

@@ -142,6 +142,50 @@ object Triangles {
           .otherwise(lit(0.0)), digits).as("clustering"))
   }
 
+  /** DOULION-style approximate GLOBAL triangle count: every undirected
+    * edge survives with probability `pPermille`/1000 under a
+    * deterministic hash gate (`graft_hash(a || '|' || b ||
+    * '|trisample') ‰` — the engine-portable coin every other sampler
+    * here uses, so the DuckDB twin replays the exact same subgraph),
+    * triangles are counted on the sampled subgraph with the SAME
+    * degree-oriented wedge join as [[perNode]], and the count is
+    * scaled by `(1000/p)³` (each triangle survives iff all three
+    * edges do — probability p³; the estimator is unbiased, Tsourakakis
+    * et al.'s DOULION).
+    *
+    * This is the triangle family's 100 TB cheap rung, the analogue of
+    * the ANN ladder's sampled stages: edge work drops by p, wedge work
+    * by ~p², closing-join work by ~p³ — at p = 1/4 the wedge join
+    * touches ~6% of the full corpus's wedges. The trade is variance
+    * (∝ 1/p³ around the true count): pick p per corpus size so the
+    * expected sampled count stays in the thousands. `pPermille = 1000`
+    * degenerates to the exact count (spec-asserted).
+    *
+    * Output, one row: `(p_permille, sampled_edges, sampled_triangles,
+    * triangles_est)` — all integers except the rounded estimate, so
+    * the gate is deterministic cross-engine. */
+  def approxCount(edges: DataFrame, pPermille: Int = 250): DataFrame = {
+    require(pPermille >= 1 && pPermille <= 1000,
+      s"pPermille must be in [1, 1000], got $pPermille")
+    val spark = edges.sparkSession
+    val gate = graft.functions.GraftHash.graftHash(spark,
+      concat(col("a"), lit("|"), col("b"), lit("|trisample"))) % 1000
+    val und = Checkpoints.materialize(
+      undirected(edges).filter(gate < pPermille))
+    val scale = 1000.0 / pPermille
+    // each triangle contributes 3 to the per-node sum; both aggregates
+    // are single-row, so the crossJoin is a broadcast scalar attach
+    val tri = perNodeOn(und, degrees(und))
+      .agg((coalesce(sum(col("triangles")), lit(0L)) / 3).cast("long")
+        .as("sampled_triangles"))
+    und.agg(count(lit(1)).as("sampled_edges"))
+      .crossJoin(tri)
+      .select(lit(pPermille).as("p_permille"), col("sampled_edges"),
+        col("sampled_triangles"),
+        round(col("sampled_triangles").cast("double") *
+          lit(scale * scale * scale), 6).as("triangles_est"))
+  }
+
   /** Weighted triangle strength per node: `(id, triangles, strength)`
     * for every node of the projection, where `strength` is the sum
     * over the node's triangles of the three edge weights

@@ -88,6 +88,29 @@ class TrianglesSpec extends SparkSuite {
     assert(repart == base)
   }
 
+  test("approxCount: p=1000 degenerates to the exact count; sampled " +
+      "estimate lands within the DOULION variance band on K20") {
+    import spark.implicits._
+    // complete graph on 20 nodes: C(20,3) = 1140 triangles
+    val k20 = (for {
+      Seq(a, b) <- (0 until 20).map(i => f"n$i%02d").combinations(2).toSeq
+    } yield (a, b, 1.0)).toDF("src", "dst", "weight")
+    val exactRow = Triangles.approxCount(k20, pPermille = 1000).head()
+    assert(exactRow.getLong(1) == 190L)   // all edges survive
+    assert(exactRow.getLong(2) == 1140L)  // the exact count
+    assert(exactRow.getDouble(3) == 1140.0)
+    // half-sample: estimator is unbiased with relative sd
+    // ~sqrt(1/p^3 / T) ≈ 8%; assert a generous ±50% band so the test
+    // checks the SCALING, not the coin flips of one seed
+    val half = Triangles.approxCount(k20, pPermille = 500).head()
+    assert(half.getLong(1) < 190L, "half-sample kept every edge")
+    val est = half.getDouble(3)
+    assert(est > 1140 * 0.5 && est < 1140 * 1.5,
+      s"estimate $est implausible for true 1140")
+    // determinism: the hash gate makes repeated runs identical
+    assert(Triangles.approxCount(k20, pPermille = 500).head() == half)
+  }
+
   test("weighted strength: counts match perNode; strength matches " +
       "brute-force sums; parallel/reversed weights combine") {
     import spark.implicits._
