@@ -539,6 +539,10 @@ object ScaleBench {
     //    the hot authority is where an UNORIENTED wedge join emits
     //    O(d²) hub rows; the degree orientation must hold
     //    skew_ratio ≈ uniform_ratio (r17);
+    //  - "structidx" — the persisted structural projection's
+    //    amortization: all four structural gates from scratch vs via
+    //    the index (first indexed gate pays the one-time build) on the
+    //    uniform reps× corpus (r18);
     //  - "skewstruct" — label-prop + k-core on base vs uniform reps×
     //    vs a HUB-STAR twin (one part in 40% of lineitem rows — 4× the
     //    skewkernel hot mass), plus a HOT-LABEL seed-set twist for
@@ -738,6 +742,42 @@ object ScaleBench {
         f""""uniform${reps}x_warm":$nw%.2f,"hotlabel${reps}x_warm":$hw%.2f,""" +
         f""""skew_ratio":${hw / nw}%.2f,""" +
         f""""uniform_first":$nf%.2f,"hotlabel_first":$hf%.2f}""")
+    } else if (mode == "structidx") {
+      // Quantifies the persisted structural projection (r18, VERDICT
+      // r17 missing #3) at scale: a one-graph analysis session running
+      // all four structural operators pays the corpus-scale
+      // distinct-shuffle (undirected projection + degrees) four times
+      // from scratch, once with the index. The indexed leg is timed
+      // exactly as a session experiences it: the FIRST indexed gate
+      // builds and persists the index (SparkEntry's per-corpus memo),
+      // the rest read parquet — so "first" on that gate includes the
+      // build and "warm" is the pure read path.
+      val uniDir = s"$outDir-unikernel$reps"
+      ensureOrderCorpus(spark, baseDir, uniDir, reps, hotTenths = 0)
+      // straight from the gate map — the *_indexed entries are not in
+      // this harness's curated sweep list
+      val qmap = SparkEntry.queries
+      val quartet = Seq("graph_triangles", "graph_link_predict",
+        "graph_label_prop", "graph_kcore")
+      def leg(suffix: String): Seq[(String, (Double, Double))] =
+        quartet.map { n =>
+          val t = timedTwice(qmap(n + suffix)(spark, uniDir))
+          GraphIO.evict(spark, uniDir)
+          n -> t
+        }
+      val scratch = leg("")
+      val indexed = leg("_indexed")
+      def total(xs: Seq[(String, (Double, Double))]): Double =
+        xs.map { case (_, (f, w)) => math.min(f, w) }.sum
+      val (st, it) = (total(scratch), total(indexed))
+      val rows = (scratch.map { case (n, (f, w)) =>
+        f""""${n}_scratch":[$f%.2f,$w%.2f]"""
+      } ++ indexed.map { case (n, (f, w)) =>
+        f""""${n}_indexed":[$f%.2f,$w%.2f]"""
+      }).mkString(",")
+      println(f"""{"metric":"structidx","reps":$reps,$rows,""" +
+        f""""scratch_total_min":$st%.2f,"indexed_total_min":$it%.2f,""" +
+        f""""ratio":${it / st}%.2f}""")
     } else if (mode == "skewdedup") {
       // 100× DOCUMENT/EMBEDDING rung (VERDICT r12 item 4): the
       // dedup/ANN families' scale-up + skew evidence — the banding
@@ -1277,7 +1317,7 @@ object ScaleBench {
 
     if (mode.startsWith("one:") || mode == "skewwin" ||
         mode == "skewkernel" || mode == "skewtri" ||
-        mode == "skewstruct" ||
+        mode == "skewstruct" || mode == "structidx" ||
         mode == "skewdedup" || mode == "incdelta" ||
         mode == "skewbudget" || mode == "skewstream") {
       spark.stop(); return
