@@ -281,6 +281,16 @@ object SparkEntry {
       KCore.runOn(StructuralIndex.undirected(s, idx), 3)
         .orderBy(col("id"))
     }),
+    // the index stores the WEIGHTED projection (the unweighted readers
+    // prune the wt column away at the scan) — one gate proves the
+    // weighted family reads it bit-equal too, sharing the weighted
+    // oracle verbatim
+    "graph_kcore_weighted_indexed" -> ((s, dir) => {
+      val idx = structIdxDir(s, dir)
+      KCore.runWeightedOn(StructuralIndex.undirectedWeighted(s, idx),
+          300000.0)
+        .orderBy(col("id"))
+    }),
     "rank_topk" -> ((s, dir) => {
       val auths = Salsa.runSimplified(GraphIO.orderGraph(s, dir).edges).auths
       RankOutput.topK(auths, 10)
@@ -1524,6 +1534,7 @@ object SparkEntry {
     "graph_link_predict_indexed" -> Oracles.linkPredict(),
     "graph_label_prop_indexed" -> Oracles.labelProp(),
     "graph_kcore_indexed" -> Oracles.kCore(),
+    "graph_kcore_weighted_indexed" -> Oracles.kCoreWeighted(),
     "rank_topk" -> Oracles.rankTopK(),
     "sample_hash" -> Oracles.sampleHash(),
     "render_model" -> Oracles.renderModel(),

@@ -59,9 +59,9 @@ object LabelProp {
     runWeightedOn(spark, Triangles.undirectedWeighted(edges), seeds, iters)
 
   /** [[runWeighted]] over an already-built weighted projection
-    * `(a, b, wt)` (micro-unit weights — the persisted
-    * [[StructuralIndex]] does not carry it; derive via
-    * [[Triangles.undirectedWeighted]] or persist your own). */
+    * `(a, b, wt)` (micro-unit weights —
+    * [[StructuralIndex.undirectedWeighted]] or
+    * [[Triangles.undirectedWeighted]]). */
   def runWeightedOn(spark: SparkSession, undIn: DataFrame,
       seeds: DataFrame, iters: Int): DataFrame =
     propagate(spark, undIn, seeds, iters, weighted = true)

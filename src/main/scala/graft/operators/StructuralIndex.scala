@@ -35,22 +35,36 @@ import org.apache.spark.sql.functions.col
   * an operator needs it). */
 object StructuralIndex {
 
-  /** Build and persist the projection: `undirected.parquet` (a, b) and
-    * `degrees.parquet` (id, deg). The undirected set is materialized
-    * once and feeds both writes (degrees derive from it — one extra
-    * hash agg, no second corpus scan), then released. */
+  /** Build and persist the projection: `undirected.parquet` (a, b, wt)
+    * and `degrees.parquet` (id, deg). The stored edge set carries the
+    * micro-unit edge STRENGTH ([[Triangles.undirectedWeighted]] — its
+    * `(a, b)` key set is exactly [[Triangles.undirected]]'s, since the
+    * weighted groupBy and the unweighted distinct share the key), so
+    * ONE index serves both the unweighted operators (which project the
+    * weight away) and the weighted ones. The weighted set is
+    * materialized once and feeds both writes (degrees derive from it —
+    * one extra hash agg, no second corpus scan), then released. */
   def write(edges: DataFrame, dir: String): Unit = {
-    val und = Checkpoints.materialize(Triangles.undirected(edges))
-    und.write.mode("overwrite").parquet(s"$dir/undirected.parquet")
-    Triangles.degrees(und)
+    val undW = Checkpoints.materialize(Triangles.undirectedWeighted(edges))
+    undW.write.mode("overwrite").parquet(s"$dir/undirected.parquet")
+    Triangles.degrees(undW)
       .write.mode("overwrite").parquet(s"$dir/degrees.parquet")
-    Checkpoints.release(und)
+    Checkpoints.release(undW)
   }
 
-  /** The persisted undirected simple edge set `(a, b)`. */
+  /** The persisted undirected simple edge set `(a, b)` — the weight
+    * column projected away (column pruning reaches the parquet scan,
+    * so the unweighted consumers never read it). */
   def undirected(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/undirected.parquet")
       .select(col("a"), col("b"))
+
+  /** The persisted WEIGHTED edge set `(a, b, wt)` (micro-unit
+    * strengths) — input shape of [[Triangles.perNodeWeightedOn]],
+    * [[KCore.runWeightedOn]] and [[LabelProp.runWeightedOn]]. */
+  def undirectedWeighted(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/undirected.parquet")
+      .select(col("a"), col("b"), col("wt"))
 
   /** The persisted endpoint degrees `(id, deg)`. */
   def degrees(spark: SparkSession, dir: String): DataFrame =

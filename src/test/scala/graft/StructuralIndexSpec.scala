@@ -37,6 +37,19 @@ class StructuralIndexSpec extends SparkSuite {
     val deg = StructuralIndex.degrees(spark, dir).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(deg == Map("a" -> 3L, "b" -> 3L, "c" -> 3L, "d" -> 2L, "e" -> 1L))
+    // the stored edge set carries micro-unit strengths: (a,b) absorbed
+    // a parallel + a reversed duplicate (3 × 1.0 → 3e6), others 1e6
+    val undW = StructuralIndex.undirectedWeighted(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(undW(("a", "b")) == 3000000L)
+    assert(undW(("c", "d")) == 1000000L)
+    // the weighted ops read the same index bit-equal to from-scratch
+    val direct = graft.operators.KCore.runWeighted(g, 2.0)
+      .orderBy(col("id")).collect().toSeq
+    val viaIdx = graft.operators.KCore.runWeightedOn(
+        StructuralIndex.undirectedWeighted(spark, dir), 2.0)
+      .orderBy(col("id")).collect().toSeq
+    assert(viaIdx == direct)
   }
 
   test("perNodeOn over the index equals perNode from scratch") {
