@@ -52,6 +52,18 @@ class StructuralIndexSpec extends SparkSuite {
     assert(viaIdx == direct)
   }
 
+  test("unweighted reader prunes the weight column at the parquet scan") {
+    val dir = idxDir("prune")
+    val plan = StructuralIndex.undirected(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema"), plan)
+    assert(!plan.contains("wt"),
+      s"weight column not pruned from the unweighted scan:\n$plan")
+    val weighted = StructuralIndex.undirectedWeighted(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(weighted.contains("wt"), weighted)
+  }
+
   test("perNodeOn over the index equals perNode from scratch") {
     val dir = idxDir("tri")
     val direct = Triangles.perNode(g).orderBy(col("id")).collect().toSeq
