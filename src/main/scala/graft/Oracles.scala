@@ -2209,13 +2209,21 @@ object Oracles {
   /** Mirror of [[graft.pipelines.Similarity.annTopKMrl]]: prefix-
     * cosine candidates (DuckDB's 1-based inclusive list slice is
     * Spark's `slice(x, 1, dims)`) then the exact full-vector rerank.
-    * The rerank depth replays the corpus-derived
-    * [[graft.pipelines.Similarity.autoMrlCand]] — `greatest(cand,
-    * ⌈count/5⌉)` as a scalar subquery, so one static SQL string holds
-    * at every scale (150 at the 500-vector gate corpora, byte-
-    * identical to the r17 oracle; 400 at sf0.1). */
+    * `cand <= 0` (the default) replays the engine's DERIVED pool
+    * ([[graft.pipelines.Similarity.autoMrlCand]] —
+    * `greatest(30·k, ⌈count/5⌉)` as a scalar subquery, so one static
+    * SQL string holds at every scale: 150 at the 500-vector gate
+    * corpora, 400 at sf0.1); an EXPLICIT `cand` emits the plain
+    * `crn <= cand` predicate, mirroring the engine's rule that an
+    * explicit `mrlCand` is honored verbatim (the MRL-trained-
+    * embeddings contract — ADVICE r18: the floor must not leak onto
+    * pinned pools). */
   def annTopKMrl(nq: Int = 10, k: Int = 5, dims: Int = 32,
-      cand: Int = 150): String =
+      cand: Int = 0): String = {
+    val candPred =
+      if (cand > 0) s"crn <= $cand"
+      else s"""crn <= greatest(${30 * k},
+         |    (SELECT CAST(ceil(count(*) / 5.0) AS BIGINT) FROM base))""".stripMargin
     s"""WITH base AS MATERIALIZED (
        |  SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM embeddings),
        |pref AS MATERIALIZED (
@@ -2233,8 +2241,7 @@ object Oracles {
        |           ROW_NUMBER() OVER (PARTITION BY query_id
        |             ORDER BY pcos DESC, neighbor_id) AS crn
        |    FROM approx)
-       |  WHERE crn <= greatest($cand,
-       |    (SELECT CAST(ceil(count(*) / 5.0) AS BIGINT) FROM base))),
+       |  WHERE $candPred),
        |exact AS (
        |  SELECT cd.query_id, cd.neighbor_id,
        |         ${dotSql("qf.embedding", "e.embedding")} / (qf.nrm * e.nrm) AS cos
@@ -2246,6 +2253,63 @@ object Oracles {
        |  FROM exact)
        |SELECT query_id, rn, neighbor_id, round(cos, 6) AS cosine FROM r
        |WHERE rn <= $k ORDER BY query_id, rn""".stripMargin
+  }
+
+  /** Mirror of [[graft.pipelines.Similarity.annTopKMrlIvf]]: the
+    * [[ivfCtes]] cell assignment, `nprobe` nearest cells per query,
+    * PREFIX-cosine ranking restricted to the probed cells, exact
+    * full-vector rerank of the survivors. `cand <= 0` replays the
+    * engine's probed-population-derived pool
+    * ([[graft.pipelines.Similarity.autoMrlIvfCand]] —
+    * `greatest(30·k, ⌈count·nprobe/(nlist·2)⌉)` as a scalar subquery;
+    * the multiply-then-divide order matches the Scala expression so
+    * the IEEE doubles agree bit-for-bit); explicit `cand` is emitted
+    * verbatim, as in [[annTopKMrl]]. */
+  def annTopKMrlIvf(nq: Int = 10, k: Int = 5, nlist: Int = 8,
+      nprobe: Int = 4, dims: Int = 32, cand: Int = 0,
+      dim: Int = 64): String = {
+    val candPred =
+      if (cand > 0) s"crn <= $cand"
+      else s"""crn <= greatest(${30 * k},
+         |    (SELECT CAST(ceil(CAST(count(*) AS DOUBLE) * ${nprobe}.0
+         |                      / ${nlist * 2}.0) AS BIGINT) FROM base))""".stripMargin
+    s"""WITH ${ivfCtes(nlist, dim)},
+       |pref AS MATERIALIZED (
+       |  SELECT vec_id, cid, embedding[1:$dims] AS p,
+       |         ${normSql(s"embedding[1:$dims]")} AS pn FROM a1),
+       |probes AS MATERIALIZED (
+       |  SELECT query_id, cid FROM (
+       |    SELECT b.vec_id AS query_id, c.cid,
+       |           ROW_NUMBER() OVER (PARTITION BY b.vec_id
+       |             ORDER BY ${sqDistSql("b.embedding", "c.cvec")}, c.cid) AS rn
+       |    FROM base b CROSS JOIN cent c WHERE b.vec_id < $nq) WHERE rn <= $nprobe),
+       |qp AS (SELECT vec_id AS query_id, p AS qp, pn AS qpn
+       |       FROM pref WHERE vec_id < $nq),
+       |approx AS (
+       |  SELECT q.query_id, c.vec_id AS neighbor_id,
+       |         ${dotSql("c.p", "q.qp")} / (c.pn * q.qpn) AS pcos
+       |  FROM pref c JOIN probes pr ON c.cid = pr.cid
+       |              JOIN qp q ON q.query_id = pr.query_id
+       |  WHERE c.vec_id <> q.query_id),
+       |cnd AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |           ROW_NUMBER() OVER (PARTITION BY query_id
+       |             ORDER BY pcos DESC, neighbor_id) AS crn
+       |    FROM approx)
+       |  WHERE $candPred),
+       |exact AS (
+       |  SELECT cd.query_id, cd.neighbor_id,
+       |         ${dotSql("qf.embedding", "e.embedding")} / (qf.nrm * e.nrm) AS cos
+       |  FROM cnd cd JOIN base e ON e.vec_id = cd.neighbor_id
+       |              JOIN base qf ON qf.vec_id = cd.query_id),
+       |r AS (
+       |  SELECT query_id, neighbor_id, cos,
+       |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+       |  FROM exact)
+       |SELECT query_id, rn, neighbor_id, round(cos, 6) AS cosine FROM r
+       |WHERE rn <= $k ORDER BY query_id, rn""".stripMargin
+  }
 
   def annTopKQ8(nq: Int = 10, k: Int = 5, cand: Int = 20): String = {
     val intdot = "list_reduce(list_prepend(0::BIGINT, " +
@@ -2351,11 +2415,13 @@ object Oracles {
        |ivf_t AS MATERIALIZED ${wrap(annTopKIvf(nq, k))},
        |lsh_t AS MATERIALIZED ${wrap(annTopKLsh(nq, k))},
        |mrl_t AS MATERIALIZED ${wrap(annTopKMrl(nq, k))},
+       |mrl_ivf_t AS MATERIALIZED ${wrap(annTopKMrlIvf(nq, k))},
        |q8_t AS MATERIALIZED ${wrap(annTopKQ8(nq, k))},
        |q8ivf_t AS MATERIALIZED ${wrap(annTopKQ8Ivf(nq, k))}
        |${row("ivf")}
        |UNION ALL ${row("lsh")}
        |UNION ALL ${row("mrl")}
+       |UNION ALL ${row("mrl_ivf")}
        |UNION ALL ${row("q8")}
        |UNION ALL ${row("q8ivf")}
        |ORDER BY rung""".stripMargin

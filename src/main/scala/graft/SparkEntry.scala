@@ -617,6 +617,14 @@ object SparkEntry {
       Similarity.ann(GraphIO.embeddings(s, dir), Similarity.AnnStrategy.Ivf,
           nlist = 8)
         .withColumn("rn", col("rn").cast("long"))),
+    // MRL×IVF composition: prefix-cosine candidates INSIDE the probed
+    // cells, rerank pool a fraction of the PROBED population — the
+    // sublinear form of the dimension axis (retires autoMrlCand's
+    // linear ⌈N/5⌉ asymptote for the deployed default path).
+    "ann_topk_mrl_ivf" -> ((s, dir) =>
+      Similarity.ann(GraphIO.embeddings(s, dir),
+          Similarity.AnnStrategy.MrlIvf, nlist = 8)
+        .withColumn("rn", col("rn").cast("long"))),
     // Exploded to (vec_id, ma, pos, qv) scalar rows: the driver's
     // comparator sorts result columns with pandas, which cannot order an
     // array-typed column — the native array<bigint> API
@@ -1621,6 +1629,7 @@ object SparkEntry {
     "ann_topk_ivf_appended" -> Oracles.annTopKIvf(),
     "corpus_clusters" -> Oracles.corpusClusters(),
     "ann_topk_mrl" -> Oracles.annTopKMrl(),
+    "ann_topk_mrl_ivf" -> Oracles.annTopKMrlIvf(),
     "ann_topk_lsh" -> Oracles.annTopKLsh(),
     "ann_topk_ivf" -> Oracles.annTopKIvf(),
     "multimodal_chunks" -> Oracles.multimodalChunks(),

@@ -335,6 +335,42 @@ class PipelinesSpec extends SparkSuite {
     assert(Similarity.autoMrlCand(1001, 5) == 201)  // ceil, not floor
   }
 
+  test("autoMrlIvfCand: probed-population-scaled pool with the 30k floor") {
+    // gate corpora: floor dominates (probed pop 250, half = 125 < 150)
+    assert(Similarity.autoMrlIvfCand(500, 5, nlist = 8, nprobe = 4) == 150)
+    // sf0.1: half the expected probed population 4·2000/8 = 1000
+    assert(Similarity.autoMrlIvfCand(2000, 5, nlist = 8, nprobe = 4) == 500)
+    // ceil, not floor
+    assert(Similarity.autoMrlIvfCand(2001, 5, nlist = 8, nprobe = 4) == 501)
+    // deployment sizing: nlist ∝ √N makes the pool sublinear — at 1e8
+    // vectors the pool is ~half of nprobe·√N, a vanishing fraction
+    val n = 100000000L
+    val nl = Similarity.autoNlist(n)
+    val pool = Similarity.autoMrlIvfCand(n, 5, nl, 4)
+    assert(pool.toDouble / n < 0.001, s"pool $pool not sublinear at N=$n")
+  }
+
+  test("annTopKMrlIvf: rerank pool covering the probed population " +
+      "degenerates to the IVF rung regardless of prefix width") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    val emb = (0L until 60L).map(i =>
+      (i, Array.fill(16)(rnd.nextFloat() - 0.5f))).toDF("vec_id", "embedding")
+    val ivf = Similarity.annTopKIvf(emb, nq = 3, k = 3, nlist = 4, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    // cand >= corpus: stage 2 exact-reranks EVERYTHING stage 1 saw, so
+    // the truncated prefix ranking cannot lose a probed-cell candidate
+    // and the output is exactly the IVF rung's
+    val composed = Similarity.annTopKMrlIvf(emb, nq = 3, k = 3, nlist = 4,
+        nprobe = 2, dims = 4, cand = 60)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(composed == ivf)
+    // derived pool (cand <= 0) is deterministic across invocations
+    def derived() = Similarity.annTopKMrlIvf(emb, nq = 3, k = 3, nlist = 4,
+      nprobe = 2, dims = 4).collect().toSeq
+    assert(derived() == derived())
+  }
+
   test("recallAuditAppended: appended cell imbalance is the leading " +
       "indicator — it reads at or above the fresh rebuild's") {
     import spark.implicits._
