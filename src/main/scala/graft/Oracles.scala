@@ -634,6 +634,59 @@ object Oracles {
        |         s.src, s.dst
        |LIMIT $k""".stripMargin
 
+  /** Weighted link prediction, twin of
+    * [[graft.operators.LinkPredict.topCandidatesWeighted]]: bottleneck
+    * common strength (micro-unit integer Σ min(wt, wt') — the exact
+    * primary ranking key) and the weighted Adamic–Adar discount
+    * Σ 1/ln(1 + strength(c)) through centers of UNWEIGHTED degree ≤
+    * `maxCenterDegree`, non-adjacent pairs only, (strength desc,
+    * rounded score desc, ids) ordering — the [[linkPredict]] parity
+    * shape with the weighted evidence columns. */
+  def linkPredictWeighted(k: Int = 20, maxCenterDegree: Long = 64,
+      digits: Int = 6, graph: String = edgesCte): String =
+    s"""WITH $graph,
+       |undw AS MATERIALIZED (
+       |  SELECT least(src, dst) AS a, greatest(src, dst) AS b,
+       |         SUM(CAST(round(w * 1000000.0::DOUBLE) AS BIGINT)) AS wt
+       |  FROM edges WHERE src <> dst GROUP BY 1, 2
+       |),
+       |deg AS MATERIALIZED (
+       |  SELECT id, COUNT(*) AS deg
+       |  FROM (SELECT a AS id FROM undw UNION ALL SELECT b FROM undw) u
+       |  GROUP BY id
+       |),
+       |wdeg AS MATERIALIZED (
+       |  SELECT id, SUM(wt) AS wd
+       |  FROM (SELECT a AS id, wt FROM undw
+       |        UNION ALL SELECT b, wt FROM undw) u
+       |  GROUP BY id
+       |),
+       |adj AS MATERIALIZED (
+       |  SELECT t.c, t.n, t.wt, w.wd AS wc
+       |  FROM (SELECT a AS c, b AS n, wt FROM undw
+       |        UNION ALL SELECT b AS c, a AS n, wt FROM undw) t
+       |  JOIN deg d ON d.id = t.c
+       |  JOIN wdeg w ON w.id = t.c
+       |  WHERE d.deg <= $maxCenterDegree
+       |),
+       |scored AS (
+       |  SELECT a1.n AS src, a2.n AS dst, COUNT(*) AS common_neighbors,
+       |         SUM(least(a1.wt, a2.wt)) AS cs_micro,
+       |         SUM(1.0::DOUBLE / ln(1.0::DOUBLE
+       |           + CAST(a1.wc AS DOUBLE) / 1000000.0::DOUBLE)) AS waa
+       |  FROM adj a1 JOIN adj a2 ON a2.c = a1.c AND a2.n > a1.n
+       |  GROUP BY a1.n, a2.n
+       |)
+       |SELECT src, dst, common_neighbors,
+       |       round(CAST(cs_micro AS DOUBLE) / 1000000.0::DOUBLE, $digits)
+       |         AS common_strength,
+       |       round(waa, $digits) AS adamic_adar_weighted
+       |FROM scored s
+       |WHERE NOT EXISTS (SELECT 1 FROM undw
+       |                  WHERE undw.a = s.src AND undw.b = s.dst)
+       |ORDER BY cs_micro DESC, round(waa, $digits) DESC, src, dst
+       |LIMIT $k""".stripMargin
+
   /** Semi-supervised label propagation, twin of
     * [[graft.operators.LabelProp.run]] as wired by the
     * `graph_label_prop` gate: hash-gated seeds (graft_hash % 100 <

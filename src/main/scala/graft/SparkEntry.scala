@@ -247,6 +247,12 @@ object SparkEntry {
     // quadratic-surface contract, see `LinkPredict` scaladoc).
     "graph_link_predict" -> ((s, dir) =>
       LinkPredict.topCandidates(GraphIO.orderGraph(s, dir).edges)),
+    // Weighted link prediction — completes the weighted structural
+    // quartet: bottleneck common strength (exact micro-unit integer
+    // primary key) + the 1/ln(1+strength) Adamic-Adar discount, same
+    // topological center cap as the unweighted operator.
+    "graph_link_predict_weighted" -> ((s, dir) =>
+      LinkPredict.topCandidatesWeighted(GraphIO.orderGraph(s, dir).edges)),
     // ---- persisted structural projection (StructuralIndex) ----
     // Lifecycle proof, the ann_topk_ivf_persisted pattern: build +
     // persist the shared undirected/degrees projection once, read it
@@ -290,6 +296,33 @@ object SparkEntry {
       KCore.runWeightedOn(StructuralIndex.undirectedWeighted(s, idx),
           300000.0)
         .orderBy(col("id"))
+    }),
+    // the remaining weighted family members over the SAME single index
+    // (r19): every weighted operator now has a from-scratch gate AND an
+    // indexed twin sharing its oracle verbatim — the one-index-serves-
+    // both claim exercised across the whole quartet
+    "graph_triangles_weighted_indexed" -> ((s, dir) => {
+      val idx = structIdxDir(s, dir)
+      Triangles.perNodeWeightedOn(StructuralIndex.undirectedWeighted(s, idx),
+          StructuralIndex.degrees(s, idx))
+        .orderBy(col("id"))
+    }),
+    "graph_label_prop_weighted_indexed" -> ((s, dir) => {
+      val idx = structIdxDir(s, dir)
+      val seeds = GraphIO.orderGraph(s, dir).nodes
+        .filter(GraftHash.graftHash(s, col("id")) % 100 < 30)
+        .select(col("id"), col("label"))
+      LabelProp.runWeightedOn(s, StructuralIndex.undirectedWeighted(s, idx),
+          seeds, 4)
+        .select(col("id"),
+          coalesce(col("label"), lit("unlabeled")).as("label"))
+        .orderBy(col("id"))
+    }),
+    "graph_link_predict_weighted_indexed" -> ((s, dir) => {
+      val idx = structIdxDir(s, dir)
+      LinkPredict.topCandidatesWeightedOn(
+        StructuralIndex.undirectedWeighted(s, idx),
+        StructuralIndex.degrees(s, idx))
     }),
     "rank_topk" -> ((s, dir) => {
       val auths = Salsa.runSimplified(GraphIO.orderGraph(s, dir).edges).auths
@@ -1538,11 +1571,15 @@ object SparkEntry {
     "evt_graph_link_predict" ->
       Oracles.linkPredict(graph = Oracles.eventGraphCtes),
     "evt_graph_kcore" -> Oracles.kCore(graph = Oracles.eventGraphCtes),
+    "graph_link_predict_weighted" -> Oracles.linkPredictWeighted(),
     "graph_triangles_indexed" -> Oracles.triangles,
     "graph_link_predict_indexed" -> Oracles.linkPredict(),
     "graph_label_prop_indexed" -> Oracles.labelProp(),
     "graph_kcore_indexed" -> Oracles.kCore(),
     "graph_kcore_weighted_indexed" -> Oracles.kCoreWeighted(),
+    "graph_triangles_weighted_indexed" -> Oracles.trianglesWeighted(),
+    "graph_label_prop_weighted_indexed" -> Oracles.labelProp(weighted = true),
+    "graph_link_predict_weighted_indexed" -> Oracles.linkPredictWeighted(),
     "rank_topk" -> Oracles.rankTopK(),
     "sample_hash" -> Oracles.sampleHash(),
     "render_model" -> Oracles.renderModel(),

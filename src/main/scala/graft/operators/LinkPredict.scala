@@ -81,4 +81,77 @@ object LinkPredict {
         col("src"), col("dst"))
       .limit(k)
   }
+
+  /** WEIGHTED link prediction — the strength-aware member of the
+    * weighted structural quartet ([[Triangles.perNodeWeighted]],
+    * [[KCore.runWeighted]], [[LabelProp.runWeighted]]): evidence for a
+    * missing edge counts HOW STRONGLY the pair is wired through each
+    * shared neighbor, not merely that it is. Two scores per candidate
+    * pair (src < dst, non-adjacent, centers capped exactly as
+    * [[topCandidates]]):
+    *  - `common_strength` = Σ over common neighbors c of
+    *    `min(wt(src,c), wt(dst,c))` — the bottleneck strength of each
+    *    two-hop path, summed as MICRO-UNIT INTEGERS (addend-order-free,
+    *    the [[Triangles.undirectedWeighted]] discipline) so the primary
+    *    ranking key is exact cross-engine;
+    *  - `adamic_adar_weighted` = Σ over c of `1 / ln(1 + strength(c))`
+    *    where `strength(c)` is c's weighted degree in original units —
+    *    the Adamic–Adar inverse-log discount applied to engagement
+    *    mass instead of neighbor count (the `1 +` keeps the log
+    *    positive for sub-unit strengths; on this family's graphs
+    *    strengths are ≫ 1 so the shift is a vanishing perturbation).
+    * Ordered (common_strength desc, rounded weighted-AA desc, ids) —
+    * the integer micro-unit sum leads, so the order is deterministic
+    * up to the rounded-double tiebreak, the [[topCandidates]] parity
+    * argument. Same scale shape: the unweighted-degree cap bounds the
+    * wedge fan-out; weights ride the adjacency rows (two longs). */
+  def topCandidatesWeighted(edges: DataFrame, k: Int = 20,
+      maxCenterDegree: Long = 64, digits: Int = 6): DataFrame = {
+    val undW = Checkpoints.materialize(Triangles.undirectedWeighted(edges))
+    topCandidatesWeightedOn(undW, Triangles.degrees(undW), k,
+      maxCenterDegree, digits)
+  }
+
+  /** [[topCandidatesWeighted]] over an already-built WEIGHTED
+    * projection (the persisted [[StructuralIndex]] or any stable
+    * `(a, b, wt)` frame) — caller contract as [[topCandidatesOn]];
+    * `deg` is the UNWEIGHTED [[Triangles.degrees]] of it (the cap is
+    * topological, identical to the unweighted operator's). Bit-equal
+    * to the from-scratch path; the `*_indexed` gate shares its oracle
+    * verbatim. */
+  def topCandidatesWeightedOn(undW: DataFrame, deg: DataFrame,
+      k: Int = 20, maxCenterDegree: Long = 64,
+      digits: Int = 6): DataFrame = {
+    val wdeg = Triangles.weightedDegrees(undW)
+    // Symmetric weighted adjacency restricted to capped centers; the
+    // center's weighted degree (wc) rides along so the discount term
+    // needs no later join back.
+    val adj = Checkpoints.materialize(
+      undW.select(col("a").as("c"), col("b").as("n"), col("wt"))
+        .unionAll(undW.select(col("b").as("c"), col("a").as("n"), col("wt")))
+        .join(deg.select(col("id").as("c"), col("deg").as("dc")), Seq("c"))
+        .where(col("dc") <= maxCenterDegree)
+        .join(wdeg.select(col("id").as("c"), col("wd").as("wc")), Seq("c")))
+    val pairs = adj
+      .join(adj.select(col("c"), col("n").as("n2"), col("wt").as("wt2")),
+        Seq("c"))
+      .where(col("n") < col("n2"))
+      .select(col("n").as("src"), col("n2").as("dst"),
+        least(col("wt"), col("wt2")).as("mw"), col("wc"))
+    val scored = pairs.groupBy("src", "dst").agg(
+      count(lit(1)).as("common_neighbors"),
+      sum(col("mw")).as("cs_micro"),
+      sum(lit(1.0) /
+        log(lit(1.0) + col("wc").cast("double") / lit(1e6))).as("waa"))
+    scored
+      .join(undW.select(col("a").as("src"), col("b").as("dst")),
+        Seq("src", "dst"), "left_anti")
+      .orderBy(col("cs_micro").desc, round(col("waa"), digits).desc,
+        col("src"), col("dst"))
+      .limit(k)
+      .select(col("src"), col("dst"), col("common_neighbors"),
+        round(col("cs_micro").cast("double") / lit(1e6), digits)
+          .as("common_strength"),
+        round(col("waa"), digits).as("adamic_adar_weighted"))
+  }
 }

@@ -101,4 +101,52 @@ class LinkPredictSpec extends SparkSuite {
       }
     }
   }
+
+  test("weighted: bottleneck strength ranks a strongly-wired pair above " +
+      "a weakly-wired one with more mediators") {
+    import spark.implicits._
+    // Pair {x,y} wired through ONE strong center s (both edges weight
+    // 10 -> min 10); pair {u,v} through TWO weak centers w1, w2 (all
+    // edges weight 1 -> Σ min = 2). Unweighted CN would rank {u,v}
+    // first (2 > 1); the weighted rank inverts.
+    val e = Seq(
+      ("x", "s", 10.0), ("s", "y", 10.0),
+      ("u", "w1", 1.0), ("w1", "v", 1.0),
+      ("u", "w2", 1.0), ("w2", "v", 1.0)).toDF("src", "dst", "weight")
+    val got = LinkPredict.topCandidatesWeighted(e).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(got.head == (("x", "y", 1L, 10.0)))
+    assert(got(1) == (("u", "v", 2L, 2.0)))
+    // unweighted operator on the same graph ranks the pairs the other
+    // way — the two scores answer different questions
+    val unw = LinkPredict.topCandidates(e).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(unw.head == (("u", "v")))
+  }
+
+  test("weighted: same candidate set and counts as unweighted (the cap " +
+      "and adjacency exclusion are topological), strength >= count " +
+      "under unit weights") {
+    val rnd = new scala.util.Random(47)
+    val rows = (0 until 80).map(_ =>
+      (s"n${rnd.nextInt(16)}", s"n${rnd.nextInt(16)}"))
+    val e = edges(rows: _*) // all weights 1.0
+    // k large enough to keep every candidate: the two operators rank
+    // differently but must emit the SAME (src, dst, count) set — the
+    // pair space is a function of topology only
+    val unw = top(e, k = 10000).map(t => (t._1, t._2, t._3)).toSet
+    val w = LinkPredict.topCandidatesWeighted(e, k = 10000).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(w.map(t => (t._1, t._2, t._3)).toSet == unw)
+    // unit weights, but parallel/reversed duplicates SUM into the
+    // collapsed edge strength, so each mediator's min is >= 1 unit
+    assert(w.forall(t => t._4 >= t._3.toDouble),
+      "strength below count under unit weights — min() lost mass")
+    // adjacency exclusion holds
+    val undSet = rows.collect { case (s, d) if s != d =>
+      if (s < d) (s, d) else (d, s) }.toSet
+    assert(w.forall(t => !undSet.contains((t._1, t._2))))
+  }
 }
