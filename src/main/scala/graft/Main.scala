@@ -94,6 +94,12 @@ object Main {
       "link_predict [k] [nodes_csv] [edges_csv], " +
       "label_prop [iters] [nodes_csv] [edges_csv], " +
       "kcore [k] [nodes_csv] [edges_csv], " +
+      "triangles_weighted [nodes_csv] [edges_csv], " +
+      "triangles_approx [p_permille] [nodes_csv] [edges_csv], " +
+      "kcore_weighted [min_strength] [nodes_csv] [edges_csv], " +
+      "label_prop_weighted [iters] [nodes_csv] [edges_csv], " +
+      "link_predict_weighted [k] [nodes_csv] [edges_csv], " +
+      "link_predict_weighted_indexed <index_dir> [k], " +
       "structural_index <out_dir> [nodes_csv] [edges_csv], " +
       "triangles_indexed <index_dir>, " +
       "link_predict_indexed <index_dir> [k], " +
@@ -104,7 +110,7 @@ object Main {
       "pagerank_converged [damping] [tol] [max_iter]; pipelines: " +
       "dedup <in> <out> [exact|near|clean|spans|spans_occ|spans_clean] [k], " +
       "classify <in> <out> [label_col] [train_pct], " +
-      "ann <in> <out> [exact|lsh|ivf|q8|q8ivf|mrl] [nq] [k], " +
+      "ann <in> <out> [exact|lsh|ivf|q8|q8ivf|mrl|mrlivf] [nq] [k], " +
       "ivf_index <emb> <out> [nlist] [train_frac], " +
       "ivf_append <index_dir> <emb> <out_dir> [gen], " +
       "ivf_compact <index_dir> <out_dir>, " +
@@ -261,6 +267,92 @@ object Main {
         println(s"$k-core: ${stats.getLong(0)} nodes, " +
           s"max within-core degree ${if (stats.isNullAt(1)) 0
             else stats.getLong(1)}")
+      case "triangles_weighted" =>
+        // Weighted twin of `triangles` (r19 CLI surface for the r18
+        // operator): per-node triangle count + the summed edge
+        // strength of the node's triangles (micro-unit-exact).
+        val g = load(arg(0, DefaultNodes), arg(1, DefaultEdges))
+        val plan = Triangles.perNodeWeighted(g.edges)
+        val t = Checkpoints.materialize(plan)
+        Checkpoints.releaseAll(plan)
+        RankOutput.writeScoresText(
+          t.select(col("id"), col("strength").as("score")),
+          "outputs/Triangles/strength.txt")
+        println("Top 10 triangle strengths:")
+        t.orderBy(col("strength").desc, col("id")).limit(10).collect()
+          .foreach(row =>
+            println(s"('${row.getString(0)}', ${row.getDouble(2)})"))
+        Checkpoints.release(t)
+        println("Strengths written under outputs/Triangles/")
+      case "triangles_approx" =>
+        // DOULION sampled global triangle count; p_permille <= 0 (the
+        // default) derives the rate from the corpus's undirected edge
+        // count (Triangles.autoPPermille).
+        val g = load(arg(1, DefaultNodes), arg(2, DefaultEdges))
+        val p = intArg(0, "0", "p_permille")
+        val plan = Triangles.approxCount(g.edges, p)
+        val row = plan.head()
+        Checkpoints.releaseAll(plan) // sampled-projection checkpoints
+        println(s"DOULION triangle estimate (p = ${row.getInt(0)} permille): " +
+          s"sampled_edges=${row.getLong(1)}, " +
+          s"sampled_triangles=${row.getLong(2)}, " +
+          s"triangles_est=${row.getDouble(3)}")
+      case "kcore_weighted" =>
+        // Weighted (strength) core: peel by summed incident edge
+        // weight instead of degree — the high-engagement tier.
+        val g = load(arg(1, DefaultNodes), arg(2, DefaultEdges))
+        val minS = doubleArg(0, "1.0", "min_strength")
+        val core = KCore.runWeighted(g.edges, minS)
+        val stats = core.agg(count(lit(1)), max(col("core_strength"))).head()
+        Checkpoints.releaseAll(core)
+        println(s"strength-core (>= $minS): ${stats.getLong(0)} nodes, " +
+          s"max within-core strength ${if (stats.isNullAt(1)) 0.0
+            else stats.getDouble(1)}")
+      case "label_prop_weighted" =>
+        // Weighted majority: each labeled neighbor votes its edge
+        // strength instead of 1 (see `LabelProp.runWeighted`).
+        val g = load(arg(1, DefaultNodes), arg(2, DefaultEdges))
+        val iters = intArg(0, "4", "iters")
+        val seedsDf = g.nodes
+          .filter(graft.functions.GraftHash.graftHash(spark, col("id"))
+            % 100 < 30)
+          .select(col("id"), col("label"))
+        println(s"Label counts after $iters weighted rounds:")
+        val wPlan = LabelProp.runWeighted(spark, g.edges, seedsDf, iters)
+          .groupBy(coalesce(col("label"), lit("unlabeled")).as("label"))
+          .count().orderBy(col("label"))
+        val wRows = wPlan.collect()
+        Checkpoints.releaseAll(wPlan)
+        wRows.foreach(r => println(s"('${r.getString(0)}', ${r.getLong(1)})"))
+      case "link_predict_weighted" =>
+        // Strength-weighted missing-link ranking: bottleneck common
+        // strength + the 1/ln(1+strength) Adamic-Adar discount.
+        val g = load(arg(1, DefaultNodes), arg(2, DefaultEdges))
+        val k = intArg(0, "20", "k")
+        println(s"Top $k weighted link-prediction candidates " +
+          "(src, dst, common_neighbors, common_strength, " +
+          "adamic_adar_weighted):")
+        val wlpPlan = LinkPredict.topCandidatesWeighted(g.edges, k)
+        val wlpRows = wlpPlan.collect()
+        Checkpoints.releaseAll(wlpPlan)
+        wlpRows.foreach(r =>
+          println(s"('${r.getString(0)}', '${r.getString(1)}', " +
+            s"${r.getLong(2)}, ${r.getDouble(3)}, ${r.getDouble(4)})"))
+      case "link_predict_weighted_indexed" =>
+        // `link_predict_weighted` over a persisted structural index.
+        if (a.isEmpty) throw CliArgError(s"$cmd requires an index dir")
+        val k = intArg(1, "20", "k")
+        println(s"Top $k weighted link-prediction candidates " +
+          "(src, dst, common_neighbors, common_strength, " +
+          "adamic_adar_weighted):")
+        val wlpiPlan = LinkPredict.topCandidatesWeightedOn(
+          StructuralIndex.undirectedWeighted(spark, a(0)),
+          StructuralIndex.degrees(spark, a(0)), k)
+        val wlpiRows = wlpiPlan.collect()
+        Checkpoints.releaseAll(wlpiPlan)
+        wlpiRows.foreach(r =>
+          println(s"('${r.getString(0)}', '${r.getString(1)}', " +
+            s"${r.getLong(2)}, ${r.getDouble(3)}, ${r.getDouble(4)})"))
       case "structural_index" =>
         // Build-once half of the structural lifecycle: persist the
         // undirected simple projection + endpoint degrees the whole
@@ -304,10 +396,14 @@ object Main {
           println(s"('${r.getString(0)}', '${r.getString(1)}', " +
             s"${r.getLong(2)}, ${r.getDouble(3)})"))
       case "kcore_indexed" =>
-        // `kcore` over a persisted structural index.
+        // `kcore` over a persisted structural index — the stored
+        // degrees ARE round 0 and the bucketed layout co-partitions
+        // the first semi-join (KCore.runPreDegreed).
         if (a.isEmpty) throw CliArgError(s"$cmd requires an index dir")
         val k = intArg(1, "3", "k")
-        val core = KCore.runOn(StructuralIndex.undirected(spark, a(0)), k)
+        val core = KCore.runPreDegreed(
+          StructuralIndex.undirected(spark, a(0)),
+          StructuralIndex.degrees(spark, a(0)), k)
         val stats = core.agg(count(lit(1)), max(col("core_degree"))).head()
         Checkpoints.releaseAll(core)
         println(s"$k-core: ${stats.getLong(0)} nodes, " +
@@ -455,6 +551,7 @@ object Main {
           case "q8"    => Similarity.AnnStrategy.Q8
           case "q8ivf" => Similarity.AnnStrategy.Q8Ivf
           case "mrl"   => Similarity.AnnStrategy.Mrl
+          case "mrlivf" => Similarity.AnnStrategy.MrlIvf
           case s => throw CliArgError(s"Unknown ann strategy: $s")
         }
         Similarity.ann(spark.read.parquet(in), strategy,

@@ -455,8 +455,8 @@ object Oracles {
     * id) instead — a pure performance choice; the triangle SET is
     * order-independent). `2t/(d(d-1))` is exact-integer double
     * division on both engines, so round-9 values match bitwise. */
-  def triangles: String =
-    s"""WITH $edgesCte,
+  def triangles(graph: String = edgesCte): String =
+    s"""WITH $graph,
        |und AS MATERIALIZED (
        |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
        |  FROM edges WHERE src <> dst
@@ -489,17 +489,37 @@ object Oracles {
     * [[graft.operators.Triangles.approxCount]]: the identical
     * hash-gated edge sample (graft_hash coin — same subgraph on both
     * engines), triangles counted once each via the a<b ordered
-    * three-way self-join, scaled by (1000/p)³. */
-  def trianglesApprox(pPermille: Int = 250): String = {
+    * three-way self-join, scaled by (1000/p)³. `pPermille <= 0`
+    * replays the CORPUS-DERIVED rate
+    * ([[graft.operators.Triangles.autoPPermille]]): p = max(1,
+    * 1000 >> s) where s counts the exact-integer thresholds
+    * `baseEdges·8^i` the undirected edge count has passed — unrolled
+    * as `count(*)` comparisons, the `tableActivation` discipline, so
+    * one static SQL string replays the derivation at every scale.
+    * The (1000.0/p)·(1000.0/p)·(1000.0/p) scale factor mirrors the
+    * Scala `scale*scale*scale` association exactly. */
+  def trianglesApprox(pPermille: Int = 0,
+      baseEdges: Long = 16384): String = {
     val coin = GraftHash.duckdbSql("a || '|' || b || '|trisample'")
-    val scale = 1000.0 / pPermille
+    val pSql =
+      if (pPermille > 0) pPermille.toString
+      else {
+        // 1000 >> 10 already underflows to the 1-permille floor, so
+        // ten unrolled thresholds cover every corpus size
+        val steps = (0 until 10).map(i =>
+          s"(CASE WHEN (SELECT COUNT(*) FROM und) > " +
+            s"${baseEdges << (3 * i)} THEN 1 ELSE 0 END)")
+          .mkString(" + ")
+        s"greatest(1, 1000 // (1 << ($steps)))"
+      }
     s"""WITH $edgesCte,
        |und AS MATERIALIZED (
        |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
        |  FROM edges WHERE src <> dst
        |),
+       |pp AS MATERIALIZED (SELECT CAST($pSql AS INTEGER) AS p),
        |samp AS MATERIALIZED (
-       |  SELECT a, b FROM und WHERE $coin % 1000 < $pPermille
+       |  SELECT a, b FROM und WHERE $coin % 1000 < (SELECT p FROM pp)
        |),
        |t AS (
        |  SELECT CAST(COUNT(*) AS BIGINT) AS sampled_triangles
@@ -507,10 +527,13 @@ object Oracles {
        |  JOIN samp e2 ON e2.a = e1.a AND e2.b > e1.b
        |  JOIN samp e3 ON e3.a = e1.b AND e3.b = e2.b
        |)
-       |SELECT $pPermille AS p_permille,
+       |SELECT (SELECT p FROM pp) AS p_permille,
        |       (SELECT CAST(COUNT(*) AS BIGINT) FROM samp) AS sampled_edges,
        |       sampled_triangles,
-       |       round(sampled_triangles::DOUBLE * ${scale * scale * scale},
+       |       round(sampled_triangles::DOUBLE
+       |             * ((1000.0::DOUBLE / (SELECT p FROM pp))
+       |                * (1000.0::DOUBLE / (SELECT p FROM pp))
+       |                * (1000.0::DOUBLE / (SELECT p FROM pp))),
        |             6) AS triangles_est
        |FROM t""".stripMargin
   }
@@ -695,7 +718,8 @@ object Oracles {
     * deterministic majority. All counts are exact integers — no
     * floating point anywhere in the parity surface. */
   def labelProp(iters: Int = 4, seedPct: Int = 30,
-      weighted: Boolean = false): String = {
+      weighted: Boolean = false,
+      graph: String = s"$edgesCte,\n$nodesCte"): String = {
     // weighted: each neighbor's vote is its undirected edge strength
     // (micro-unit integer — [[trianglesWeighted]]'s projection) instead
     // of 1; same unroll, the aggregate swaps COUNT for SUM(wt)
@@ -731,8 +755,7 @@ object Oracles {
          |         SUM(CAST(round(w * 1000000.0::DOUBLE) AS BIGINT)) AS wt
          |  FROM edges WHERE src <> dst GROUP BY 1, 2
          |)""".stripMargin
-    s"""WITH $edgesCte,
-       |$nodesCte,
+    s"""WITH $graph,
        |$undCte,
        |sym AS MATERIALIZED (
        |  SELECT a AS src, b AS id, wt FROM und

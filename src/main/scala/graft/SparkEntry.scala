@@ -27,19 +27,32 @@ object SparkEntry {
   private val SearchTerms = Seq("spark", "query", "vector")
 
   /** Corpora whose persisted structural projection has been built in
-    * THIS JVM — the four `*_indexed` gates share one build per corpus
+    * THIS JVM — the `*_indexed` gates share one build per corpus
     * (that sharing is the index's entire point; a per-gate rebuild
     * would just re-prove the from-scratch gates). Keyed by index dir;
     * rebuilt on first touch each JVM so a stale on-disk index from an
-    * older code version can never leak into a gate. */
+    * older code version can never leak into a gate. The memo maps
+    * key → key and is populated through `computeIfAbsent` (ADVICE
+    * r18): the build runs under the per-key lock and the mapping is
+    * recorded only if `write` RETURNS — a concurrent gate on the same
+    * corpus blocks until the index is complete instead of reading a
+    * half-written one, and a failed build leaves no entry, so the
+    * next gate retries instead of inheriting a poisoned memo. */
   private val structIdxBuilt =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private def structIdxDir(s: SparkSession, dir: String): String = {
-    val idx = "target/graft-structidx-" + dir.replaceAll("[^a-zA-Z0-9]", "_")
-    if (structIdxBuilt.add(idx))
-      StructuralIndex.write(GraphIO.orderGraph(s, dir).edges, idx)
-    idx
+    // readable sanitized tail + graft hash of the RAW dir string, so
+    // two corpus dirs that sanitize alike (sf0.1 vs sf0_1) can never
+    // share an index (ADVICE r18)
+    val idx = "target/graft-structidx-" +
+      dir.replaceAll("[^a-zA-Z0-9]", "_") + "-" +
+      java.lang.Long.toHexString(graft.functions.GraftHash.hashUtf8(
+        org.apache.spark.unsafe.types.UTF8String.fromString(dir)))
+    structIdxBuilt.computeIfAbsent(idx, { k =>
+      StructuralIndex.write(GraphIO.orderGraph(s, dir).edges, k)
+      k
+    })
   }
 
   /** Probe values for the Count-Min gate: the search terms plus one
@@ -213,8 +226,10 @@ object SparkEntry {
         .orderBy(col("id"))),
     // DOULION sampled triangle count — the family's cheap 100 TB rung
     // (the ANN ladder philosophy applied to triangles): hash-gated
-    // quarter-sample of the undirected edges, wedge work ~p², count
-    // scaled by (1000/p)³; the twin replays the identical subgraph.
+    // edge sample at the CORPUS-DERIVED rate (autoPPermille — p halves
+    // per 8× edge growth, so expected sampled triangles stay put),
+    // wedge work ~p², count scaled by (1000/p)³; the twin replays both
+    // the derivation (count-threshold unroll) and the exact subgraph.
     "graph_triangles_approx" -> ((s, dir) =>
       Triangles.approxCount(GraphIO.orderGraph(s, dir).edges)),
     // Structural family on the EVENT graph — the natural skew gate:
@@ -229,6 +244,24 @@ object SparkEntry {
     "evt_graph_kcore" -> ((s, dir) =>
       KCore.run(GraphIO.eventGraph(s, dir).edges, 3)
         .orderBy(col("id"))),
+    // r19: the remaining structural pair on the event graph, so the
+    // whole family is proven on both graph derivations. Triangles are
+    // structurally ZERO on a bipartite graph — the gate certifies
+    // exactly that (every per-node count 0, clustering 0, under the
+    // hot-key in-degree skew), not a vacuous empty result.
+    "evt_graph_triangles" -> ((s, dir) =>
+      Triangles.perNode(GraphIO.eventGraph(s, dir).edges)
+        .orderBy(col("id"))),
+    "evt_graph_label_prop" -> ((s, dir) => {
+      val g = GraphIO.eventGraph(s, dir)
+      val seeds = g.nodes
+        .filter(GraftHash.graftHash(s, col("id")) % 100 < 30)
+        .select(col("id"), col("label"))
+      LabelProp.run(s, g.edges, seeds, 4)
+        .select(col("id"),
+          coalesce(col("label"), lit("unlabeled")).as("label"))
+        .orderBy(col("id"))
+    }),
     // weighted majority: a high-engagement neighbor outvotes many weak
     // ones — votes are integer micro-unit edge strengths, so every
     // round is exactly replayed by the unrolled twin
@@ -284,7 +317,11 @@ object SparkEntry {
     }),
     "graph_kcore_indexed" -> ((s, dir) => {
       val idx = structIdxDir(s, dir)
-      KCore.runOn(StructuralIndex.undirected(s, idx), 3)
+      // the index IS round 0: stored degrees replace the peel's first
+      // (full-edge-list) aggregate, and the bucketed layout makes the
+      // a-side semi-join exchange-free — see KCore.runPreDegreed
+      KCore.runPreDegreed(StructuralIndex.undirected(s, idx),
+          StructuralIndex.degrees(s, idx), 3)
         .orderBy(col("id"))
     }),
     // the index stores the WEIGHTED projection (the unweighted readers
@@ -1557,7 +1594,11 @@ object SparkEntry {
     "salsa_query_dependent" -> Oracles.salsaQueryDependent(Topic),
     "topics_list" -> Oracles.topicsList,
     "graph_degrees" -> Oracles.degrees,
-    "graph_triangles" -> Oracles.triangles,
+    "graph_triangles" -> Oracles.triangles(),
+    "evt_graph_triangles" ->
+      Oracles.triangles(graph = Oracles.eventGraphCtes),
+    "evt_graph_label_prop" ->
+      Oracles.labelProp(graph = Oracles.eventGraphCtes),
     "graph_link_predict" -> Oracles.linkPredict(),
     "graph_label_prop" -> Oracles.labelProp(),
     "graph_kcore" -> Oracles.kCore(),
@@ -1572,7 +1613,7 @@ object SparkEntry {
       Oracles.linkPredict(graph = Oracles.eventGraphCtes),
     "evt_graph_kcore" -> Oracles.kCore(graph = Oracles.eventGraphCtes),
     "graph_link_predict_weighted" -> Oracles.linkPredictWeighted(),
-    "graph_triangles_indexed" -> Oracles.triangles,
+    "graph_triangles_indexed" -> Oracles.triangles(),
     "graph_link_predict_indexed" -> Oracles.linkPredict(),
     "graph_label_prop_indexed" -> Oracles.labelProp(),
     "graph_kcore_indexed" -> Oracles.kCore(),

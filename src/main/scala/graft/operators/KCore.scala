@@ -43,9 +43,36 @@ object KCore {
     * a lazy plan). Bit-equal to the from-scratch path; the
     * `*_indexed` gate shares its oracle verbatim. */
   def runOn(und: DataFrame, k: Int, maxRounds: Int = 24): DataFrame = {
+    val e0 = Checkpoints.materialize(und.select(col("a"), col("b")))
+    peel(e0, Triangles.degrees(e0), k, maxRounds)
+  }
+
+  /** The peel over a STABLE projection whose degrees are ALREADY
+    * materialized — the persisted [[StructuralIndex]] fast path.
+    * Round 0's degree aggregate over the full edge list is the peel's
+    * single most expensive stage and is exactly what the index stores
+    * (`deg` MUST be [[Triangles.degrees]] of `und` — the contract the
+    * shared-oracle gates prove), so it is read, not recomputed; and
+    * because the index buckets `und` by `a` and `deg` by `id` with
+    * the shuffle-partition bucket count, round 0's `a`-side semi-join
+    * starts co-partitioned on BOTH sides — the only exchange left in
+    * round 0 is the edge list's `b`-side redistribution
+    * (`CatalystSpec` pins the plan shape). `und` must be cheap to
+    * re-scan (a table/parquet scan): round 0 reads it twice instead
+    * of copying it through a checkpoint first. Later rounds shrink
+    * and are checkpointed exactly as [[runOn]]; results are
+    * bit-equal. */
+  def runPreDegreed(und: DataFrame, deg: DataFrame, k: Int,
+      maxRounds: Int = 24): DataFrame =
+    peel(und.select(col("a"), col("b")),
+      deg.select(col("id"), col("deg")), k, maxRounds)
+
+  private def peel(e0: DataFrame, deg0: DataFrame, k: Int,
+      maxRounds: Int): DataFrame = {
     require(k >= 1, s"need k >= 1, got $k")
     require(maxRounds >= 1, s"need maxRounds >= 1, got $maxRounds")
-    var e = Checkpoints.materialize(und.select(col("a"), col("b")))
+    var e = e0
+    var deg = deg0 // == degrees(e) at every round boundary
     var n = e.count()
     // `rounds` counts SHRINKING rounds only: the pass that observes
     // `m == n` certifies convergence without consuming budget, so a
@@ -56,8 +83,7 @@ object KCore {
     var rounds = 0
     var converged = n == 0L
     while (!converged) {
-      val keep = Triangles.degrees(e).where(col("deg") >= k)
-        .select(col("id"))
+      val keep = deg.where(col("deg") >= k).select(col("id"))
       val next = Checkpoints.materialize(
         e.join(keep.withColumnRenamed("id", "a"), Seq("a"), "left_semi")
           .join(keep.withColumnRenamed("id", "b"), Seq("b"), "left_semi")
@@ -69,7 +95,9 @@ object KCore {
           s"k-core peel did not converge within $maxRounds shrinking " +
             "rounds (raise maxRounds; the SQL oracle unrolls the same " +
             "bound)")
-        Checkpoints.release(e); e = next; n = m; rounds += 1
+        Checkpoints.release(e) // no-op when e is the stable round-0 input
+        e = next; n = m; rounds += 1
+        deg = Triangles.degrees(e)
       }
     }
     Triangles.degrees(e)

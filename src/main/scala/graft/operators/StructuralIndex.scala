@@ -2,7 +2,8 @@ package graft.operators
 
 import graft.Checkpoints
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Persisted structural projection — the build-once half of the
   * structural family's lifecycle.
@@ -17,14 +18,35 @@ import org.apache.spark.sql.functions.col
   * prediction on one graph pays the same corpus-wide
   * distinct-exchange three extra times (VERDICT r17 missing #3).
   *
-  * This object persists the pair as parquet once
-  * (`undirected.parquet`, `degrees.parquet`) and the operators' `*On`
-  * entry points consume it directly — the `band_index` / `ivf_index`
-  * lifecycle pattern, with the same proof shape: the `*_indexed`
-  * gates share the from-scratch gates' DuckDB oracles VERBATIM, so
-  * the persisted path is bit-equal to the recomputed one (edge ids
-  * and integer degrees round-trip parquet exactly; nothing floating
-  * lives in the index).
+  * This object persists the pair as BUCKETED parquet tables (r19 —
+  * the `graph_bucketed_write` kernel-layout pattern applied to the
+  * structural family): `und` is bucketed+sorted by `a` and `deg` by
+  * `id`, with one bucket per shuffle partition, so a consumer joining
+  * or semi-joining on those keys starts CO-PARTITIONED — the scan
+  * itself is the exchange. That is exactly the k-core peel's round-0
+  * shape ([[KCore.runPreDegreed]]): the stored degrees ARE round 0's
+  * degree aggregate, and the `a`-side semi-join of the edge list
+  * against the surviving-node set runs exchange-free
+  * (`CatalystSpec` asserts the dropped Exchange). The r18 unbucketed
+  * parquet layout had `graph_kcore_indexed` SLOWER than from-scratch
+  * at 100× (17.2 vs 13.7 s — VERDICT r18 wrong #2) because the peel
+  * re-shuffled the parquet-read edge list anyway.
+  *
+  * The operators' `*On` entry points consume the tables directly —
+  * the `band_index` / `ivf_index` lifecycle pattern, with the same
+  * proof shape: the `*_indexed` gates share the from-scratch gates'
+  * DuckDB oracles VERBATIM, so the persisted path is bit-equal to the
+  * recomputed one (edge ids and integer degrees/strengths round-trip
+  * parquet exactly; nothing floating lives in the index).
+  *
+  * Catalog lifecycle: Spark keeps bucket metadata in the session
+  * catalog, not in the parquet files, so a FRESH JVM re-attaches the
+  * index by re-registering an external `CLUSTERED BY` table over the
+  * persisted path — the bucket count needed for that round-trip is
+  * persisted alongside the data (`meta.parquet`). Readers do this
+  * transparently ([[attach]]); a shell user can therefore
+  * `structural_index` once and run `*_indexed` verbs from later
+  * processes, like any real index.
   *
   * Invalidation contract: the index is a pure function of the edge
   * list, so any edge mutation invalidates it wholesale — rebuild, no
@@ -35,39 +57,99 @@ import org.apache.spark.sql.functions.col
   * an operator needs it). */
 object StructuralIndex {
 
-  /** Build and persist the projection: `undirected.parquet` (a, b, wt)
-    * and `degrees.parquet` (id, deg). The stored edge set carries the
-    * micro-unit edge STRENGTH ([[Triangles.undirectedWeighted]] — its
-    * `(a, b)` key set is exactly [[Triangles.undirected]]'s, since the
-    * weighted groupBy and the unweighted distinct share the key), so
-    * ONE index serves both the unweighted operators (which project the
-    * weight away) and the weighted ones. The weighted set is
-    * materialized once and feeds both writes (degrees derive from it —
-    * one extra hash agg, no second corpus scan), then released. */
-  def write(edges: DataFrame, dir: String): Unit = {
+  /** Deterministic catalog identifier for the index at `dir`: a
+    * readable sanitized tail plus the graft hash of the FULL raw
+    * path, so two dirs that sanitize alike (`sf0.1` vs `sf0_1`) can
+    * never share a table (ADVICE r18). */
+  private def tableName(dir: String, part: String): String = {
+    val tail = dir.replaceAll("[^a-zA-Z0-9]", "_").takeRight(40)
+    val h = java.lang.Long.toHexString(
+      graft.functions.GraftHash.hashUtf8(UTF8String.fromString(dir)))
+    s"graft_structidx_${tail}_${h}_$part"
+  }
+
+  private def qualified(spark: SparkSession, path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.makeQualified(p).toString
+  }
+
+  /** Build and persist the projection under `dir`: `und` (a, b, wt —
+    * bucketed by `a`) and `deg` (id, deg — bucketed by `id`), plus
+    * `meta.parquet` carrying the bucket count for cross-JVM
+    * re-attachment. The stored edge set carries the micro-unit edge
+    * STRENGTH ([[Triangles.undirectedWeighted]] — its `(a, b)` key set
+    * is exactly [[Triangles.undirected]]'s, since the weighted groupBy
+    * and the unweighted distinct share the key), so ONE index serves
+    * both the unweighted operators (which project the weight away; the
+    * pruning reaches the scan) and the weighted ones. The weighted set
+    * is materialized once and feeds both writes (degrees derive from
+    * it — one extra hash agg, no second corpus scan), then released.
+    *
+    * `buckets <= 0` (the default) sizes the layout to
+    * `spark.sql.shuffle.partitions`, so the bucket hash matches the
+    * shuffle hash of every downstream join — the
+    * `graph_bucketed_write` sizing rule. */
+  def write(edges: DataFrame, dir: String, buckets: Int = 0): Unit = {
+    val spark = edges.sparkSession
+    val n = if (buckets > 0) buckets
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt
     val undW = Checkpoints.materialize(Triangles.undirectedWeighted(edges))
-    undW.write.mode("overwrite").parquet(s"$dir/undirected.parquet")
-    Triangles.degrees(undW)
-      .write.mode("overwrite").parquet(s"$dir/degrees.parquet")
+    writePart(spark, undW, dir, "und", "a", n)
+    writePart(spark, Triangles.degrees(undW), dir, "deg", "id", n)
     Checkpoints.release(undW)
+    spark.range(1).select(lit(n).as("buckets"))
+      .write.mode("overwrite").parquet(s"$dir/meta.parquet")
+  }
+
+  private def writePart(spark: SparkSession, df: DataFrame, dir: String,
+      part: String, key: String, buckets: Int): Unit = {
+    val t = tableName(dir, part)
+    // A stale catalog entry from an earlier build of the same dir (or
+    // an orphan warehouse table from a dropped external path) blocks
+    // saveAsTable — drop first, the writeBucketedGraph discipline.
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    df.write.mode("overwrite").bucketBy(buckets, key).sortBy(key)
+      .option("path", qualified(spark, s"$dir/$part"))
+      .saveAsTable(t)
+  }
+
+  /** The `part` table of the index at `dir`, re-registered in this
+    * session's catalog if a previous JVM wrote it (bucket metadata
+    * lives in the catalog, not the files — the external
+    * `CLUSTERED BY ... LOCATION` round-trip restores it from the
+    * persisted bucket count). */
+  private def attach(spark: SparkSession, dir: String,
+      part: String, key: String): DataFrame = synchronized {
+    val t = tableName(dir, part)
+    if (!spark.catalog.tableExists(t)) {
+      val path = qualified(spark, s"$dir/$part")
+      val buckets = spark.read.parquet(s"$dir/meta.parquet")
+        .head().getInt(0)
+      val ddl = spark.read.parquet(path).schema.toDDL
+      spark.sql(s"CREATE TABLE $t ($ddl) USING PARQUET " +
+        s"CLUSTERED BY ($key) SORTED BY ($key) INTO $buckets BUCKETS " +
+        s"LOCATION '$path'")
+    }
+    spark.table(t)
   }
 
   /** The persisted undirected simple edge set `(a, b)` — the weight
     * column projected away (column pruning reaches the parquet scan,
-    * so the unweighted consumers never read it). */
+    * so the unweighted consumers never read it). Bucketed by `a`. */
   def undirected(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/undirected.parquet")
-      .select(col("a"), col("b"))
+    attach(spark, dir, "und", "a").select(col("a"), col("b"))
 
   /** The persisted WEIGHTED edge set `(a, b, wt)` (micro-unit
     * strengths) — input shape of [[Triangles.perNodeWeightedOn]],
-    * [[KCore.runWeightedOn]] and [[LabelProp.runWeightedOn]]. */
+    * [[KCore.runWeightedOn]], [[LabelProp.runWeightedOn]] and
+    * [[LinkPredict.topCandidatesWeightedOn]]. Bucketed by `a`. */
   def undirectedWeighted(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/undirected.parquet")
-      .select(col("a"), col("b"), col("wt"))
+    attach(spark, dir, "und", "a").select(col("a"), col("b"), col("wt"))
 
-  /** The persisted endpoint degrees `(id, deg)`. */
+  /** The persisted endpoint degrees `(id, deg)`. Bucketed by `id` —
+    * round 0 of the k-core peel reads this INSTEAD of re-aggregating
+    * the edge list ([[KCore.runPreDegreed]]). */
   def degrees(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/degrees.parquet")
-      .select(col("id"), col("deg"))
+    attach(spark, dir, "deg", "id").select(col("id"), col("deg"))
 }

@@ -147,6 +147,43 @@ class CatalystSpec extends SparkSuite {
     }
   }
 
+  test("structural index: the indexed k-core round-0 semi-join chain " +
+      "plans with at most one exchange (bucketed und/deg scans)") {
+    import spark.implicits._
+    import graft.operators.StructuralIndex
+    val g = Seq(("a", "b", 1.0), ("b", "c", 1.0), ("c", "a", 1.0),
+      ("c", "d", 1.0), ("d", "e", 1.0)).toDF("src", "dst", "weight")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-structidx-plan").toString
+    StructuralIndex.write(g, dir) // bucket count = shuffle partitions
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // round 0 of KCore.runPreDegreed, exactly as the gate plans it:
+      // stored degrees as the keep set (no degree aggregate at all),
+      // und bucketed by a / deg by id with the same bucket count — the
+      // a-side semi-join is co-partitioned on BOTH sides, so the only
+      // exchange left is the edge list's b-side redistribution
+      val und = StructuralIndex.undirected(spark, dir)
+      val keep = StructuralIndex.degrees(spark, dir)
+        .where(col("deg") >= 2).select(col("id"))
+      val round0 = und
+        .join(keep.withColumnRenamed("id", "a"), Seq("a"), "left_semi")
+        .join(keep.withColumnRenamed("id", "b"), Seq("b"), "left_semi")
+      val plan = round0.queryExecution.executedPlan.toString
+      val exchanges = plan.split("\n").count(_.contains("Exchange"))
+      assert(exchanges <= 1, s"expected <=1 exchange, plan:\n$plan")
+      assert(plan.contains("Bucketed: true"), s"bucketed scans unused:\n$plan")
+      // and the peel itself returns the right core
+      val core = graft.operators.KCore.runPreDegreed(und,
+          StructuralIndex.degrees(spark, dir), 2)
+        .collect().map(_.getString(0)).toSet
+      assert(core == Set("a", "b", "c"))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
+  }
+
   test("runBucketed matches Hits.run and the kernel join shape plans " +
       "zero edge-side exchange over the bucketed layout") {
     val g = graph(Seq(("a", "c", 1.0), ("a", "d", 1.0), ("b", "c", 1.0),

@@ -60,6 +60,12 @@ class MainCliSpec extends SparkSuite {
     val got = spark.read.parquet(out).collect()
     assert(got.map(_.getLong(0)).toSet == Set(0L, 1L, 2L))
     assert(got.forall(r => r.getInt(1) >= 1 && r.getInt(1) <= 2))
+    // the composed dimension-axis rung is CLI-reachable too
+    val outC = s"$tmp/ann_mrlivf_out"
+    Main.run(spark, "ann", Array(embPath, outC, "mrlivf", "3", "2"))
+    val gotC = spark.read.parquet(outC).collect()
+    assert(gotC.map(_.getLong(0)).toSet == Set(0L, 1L, 2L))
+    assert(gotC.forall(r => r.getInt(1) >= 1 && r.getInt(1) <= 2))
   }
 
   test("ivf_index + ann_persisted verbs: persisted probe equals the " +
@@ -302,21 +308,36 @@ class MainCliSpec extends SparkSuite {
     intercept[Main.CliArgError] {
       Main.run(spark, "kcore", Array("not_a_number", nodes, edges))
     }
+    // the weighted family + the sampled triangle rung, end to end
+    Main.run(spark, "triangles_weighted", Array(nodes, edges))
+    Main.run(spark, "triangles_approx", Array("0", nodes, edges))
+    Main.run(spark, "triangles_approx", Array("1000", nodes, edges))
+    Main.run(spark, "kcore_weighted", Array("2.0", nodes, edges))
+    Main.run(spark, "label_prop_weighted", Array("2", nodes, edges))
+    Main.run(spark, "link_predict_weighted", Array("5", nodes, edges))
+    intercept[Main.CliArgError] {
+      Main.run(spark, "kcore_weighted", Array("nan?", nodes, edges))
+    }
     // persisted-projection lifecycle: build once, every indexed verb
     // consumes it (no rebuild); missing index dir arg fails loudly
     val idx = s"$tmp/struct_idx"
     Main.run(spark, "structural_index", Array(idx, nodes, edges))
-    assert(new java.io.File(s"$idx/undirected.parquet").isDirectory)
-    assert(new java.io.File(s"$idx/degrees.parquet").isDirectory)
+    assert(new java.io.File(s"$idx/und").isDirectory)
+    assert(new java.io.File(s"$idx/deg").isDirectory)
+    assert(new java.io.File(s"$idx/meta.parquet").isDirectory)
     Main.run(spark, "triangles_indexed", Array(idx))
     Main.run(spark, "link_predict_indexed", Array(idx, "5"))
     Main.run(spark, "kcore_indexed", Array(idx, "2"))
     Main.run(spark, "label_prop_indexed", Array(idx, "2", nodes))
+    Main.run(spark, "link_predict_weighted_indexed", Array(idx, "5"))
     intercept[Main.CliArgError] {
       Main.run(spark, "structural_index", Array.empty[String])
     }
     intercept[Main.CliArgError] {
       Main.run(spark, "triangles_indexed", Array.empty[String])
+    }
+    intercept[Main.CliArgError] {
+      Main.run(spark, "link_predict_weighted_indexed", Array.empty[String])
     }
   }
 

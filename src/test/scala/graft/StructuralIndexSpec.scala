@@ -88,6 +88,52 @@ class StructuralIndexSpec extends SparkSuite {
       .orderBy(col("id")).collect().toSeq
     assert(indexed == direct)
     assert(direct.map(_.getString(0)).toSet == Set("a", "b", "c", "d"))
+    // the fast path — stored degrees as round 0, stable-scan input —
+    // is bit-equal too (the graph_kcore_indexed gate's actual shape)
+    val pre = KCore.runPreDegreed(StructuralIndex.undirected(spark, dir),
+        StructuralIndex.degrees(spark, dir), 2)
+      .orderBy(col("id")).collect().toSeq
+    assert(pre == direct)
+    // also at a threshold where round 0 peels nothing (k = 1: the
+    // projection has no isolated endpoints, so the first pass must
+    // certify convergence straight off the stored degrees)
+    val pre1 = KCore.runPreDegreed(StructuralIndex.undirected(spark, dir),
+        StructuralIndex.degrees(spark, dir), 1)
+      .orderBy(col("id")).collect().toSeq
+    val direct1 = KCore.run(g, 1).orderBy(col("id")).collect().toSeq
+    assert(pre1 == direct1)
+  }
+
+  test("topCandidatesWeightedOn over the index equals from scratch") {
+    val dir = idxDir("lpw")
+    val direct = LinkPredict.topCandidatesWeighted(g, k = 10)
+      .collect().toSeq
+    val indexed = LinkPredict.topCandidatesWeightedOn(
+      StructuralIndex.undirectedWeighted(spark, dir),
+      StructuralIndex.degrees(spark, dir), k = 10).collect().toSeq
+    assert(indexed == direct)
+  }
+
+  test("a fresh catalog re-attaches the persisted index (cross-JVM " +
+      "lifecycle): dropping the session tables must not lose the index") {
+    val dir = idxDir("reattach")
+    val before = StructuralIndex.degrees(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // simulate a new JVM: the catalog forgets the tables, the files
+    // and the persisted bucket count remain
+    spark.catalog.listTables().collect()
+      .filter(_.name.contains("reattach"))
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS ${t.name}"))
+    val after = StructuralIndex.degrees(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(after == before)
+    // and the re-registered table still carries the bucketed layout
+    val tbl = spark.catalog.listTables().collect()
+      .map(_.name).filter(t => t.contains("reattach") && t.endsWith("_deg"))
+    assert(tbl.nonEmpty)
+    val ddl = spark.sql(s"SHOW CREATE TABLE ${tbl.head}")
+      .head().getString(0)
+    assert(ddl.toLowerCase.contains("clustered by"), ddl)
   }
 
   test("runOn (label prop) over the index equals run from scratch") {

@@ -109,6 +109,28 @@ class TrianglesSpec extends SparkSuite {
       s"estimate $est implausible for true 1140")
     // determinism: the hash gate makes repeated runs identical
     assert(Triangles.approxCount(k20, pPermille = 500).head() == half)
+    // derived default (pPermille <= 0): K20's 190 edges sit far below
+    // baseEdges, so the derivation picks p = 1000 — the exact count
+    val derived = Triangles.approxCount(k20).head()
+    assert(derived.getInt(0) == 1000)
+    assert(derived == exactRow)
+  }
+
+  test("autoPPermille: p halves per 8x edge growth past baseEdges, " +
+      "clamped to [1, 1000] — expected sampled triangles stay put") {
+    import graft.operators.Triangles.autoPPermille
+    assert(autoPPermille(11259) == 1000)   // sf0.001: at/below base
+    assert(autoPPermille(16384) == 1000)   // boundary inclusive
+    assert(autoPPermille(16385) == 500)    // first threshold passed
+    assert(autoPPermille(119383) == 500)   // sf0.01
+    assert(autoPPermille(1201843) == 125)  // sf0.1: three thresholds
+    assert(autoPPermille(Long.MaxValue / 2) == 1) // floor, never 0
+    // the invariant the rule encodes: m·p³ roughly constant — one 8×
+    // growth step multiplies m by 8 and divides p³ by 8
+    val m0 = 20000L
+    val p0 = autoPPermille(m0)
+    val p1 = autoPPermille(m0 * 8)
+    assert(p1 * 2 == p0)
   }
 
   test("weighted strength: counts match perNode; strength matches " +
