@@ -346,8 +346,8 @@ object Main {
           "(src, dst, common_neighbors, common_strength, " +
           "adamic_adar_weighted):")
         val wlpiPlan = LinkPredict.topCandidatesWeightedOn(
-          StructuralIndex.undirectedWeighted(spark, a(0)),
-          StructuralIndex.degrees(spark, a(0)), k)
+          StructuralIndex.undirectedWeighted(spark, a(0), bucketed = false),
+          StructuralIndex.degrees(spark, a(0), bucketed = false), k)
         val wlpiRows = wlpiPlan.collect()
         Checkpoints.releaseAll(wlpiPlan)
         wlpiRows.foreach(r =>
@@ -388,8 +388,8 @@ object Main {
         println(s"Top $k link-prediction candidates " +
           "(src, dst, common_neighbors, adamic_adar):")
         val plan = LinkPredict.topCandidatesOn(
-          StructuralIndex.undirected(spark, a(0)),
-          StructuralIndex.degrees(spark, a(0)), k)
+          StructuralIndex.undirected(spark, a(0), bucketed = false),
+          StructuralIndex.degrees(spark, a(0), bucketed = false), k)
         val rows = plan.collect()
         Checkpoints.releaseAll(plan)
         rows.foreach(r =>

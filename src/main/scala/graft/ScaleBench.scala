@@ -581,7 +581,15 @@ object ScaleBench {
     //  - "winnowbook" — the chunked-winnow path on genuinely
     //    over-limit documents (>2^20 grams each, 2 chunks/doc): base
     //    vs 10× docs of the same length — the ratio must track the
-    //    token-scan floor (r16 made winnow total; this measures it).
+    //    token-scan floor (r16 made winnow total; this measures it);
+    //  - "mrlivf" — the MRL×IVF composed rung's full-vector READ
+    //    FRACTION under deployment sizing (autoNlist + autoMrlIvfCand)
+    //    at base vs reps× embeddings — must FALL with N while the
+    //    plain mrl pool stays a constant 1/5 (r19, VERDICT r18 #1);
+    //  - "doulion" — DOULION estimate error + walls at the DERIVED
+    //    sampling rate on base vs uniform reps× order graphs — the
+    //    error band is scale-invariant by the p³·T ≈ const derivation
+    //    (r19, VERDICT r18 #6).
     val mode = if (args.length > 3) args(3) else "all"
     val order = if (mode.startsWith("seed:"))
       new scala.util.Random(mode.stripPrefix("seed:").toLong).shuffle(queries)
@@ -1301,6 +1309,85 @@ object ScaleBench {
         f""""nlist":$nlist,"wall_sec":$wall%.1f,""" +
         row("ivf_appended") + "," + row("ivf_fresh") + "," +
         row("cells_appended") + "," + row("cells_fresh") + "}")
+    } else if (mode == "mrlivf") {
+      // MRL×IVF READ-FRACTION evidence (VERDICT r18 next #1): under
+      // deployment sizing (nlist = autoNlist ∝ √N) the composed rung's
+      // full-vector rerank pool (autoMrlIvfCand ∝ nprobe·√N/2) must
+      // FALL as a corpus fraction while the plain mrl rung's
+      // autoMrlCand pool stays a constant 1/5 of the corpus — the
+      // linear asymptote the composition retires. Corpora: base
+      // embeddings and a reps× id-shifted replication; recall measured
+      // against the exact rung at the same derived sizing (replicas
+      // are exact duplicates, which co-locate in one cell — the
+      // composed rung must still find them).
+      val dir = s"$outDir-mrlivf$reps"
+      val baseEmb = spark.read.parquet(s"$baseDir/embeddings.parquet")
+      val baseN = baseEmb.count()
+      if (!new java.io.File(s"$dir/embeddings.parquet/_SUCCESS").exists()) {
+        (0 until reps).map(r =>
+          baseEmb.withColumn("vec_id", col("vec_id") + lit(r * baseN)))
+          .reduce(_ unionAll _)
+          .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      }
+      def leg(d: String): String = {
+        val emb = GraphIO.embeddings(spark, d)
+        val n = emb.count()
+        val nlist = pipelines.Similarity.autoNlist(n)
+        val pool = pipelines.Similarity.autoMrlIvfCand(n, 5, nlist, 4)
+        val mrlPool = pipelines.Similarity.autoMrlCand(n, 5)
+        val exactPlan = pipelines.Similarity.annTopK(emb, 10, 5)
+        val exact = exactPlan.collect()
+          .map(r => (r.getLong(0), r.getLong(2))).toSet
+        Checkpoints.releaseAll(exactPlan)
+        val plan = pipelines.Similarity.annTopKMrlIvf(emb, 10, 5,
+          nlist = nlist)
+        val t0 = System.nanoTime()
+        val got = plan.collect()
+        val wall = (System.nanoTime() - t0) / 1e9
+        Checkpoints.releaseAll(plan)
+        val hits = got.count(r => exact((r.getLong(0), r.getLong(2))))
+        f""""n":$n,"nlist":$nlist,"pool":$pool,""" +
+          f""""read_frac":${pool.toDouble / n}%.4f,"mrl_pool":$mrlPool,""" +
+          f""""mrl_read_frac":${mrlPool.toDouble / n}%.4f,""" +
+          f""""recall":${hits / 50.0}%.2f,"wall":$wall%.1f"""
+      }
+      println(s"""{"metric":"mrlivf","reps":$reps,""" +
+        s""""base":{${leg(baseDir)}},"scaled":{${leg(dir)}}}""")
+    } else if (mode == "doulion") {
+      // DOULION ESTIMATE-ERROR-vs-p evidence (VERDICT r18 next #6): on
+      // the base corpus and the uniform reps× corpus, the exact
+      // triangle count vs approxCount at the corpus-DERIVED rate
+      // (autoPPermille) — the relative error should stay inside the
+      // ~1/sqrt(p³T) band (the derivation holds p³T ≈ constant, so the
+      // band is scale-invariant by design) while the approx wall
+      // shrinks relative to exact as p falls.
+      val uniDir = s"$outDir-unikernel$reps"
+      ensureOrderCorpus(spark, baseDir, uniDir, reps, hotTenths = 0)
+      def leg(d: String): String = {
+        val edges = GraphIO.orderGraph(spark, d).edges
+        val exactPlan = Triangles.perNode(edges)
+        val t0 = System.nanoTime()
+        val truth = exactPlan
+          .agg(expr("coalesce(sum(triangles), bigint(0)) div 3"))
+          .head().getLong(0)
+        val wallExact = (System.nanoTime() - t0) / 1e9
+        Checkpoints.releaseAll(exactPlan)
+        val approxPlan = Triangles.approxCount(edges)
+        val t1 = System.nanoTime()
+        val row = approxPlan.head()
+        val wallApprox = (System.nanoTime() - t1) / 1e9
+        Checkpoints.releaseAll(approxPlan)
+        GraphIO.evict(spark, d)
+        val est = row.getDouble(3)
+        val err = if (truth == 0) 0.0
+          else math.abs(est - truth) / truth * 100
+        f""""p":${row.getInt(0)},"sampled_edges":${row.getLong(1)},""" +
+          f""""sampled_triangles":${row.getLong(2)},"true":$truth,""" +
+          f""""est":$est%.0f,"err_pct":$err%.2f,""" +
+          f""""wall_exact":$wallExact%.1f,"wall_approx":$wallApprox%.1f"""
+      }
+      println(s"""{"metric":"doulion","reps":$reps,""" +
+        s""""base":{${leg(baseDir)}},"scaled":{${leg(uniDir)}}}""")
     } else if (mode != "train") {
       def benchOrdered(dir: String): Map[String, Double] = benchDir(dir, order)
       val base = benchOrdered(baseDir)
@@ -1319,7 +1406,8 @@ object ScaleBench {
         mode == "skewkernel" || mode == "skewtri" ||
         mode == "skewstruct" || mode == "structidx" ||
         mode == "skewdedup" || mode == "incdelta" ||
-        mode == "skewbudget" || mode == "skewstream") {
+        mode == "skewbudget" || mode == "skewstream" ||
+        mode == "mrlivf" || mode == "doulion") {
       spark.stop(); return
     }
     // trainFraction evidence. The testdata embedding table (2k-20k

@@ -134,22 +134,42 @@ object StructuralIndex {
     spark.table(t)
   }
 
+  /** One part of the index, bucket-aware or plain: `bucketed = false`
+    * reads the SAME parquet files without re-attaching the bucket
+    * metadata. Bucket info pins every join touching the scan to the
+    * fixed bucket-partition layout and disables AQE's re-planning on
+    * it — a win when the consumer's joins are ON the bucket key (the
+    * k-core peel), a measured loss when the first thing the consumer
+    * does is union/re-key the scan so the join is NOT bucket-aligned
+    * (link prediction's center join: 1.65× slower with metadata at
+    * sf0.1). Consumers choose; the data is one physical copy. */
+  private def part(spark: SparkSession, dir: String, name: String,
+      key: String, bucketed: Boolean): DataFrame =
+    if (bucketed) attach(spark, dir, name, key)
+    else spark.read.parquet(qualified(spark, s"$dir/$name"))
+
   /** The persisted undirected simple edge set `(a, b)` — the weight
     * column projected away (column pruning reaches the parquet scan,
-    * so the unweighted consumers never read it). Bucketed by `a`. */
-  def undirected(spark: SparkSession, dir: String): DataFrame =
-    attach(spark, dir, "und", "a").select(col("a"), col("b"))
+    * so the unweighted consumers never read it). Bucketed by `a`
+    * unless `bucketed = false` (see [[part]]). */
+  def undirected(spark: SparkSession, dir: String,
+      bucketed: Boolean = true): DataFrame =
+    part(spark, dir, "und", "a", bucketed).select(col("a"), col("b"))
 
   /** The persisted WEIGHTED edge set `(a, b, wt)` (micro-unit
     * strengths) — input shape of [[Triangles.perNodeWeightedOn]],
     * [[KCore.runWeightedOn]], [[LabelProp.runWeightedOn]] and
-    * [[LinkPredict.topCandidatesWeightedOn]]. Bucketed by `a`. */
-  def undirectedWeighted(spark: SparkSession, dir: String): DataFrame =
-    attach(spark, dir, "und", "a").select(col("a"), col("b"), col("wt"))
+    * [[LinkPredict.topCandidatesWeightedOn]]. Bucketed by `a` unless
+    * `bucketed = false` (see [[part]]). */
+  def undirectedWeighted(spark: SparkSession, dir: String,
+      bucketed: Boolean = true): DataFrame =
+    part(spark, dir, "und", "a", bucketed)
+      .select(col("a"), col("b"), col("wt"))
 
   /** The persisted endpoint degrees `(id, deg)`. Bucketed by `id` —
     * round 0 of the k-core peel reads this INSTEAD of re-aggregating
     * the edge list ([[KCore.runPreDegreed]]). */
-  def degrees(spark: SparkSession, dir: String): DataFrame =
-    attach(spark, dir, "deg", "id").select(col("id"), col("deg"))
+  def degrees(spark: SparkSession, dir: String,
+      bucketed: Boolean = true): DataFrame =
+    part(spark, dir, "deg", "id", bucketed).select(col("id"), col("deg"))
 }
