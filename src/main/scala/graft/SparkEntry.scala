@@ -335,8 +335,11 @@ object SparkEntry {
     // oracle verbatim
     "graph_kcore_weighted_indexed" -> ((s, dir) => {
       val idx = structIdxDir(s, dir)
-      KCore.runWeightedOn(StructuralIndex.undirectedWeighted(s, idx),
-          300000.0)
+      // stored strengths are the weighted peel's round 0, the
+      // runPreDegreed pattern on the strength axis
+      KCore.runWeightedPreDegreed(
+          StructuralIndex.undirectedWeighted(s, idx),
+          StructuralIndex.weightedDegrees(s, idx), 300000.0)
         .orderBy(col("id"))
     }),
     // the remaining weighted family members over the SAME single index

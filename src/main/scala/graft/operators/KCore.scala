@@ -123,17 +123,36 @@ object KCore {
     * `(a, b, wt)` (micro-unit weights). */
   def runWeightedOn(undW: DataFrame, minStrength: Double,
       maxRounds: Int = 24): DataFrame = {
+    val e0 = Checkpoints.materialize(
+      undW.select(col("a"), col("b"), col("wt")))
+    peelWeighted(e0, Triangles.weightedDegrees(e0), minStrength, maxRounds)
+  }
+
+  /** The WEIGHTED peel over a stable projection whose strengths are
+    * ALREADY materialized — [[runPreDegreed]]'s twin on the strength
+    * axis (`wdeg` MUST be [[Triangles.weightedDegrees]] of `undW`, the
+    * contract the shared-oracle gate proves; the persisted
+    * [[StructuralIndex]] stores both aggregates in one degree
+    * table). Same round-0 shape: the stored strengths replace the
+    * full-edge-list aggregate and the bucketed `a`-side semi-join
+    * starts co-partitioned. Bit-equal to [[runWeightedOn]]. */
+  def runWeightedPreDegreed(undW: DataFrame, wdeg: DataFrame,
+      minStrength: Double, maxRounds: Int = 24): DataFrame =
+    peelWeighted(undW.select(col("a"), col("b"), col("wt")),
+      wdeg.select(col("id"), col("wd")), minStrength, maxRounds)
+
+  private def peelWeighted(e0: DataFrame, wdeg0: DataFrame,
+      minStrength: Double, maxRounds: Int): DataFrame = {
     require(minStrength > 0, s"need minStrength > 0, got $minStrength")
     require(maxRounds >= 1, s"need maxRounds >= 1, got $maxRounds")
     val kMicro = math.round(minStrength * 1e6)
-    var e = Checkpoints.materialize(
-      undW.select(col("a"), col("b"), col("wt")))
+    var e = e0
+    var wdeg = wdeg0 // == weightedDegrees(e) at every round boundary
     var n = e.count()
     var rounds = 0
     var converged = n == 0L
     while (!converged) {
-      val keep = Triangles.weightedDegrees(e).where(col("wd") >= kMicro)
-        .select(col("id"))
+      val keep = wdeg.where(col("wd") >= kMicro).select(col("id"))
       val next = Checkpoints.materialize(
         e.join(keep.withColumnRenamed("id", "a"), Seq("a"), "left_semi")
           .join(keep.withColumnRenamed("id", "b"), Seq("b"), "left_semi")
@@ -145,7 +164,9 @@ object KCore {
           s"weighted k-core peel did not converge within $maxRounds " +
             "shrinking rounds (raise maxRounds; the SQL oracle unrolls " +
             "the same bound)")
-        Checkpoints.release(e); e = next; n = m; rounds += 1
+        Checkpoints.release(e) // no-op when e is the stable round-0 input
+        e = next; n = m; rounds += 1
+        wdeg = Triangles.weightedDegrees(e)
       }
     }
     Triangles.weightedDegrees(e)

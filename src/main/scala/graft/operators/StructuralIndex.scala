@@ -96,7 +96,16 @@ object StructuralIndex {
       else spark.conf.get("spark.sql.shuffle.partitions").toInt
     val undW = Checkpoints.materialize(Triangles.undirectedWeighted(edges))
     writePart(spark, undW, dir, "und", "a", n)
-    writePart(spark, Triangles.degrees(undW), dir, "deg", "id", n)
+    // One degree table carries BOTH the edge count and the micro-unit
+    // strength (each reader prunes the other's column at the scan), so
+    // BOTH peels' round-0 aggregates are stored: deg for
+    // [[KCore.runPreDegreed]], wd for [[KCore.runWeightedPreDegreed]].
+    // One co-keyed join of the two aggregates over the already-
+    // materialized projection — no extra corpus scan.
+    writePart(spark,
+      Triangles.degrees(undW)
+        .join(Triangles.weightedDegrees(undW), Seq("id")),
+      dir, "deg", "id", n)
     Checkpoints.release(undW)
     spark.range(1).select(lit(n).as("buckets"))
       .write.mode("overwrite").parquet(s"$dir/meta.parquet")
@@ -166,10 +175,19 @@ object StructuralIndex {
     part(spark, dir, "und", "a", bucketed)
       .select(col("a"), col("b"), col("wt"))
 
-  /** The persisted endpoint degrees `(id, deg)`. Bucketed by `id` —
-    * round 0 of the k-core peel reads this INSTEAD of re-aggregating
-    * the edge list ([[KCore.runPreDegreed]]). */
+  /** The persisted endpoint degrees `(id, deg)` — the strength column
+    * pruned at the scan. Bucketed by `id` — round 0 of the k-core
+    * peel reads this INSTEAD of re-aggregating the edge list
+    * ([[KCore.runPreDegreed]]). */
   def degrees(spark: SparkSession, dir: String,
       bucketed: Boolean = true): DataFrame =
     part(spark, dir, "deg", "id", bucketed).select(col("id"), col("deg"))
+
+  /** The persisted endpoint STRENGTHS `(id, wd)` (micro-unit weighted
+    * degrees — [[Triangles.weightedDegrees]] of the stored
+    * projection), the count column pruned at the scan. Round 0 of the
+    * WEIGHTED peel ([[KCore.runWeightedPreDegreed]]). */
+  def weightedDegrees(spark: SparkSession, dir: String,
+      bucketed: Boolean = true): DataFrame =
+    part(spark, dir, "deg", "id", bucketed).select(col("id"), col("wd"))
 }

@@ -29,7 +29,12 @@ object Similarity {
     * buckets), [[Ivf]] (cell-probe), [[Q8]] (int8 prefilter + exact
     * rerank, full-corpus stage 1), [[Q8Ivf]] (cell-probe + int8 + exact
     * rerank — the 100 TB configuration), [[Mrl]] (matryoshka prefix
-    * truncation — the dimension-reduction axis). */
+    * truncation — the dimension-reduction axis; its derived rerank
+    * pool is a constant corpus FRACTION on non-MRL-trained
+    * embeddings), [[MrlIvf]] (prefix truncation INSIDE the probed
+    * cells — the dimension axis with a probed-population-scaled
+    * rerank pool, sublinear full-vector reads under deployment
+    * sizing). */
   sealed abstract class AnnStrategy
   object AnnStrategy {
     case object Exact extends AnnStrategy

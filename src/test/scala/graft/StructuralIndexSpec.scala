@@ -43,6 +43,12 @@ class StructuralIndexSpec extends SparkSuite {
       .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
     assert(undW(("a", "b")) == 3000000L)
     assert(undW(("c", "d")) == 1000000L)
+    // the degree table carries BOTH aggregates: strengths (micro-unit
+    // weighted degrees) next to counts, each reader pruning the other
+    val wdeg = StructuralIndex.weightedDegrees(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(wdeg == Map("a" -> 5000000L, "b" -> 5000000L, "c" -> 3000000L,
+      "d" -> 2000000L, "e" -> 1000000L))
     // the weighted ops read the same index bit-equal to from-scratch
     val direct = graft.operators.KCore.runWeighted(g, 2.0)
       .orderBy(col("id")).collect().toSeq
@@ -50,6 +56,12 @@ class StructuralIndexSpec extends SparkSuite {
         StructuralIndex.undirectedWeighted(spark, dir), 2.0)
       .orderBy(col("id")).collect().toSeq
     assert(viaIdx == direct)
+    // and the stored-strengths round-0 fast path is bit-equal too
+    val viaPre = graft.operators.KCore.runWeightedPreDegreed(
+        StructuralIndex.undirectedWeighted(spark, dir),
+        StructuralIndex.weightedDegrees(spark, dir), 2.0)
+      .orderBy(col("id")).collect().toSeq
+    assert(viaPre == direct)
   }
 
   test("unweighted reader prunes the weight column at the parquet scan") {
@@ -62,6 +74,16 @@ class StructuralIndexSpec extends SparkSuite {
     val weighted = StructuralIndex.undirectedWeighted(spark, dir)
       .queryExecution.executedPlan.toString
     assert(weighted.contains("wt"), weighted)
+    // same discipline on the degree table: the count reader prunes the
+    // strength column and vice versa
+    val degPlan = StructuralIndex.degrees(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!degPlan.contains("wd"),
+      s"strength column not pruned from the degree scan:\n$degPlan")
+    val wdegPlan = StructuralIndex.weightedDegrees(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(wdegPlan.contains("wd") && !wdegPlan.contains("deg,"),
+      wdegPlan)
   }
 
   test("perNodeOn over the index equals perNode from scratch") {
