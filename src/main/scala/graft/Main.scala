@@ -105,6 +105,8 @@ object Main {
       "link_predict_indexed <index_dir> [k], " +
       "kcore_indexed <index_dir> [k], " +
       "label_prop_indexed <index_dir> [iters] [nodes_csv], " +
+      "components [min_strength] [nodes_csv] [edges_csv], " +
+      "components_indexed <index_dir> [min_strength], " +
       "pagerank_personalized <topic> [num_iter] [damping], " +
       "hits_converged [tol] [max_iter], salsa_converged [tol] [max_iter], " +
       "pagerank_converged [damping] [tol] [max_iter]; pipelines: " +
@@ -409,6 +411,46 @@ object Main {
         println(s"$k-core: ${stats.getLong(0)} nodes, " +
           s"max within-core degree ${if (stats.isNullAt(1)) 0
             else stats.getLong(1)}")
+      case "components" =>
+        // Fifth structural member: connected components via the
+        // large-star/small-star engine. min_strength > 0 restricts to
+        // edges of at least that summed strength (raw weight units) —
+        // the high-value-connectivity audit; 0 runs the full
+        // projection.
+        val minS = doubleArg(0, "0.0", "min_strength")
+        val g = load(arg(1, DefaultNodes), arg(2, DefaultEdges))
+        val comp =
+          if (minS > 0)
+            ConnectedComponents.componentsWeightedOn(
+              Triangles.undirectedWeighted(g.edges), minS)
+          else
+            ConnectedComponents.componentsOn(Triangles.undirected(g.edges))
+        val stats = comp.agg(countDistinct(col("component")),
+          count(lit(1)), max(col("n_members"))).head()
+        Checkpoints.releaseAll(comp)
+        println(s"components (min_strength $minS): ${stats.getLong(0)} " +
+          s"components over ${stats.getLong(1)} nodes, largest " +
+          s"${if (stats.isNullAt(2)) 0 else stats.getLong(2)}")
+      case "components_indexed" =>
+        // `components` over a persisted structural index (star
+        // contraction re-keys every round, so the projection is read
+        // without bucket metadata — the link_predict_indexed choice).
+        if (a.isEmpty) throw CliArgError(s"$cmd requires an index dir")
+        val minS = doubleArg(1, "0.0", "min_strength")
+        val comp =
+          if (minS > 0)
+            ConnectedComponents.componentsWeightedOn(
+              StructuralIndex.undirectedWeighted(spark, a(0),
+                bucketed = false), minS)
+          else
+            ConnectedComponents.componentsOn(
+              StructuralIndex.undirected(spark, a(0), bucketed = false))
+        val stats = comp.agg(countDistinct(col("component")),
+          count(lit(1)), max(col("n_members"))).head()
+        Checkpoints.releaseAll(comp)
+        println(s"components (min_strength $minS): ${stats.getLong(0)} " +
+          s"components over ${stats.getLong(1)} nodes, largest " +
+          s"${if (stats.isNullAt(2)) 0 else stats.getLong(2)}")
       case "label_prop_indexed" =>
         // `label_prop` over a persisted structural index; seeds still
         // come from the node file (labels are not part of the index).

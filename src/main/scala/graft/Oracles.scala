@@ -538,6 +538,69 @@ object Oracles {
        |FROM t""".stripMargin
   }
 
+  /** Connected components of the undirected projection, twin of
+    * [[graft.operators.ConnectedComponents.componentsOn]] (and of the
+    * weighted-threshold [[graft.operators.ConnectedComponents
+    * .componentsWeightedOn]] when `minStrength > 0`). The engine runs
+    * large-star/small-star to a star forest (convergence asserted
+    * loudly); the CONVERGED labels are algorithm-independent — the
+    * minimum node id of each component — so the twin may use any
+    * correct formulation. A recursive reachability closure (the
+    * [[dedupClusters]] CTE) is quadratic in component size and the
+    * order graph is one GIANT component, so instead this unrolls
+    * `rounds` min-label rounds, each a neighbor-min hop (label reach
+    * +1) composed with a pointer jump `c ← c(c)` (reach compounds),
+    * the Shiloach–Vishkin hybrid: convergence in O(log n) rounds —
+    * measured ≤7 at sf0.1 on the full projection, ≤5 thresholded;
+    * 16 unrolled rounds is a wide margin, and an insufficient unroll
+    * surfaces as a hash mismatch, never silently. Node universe =
+    * nodes with at least one (qualifying) edge, matching `runStar`'s
+    * nodes-in-some-pair contract. */
+  def graphComponents(minStrength: Double = 0.0, rounds: Int = 16,
+      graph: String = edgesCte): String = {
+    val tau = math.round(minStrength * 1e6)
+    val base =
+      if (tau > 0)
+        s"""base AS MATERIALIZED (
+           |  SELECT a, b FROM (
+           |    SELECT least(src, dst) AS a, greatest(src, dst) AS b,
+           |           SUM(CAST(round(w * 1000000.0::DOUBLE) AS BIGINT)) AS wt
+           |    FROM edges WHERE src <> dst GROUP BY 1, 2)
+           |  WHERE wt >= $tau
+           |)""".stripMargin
+      else
+        s"""base AS MATERIALIZED (
+           |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+           |  FROM edges WHERE src <> dst
+           |)""".stripMargin
+    val sb = new StringBuilder
+    sb ++= s"WITH $graph,\n$base,\n"
+    sb ++=
+      """sym AS MATERIALIZED (
+        |  SELECT a AS x, b AS y FROM base
+        |  UNION ALL SELECT b, a FROM base),
+        |l0 AS MATERIALIZED (
+        |  SELECT x AS id, least(x, MIN(y)) AS c FROM sym GROUP BY x)""".stripMargin
+    for (i <- 1 to rounds) {
+      sb ++= s""",
+         |h$i AS MATERIALIZED (
+         |  SELECT u.id, least(u.c, coalesce(m.nc, u.c)) AS c
+         |  FROM l${i - 1} u LEFT JOIN (
+         |    SELECT s.x AS id, MIN(l.c) AS nc
+         |    FROM sym s JOIN l${i - 1} l ON l.id = s.y GROUP BY s.x) m
+         |  USING (id)),
+         |l$i AS MATERIALIZED (
+         |  SELECT a.id, least(a.c, b.c) AS c
+         |  FROM h$i a JOIN l${i - 1} b ON b.id = a.c)""".stripMargin
+    }
+    sb ++= s"""
+       |SELECT l.id, l.c AS component, s.n AS n_members
+       |FROM l$rounds l JOIN (
+       |  SELECT c, COUNT(*) AS n FROM l$rounds GROUP BY c) s ON s.c = l.c
+       |ORDER BY l.id""".stripMargin
+    sb.toString
+  }
+
   /** Weighted triangle strength, twin of
     * [[graft.operators.Triangles.perNodeWeighted]]: the weighted
     * projection sums each endpoint pair's directed-edge weights in

@@ -543,11 +543,12 @@ object ScaleBench {
     //    amortization: all four structural gates from scratch vs via
     //    the index (first indexed gate pays the one-time build) on the
     //    uniform reps× corpus (r18);
-    //  - "skewstruct" — label-prop + k-core on base vs uniform reps×
-    //    vs a HUB-STAR twin (one part in 40% of lineitem rows — 4× the
-    //    skewkernel hot mass), plus a HOT-LABEL seed-set twist for
-    //    label-prop (50% of seeds one label, uniform corpus both
-    //    sides); the r18 twins for the rest of the structural family;
+    //  - "skewstruct" — label-prop + k-core + components (r19) on
+    //    base vs uniform reps× vs a HUB-STAR twin (one part in 40% of
+    //    lineitem rows — 4× the skewkernel hot mass), plus a
+    //    HOT-LABEL seed-set twist for label-prop (50% of seeds one
+    //    label, uniform corpus both sides); the r18 twins for the
+    //    rest of the structural family;
     //  - "skewdedup" — the dedup/ANN analogue: base vs UNIFORM reps×
     //    documents+embeddings vs a MASS-DUPLICATION twin where ~5% of
     //    the whole corpus carries ONE document's text / ONE vector's
@@ -712,7 +713,14 @@ object ScaleBench {
       val qmap = queries.toMap
       def timed(dir: String, name: String): (Double, Double) =
         timedTwice(qmap(name)(spark, dir))
-      Seq("graph_label_prop", "graph_kcore").foreach { name =>
+      // components joined the loop in r19: the hub-star corpus keys
+      // large-star's groupBy-min and its SHUFFLE_HASH probe on the one
+      // hot node — min is partial-aggregating (map-side combine
+      // collapses the hub's 40% edge share before the shuffle) and the
+      // contraction only SHRINKS the edge set per round, so the claim
+      // is the same as the peel's: skew_ratio ≈ uniform_ratio.
+      Seq("graph_label_prop", "graph_kcore", "graph_components")
+        .foreach { name =>
         val (bf, bw) = timed(baseDir, name)
         val (uf, uw) = timed(uniDir, name) // uniform reps×
         val (kf, kw) = timed(hubDir, name) // 40%-of-edges hub

@@ -22,6 +22,16 @@ object SparkEntry {
     * only label with intra-topic edges in the derived order graph. */
   private val Topic = "part"
 
+  /** Edge-strength floor (raw weight units) for the weighted
+    * components gates. The collapsed-edge strength distribution on the
+    * order graph is bimodal and scale-stable (quantity-weighted
+    * part-chain edges ≪ price-weighted customer/order edges); 105k
+    * sits above the p75 price mode, so the surviving subgraph
+    * fractures into thousands of small components at every SF
+    * (156 / 1,502 / 14,999 at sf0.001/0.01/0.1) instead of staying one
+    * giant — a non-degenerate weighted gate. */
+  private val ComponentStrengthFloor = 105000.0
+
   /** Fixed probe query for the retrieval gates — mid-frequency corpus
     * terms so the BM25 idf spread is non-degenerate. */
   private val SearchTerms = Seq("spark", "query", "vector")
@@ -368,6 +378,45 @@ object SparkEntry {
       LinkPredict.topCandidatesWeightedOn(
         StructuralIndex.undirectedWeighted(s, idx, bucketed = false),
         StructuralIndex.degrees(s, idx, bucketed = false))
+    }),
+    // Connected components (r19) — the fifth structural-family member,
+    // computed by the adversarial-scale large-star/small-star engine
+    // (O(log d) rounds, convergence asserted loudly). On the order
+    // graph the full projection is ONE giant component by construction
+    // — the gate certifies exactly that (every node labeled with the
+    // global min id, n_members = |V|), the evt_graph_triangles
+    // "certify the degenerate case" pattern; the WEIGHTED member
+    // thresholds edges at strength 105k (between the price-edge and
+    // quantity-edge modes of the scale-stable bimodal strength
+    // distribution), fracturing the graph into thousands of small
+    // high-value components — real structure, real size histogram.
+    "graph_components" -> ((s, dir) =>
+      ConnectedComponents.componentsOn(
+        Triangles.undirected(GraphIO.orderGraph(s, dir).edges))),
+    "graph_components_weighted" -> ((s, dir) =>
+      ConnectedComponents.componentsWeightedOn(
+        Triangles.undirectedWeighted(GraphIO.orderGraph(s, dir).edges),
+        ComponentStrengthFloor)),
+    // components on the EVENT graph: bipartite users × event types —
+    // every user reaches every other through the hot types, so full
+    // engagement connectivity is certified under hot-key skew
+    "evt_graph_components" -> ((s, dir) =>
+      ConnectedComponents.componentsOn(
+        Triangles.undirected(GraphIO.eventGraph(s, dir).edges))),
+    // indexed twins: the star-forest contraction re-keys edges every
+    // round (x→y orientation flips), so bucket metadata cannot help —
+    // read the persisted projection with bucketed = false, the
+    // link_predict_indexed precedent
+    "graph_components_indexed" -> ((s, dir) => {
+      val idx = structIdxDir(s, dir)
+      ConnectedComponents.componentsOn(
+        StructuralIndex.undirected(s, idx, bucketed = false))
+    }),
+    "graph_components_weighted_indexed" -> ((s, dir) => {
+      val idx = structIdxDir(s, dir)
+      ConnectedComponents.componentsWeightedOn(
+        StructuralIndex.undirectedWeighted(s, idx, bucketed = false),
+        ComponentStrengthFloor)
     }),
     "rank_topk" -> ((s, dir) => {
       val auths = Salsa.runSimplified(GraphIO.orderGraph(s, dir).edges).auths
@@ -1629,6 +1678,14 @@ object SparkEntry {
     "graph_triangles_weighted_indexed" -> Oracles.trianglesWeighted(),
     "graph_label_prop_weighted_indexed" -> Oracles.labelProp(weighted = true),
     "graph_link_predict_weighted_indexed" -> Oracles.linkPredictWeighted(),
+    "graph_components" -> Oracles.graphComponents(),
+    "graph_components_weighted" ->
+      Oracles.graphComponents(minStrength = ComponentStrengthFloor),
+    "evt_graph_components" ->
+      Oracles.graphComponents(graph = Oracles.eventGraphCtes),
+    "graph_components_indexed" -> Oracles.graphComponents(),
+    "graph_components_weighted_indexed" ->
+      Oracles.graphComponents(minStrength = ComponentStrengthFloor),
     "rank_topk" -> Oracles.rankTopK(),
     "sample_hash" -> Oracles.sampleHash(),
     "render_model" -> Oracles.renderModel(),

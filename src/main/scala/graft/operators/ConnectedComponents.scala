@@ -206,4 +206,38 @@ object ConnectedComponents {
         col("n_members"))
       .orderBy(col("doc_id"))
   }
+
+  /** Structural-family view of [[runStar]] over a canonical undirected
+    * `(a, b)` edge frame (the [[Triangles.undirected]] projection —
+    * also what [[StructuralIndex.undirected]] persists, so the indexed
+    * gate shares this code path end to end): `(id, component,
+    * n_members)` for every node incident to at least one edge,
+    * `component` = minimum node id of its component. The size attach
+    * is the same join/agg shape as [[clusters]]; only the column
+    * vocabulary differs (graph nodes, not dedup docs). */
+  def componentsOn(und: DataFrame): DataFrame = {
+    val comp = runStar(und)
+    val sizes = comp.groupBy(col("comp")).agg(count(lit(1)).as("n_members"))
+    comp.join(sizes, Seq("comp"))
+      .select(col("id"), col("comp").as("component"), col("n_members"))
+      .orderBy(col("id"))
+  }
+
+  /** Strength-thresholded components: [[componentsOn]] restricted to
+    * undirected edges whose MICRO-UNIT integer strength (the
+    * [[Triangles.undirectedWeighted]] collapsed-edge sum) is at least
+    * `minStrength` (raw weight units — converted with the same
+    * `round(x·1e6)` the projection uses). The weighted member of the
+    * components family: the full graph is one giant component by
+    * construction on the order graph, but its high-value-transaction
+    * subgraph fractures into thousands of small components — the
+    * "connectivity above a business threshold" audit. Nodes with no
+    * qualifying edge leave the universe, mirroring [[runStar]]'s
+    * nodes-in-some-pair contract. */
+  def componentsWeightedOn(undW: DataFrame,
+      minStrength: Double): DataFrame = {
+    val tauMicro = math.round(minStrength * 1e6)
+    componentsOn(undW.filter(col("wt") >= lit(tauMicro))
+      .select(col("a"), col("b")))
+  }
 }

@@ -75,4 +75,38 @@ class ConnectedComponentsSpec extends SparkSuite {
       (5L, 5L, 2L), (6L, 5L, 2L),
       (8L, 8L, 3L), (9L, 8L, 3L), (10L, 8L, 3L)))
   }
+
+  test("componentsOn: structural view with component min ids and sizes") {
+    val got = ConnectedComponents.componentsOn(
+        pairs((1L, 2L), (2L, 3L), (5L, 6L), (8L, 9L), (8L, 10L)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq(
+      (1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L),
+      (5L, 5L, 2L), (6L, 5L, 2L),
+      (8L, 8L, 3L), (9L, 8L, 3L), (10L, 8L, 3L)))
+  }
+
+  test("componentsWeightedOn: the strength floor fractures and shrinks " +
+      "the node universe") {
+    import spark.implicits._
+    // Path 1-2-3-4 where only the outer edges are strong: the weak
+    // middle edge splits one component into two, and node 9's sole
+    // weak edge removes both 9 and nothing else from the universe.
+    val undW = Seq(
+      (1L, 2L, 5000000L),  // 5.0 raw
+      (2L, 3L, 1000000L),  // 1.0 raw — below the floor
+      (3L, 4L, 5000000L),
+      (8L, 9L, 1000000L)   // both endpoints vanish
+    ).toDF("a", "b", "wt")
+    val got = ConnectedComponents.componentsWeightedOn(undW, 2.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq(
+      (1L, 1L, 2L), (2L, 1L, 2L), (3L, 3L, 2L), (4L, 3L, 2L)))
+    // floor at the exact edge strength keeps the edge (>= contract)
+    val all = ConnectedComponents.componentsWeightedOn(undW, 1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(all.toSeq == Seq(
+      (1L, 1L, 4L), (2L, 1L, 4L), (3L, 1L, 4L), (4L, 1L, 4L),
+      (8L, 8L, 2L), (9L, 8L, 2L)))
+  }
 }

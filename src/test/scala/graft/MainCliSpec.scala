@@ -318,6 +318,12 @@ class MainCliSpec extends SparkSuite {
     intercept[Main.CliArgError] {
       Main.run(spark, "kcore_weighted", Array("nan?", nodes, edges))
     }
+    // components: full projection and the strength-floored variant
+    Main.run(spark, "components", Array("0.0", nodes, edges))
+    Main.run(spark, "components", Array("1.5", nodes, edges))
+    intercept[Main.CliArgError] {
+      Main.run(spark, "components", Array("not_a_number", nodes, edges))
+    }
     // persisted-projection lifecycle: build once, every indexed verb
     // consumes it (no rebuild); missing index dir arg fails loudly
     val idx = s"$tmp/struct_idx"
@@ -330,6 +336,11 @@ class MainCliSpec extends SparkSuite {
     Main.run(spark, "kcore_indexed", Array(idx, "2"))
     Main.run(spark, "label_prop_indexed", Array(idx, "2", nodes))
     Main.run(spark, "link_predict_weighted_indexed", Array(idx, "5"))
+    Main.run(spark, "components_indexed", Array(idx))
+    Main.run(spark, "components_indexed", Array(idx, "1.5"))
+    intercept[Main.CliArgError] {
+      Main.run(spark, "components_indexed", Array.empty[String])
+    }
     intercept[Main.CliArgError] {
       Main.run(spark, "structural_index", Array.empty[String])
     }
