@@ -107,6 +107,8 @@ object Main {
       "label_prop_indexed <index_dir> [iters] [nodes_csv], " +
       "components [min_strength] [nodes_csv] [edges_csv], " +
       "components_indexed <index_dir> [min_strength], " +
+      "ktruss [k] [nodes_csv] [edges_csv], " +
+      "ktruss_indexed <index_dir> [k], " +
       "pagerank_personalized <topic> [num_iter] [damping], " +
       "hits_converged [tol] [max_iter], salsa_converged [tol] [max_iter], " +
       "pagerank_converged [damping] [tol] [max_iter]; pipelines: " +
@@ -451,6 +453,30 @@ object Main {
         println(s"components (min_strength $minS): ${stats.getLong(0)} " +
           s"components over ${stats.getLong(1)} nodes, largest " +
           s"${if (stats.isNullAt(2)) 0 else stats.getLong(2)}")
+      case "ktruss" =>
+        // Edge-level density tier: every surviving edge closes >= k-2
+        // triangles within the surviving subgraph (see `KTruss`).
+        val g = load(arg(1, DefaultNodes), arg(2, DefaultEdges))
+        val k = intArg(0, "4", "k")
+        val truss = KTruss.run(g.edges, k)
+        val stats = truss.agg(count(lit(1)), max(col("support"))).head()
+        Checkpoints.releaseAll(truss)
+        println(s"$k-truss: ${stats.getLong(0)} edges, " +
+          s"max within-truss support ${if (stats.isNullAt(1)) 0
+            else stats.getLong(1)}")
+      case "ktruss_indexed" =>
+        // `ktruss` over a persisted structural index (per-round
+        // degree orientation re-keys the projection, so it is read
+        // without bucket metadata — the link_predict_indexed choice).
+        if (a.isEmpty) throw CliArgError(s"$cmd requires an index dir")
+        val k = intArg(1, "4", "k")
+        val truss = KTruss.runOn(
+          StructuralIndex.undirected(spark, a(0), bucketed = false), k)
+        val stats = truss.agg(count(lit(1)), max(col("support"))).head()
+        Checkpoints.releaseAll(truss)
+        println(s"$k-truss: ${stats.getLong(0)} edges, " +
+          s"max within-truss support ${if (stats.isNullAt(1)) 0
+            else stats.getLong(1)}")
       case "label_prop_indexed" =>
         // `label_prop` over a persisted structural index; seeds still
         // come from the node file (labels are not part of the index).

@@ -601,6 +601,55 @@ object Oracles {
     sb.toString
   }
 
+  /** k-truss, twin of [[graft.operators.KTruss.run]]: the support peel
+    * unrolled `rounds` deep, the [[kCore]] contract — peeling is
+    * monotone, so rounds past the fixed point are identities and a
+    * generous static unroll equals the engine's fixed point exactly
+    * (the operator fails loudly if ITS `maxRounds` is hit
+    * unconverged). Each round enumerates the current subgraph's
+    * triangles once via the a<b ordered three-way self-join (the
+    * triangle SET is orientation-independent — Spark orients by
+    * (degree, id) purely for wedge-width bounds), credits the three
+    * id-canonical edges, and keeps edges with support ≥ k-2. The
+    * final round's support table was computed over the fixed-point
+    * edge set, so it carries the output's `support` column verbatim —
+    * the same bookkeeping the engine's convergence branch uses.
+    * Measured convergence: ≤13 shrinking rounds at k=4 across
+    * sf0.001/0.01/0.1; 24 is the same margin [[kCore]] ships. */
+  def kTruss(k: Int = 4, rounds: Int = 24,
+      graph: String = edgesCte): String = {
+    val minSup = k - 2
+    val sb = new StringBuilder
+    sb ++= s"WITH $graph,\n"
+    sb ++=
+      """e0 AS MATERIALIZED (
+        |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |  FROM edges WHERE src <> dst
+        |)""".stripMargin
+    for (i <- 1 to rounds) {
+      sb ++= s""",
+         |t$i AS MATERIALIZED (
+         |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         |  FROM e${i - 1} e1
+         |  JOIN e${i - 1} e2 ON e2.a = e1.a AND e2.b > e1.b
+         |  JOIN e${i - 1} e3 ON e3.a = e1.b AND e3.b = e2.b),
+         |s$i AS MATERIALIZED (
+         |  SELECT a, b, COUNT(*) AS support FROM (
+         |    SELECT x AS a, y AS b FROM t$i
+         |    UNION ALL SELECT x, z FROM t$i
+         |    UNION ALL SELECT y, z FROM t$i) u
+         |  GROUP BY a, b),
+         |e$i AS MATERIALIZED (
+         |  SELECT e.a, e.b FROM e${i - 1} e
+         |  JOIN s$i s USING (a, b) WHERE s.support >= $minSup)""".stripMargin
+    }
+    sb ++= s"""
+       |SELECT e.a, e.b, s.support
+       |FROM e$rounds e JOIN s$rounds s USING (a, b)
+       |ORDER BY e.a, e.b""".stripMargin
+    sb.toString
+  }
+
   /** Weighted triangle strength, twin of
     * [[graft.operators.Triangles.perNodeWeighted]]: the weighted
     * projection sums each endpoint pair's directed-edge weights in

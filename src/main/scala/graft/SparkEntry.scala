@@ -418,6 +418,20 @@ object SparkEntry {
         StructuralIndex.undirectedWeighted(s, idx, bucketed = false),
         ComponentStrengthFloor)
     }),
+    // k-truss (r19) — the edge-level density tier next to k-core's
+    // node-level one: every surviving edge closes >= 2 triangles
+    // inside the surviving subgraph (k=4 — non-trivial multi-round
+    // peel with a non-empty truss at every SF; k=5 empties the order
+    // graph at sf0.01+). Support peel enumerates triangles
+    // degree-oriented per round (the Triangles wedge discipline).
+    "graph_ktruss" -> ((s, dir) =>
+      KTruss.run(GraphIO.orderGraph(s, dir).edges, 4)
+        .orderBy(col("a"), col("b"))),
+    "graph_ktruss_indexed" -> ((s, dir) => {
+      val idx = structIdxDir(s, dir)
+      KTruss.runOn(StructuralIndex.undirected(s, idx, bucketed = false), 4)
+        .orderBy(col("a"), col("b"))
+    }),
     "rank_topk" -> ((s, dir) => {
       val auths = Salsa.runSimplified(GraphIO.orderGraph(s, dir).edges).auths
       RankOutput.topK(auths, 10)
@@ -1686,6 +1700,8 @@ object SparkEntry {
     "graph_components_indexed" -> Oracles.graphComponents(),
     "graph_components_weighted_indexed" ->
       Oracles.graphComponents(minStrength = ComponentStrengthFloor),
+    "graph_ktruss" -> Oracles.kTruss(),
+    "graph_ktruss_indexed" -> Oracles.kTruss(),
     "rank_topk" -> Oracles.rankTopK(),
     "sample_hash" -> Oracles.sampleHash(),
     "render_model" -> Oracles.renderModel(),

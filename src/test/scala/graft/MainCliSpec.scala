@@ -324,6 +324,10 @@ class MainCliSpec extends SparkSuite {
     intercept[Main.CliArgError] {
       Main.run(spark, "components", Array("not_a_number", nodes, edges))
     }
+    Main.run(spark, "ktruss", Array("3", nodes, edges))
+    intercept[Main.CliArgError] {
+      Main.run(spark, "ktruss", Array("nope", nodes, edges))
+    }
     // persisted-projection lifecycle: build once, every indexed verb
     // consumes it (no rebuild); missing index dir arg fails loudly
     val idx = s"$tmp/struct_idx"
@@ -338,8 +342,12 @@ class MainCliSpec extends SparkSuite {
     Main.run(spark, "link_predict_weighted_indexed", Array(idx, "5"))
     Main.run(spark, "components_indexed", Array(idx))
     Main.run(spark, "components_indexed", Array(idx, "1.5"))
+    Main.run(spark, "ktruss_indexed", Array(idx, "3"))
     intercept[Main.CliArgError] {
       Main.run(spark, "components_indexed", Array.empty[String])
+    }
+    intercept[Main.CliArgError] {
+      Main.run(spark, "ktruss_indexed", Array.empty[String])
     }
     intercept[Main.CliArgError] {
       Main.run(spark, "structural_index", Array.empty[String])
