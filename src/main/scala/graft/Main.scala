@@ -114,7 +114,8 @@ object Main {
       "pagerank_converged [damping] [tol] [max_iter]; pipelines: " +
       "dedup <in> <out> [exact|near|clean|spans|spans_occ|spans_clean] [k], " +
       "classify <in> <out> [label_col] [train_pct], " +
-      "ann <in> <out> [exact|lsh|ivf|q8|q8ivf|mrl|mrlivf] [nq] [k], " +
+      "ann <in> <out> [exact|lsh|ivf|q8|q8ivf|mrl|mrlivf|pq|pqivf] " +
+      "[nq] [k], " +
       "ivf_index <emb> <out> [nlist] [train_frac], " +
       "ivf_append <index_dir> <emb> <out_dir> [gen], " +
       "ivf_compact <index_dir> <out_dir>, " +
@@ -620,6 +621,8 @@ object Main {
           case "q8ivf" => Similarity.AnnStrategy.Q8Ivf
           case "mrl"   => Similarity.AnnStrategy.Mrl
           case "mrlivf" => Similarity.AnnStrategy.MrlIvf
+          case "pq"    => Similarity.AnnStrategy.Pq
+          case "pqivf" => Similarity.AnnStrategy.PqIvf
           case s => throw CliArgError(s"Unknown ann strategy: $s")
         }
         Similarity.ann(spark.read.parquet(in), strategy,

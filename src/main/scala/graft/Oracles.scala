@@ -2453,6 +2453,140 @@ object Oracles {
     * the multiply-then-divide order matches the Scala expression so
     * the IEEE doubles agree bit-for-bit); explicit `cand` is emitted
     * verbatim, as in [[annTopKMrl]]. */
+  /** Shared PQ CTE chain (no `base` — the caller's chain provides it):
+    * subspace split, seed codebooks + one Lloyd step with 6-decimal
+    * rounding, code assignment, query subvectors and the per-query ADC
+    * tables — the verbatim mirror of
+    * [[graft.pipelines.Similarity.pqCodebooks]]/`pqEncode`/
+    * `pqAdcTables`. A codeword with no assigned vector is dropped by
+    * the GROUP BY on both engines. */
+  private def pqCtes(m: Int, ksub: Int, dim: Int, nq: Int): String = {
+    val dsub = dim / m
+    s"""sx AS MATERIALIZED (SELECT unnest(generate_series(0, ${m - 1})) AS s),
+       |sub AS MATERIALIZED (
+       |  SELECT b.vec_id, sx.s,
+       |         list_slice(b.embedding, sx.s * $dsub + 1,
+       |                    sx.s * $dsub + $dsub) AS sv
+       |  FROM base b CROSS JOIN sx),
+       |pseeds AS MATERIALIZED (
+       |  SELECT s, vec_id AS cid, sv AS cvec FROM sub WHERE vec_id < $ksub),
+       |pa0 AS MATERIALIZED (
+       |  SELECT s, cid, sv FROM (
+       |    SELECT v.s, c.cid, v.sv,
+       |           ROW_NUMBER() OVER (PARTITION BY v.vec_id, v.s
+       |             ORDER BY ${sqDistSql("v.sv", "c.cvec")}, c.cid) AS rn
+       |    FROM sub v JOIN pseeds c ON c.s = v.s) WHERE rn = 1),
+       |book AS MATERIALIZED (
+       |  SELECT s, cid, list(round(mv, 6) ORDER BY pos) AS cvec FROM (
+       |    SELECT s, cid, i AS pos, avg(CAST(sv[i] AS DOUBLE)) AS mv
+       |    FROM pa0 CROSS JOIN (SELECT unnest(generate_series(1, $dsub)) AS i) ix
+       |    GROUP BY s, cid, i) GROUP BY s, cid),
+       |codes AS MATERIALIZED (
+       |  SELECT vec_id, s, cid AS code FROM (
+       |    SELECT v.vec_id, v.s, bk.cid,
+       |           ROW_NUMBER() OVER (PARTITION BY v.vec_id, v.s
+       |             ORDER BY ${sqDistSql("v.sv", "bk.cvec")}, bk.cid) AS rn
+       |    FROM sub v JOIN book bk ON bk.s = v.s) WHERE rn = 1),
+       |qsub AS MATERIALIZED (
+       |  SELECT vec_id AS query_id, s, sv AS qsv FROM sub WHERE vec_id < $nq),
+       |adc AS MATERIALIZED (
+       |  SELECT q.query_id, bk.s, bk.cid AS code,
+       |         ${dotSql("q.qsv", "bk.cvec")} AS part
+       |  FROM qsub q JOIN book bk ON bk.s = q.s)""".stripMargin
+  }
+
+  /** Shared tail of the PQ oracles: ordered ADC fold (part summed in
+    * subspace order — the engine's `array_sort(collect_list)` fold
+    * order, pinned), candidate cut, exact rerank. `partsFrom` supplies
+    * the (query_id, vec_id, s, part) relation body. */
+  private def pqTail(partsFrom: String, candPred: String,
+      k: Int): String =
+    s"""parts AS ($partsFrom),
+       |approx AS MATERIALIZED (
+       |  SELECT p.query_id, p.vec_id AS neighbor_id,
+       |         p.adot / (n.nrm * qn.nrm) AS qcos
+       |  FROM (SELECT query_id, vec_id,
+       |          list_reduce(list_prepend(0::DOUBLE, list(part ORDER BY s)),
+       |            (acc, v) -> acc + v) AS adot
+       |        FROM parts GROUP BY query_id, vec_id) p
+       |  JOIN base n ON n.vec_id = p.vec_id
+       |  JOIN base qn ON qn.vec_id = p.query_id),
+       |cnd AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |           ROW_NUMBER() OVER (PARTITION BY query_id
+       |             ORDER BY qcos DESC, neighbor_id) AS crn
+       |    FROM approx)
+       |  WHERE $candPred),
+       |exact AS (
+       |  SELECT cd.query_id, cd.neighbor_id,
+       |         ${dotSql("qf.embedding", "e.embedding")} / (qf.nrm * e.nrm) AS cos
+       |  FROM cnd cd JOIN base e ON e.vec_id = cd.neighbor_id
+       |              JOIN base qf ON qf.vec_id = cd.query_id),
+       |r AS (
+       |  SELECT query_id, neighbor_id, cos,
+       |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+       |  FROM exact)
+       |SELECT query_id, rn, neighbor_id, round(cos, 6) AS cosine FROM r
+       |WHERE rn <= $k ORDER BY query_id, rn""".stripMargin
+
+  /** Product-quantization ANN top-k, twin of
+    * [[graft.pipelines.Similarity.annTopKPq]]: the whole pipeline —
+    * per-subspace codebook training, code assignment, ADC scoring over
+    * exact norms, derived candidate cut, exact rerank — replayed in
+    * SQL. `cand <= 0` replays `autoPqCand` (`max(12k, ⌈N/20⌉)`) as a
+    * scalar subquery, the [[annTopKMrl]] discipline. */
+  def annTopKPq(nq: Int = 10, k: Int = 5, m: Int = 16, ksub: Int = 32,
+      cand: Int = 0, dim: Int = 64): String = {
+    val candPred =
+      if (cand > 0) s"crn <= $cand"
+      else s"""crn <= greatest(${12 * k},
+         |    (SELECT CAST(ceil(CAST(count(*) AS DOUBLE) / 20.0) AS BIGINT)
+         |     FROM base))""".stripMargin
+    val parts =
+      s"""  SELECT a.query_id, c.vec_id, a.s, a.part
+         |  FROM codes c JOIN adc a ON a.s = c.s AND a.code = c.code
+         |  WHERE c.vec_id <> a.query_id""".stripMargin
+    s"""WITH base AS MATERIALIZED (
+       |  SELECT vec_id, embedding, ${normSql("embedding")} AS nrm
+       |  FROM embeddings),
+       |${pqCtes(m, ksub, dim, nq)},
+       |${pqTail(parts, candPred, k)}""".stripMargin
+  }
+
+  /** IVF×PQ ANN top-k, twin of
+    * [[graft.pipelines.Similarity.annTopKPqIvf]]: the [[ivfCtes]]
+    * coarse quantizer scopes the code scan to each query's probed
+    * cells, the [[pqCtes]] chain supplies codes and ADC tables, and
+    * the rerank pool replays [[annTopKMrlIvf]]'s probed-population
+    * derivation. */
+  def annTopKPqIvf(nq: Int = 10, k: Int = 5, nlist: Int = 8,
+      nprobe: Int = 4, m: Int = 16, ksub: Int = 32, cand: Int = 0,
+      dim: Int = 64): String = {
+    val candPred =
+      if (cand > 0) s"crn <= $cand"
+      else s"""crn <= greatest(${30 * k},
+         |    (SELECT CAST(ceil(CAST(count(*) AS DOUBLE) * ${nprobe}.0
+         |                      / ${nlist * 2}.0) AS BIGINT) FROM base))""".stripMargin
+    val parts =
+      s"""  SELECT a.query_id, c.vec_id, a.s, a.part
+         |  FROM codes c
+         |  JOIN a1 ON a1.vec_id = c.vec_id
+         |  JOIN probes pr ON pr.cid = a1.cid
+         |  JOIN adc a ON a.query_id = pr.query_id
+         |            AND a.s = c.s AND a.code = c.code
+         |  WHERE c.vec_id <> pr.query_id""".stripMargin
+    s"""WITH ${ivfCtes(nlist, dim)},
+       |${pqCtes(m, ksub, dim, nq)},
+       |probes AS MATERIALIZED (
+       |  SELECT query_id, cid FROM (
+       |    SELECT b.vec_id AS query_id, c.cid,
+       |           ROW_NUMBER() OVER (PARTITION BY b.vec_id
+       |             ORDER BY ${sqDistSql("b.embedding", "c.cvec")}, c.cid) AS rn
+       |    FROM base b CROSS JOIN cent c WHERE b.vec_id < $nq) WHERE rn <= $nprobe),
+       |${pqTail(parts, candPred, k)}""".stripMargin
+  }
+
   def annTopKMrlIvf(nq: Int = 10, k: Int = 5, nlist: Int = 8,
       nprobe: Int = 4, dims: Int = 32, cand: Int = 0,
       dim: Int = 64): String = {
@@ -2604,12 +2738,16 @@ object Oracles {
        |lsh_t AS MATERIALIZED ${wrap(annTopKLsh(nq, k))},
        |mrl_t AS MATERIALIZED ${wrap(annTopKMrl(nq, k))},
        |mrl_ivf_t AS MATERIALIZED ${wrap(annTopKMrlIvf(nq, k))},
+       |pq_t AS MATERIALIZED ${wrap(annTopKPq(nq, k))},
+       |pq_ivf_t AS MATERIALIZED ${wrap(annTopKPqIvf(nq, k))},
        |q8_t AS MATERIALIZED ${wrap(annTopKQ8(nq, k))},
        |q8ivf_t AS MATERIALIZED ${wrap(annTopKQ8Ivf(nq, k))}
        |${row("ivf")}
        |UNION ALL ${row("lsh")}
        |UNION ALL ${row("mrl")}
        |UNION ALL ${row("mrl_ivf")}
+       |UNION ALL ${row("pq")}
+       |UNION ALL ${row("pq_ivf")}
        |UNION ALL ${row("q8")}
        |UNION ALL ${row("q8ivf")}
        |ORDER BY rung""".stripMargin

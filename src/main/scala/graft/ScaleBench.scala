@@ -1,8 +1,8 @@
 package graft
 
 import graft.functions.GraftHash
-import graft.operators.{Degrees, Hits, KCore, LabelProp, LinkPredict,
-  Salsa, Triangles}
+import graft.operators.{ConnectedComponents, Degrees, Hits, KCore,
+  LabelProp, LinkPredict, Salsa, Triangles}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -137,6 +137,13 @@ object ScaleBench {
         .select(col("id"), col("label"))
       LabelProp.run(s, g.edges, seeds, 4)
     }),
+    // large-star/small-star contraction: per round two groupBy-min
+    // aggs + two SHUFFLE_HASH joins on a shrinking edge set — the
+    // hub-star risk is the hot node's 40% share of the groupBy-min
+    // key space, collapsed map-side (partial agg)
+    "graph_components" -> ((s, dir) =>
+      ConnectedComponents.componentsOn(
+        Triangles.undirected(GraphIO.orderGraph(s, dir).edges))),
     "hits_teleport" -> ((s, dir) =>
       Hits.runTeleport(GraphIO.orderGraph(s, dir)).auths),
     "salsa_iterative" -> ((s, dir) =>

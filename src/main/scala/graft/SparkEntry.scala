@@ -777,6 +777,21 @@ object SparkEntry {
         .select(col("vec_id"), col("ma"), col("pos").cast("long").as("pos"),
           col("qv"))
         .orderBy(col("vec_id"), col("pos"))),
+    // product quantization — the BYTES-PER-VECTOR axis (r19): ADC over
+    // 10-byte codes (m=16 subspaces × 32 codewords ≈ 26× smaller than
+    // the float column), derived rerank pool max(12k, ⌈N/20⌉); the
+    // sublinear deployable form is the IVF composition below
+    "ann_topk_pq" -> ((s, dir) =>
+      Similarity.ann(GraphIO.embeddings(s, dir), Similarity.AnnStrategy.Pq)
+        .withColumn("rn", col("rn").cast("long"))),
+    // IVFPQ — the canonical memory-bound 100 TB ANN shape: probed
+    // cells shrink the scanned SET, codes shrink the bytes per scanned
+    // vector, rerank pool scales with the probed population (raw-
+    // vector codes, so ONE code table serves both PQ rungs)
+    "ann_topk_pq_ivf" -> ((s, dir) =>
+      Similarity.ann(GraphIO.embeddings(s, dir),
+          Similarity.AnnStrategy.PqIvf, nlist = 8)
+        .withColumn("rn", col("rn").cast("long"))),
     "ann_topk_q8" -> ((s, dir) =>
       Similarity.ann(GraphIO.embeddings(s, dir), Similarity.AnnStrategy.Q8)
         .withColumn("rn", col("rn").cast("long"))),
@@ -1742,6 +1757,8 @@ object SparkEntry {
     "decontaminate_bloom" -> Oracles.decontaminateBloom(),
     "embed_quantize" -> Oracles.embedQuantize,
     "ann_topk_q8" -> Oracles.annTopKQ8(),
+    "ann_topk_pq" -> Oracles.annTopKPq(),
+    "ann_topk_pq_ivf" -> Oracles.annTopKPqIvf(),
     "ann_topk_q8_ivf" -> Oracles.annTopKQ8Ivf(),
     "ann_topk_q8_ivf_sampled" -> Oracles.annTopKQ8Ivf(trainPermille = 500),
     "events_percentiles" -> Oracles.eventsPercentiles,

@@ -44,6 +44,8 @@ object Similarity {
     case object Q8Ivf extends AnnStrategy
     case object Mrl extends AnnStrategy
     case object MrlIvf extends AnnStrategy
+    case object Pq extends AnnStrategy
+    case object PqIvf extends AnnStrategy
   }
 
   /** Unified ANN entry point: one signature over every strategy in the
@@ -99,6 +101,8 @@ object Similarity {
         if (mrlCand > 0) mrlCand else autoMrlCand(emb.count(), k))
       case AnnStrategy.MrlIvf => annTopKMrlIvf(emb, nq, k, nlist, nprobe,
         mrlDims, mrlCand, trainFraction)
+      case AnnStrategy.Pq => annTopKPq(emb, nq, k)
+      case AnnStrategy.PqIvf => annTopKPqIvf(emb, nq, k, nlist, nprobe)
     }
 
   /** Corpus-derived MRL rerank depth: `max(30·k, ⌈N/5⌉)`. The k term
@@ -173,6 +177,12 @@ object Similarity {
       // deployable form of mrl on non-MRL-trained embeddings
       "mrl_ivf" -> ann(emb, AnnStrategy.MrlIvf, nq, k, nlist = nlist),
       "q8" -> ann(emb, AnnStrategy.Q8, nq, k),
+      // the bytes-per-vector axis: ADC over 10-byte codes, derived
+      // rerank pool (r19)
+      "pq" -> ann(emb, AnnStrategy.Pq, nq, k),
+      // IVFPQ — probed cells × 10-byte codes × probed-population-
+      // scaled rerank, the canonical memory-bound 100 TB shape (r19)
+      "pq_ivf" -> ann(emb, AnnStrategy.PqIvf, nq, k, nlist = nlist),
       // the composed 100 TB configuration — the rung whose recall
       // actually matters in deployment
       "q8ivf" -> ann(emb, AnnStrategy.Q8Ivf, nq, k, nlist = nlist))
@@ -985,6 +995,198 @@ object Similarity {
     * training runs on a deterministic hash-gated sample
     * ([[ivfCentroids]]); the prefix would be laid out as its own
     * parquet column so stage 1 reads `dims/D` of the bytes. */
+  /** Corpus-derived PQ rerank depth: `max(12·k, ⌈N/20⌉)`. Same
+    * derivation contract as [[autoMrlCand]], same honesty note: on
+    * uniform-energy synthetic embeddings the ADC lookalike set grows
+    * with N, so the STANDALONE rung holds its floor with a
+    * constant-fraction pool (measured 0.98 at all three audit scales);
+    * the deployable sublinear form is [[annTopKPqIvf]], whose pool
+    * scales with the PROBED population instead. */
+  def autoPqCand(corpusSize: Long, k: Int): Int =
+    math.max(12 * k, math.ceil(corpusSize / 20.0).toInt)
+
+  /** Per-subspace view of the corpus: `(vec_id, s, sv)` with `sv` the
+    * `s`-th contiguous `dsub`-wide slice of the embedding. */
+  private def pqSubspaces(emb: DataFrame, m: Int, dsub: Int): DataFrame =
+    emb.select(col("vec_id"),
+        explode(sequence(lit(0), lit(m - 1))).as("s"), col("embedding"))
+      .select(col("vec_id"), col("s"),
+        slice(col("embedding"), col("s") * lit(dsub) + lit(1),
+          lit(dsub)).as("sv"))
+
+  /** Product-quantization codebooks `(s, cid, cvec)`: per subspace the
+    * [[ivfCentroids]] discipline — seeds are the subvectors of the
+    * first `ksub` vec_ids, one Lloyd assignment + mean step, means
+    * rounded to 6 decimals so the codebook replays bit-for-bit in the
+    * DuckDB twin. A codeword that attracts no vector is dropped by the
+    * groupBy on BOTH engines (same contract as an empty IVF cell). */
+  private[graft] def pqCodebooks(sub: DataFrame, ksub: Int): DataFrame = {
+    val seeds = sub.filter(col("vec_id") < ksub)
+      .select(col("s"), col("vec_id").as("cid"), col("sv").as("cvec"))
+    val w = Window.partitionBy(col("vec_id"), col("s"))
+      .orderBy(col("d"), col("cid"))
+    val a0 = sub.join(broadcast(seeds), Seq("s"))
+      .withColumn("d", sqDist(col("sv"), col("cvec")))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("s"), col("cid"), col("sv"))
+    a0.select(col("s"), col("cid"), posexplode(col("sv")).as(Seq("pos", "v")))
+      .groupBy(col("s"), col("cid"), col("pos"))
+      .agg(avg(col("v").cast("double")).as("mv"))
+      .groupBy(col("s"), col("cid"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("mv")))),
+        x => round(x.getField("mv"), 6)).as("cvec"))
+      // m·ksub rows; materialized once, feeds encode + the ADC tables
+      .localCheckpoint(true)
+  }
+
+  /** PQ codes: nearest codeword per (vector, subspace) →
+    * `(vec_id, s, code)`. The code table is what a 100 TB ANN index
+    * actually stores and scans: `m·log2(ksub)` bits per vector (the
+    * default 16×32 config is 10 bytes against the 256-byte float
+    * column — a 26× storage shrink, the axis the Q8 rung's 4× and the
+    * MRL rung's 2× don't reach). */
+  private def pqEncode(sub: DataFrame, books: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("vec_id"), col("s"))
+      .orderBy(col("d"), col("cid"))
+    sub.join(broadcast(books), Seq("s"))
+      .withColumn("d", sqDist(col("sv"), col("cvec")))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("s"), col("cid").as("code"))
+  }
+
+  /** Per-query ADC tables: query-subvector · codeword for every
+    * (subspace, codeword) — `nq·m·ksub` rows, broadcastable. */
+  private def pqAdcTables(qsub: DataFrame, books: DataFrame): DataFrame =
+    qsub.join(broadcast(books), Seq("s"))
+      .select(col("query_id"), col("s"), col("cid").as("code"),
+        dot(col("qsv"), col("cvec")).as("part"))
+
+  /** Ordered fold of the m ADC parts per (query, vector): parts are
+    * collected, sorted by subspace index and summed LEFT-TO-RIGHT —
+    * the float-addition order is pinned on both engines (the
+    * [[ivfCentroids]] `array_sort(collect_list(...))` discipline), so
+    * candidate ranking can never diverge on sum order. */
+  private def pqFold(parts: DataFrame): DataFrame =
+    parts.groupBy(col("query_id"), col("vec_id"))
+      .agg(aggregate(
+        transform(array_sort(collect_list(struct(col("s"), col("part")))),
+          x => x.getField("part")),
+        lit(0.0), (acc, v) => acc + v).as("adot"))
+
+  /** ANN top-k by product quantization — the BYTES-PER-VECTOR axis of
+    * the ladder: stage 1 ranks the corpus per query by the
+    * asymmetric-distance (ADC) approximate cosine — the exact query
+    * subvectors dotted against each vector's `m` codewords, summed in
+    * subspace order, over the EXACT stored norms — touching only the
+    * 10-byte code column plus the `m·ksub`-entry codebook; stage 2
+    * exact-reranks the `cand` survivors on full vectors. `cand <= 0`
+    * derives [[autoPqCand]]. Same determinism contract as every rung:
+    * (score desc, id) tiebreaks, 6-decimal final rounding, every
+    * training/encode/ADC stage replayed verbatim by the DuckDB twin. */
+  def annTopKPq(emb: DataFrame, nq: Int = 10, k: Int = 5,
+      m: Int = 16, ksub: Int = 32, cand: Int = 0): DataFrame = {
+    val d = emb.select(size(col("embedding"))).head.getInt(0)
+    require(m >= 1 && d % m == 0, s"m=$m must divide embedding dim $d")
+    val cnd = if (cand > 0) cand else autoPqCand(emb.count(), k)
+    val base = emb.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("nrm"))
+    val sub = graft.Checkpoints.materialize(pqSubspaces(emb, m, d / m))
+    val books = pqCodebooks(sub, ksub)
+    val codes = pqEncode(sub, books)
+    val qsub = sub.filter(col("vec_id") < nq)
+      .select(col("vec_id").as("query_id"), col("s"), col("sv").as("qsv"))
+    val adc = pqAdcTables(qsub, books)
+    val parts = codes.join(broadcast(adc), Seq("s", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("s"), col("part"))
+    val qn = base.filter(col("vec_id") < nq)
+      .select(col("vec_id").as("query_id"), col("nrm").as("qn"))
+    val approx = pqFold(parts)
+      .join(base.select(col("vec_id"), col("nrm")), Seq("vec_id"))
+      .join(broadcast(qn), Seq("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (col("adot") / (col("nrm") * col("qn"))).as("qcos"))
+    pqRerank(approx, base, nq, k, cnd)
+  }
+
+  /** IVF + PQ — the canonical 100 TB ANN configuration (FAISS's
+    * IndexIVFPQ shape, raw-vector codes): the coarse quantizer shrinks
+    * the SCANNED SET to the probed cells, the product quantizer
+    * shrinks the BYTES PER SCANNED VECTOR to the 10-byte code, and the
+    * exact rerank pool scales with the PROBED population
+    * ([[autoMrlIvfCand]] — `max(30·k, ⌈nprobe·N/(2·nlist)⌉)`, sublinear
+    * under deployment sizing `nlist ∝ √N`). One PQ codebook/code table
+    * serves both this and [[annTopKPq]] — codes are trained on raw
+    * vectors, not residuals, precisely so the same index artifact
+    * backs both rungs. */
+  def annTopKPqIvf(emb: DataFrame, nq: Int = 10, k: Int = 5,
+      nlist: Int = 0, nprobe: Int = 4, m: Int = 16, ksub: Int = 32,
+      cand: Int = 0, trainFraction: Double = 1.0): DataFrame = {
+    val d = emb.select(size(col("embedding"))).head.getInt(0)
+    require(m >= 1 && d % m == 0, s"m=$m must divide embedding dim $d")
+    val corpus = emb.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("nrm"))
+    val nl = resolveNlist(nlist, corpus)
+    val cnd = if (cand > 0) cand
+      else autoMrlIvfCand(emb.count(), k, nl, nprobe)
+    val cents = ivfCentroids(corpus, nl, trainFraction)
+    val indexed = nearestCells(corpus, cents, 1)
+    val probes = nearestCells(corpus.filter(col("vec_id") < nq), cents,
+        nprobe)
+      .select(col("vec_id").as("query_id"), col("cid"))
+    val sub = graft.Checkpoints.materialize(pqSubspaces(emb, m, d / m))
+    val books = pqCodebooks(sub, ksub)
+    val codes = pqEncode(sub, books)
+    val qsub = sub.filter(col("vec_id") < nq)
+      .select(col("vec_id").as("query_id"), col("s"), col("sv").as("qsv"))
+    val adc = pqAdcTables(qsub, books)
+    // scope the code scan to each query's probed cells BEFORE the ADC
+    // join — the stage-1 working set is (probed fraction)·N codes
+    val scoped = codes
+      .join(indexed.select(col("vec_id"), col("cid")), Seq("vec_id"))
+      .join(broadcast(probes), Seq("cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("s"), col("code"))
+    val parts = scoped.join(broadcast(adc), Seq("query_id", "s", "code"))
+      .select(col("query_id"), col("vec_id"), col("s"), col("part"))
+    val qn = corpus.filter(col("vec_id") < nq)
+      .select(col("vec_id").as("query_id"), col("nrm").as("qn"))
+    val approx = pqFold(parts)
+      .join(corpus.select(col("vec_id"), col("nrm")), Seq("vec_id"))
+      .join(broadcast(qn), Seq("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (col("adot") / (col("nrm") * col("qn"))).as("qcos"))
+    pqRerank(approx, corpus, nq, k, cnd)
+  }
+
+  /** Shared candidate-cut + exact-rerank tail of the PQ rungs: keep
+    * `cand` by (qcos desc, id), re-score on full vectors, emit the
+    * ladder's standard `(query_id, rn, neighbor_id, cosine)`. */
+  private def pqRerank(approx: DataFrame, base: DataFrame, nq: Int,
+      k: Int, cand: Int): DataFrame = {
+    val wc = Window.partitionBy(col("query_id"))
+      .orderBy(col("qcos").desc, col("neighbor_id"))
+    val candidates = approx.withColumn("crn", row_number().over(wc))
+      .filter(col("crn") <= cand)
+      .select(col("query_id"), col("neighbor_id"))
+    val ce = base.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("ve"), col("nrm").as("vn"))
+    val qe = base.filter(col("vec_id") < nq)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("nrm").as("qn"))
+    val exact = candidates.join(ce, Seq("neighbor_id"))
+      .join(broadcast(qe), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("qv"), col("ve")) / (col("qn") * col("vn"))).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    exact.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("rn"), col("neighbor_id"),
+        round(col("cos"), 6).as("cosine"))
+      .orderBy(col("query_id"), col("rn"))
+  }
+
   def annTopKMrlIvf(emb: DataFrame, nq: Int = 10, k: Int = 5,
       nlist: Int = 0, nprobe: Int = 4, dims: Int = 32, cand: Int = 0,
       trainFraction: Double = 1.0): DataFrame = {

@@ -409,6 +409,57 @@ class PipelinesSpec extends SparkSuite {
     assert(trunc == exact)
   }
 
+  test("annTopKPq: a rerank pool covering the corpus recovers the " +
+    "exact top-k; autoPqCand derives the pool") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val emb = (0L until 40L).map(i => (i, Array.fill(16)(rnd.nextFloat() - 0.5f)))
+      .toDF("vec_id", "embedding")
+    val exact = Similarity.annTopK(emb, nq = 3, k = 3).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    // ADC stage ranks the whole corpus; cand >= N makes the exact
+    // rerank see everything, so the answer must be exact regardless
+    // of quantization error
+    val wide = Similarity.annTopKPq(emb, nq = 3, k = 3, m = 4, ksub = 8,
+        cand = 40)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(wide == exact)
+    // derived pool: the 12k floor dominates small corpora, the N/20
+    // fraction takes over at scale
+    assert(Similarity.autoPqCand(40L, 5) == 60)
+    assert(Similarity.autoPqCand(10000L, 5) == 500)
+    // the m=16 gate default divides the 64-dim corpus; a non-divisor
+    // fails loudly
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.annTopKPq(emb, nq = 1, k = 1, m = 5)
+    }
+    assert(ex.getMessage.contains("divide"))
+  }
+
+  test("annTopKPqIvf: nprobe == nlist with a corpus-wide pool " +
+    "degenerates to exact; narrow probe stays inside probed cells") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(37)
+    val emb = (0L until 48L).map(i => (i, Array.fill(16)(rnd.nextFloat() - 0.5f)))
+      .toDF("vec_id", "embedding")
+    val exact = Similarity.annTopK(emb, nq = 3, k = 3).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    val all = Similarity.annTopKPqIvf(emb, nq = 3, k = 3, nlist = 4,
+        nprobe = 4, m = 4, ksub = 8, cand = 48)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(all == exact)
+    // narrow probe: every reported neighbor must live in a probed cell
+    // (subset-of-composition sanity — the IVF scoping is real)
+    val ivf = Similarity.annTopKIvf(emb, nq = 3, k = 5, nlist = 4,
+        nprobe = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val pqIvf = Similarity.annTopKPqIvf(emb, nq = 3, k = 5, nlist = 4,
+        nprobe = 1, m = 4, ksub = 8, cand = 48)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(pqIvf == ivf,
+      "with a corpus-wide pool both rungs reduce to exact-within-probed-cells")
+  }
+
   test("annTopKIvf with nprobe == nlist degenerates to exact brute force") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
