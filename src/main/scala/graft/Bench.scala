@@ -176,6 +176,9 @@ object Bench {
           // cross-round statistic. Both raw passes are kept in the
           // artifact (`queries_p1`/`queries_p2`) so nothing is hidden.
           def once(): (Double, Boolean) = {
+            // Label the query's jobs (guide §1.5): purely cosmetic for
+            // the event log / UI, no effect on execution or timing.
+            spark.sparkContext.setJobDescription(name)
             val t0 = System.nanoTime()
             // noop sink, not count(): under count Catalyst prunes
             // computed columns on projection-shaped queries (a
@@ -199,6 +202,7 @@ object Bench {
               // sweeps (and so pass 1's dead blocks can't distort
               // pass 2's timing).
               if (df != null) Checkpoints.releaseAll(df)
+              spark.sparkContext.setJobDescription(null)
             }
             ((System.nanoTime() - t0) / 1e9, ok)
           }

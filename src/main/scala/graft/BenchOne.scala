@@ -23,16 +23,23 @@ object BenchOne {
       // every output column (count() would let Catalyst prune computed
       // columns), and the run's checkpoints are released afterwards so
       // the first pass's dead blocks can't distort the second's timing.
-      def once(): Unit = {
+      def once(pass: String): Unit = {
+        // Label every job of this query (guide §1.5) so event-log /
+        // UI stages attribute to a (query, pass) instead of an
+        // anonymous CompletableFuture call site.
+        spark.sparkContext.setJobDescription(s"$name:$pass")
         val df = SparkEntry.queries(name)(spark, sfDir)
         try df.write.format("noop").mode("overwrite").save()
-        finally Checkpoints.releaseAll(df)
+        finally {
+          Checkpoints.releaseAll(df)
+          spark.sparkContext.setJobDescription(null)
+        }
       }
       val t0 = System.nanoTime()
-      once()
+      once("first")
       println(f"[benchone] $name first ${(System.nanoTime()-t0)/1e9}%.2f s")
       val t1 = System.nanoTime()
-      once()
+      once("second")
       println(f"[benchone] $name second ${(System.nanoTime()-t1)/1e9}%.2f s")
     }
     spark.stop()

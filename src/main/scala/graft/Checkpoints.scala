@@ -56,7 +56,14 @@ object Checkpoints {
         spark.sparkContext.setCheckpointDir(spark.conf.get(DirKey,
           sys.props("java.io.tmpdir") + "/graft-checkpoints"))
       df.checkpoint(eager = eager)
-    } else df.localCheckpoint(eager = eager)
+    } else
+      // Partitioning-preserving localCheckpoint (guide §2.4): stock
+      // Dataset.localCheckpoint drops the hash partitioning under AQE
+      // (AdaptiveSparkPlanExec reports UnknownPartitioning), which cost
+      // every iterative kernel one |V|-sized Exchange per iteration —
+      // see [[org.apache.spark.sql.graftshim.CheckpointShim]].
+      org.apache.spark.sql.graftshim.CheckpointShim
+        .localCheckpoint(df, eager = eager)
   }
 
   /** Eagerly release the storage behind a [[materialize]]d (or

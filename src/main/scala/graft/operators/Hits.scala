@@ -195,7 +195,13 @@ object Hits {
       // Inner join against the full flag table: agg keys are edge
       // endpoints, all present in the node set — same as the reference's
       // `.join(nodes_label)` (`src/topic_specific_hits.py:76`).
-      scores.join(flags, Seq("id"))
+      // SHUFFLE_HASH, not the planner's broadcast pick (guide §3.1):
+      // `scores` is a fresh aggregation output hash-partitioned on id
+      // and `flags` is pre-hashed on id ([[prepFlags]]) — the join is
+      // co-partitioned and exchange-free, while the broadcast plan
+      // rebuilt and shipped a |V|-row broadcast TWICE PER ITERATION
+      // (16 driver collects per topic kernel in the r19 event logs).
+      scores.join(flags.hint("SHUFFLE_HASH"), Seq("id"))
         .select(col("id"),
           when(col("flag") === 0, lit(beta) * col("score"))
             .otherwise(lit(beta) * col("score") + lit((1.0 - beta) / nTopic))
