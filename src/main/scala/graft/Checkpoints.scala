@@ -56,14 +56,34 @@ object Checkpoints {
         spark.sparkContext.setCheckpointDir(spark.conf.get(DirKey,
           sys.props("java.io.tmpdir") + "/graft-checkpoints"))
       df.checkpoint(eager = eager)
-    } else
-      // Partitioning-preserving localCheckpoint (guide §2.4): stock
-      // Dataset.localCheckpoint drops the hash partitioning under AQE
-      // (AdaptiveSparkPlanExec reports UnknownPartitioning), which cost
-      // every iterative kernel one |V|-sized Exchange per iteration —
-      // see [[org.apache.spark.sql.graftshim.CheckpointShim]].
-      org.apache.spark.sql.graftshim.CheckpointShim
-        .localCheckpoint(df, eager = eager)
+    } else df.localCheckpoint(eager = eager)
+  }
+
+  /** [[materialize]] for KERNEL-SHAPED loops — a |V|-sized keyed vector
+    * that the next iteration immediately re-joins on its hash key
+    * against a co-clustered cached side. Stock `localCheckpoint` drops
+    * the hash partitioning under AQE (`AdaptiveSparkPlanExec` reports
+    * `UnknownPartitioning`), which cost every such loop one |V|-sized
+    * Exchange per iteration; this path preserves it — and disables AQE
+    * partition coalescing for the checkpointed query only, so there IS
+    * a hash layout to preserve (guide §2.4; see
+    * [[org.apache.spark.sql.graftshim.CheckpointShim]]).
+    *
+    * NOT the default: for checkpoints whose consumers re-key anyway
+    * (the structural peels re-aggregate degrees from scratch and
+    * semi-join on alternating keys; the wedge pipelines union both
+    * endpoint orientations), the preserved partitioning buys nothing
+    * while the coalesce-off runs every tiny late-round stage at full
+    * `shuffle.partitions` width — measured 4× slower on the k-truss
+    * peel at sf0.1. Keyed checkpoints are for vectors consumed BY KEY.
+    * Falls back to [[materialize]] under the reliable-checkpoint conf
+    * (cluster fault-tolerance mode — partitioning preservation is an
+    * optimization, not a contract). */
+  def materializeKeyed(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    if (spark.conf.get(ReliableKey, "false").toBoolean) materialize(df)
+    else org.apache.spark.sql.graftshim.CheckpointShim
+      .localCheckpoint(df, eager = true)
   }
 
   /** Eagerly release the storage behind a [[materialize]]d (or

@@ -39,22 +39,32 @@ object ConnectedComponents {
     * Returns `(id, component)` — one row per node that appears in at
     * least one pair, `component` = min node id of its component. */
   def run(pairs: DataFrame, a: String = "a", b: String = "b"): DataFrame = {
-    // Both directions so one join side covers every neighborhood.
+    // Both directions so one join side covers every neighborhood —
+    // hashed on the per-round join key `y` BEFORE caching (the
+    // Hits.iterate discipline, r19): the per-round label join then
+    // reads the edge side co-partitioned instead of re-exchanging the
+    // symmetric edge list every round, and the keyed label checkpoint
+    // (hash-partitioned on id) makes the probe side exchange-free too.
+    val spark = pairs.sparkSession
+    val np = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val e = pairs.select(col(a).as("x"), col(b).as("y"))
       .unionAll(pairs.select(col(b).as("x"), col(a).as("y")))
+      .repartition(np, col("y"))
       .persist()
     try {
-      var comp = Checkpoints.materialize(e.groupBy(col("x").as("id"))
+      var comp = Checkpoints.materializeKeyed(e.groupBy(col("x").as("id"))
         .agg(min(col("y")).as("nmin"))
         .select(col("id"), least(col("id"), col("nmin")).as("comp")))
       var prevSum = checksum(comp)
       var converged = false
       while (!converged) {
         val nbrMin = e
-          .join(comp.select(col("id").as("y"), col("comp").as("yc")), Seq("y"))
+          .join(comp.select(col("id").as("y"), col("comp").as("yc"))
+            .hint("SHUFFLE_HASH"), Seq("y"))
           .groupBy(col("x").as("id")).agg(min(col("yc")).as("nmin"))
-        val next = Checkpoints.materialize(comp.join(nbrMin, Seq("id"))
-          .select(col("id"), least(col("comp"), col("nmin")).as("comp")))
+        val next = Checkpoints.materializeKeyed(
+          comp.join(nbrMin.hint("SHUFFLE_HASH"), Seq("id"))
+            .select(col("id"), least(col("comp"), col("nmin")).as("comp")))
         val s = checksum(next)
         // `next` is materialized and checksummed: the previous round's
         // label checkpoint is unreachable — release eagerly (see
@@ -104,13 +114,23 @@ object ConnectedComponents {
           least(col("x"), col("y")).as("y"))
         .distinct()
 
+    // largeStar emits WITHOUT the dedup exchange (r19, guide §2.4):
+    // its output feeds straight into smallStar, whose min-aggregate is
+    // duplicate-blind (min over duplicates = min) and whose terminal
+    // `canonical` dedups the round anyway — so the round-boundary edge
+    // SET is identical while each round pays one full exchange less.
+    // The pre-dedup stream is bounded: sym contributes exactly one
+    // oriented row per input edge (the y > x filter keeps one
+    // direction), so largeStar's raw output is |e| rows, never more.
+    // Emitted pairs already satisfy the canonical orientation
+    // (m ≤ x < y, so (y, m) is (hi, lo) with hi ≠ lo by construction).
     def largeStar(e: DataFrame): DataFrame = {
       val sym = e.unionAll(e.select(col("y").as("x"), col("x").as("y")))
       val m = sym.groupBy(col("x").as("u"))
         .agg(least(min(col("y")), first(col("x"))).as("m"))
-      canonical(sym.join(m.hint("SHUFFLE_HASH"), col("x") === col("u"))
+      sym.join(m.hint("SHUFFLE_HASH"), col("x") === col("u"))
         .filter(col("y") > col("x"))
-        .select(col("y").as("x"), col("m").as("y")))
+        .select(col("y").as("x"), col("m").as("y"))
     }
 
     def smallStar(e: DataFrame): DataFrame = {

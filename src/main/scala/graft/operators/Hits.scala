@@ -131,7 +131,7 @@ object Hits {
         val authsU = eSrc.join(h0, eSrc("src") === h0("id"))
           .groupBy(eSrc("dst").as("id")).agg(sum(col("score")).as("score"))
         hubs = Normalize.l2(hubsU)
-        val cur = Checkpoints.materialize(Normalize.l2(authsU))
+        val cur = Checkpoints.materializeKeyed(Normalize.l2(authsU))
         if (it >= firstCheck && (it - firstCheck) % checkEvery == 0)
             prev.foreach { p =>
           // Both sides are checkpointed aggregation outputs hash-
@@ -321,11 +321,11 @@ object Hits {
             .groupBy(eDst("src").as("id"))
             .agg(sum(contribution(col("score"))).as("score")),
           post)
-        val hubsU = if (i == numIter) Checkpoints.materialize(hubsRaw)
+        val hubsU = if (i == numIter) Checkpoints.materializeKeyed(hubsRaw)
           else hubsRaw
         // Authority: from the NEW, un-normalized hubs (Gauss-Seidel).
         val h0 = hubsU.hint("SHUFFLE_HASH")
-        val authsU = Checkpoints.materialize(applyPost(
+        val authsU = Checkpoints.materializeKeyed(applyPost(
           eSrc.join(h0, eSrc("src") === h0("id"))
             .groupBy(eSrc("dst").as("id"))
             .agg(sum(contribution(col("score"))).as("score")),

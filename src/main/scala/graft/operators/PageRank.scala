@@ -48,7 +48,7 @@ object PageRank {
         val contrib = eOut.join(p0, eOut("src") === p0("id"))
           .groupBy(eOut("dst").as("id"))
           .agg(sum(col("score") / col("out_degree")).as("mass"))
-        p = Checkpoints.materialize(
+        p = Checkpoints.materializeKeyed(
           nodeIds.join(contrib.hint("SHUFFLE_HASH"), Seq("id"), "left")
             .select(col("id"), (lit((1.0 - damping) / n) +
               lit(damping) * coalesce(col("mass"), lit(0.0))).as("score")))
@@ -105,7 +105,7 @@ object PageRank {
         val contrib = eOut.join(p0, eOut("src") === p0("id"))
           .groupBy(eOut("dst").as("id"))
           .agg(sum(col("score") / col("out_degree")).as("mass"))
-        p = Checkpoints.materialize(
+        p = Checkpoints.materializeKeyed(
           tele.join(contrib.hint("SHUFFLE_HASH"), Seq("id"), "left")
             .select(col("id"), (lit(1.0 - damping) * col("t") +
               lit(damping) * coalesce(col("mass"), lit(0.0))).as("score")))
@@ -170,7 +170,7 @@ object PageRank {
         val contrib = eOut.join(p0, eOut("src") === p0("id"))
           .groupBy(eOut("dst").as("id"))
           .agg(sum(col("score") / col("out_degree")).as("mass"))
-        val cur = Checkpoints.materialize(
+        val cur = Checkpoints.materializeKeyed(
           nodeIds.join(contrib.hint("SHUFFLE_HASH"), Seq("id"), "left")
             .select(col("id"), (lit((1.0 - damping) / n) +
               lit(damping) * coalesce(col("mass"), lit(0.0))).as("score")))

@@ -147,7 +147,7 @@ object Salsa {
           .groupBy(eOut("dst").as("id"))
           .agg(sum(col("score") / col("out_degree")).as("score"))
         hubs = Normalize.l1(hubsU)
-        val cur = Checkpoints.materialize(Normalize.l1(authsU))
+        val cur = Checkpoints.materializeKeyed(Normalize.l1(authsU))
         if (it >= firstCheck && (it - firstCheck) % checkEvery == 0)
             prev.foreach { p =>
           // Co-partitioned full-outer delta join — see Hits.runConverged.
@@ -254,10 +254,10 @@ object Salsa {
             .groupBy(eIn("src").as("id"))
             .agg(sum(col("score") / col("in_degree")).as("score")),
           post)
-        val hubsU = if (i == numIter) Checkpoints.materialize(hubsRaw)
+        val hubsU = if (i == numIter) Checkpoints.materializeKeyed(hubsRaw)
           else hubsRaw
         val h0 = hubsU.hint("SHUFFLE_HASH")
-        val authsU = Checkpoints.materialize(applyPost(
+        val authsU = Checkpoints.materializeKeyed(applyPost(
           eOut.join(h0, eOut("src") === h0("id"))
             .groupBy(eOut("dst").as("id"))
             .agg(sum(col("score") / col("out_degree")).as("score")),

@@ -168,21 +168,33 @@ object Similarity {
     val exact = graft.Checkpoints.materialize(
       ann(emb, AnnStrategy.Exact, nq, k)
         .select(col("query_id"), col("neighbor_id")))
+    // ONE corpus count shared by every rung (r19, guide §1/§2): the
+    // knob-deriving rungs (lsh tables, mrl/pq/composed rerank pools)
+    // each ran their own count() job over the corpus — 6 scans of the
+    // same input inside one audit. The values passed are the exact
+    // derivations those rungs would compute (same functions, same n),
+    // so the result — and the DuckDB twin, which replays the
+    // derivations as count subqueries — is unchanged.
+    val n = emb.count()
     val rungs: Seq[(String, DataFrame)] = Seq(
       "ivf" -> ann(emb, AnnStrategy.Ivf, nq, k, nlist = nlist),
-      "lsh" -> ann(emb, AnnStrategy.Lsh, nq, k),
-      "mrl" -> ann(emb, AnnStrategy.Mrl, nq, k),
+      "lsh" -> ann(emb, AnnStrategy.Lsh, nq, k,
+        lshTables = HyperplaneLsh.autoTables(n)),
+      "mrl" -> ann(emb, AnnStrategy.Mrl, nq, k,
+        mrlCand = autoMrlCand(n, k)),
       // the composed dimension-axis rung — the probed-cell prefix scan
       // whose rerank pool is a fraction of the PROBED population, the
       // deployable form of mrl on non-MRL-trained embeddings
-      "mrl_ivf" -> ann(emb, AnnStrategy.MrlIvf, nq, k, nlist = nlist),
+      "mrl_ivf" -> ann(emb, AnnStrategy.MrlIvf, nq, k, nlist = nlist,
+        mrlCand = autoMrlIvfCand(n, k, nlist, 4)),
       "q8" -> ann(emb, AnnStrategy.Q8, nq, k),
       // the bytes-per-vector axis: ADC over 10-byte codes, derived
       // rerank pool (r19)
-      "pq" -> ann(emb, AnnStrategy.Pq, nq, k),
+      "pq" -> annTopKPq(emb, nq, k, cand = autoPqCand(n, k)),
       // IVFPQ — probed cells × 10-byte codes × probed-population-
       // scaled rerank, the canonical memory-bound 100 TB shape (r19)
-      "pq_ivf" -> ann(emb, AnnStrategy.PqIvf, nq, k, nlist = nlist),
+      "pq_ivf" -> annTopKPqIvf(emb, nq, k, nlist = nlist,
+        cand = autoMrlIvfCand(n, k, nlist, 4)),
       // the composed 100 TB configuration — the rung whose recall
       // actually matters in deployment
       "q8ivf" -> ann(emb, AnnStrategy.Q8Ivf, nq, k, nlist = nlist))

@@ -5,8 +5,9 @@ import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
 import org.apache.spark.sql.functions._
 
 /** The partitioning-preserving localCheckpoint
-  * ([[org.apache.spark.sql.graftshim.CheckpointShim]], used by every
-  * [[Checkpoints.materialize]] call): same rows as stock
+  * ([[org.apache.spark.sql.graftshim.CheckpointShim]], behind
+  * [[Checkpoints.materializeKeyed]] — the kernel loops' score-vector
+  * checkpoints): same rows as stock
   * `localCheckpoint`, but the checkpointed frame keeps the executed
   * plan's hash partitioning, so the iterative kernels' per-iteration
   * score join no longer re-exchanges the |V|-sized vector (r19
@@ -26,7 +27,7 @@ class CheckpointShimSpec extends SparkSuite {
     // of plans it executes itself.
     val want = df.groupBy("id").agg(sum("score").as("score"))
       .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
-    val ck = Checkpoints.materialize(
+    val ck = Checkpoints.materializeKeyed(
       df.groupBy("id").agg(sum("score").as("score")))
     val lr = ck.queryExecution.analyzed.collectFirst {
       case l: LogicalRDD => l
@@ -47,7 +48,7 @@ class CheckpointShimSpec extends SparkSuite {
     import spark.implicits._
     val df = (1 to 200).map(i => (s"id${i % 13}", i.toDouble))
       .toDF("id", "score")
-    val ck = Checkpoints.materialize(
+    val ck = Checkpoints.materializeKeyed(
       df.groupBy("id").agg(sum("score").as("score")))
     val edges = (1 to 50).map(i => (s"id${i % 13}", s"id${(i + 1) % 13}"))
       .toDF("dst", "src").repartition(np, col("dst")).persist()
@@ -88,7 +89,7 @@ class CheckpointShimSpec extends SparkSuite {
     import spark.implicits._
     val df = (1 to 20).map(i => (i.toLong, s"v$i")).toDF("k", "v")
       .orderBy(desc("k")) // range-partitioned root — NOT claimable as hash
-    val ck = Checkpoints.materialize(df)
+    val ck = Checkpoints.materializeKeyed(df)
     val lr = ck.queryExecution.analyzed.collectFirst {
       case l: LogicalRDD => l
     }.get
