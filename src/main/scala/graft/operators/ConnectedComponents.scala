@@ -101,8 +101,17 @@ object ConnectedComponents {
   def runStar(pairs: DataFrame, a: String = "a", b: String = "b"): DataFrame =
     runStarCounted(pairs, a, b)._1
 
+  /** `assumeSimple = true` skips round 0's canonicalizing `distinct`
+    * (one full edge-list exchange): callers passing an ALREADY simple
+    * canonical `(a, b)` edge set — the structural family's projections
+    * ([[Triangles.undirected]]/[[Triangles.undirectedWeighted]] outputs
+    * and the persisted [[StructuralIndex]]), which are distinct with
+    * `a < b` and self-loop-free by construction — get the identical
+    * round-0 edge set from the cheap orient-only projection (r19,
+    * guide §2.4). Dedup candidate pairs keep the default: LSH pair
+    * streams carry no uniqueness contract. */
   private[graft] def runStarCounted(pairs: DataFrame, a: String = "a",
-      b: String = "b"): (DataFrame, Int) = {
+      b: String = "b", assumeSimple: Boolean = false): (DataFrame, Int) = {
     // Large-star over the symmetric view: every neighbor v > u connects
     // to m(u) = min(N(u) ∪ {u}). Small-star over the min-oriented view
     // ((hi, lo), lo <= hi): hi and all its smaller neighbors connect to
@@ -148,7 +157,14 @@ object ConnectedComponents {
     // derive from this cache, not from re-executions of `pairs`.
     val p0 = pairs.select(col(a).as("x"), col(b).as("y")).persist()
     try {
-      var e = Checkpoints.materialize(canonical(p0))
+      // assumeSimple: input is already a simple canonical edge set —
+      // orient to the (hi, lo) convention without the re-distinct
+      // exchange (set-identical by the caller's contract).
+      var e = Checkpoints.materialize(
+        if (assumeSimple)
+          p0.select(greatest(col("x"), col("y")).as("x"),
+            least(col("x"), col("y")).as("y"))
+        else canonical(p0))
       var prevSum = edgeChecksum(e)
       var rounds = 0
       var converged = false
@@ -236,7 +252,7 @@ object ConnectedComponents {
     * is the same join/agg shape as [[clusters]]; only the column
     * vocabulary differs (graph nodes, not dedup docs). */
   def componentsOn(und: DataFrame): DataFrame = {
-    val comp = runStar(und)
+    val comp = runStarCounted(und, assumeSimple = true)._1
     val sizes = comp.groupBy(col("comp")).agg(count(lit(1)).as("n_members"))
     comp.join(sizes, Seq("comp"))
       .select(col("id"), col("comp").as("component"), col("n_members"))

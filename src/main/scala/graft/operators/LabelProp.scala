@@ -91,7 +91,7 @@ object LabelProp {
           und.select(col("b").as("src"), col("a").as("id"), vote.as("wt"))))
     Checkpoints.release(und) // nbrs is materialized; und has no other use
     val nodes = nbrs.select(col("id")).distinct()
-    var lab = Checkpoints.materializeKeyed(
+    var lab = Checkpoints.materialize(
       nodes.join(seeds, Seq("id"), "left")
         .select(col("id"), col("label")))
     val byVotes = Window.partitionBy(col("id"))
@@ -111,8 +111,8 @@ object LabelProp {
         .select(col("id"), col("label"), row_number().over(byVotes).as("rn"))
         .where(col("rn") === 1)
         .select(col("id"), col("label").as("vote"))
-      val next = Checkpoints.materializeKeyed(
-        lab.join(best.hint("SHUFFLE_HASH"), Seq("id"), "left")
+      val next = Checkpoints.materialize(
+        lab.join(best, Seq("id"), "left")
           .select(col("id"), coalesce(col("label"), col("vote")).as("label")))
       Checkpoints.release(lab)
       lab = next
